@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** One engine capability = one named query + optional DuckDB oracle.
+  *
+  * The oracle SQL must produce identical column names and engine-
+  * neutral types (BIGINT counts, DOUBLE money — see
+  * [[graft.operators.Exact]]); the driver sorts columns by name and
+  * rows by value before hashing.
+  */
+final case class Q(name: String, oracle: Option[String])(
+    val run: Tables => DataFrame)
+
+object Registry {
+  /** All capability suites, in SURVEY.md §2 order. */
+  def suites: Seq[Seq[Q]] = Seq(
+    operators.Relational.all,
+    operators.Scalars.all,
+    graph.GraphQueries.all,
+    dedup.DedupQueries.all,
+    ann.AnnQueries.all,
+    text.TextQueries.all,
+    media.MediaQueries.all,
+    streaming.EventQueries.all,
+  )
+  lazy val all: Seq[Q] = suites.flatten
+}

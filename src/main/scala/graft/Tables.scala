@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+
+/** Table registry over the driver-generated parquet dirs.
+  *
+  * Mirrors the reference's schema surface (tigraph/tidb `infoschema/`):
+  * a fixed catalog of typed tables. On a real cluster these readers
+  * point at partitioned/bucketed warehouse paths; locally they read
+  * the single-file parquet from TESTDATA.md. All readers are plain
+  * `spark.read.parquet` so Catalyst keeps filter pushdown, column
+  * pruning and partition pruning.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame    = t("region")
+  def nation: DataFrame    = t("nation")
+  def customer: DataFrame  = t("customer")
+  def supplier: DataFrame  = t("supplier")
+  def part: DataFrame      = t("part")
+  def orders: DataFrame    = t("orders")
+  def lineitem: DataFrame  = t("lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects. Read nanos as raw INT64 (legacy conf) and rebuild the
+    * micro-precision TimestampType column — the generator emits
+    * microsecond-aligned values, so `div 1000` is lossless and the
+    * column matches what DuckDB sees. */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

@@ -1,0 +1,90 @@
+package graft.ann
+
+import graft.{Q, Tables}
+import graft.functions.VectorFns._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float).
+  *
+  * Scale design: the brute-force baseline broadcasts the (small)
+  * query set against a single corpus scan — no shuffle, one pass,
+  * per-partition top-k before the final window. The LSH variant is
+  * the 100 TB path: 8-bit random-hyperplane signatures × 4 tables
+  * bucket the corpus so each query probes ~corpus/256 per table.
+  */
+object AnnQueries {
+
+  private def vecs(t: Tables): DataFrame =
+    t.embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+
+  /** 4 LSH tables × 8-bit signatures from deterministic pseudo-random
+    * hyperplanes: component (table p, plane q, dim j) =
+    * xxhash64(p,q,j) scaled to [-1, 1]. */
+  private val sigsExpr = """
+    transform(sequence(0, 3), p ->
+      aggregate(sequence(0, 7), 0L, (acc, q) ->
+        acc + shiftleft(
+          IF(aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (s, j) ->
+               s + element_at(v, j + 1) *
+                   (CAST(xxhash64(p, q, j) % 1001 AS DOUBLE) / 1000.0)) >= 0,
+             1L, 0L),
+          q)))"""
+
+  val all: Seq[Q] = Seq(
+
+    // Brute-force cosine top-5 for query set vec_id < 10. Ranking key
+    // is round(cos, 8) + vec_id: deterministic under the ~1e-13
+    // float-noise floor of both engines.
+    Q("s_ann_brute", Some("""
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      pairs AS (
+        SELECT qid, vec_id,
+               list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) AS c
+        FROM q, embeddings WHERE vec_id <> qid)
+      SELECT qid, vec_id, ROUND(c, 4) AS cos FROM (
+        SELECT qid, vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(c, 8) DESC, vec_id) AS rn
+        FROM pairs) t
+      WHERE rn <= 5
+    """)) { t =>
+      val corpus = vecs(t)
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy("qid")
+        .orderBy(round(col("c"), 8).desc, col("vec_id"))
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          cosine(col("qv"), col("v")).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))
+    },
+
+    // LSH-bucketed ANN: 4 tables × 8 hyperplane bits; candidates are
+    // same-bucket vectors, re-ranked by exact cosine, top-3 kept.
+    // Hash-derived planes are engine-specific → rows-only; the spec
+    // checks recall against brute force.
+    Q("s_ann_lsh", None) { t =>
+      val corpus = vecs(t).withColumn("sigs", expr(sigsExpr))
+        .select(col("vec_id"), col("v"),
+          posexplode(col("sigs")).as(Seq("tbl", "sig")))
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("tbl"), col("sig"))
+      val w = Window.partitionBy("qid")
+        .orderBy(round(col("c"), 8).desc, col("vec_id"))
+      queries.join(corpus, Seq("tbl", "sig"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          cosine(col("qv"), col("v")).as("c")).distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))
+    },
+  )
+}

@@ -1,0 +1,157 @@
+package graft.dedup
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for LLM training-data pipelines (SURVEY §2).
+  *
+  * Scale design: every variant reduces a document to a short
+  * fingerprint / signature map-side, then shuffles only
+  * (signature, doc_id) pairs — full text never crosses the network.
+  * Candidate generation is banded (LSH) so pair enumeration is
+  * bounded per bucket, never corpus².
+  */
+object DedupQueries {
+
+  /** MinHash signatures: k=64 permutations simulated by seeding
+    * xxhash64 with the permutation index over 5-char shingles. */
+  private def minhashSigs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sh", TextFns.charShingles(col("text"), 5))
+      .withColumn("sigs", expr(
+        "transform(sequence(0, 63), i -> array_min(transform(sh, s -> xxhash64(i, s))))"))
+      .select("doc_id", "sigs")
+
+  /** 64-bit SimHash over tokens: majority vote per bit position of
+    * each token's xxhash64. */
+  private def simhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("bits", expr(
+        """transform(sequence(0, 63), i ->
+             CASE WHEN aggregate(toks, 0L, (acc, t) ->
+               acc + IF((shiftright(xxhash64(t), i) & 1) = 1, 1L, -1L)) >= 0
+             THEN 1L ELSE 0L END)"""))
+      .withColumn("simhash", expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + shiftleft(element_at(bits, i + 1), i))"))
+      .select("doc_id", "simhash")
+
+  /** Sorted-unique-id buckets → all in-bucket pairs (x < y). */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))"""))
+        .as("p"))
+      .select(col("p.id1"), col("p.id2")).distinct()
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: group by content hash, keep the smallest id.
+    // Shuffles (md5, doc_id) only.
+    Q("d_dedup_exact", Some("""
+      SELECT MD5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY MD5(text)
+    """)) { t =>
+      t.documents
+        .select(md5(col("text").cast("binary")).as("fp"), col("doc_id"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // Normalized dedup: case/punctuation/whitespace-insensitive.
+    Q("d_dedup_norm", Some("""
+      SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM (SELECT doc_id,
+              MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+            FROM documents) d
+      GROUP BY fp
+    """)) { t =>
+      t.documents
+        .select(col("doc_id"),
+          md5(TextFns.normalize(col("text")).cast("binary")).as("fp"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // Document fingerprinting: content + normalized digests + shape.
+    Q("d_fingerprint", Some("""
+      SELECT doc_id, MD5(text) AS fp_raw,
+             MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp_norm,
+             CAST(LENGTH(text) AS INT) AS n_chars_fp
+      FROM documents
+    """)) { t =>
+      t.documents.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fp_raw"),
+        md5(TextFns.normalize(col("text")).cast("binary")).as("fp_norm"),
+        length(col("text")).as("n_chars_fp"))
+    },
+
+    // MinHash + LSH near-dup: 16 bands × 4 rows; candidate pairs
+    // scored by signature agreement. Signature arithmetic is
+    // engine-specific (xxhash64) → rows-only; the spec cross-checks
+    // estimates against exact shingle Jaccard on a sample.
+    Q("d_dedup_minhash", None) { t =>
+      val sigs = minhashSigs(t.documents)
+      val banded = sigs.select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, 15), j -> xxhash64(j, slice(sigs, j * 4 + 1, 4)))")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+      val pairs = bucketPairs(
+        banded.groupBy("band", "bhash")
+          .agg(array_sort(collect_set(col("doc_id"))).as("ids")))
+      pairs
+        .join(sigs.select(col("doc_id").as("id1"), col("sigs").as("s1")), "id1")
+        .join(sigs.select(col("doc_id").as("id2"), col("sigs").as("s2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(expr(
+            "aggregate(zip_with(s1, s2, (a, b) -> IF(a = b, 1, 0)), 0, (acc, x) -> acc + x) / 64.0"),
+            4).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.35)
+    },
+
+    // SimHash near-dup: hamming ≤ 3 found via 4×16-bit bands
+    // (pigeonhole: ≤3 differing bits leave ≥1 band intact).
+    Q("d_dedup_simhash", None) { t =>
+      val sh = simhash(t.documents)
+      val banded = sh.select(col("doc_id"), col("simhash"),
+          posexplode(expr(
+            "transform(sequence(0, 3), j -> shiftright(simhash, j * 16) & 65535)")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+      val a = banded.select(col("band"), col("bhash"),
+        col("doc_id").as("id1"), col("simhash").as("h1"))
+      val b = banded.select(col("band"), col("bhash"),
+        col("doc_id").as("id2"), col("simhash").as("h2"))
+      a.join(b, Seq("band", "bhash")).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          expr("bit_count(h1 ^ h2)").as("hamming")).distinct()
+        .filter(col("hamming") <= 3)
+    },
+
+    // Exact n-gram (unigram-set) Jaccard over hashed token sets:
+    // explode → inverted index → in-bucket pair counts → |A∩B| /
+    // (|A|+|B|-|A∩B|). Shuffle carries (token_hash, doc_id) only.
+    Q("d_ngram_jaccard", None) { t =>
+      val withToks = t.documents
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .select(col("doc_id"),
+          array_distinct(expr("transform(toks, x -> xxhash64(x))")).as("hs"))
+        .withColumn("set_size", size(col("hs")))
+      val inv = withToks.select(col("doc_id"), explode(col("hs")).as("h"))
+      val inter = inv.select(col("h"), col("doc_id").as("id1"))
+        .join(inv.select(col("h"), col("doc_id").as("id2")), "h")
+        .filter(col("id1") < col("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(withToks.select(col("doc_id").as("id1"), col("set_size").as("sz1")), "id1")
+        .join(withToks.select(col("doc_id").as("id2"), col("set_size").as("sz2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(col("n_inter") /
+            (col("sz1") + col("sz2") - col("n_inter")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    },
+  )
+}

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the dedup / text-analysis
+  * suites. Everything is built from codegen'd builtins + higher-order
+  * functions — no UDFs, so the operators scale as pure map-side work.
+  */
+object TextFns {
+
+  /** Non-whitespace tokens. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("(\\S+)"), lit(1))
+
+  /** Lowercased, punctuation-stripped, whitespace-collapsed text. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Character n-gram shingles (guarded for short docs). */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(expr(
+        s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))"))
+
+  /** Word n-gram shingles over a token array column named `toks`. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
+}

@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `array<float>` embedding columns.
+  * Arithmetic happens in DOUBLE with sequential fold order, so
+  * results are deterministic and oracle-comparable after rounding.
+  */
+object VectorFns {
+
+  def toDouble(v: Column): Column =
+    transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+}

@@ -1,0 +1,98 @@
+package graft.graph
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Graph capability suite over the derived edge list (Graph.derived).
+  * The oracle reproduces each traversal with recursive CTEs — the
+  * UNION-distinct on (node, depth) pairs bounds the recursion exactly
+  * like the engine's visited-set BFS.
+  */
+object GraphQueries {
+
+  private val edgeCte = """
+      WITH RECURSIVE e AS (
+        SELECT DISTINCT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst
+        FROM orders)"""
+
+  val all: Seq[Q] = Seq(
+
+    // OUT-direction edge scan (GraphEdgeScanExecutor, direction=OUT).
+    Q("g_edges_out", Some(s"""
+      $edgeCte
+      SELECT src, dst FROM e WHERE src < 10
+    """)) { t =>
+      Graph.derived(t.orders).oriented("out").filter(col("src") < 10)
+    },
+
+    // Vertex degree profile (adjacency statistics).
+    Q("g_degree", Some(s"""
+      $edgeCte
+      SELECT node, CAST(SUM(o) AS BIGINT) AS out_deg,
+             CAST(SUM(i) AS BIGINT) AS in_deg
+      FROM (SELECT src AS node, 1 AS o, 0 AS i FROM e
+            UNION ALL
+            SELECT dst AS node, 0 AS o, 1 AS i FROM e) d
+      GROUP BY node
+    """)) { t =>
+      val e = Graph.derived(t.orders).edges
+      e.select(col("src").as("node"), lit(1).as("o"), lit(0).as("i"))
+        .union(e.select(col("dst").as("node"), lit(0).as("o"), lit(1).as("i")))
+        .groupBy("node")
+        .agg(sum(col("o")).as("out_deg"), sum(col("i")).as("in_deg"))
+    },
+
+    // 2-hop MATCH path (ast/graph.go GraphPathPattern with two
+    // OUT edges): per source, path count + distinct destinations.
+    Q("g_nhop", Some(s"""
+      $edgeCte
+      SELECT e1.src AS src, COUNT(*) AS n_paths,
+             CAST(COUNT(DISTINCT e2.dst) AS BIGINT) AS n_dest
+      FROM e e1 JOIN e e2 ON e1.dst = e2.src
+      WHERE e1.src < 20
+      GROUP BY e1.src
+    """)) { t =>
+      val g = Graph.derived(t.orders)
+      val e1 = g.oriented("out").filter(col("src") < 20)
+      val e2 = g.oriented("out")
+        .select(col("src").as("mid"), col("dst").as("dst2"))
+      e1.join(e2, e1("dst") === e2("mid"))
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_paths"),
+          countDistinct(col("dst2")).as("n_dest"))
+    },
+
+    // Bounded reachability, BOTH direction (GraphEdgeDirectionBoth).
+    Q("g_reach", Some(s"""
+      $edgeCte, u AS (
+        SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      r(node, d) AS (
+        SELECT CAST(0 AS BIGINT), 0
+        UNION
+        SELECT u.dst, r.d + 1 FROM r JOIN u ON u.src = r.node WHERE r.d < 3)
+      SELECT DISTINCT node FROM r
+    """)) { t =>
+      val g = Graph.derived(t.orders)
+      val sources = g.edges.sparkSession.range(1).select(lit(0L).as("src"))
+      g.reach(sources, "both", maxHops = 3)
+    },
+
+    // ANY SHORTEST distance (graph_shortest.go): min hops from node 0.
+    Q("g_shortest", Some(s"""
+      $edgeCte, w(node, d) AS (
+        SELECT CAST(0 AS BIGINT), 0
+        UNION
+        SELECT e.dst, w.d + 1 FROM w JOIN e ON e.src = w.node WHERE w.d < 6)
+      SELECT node, CAST(MIN(d) AS INT) AS dist FROM w GROUP BY node
+    """)) { t =>
+      Graph.derived(t.orders).shortestDistances(0L, "out", maxHops = 6)
+    },
+
+    // TOP-K SHORTEST paths: path enumeration is engine-specific
+    // (array accumulation) → rows-only check; spec asserts lengths
+    // are non-decreasing and paths are simple.
+    Q("g_topk_paths", None) { t =>
+      Graph.derived(t.orders).topKShortestPaths(0L, 7L, k = 3, maxHops = 4)
+    },
+  )
+}

@@ -1,0 +1,75 @@
+package graft.media
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video payloads modeled as
+  * opaque `binary` columns + typed metadata, per the builder mandate.
+  *
+  * The decode step is STUBBED (no image/audio libs in this container):
+  * `FakeDecoder.decode` derives deterministic "media metadata" from
+  * payload bytes. Everything around it — binary column schema,
+  * batch-shaped partition processing (`mapPartitions`, the Scala
+  * analog of a Pandas-UDF `mapInPandas` batch loop), partitioning —
+  * is real and is what carries over to a cluster with real codecs.
+  */
+object MediaQueries {
+
+  /** A decoded media record; the schema a real decoder would emit. */
+  final case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int,
+      height: Int, channels: Int, n_frames: Int, media_kind: String)
+
+  /** STUB decoder ("???" analog): deterministic fake metadata from
+    * payload length — replace with a real codec on a cluster. */
+  object FakeDecoder {
+    def decode(docId: Long, payload: Array[Byte], kind: String): MediaMeta = {
+      val n = payload.length
+      MediaMeta(docId, n, 64 + n % 512, 64 + (n * 7) % 512, 3,
+        1 + n / 1000, kind)
+    }
+  }
+
+  /** Batch-shaped decode over binary payloads: one decoder instance
+    * per partition (the expensive-init pattern of real codecs), rows
+    * streamed through it lazily. */
+  def decodePartitions(docs: DataFrame): Dataset[MediaMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        col("source"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, src) =>
+          FakeDecoder.decode(id, payload, src)
+        }
+      }
+  }
+
+  val all: Seq[Q] = Seq(
+    // Declarative twin of the mapPartitions pipeline — same stub
+    // arithmetic in pure SQL so DuckDB can oracle the plumbing
+    // (schema, payload byte lengths, derived metadata).
+    Q("m_multimodal", Some("""
+      SELECT doc_id, n_bytes,
+             64 + n_bytes % 512 AS width,
+             64 + (n_bytes * 7) % 512 AS height,
+             3 AS channels,
+             1 + CAST(FLOOR(n_bytes / 1000.0) AS INT) AS n_frames,
+             source AS media_kind
+      FROM (SELECT doc_id, CAST(STRLEN(text) AS INT) AS n_bytes, source
+            FROM documents) t
+    """)) { t =>
+      t.documents
+        .select(col("doc_id"),
+          length(encode(col("text"), "UTF-8")).as("n_bytes"), col("source"))
+        .select(col("doc_id"), col("n_bytes"),
+          (lit(64) + col("n_bytes") % 512).as("width"),
+          (lit(64) + (col("n_bytes") * 7) % 512).as("height"),
+          lit(3).as("channels"),
+          (lit(1) + floor(col("n_bytes") / 1000.0).cast("int")).as("n_frames"),
+          col("source").as("media_kind"))
+    },
+  )
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over `events`. The same transforms run
+  * under Structured Streaming (see Streams.scala + the streaming
+  * spec); here they execute in batch so the DuckDB oracle can check
+  * them. Windowed aggregation shuffles once on (window, type);
+  * sessionization shuffles once on user_id — both scale linearly.
+  */
+object EventQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Tumbling-window aggregation (1 h), the Structured Streaming
+    // `window()` group — batch twin of Streams.windowedCounts.
+    Q("e_window_agg", Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1, 2
+    """)) { t =>
+      t.events
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // Sessionization with a 30-minute inactivity gap: lag → gap flag →
+    // running sum = session id → per-user session stats.
+    Q("e_sessionize", Some("""
+      WITH seq AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, event_id,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM seq)
+      SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+             COUNT(*) AS n_events,
+             ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(sess_id), 4) AS events_per_session
+      FROM sess GROUP BY user_id
+    """)) { t =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      t.events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id")
+        .agg(max(col("sess_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"),
+          round(count(lit(1)).cast("double") / max(col("sess_id")), 4)
+            .as("events_per_session"))
+    },
+  )
+}

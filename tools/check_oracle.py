@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Dev-only oracle checker, mimicking the driver's DuckDB compare.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+Reads each <name>/ parquet written by graft.Verify plus oracle_sql.json,
+runs the oracle in DuckDB against the same source tables, and compares
+row sets (sorted columns by name, sorted rows, values canonicalized).
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return repr(v)
+
+
+def rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_rel = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            spark_cols = [c.lower() for c in spark_rel.columns]
+            spark_rows = spark_rel.fetchall()
+            duck_rel = con.sql(sql)
+            duck_cols = [c.lower() for c in duck_rel.columns]
+            duck_rows = duck_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        if sorted(spark_cols) != sorted(duck_cols):
+            print(f"FAIL {name}: cols spark={sorted(spark_cols)} "
+                  f"duck={sorted(duck_cols)}")
+            n_fail += 1
+            continue
+        a, b = rowset(spark_cols, spark_rows), rowset(duck_cols, duck_rows)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
+            n_fail += 1
+        elif a != b:
+            diff = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+            print(f"FAIL {name}: values differ, first diffs at {diff}:")
+            for i in diff:
+                print(f"  spark={a[i]}\n  duck ={b[i]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(a)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed, "
+          f"{len(oracle)} oracled queries")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
