@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+/** Structured Streaming pipelines over the events stream. The
+  * transforms are defined once and shared by the batch registry
+  * queries (EventQueries) and streaming jobs — the Spark analog of
+  * running the same SQL on TiDB's TP stream and AP snapshot.
+  *
+  * At scale: `windowed` is an incremental stateful aggregation keyed
+  * by (window, event_type); `SessionTracker` keeps one small state
+  * object per user key and emits sessions on inactivity timeout —
+  * both shard across executors by key.
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionState(nSessions: Long, lastTsMicros: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long,
+      n_events: Long)
+
+  /** Tumbling 1-hour windowed aggregation — works identically on a
+    * batch DataFrame and a streaming one. */
+  def windowed(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("w_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Stateful sessionization via mapGroupsWithState: counts sessions
+    * per user with a 30-minute inactivity gap. The per-group state is
+    * O(1) (count + last timestamp), so state storage stays bounded
+    * regardless of event volume. */
+  def sessionCounts(events: Dataset[Event]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000
+    events.groupByKey(_.user_id).mapGroupsWithState[
+      (SessionState, Long), UserSessions] {
+      (userId: Long, batch: Iterator[Event],
+          state: GroupState[(SessionState, Long)]) =>
+        val (prev, prevEvents) =
+          state.getOption.getOrElse((SessionState(0L, Long.MinValue), 0L))
+        var s = prev
+        var n = prevEvents
+        batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val tsUs = e.ts.getTime * 1000
+          val newSession = s.lastTsMicros == Long.MinValue ||
+            tsUs - s.lastTsMicros > gapUs
+          s = SessionState(s.nSessions + (if (newSession) 1 else 0), tsUs)
+          n += 1
+        }
+        state.update((s, n))
+        UserSessions(userId, s.nSessions, n)
+    }
+  }
+}

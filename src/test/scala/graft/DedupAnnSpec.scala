@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupAnnSpec extends SparkSpecBase {
+
+  private def q(name: String) = Registry.all.find(_.name == name).get.run(t)
+
+  test("exact dedup: fingerprint count equals distinct texts") {
+    val nFp = q("d_dedup_exact").count()
+    val nDistinct = t.documents.select("text").distinct().count()
+    assert(nFp == nDistinct)
+  }
+
+  test("minhash estimate tracks exact 3-gram jaccard on candidates") {
+    // For every MinHash candidate pair, the 64-perm estimate must be
+    // within 0.35 of the exact char-5-gram jaccard (Chernoff at k=64
+    // makes larger deviations vanishingly unlikely).
+    val est = q("d_dedup_minhash")
+      .select(col("id1"), col("id2"), col("est_jaccard").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(est.nonEmpty, "expected at least one near-dup candidate")
+    val sets = t.documents
+      .select(col("doc_id"), graft.functions.TextFns
+        .charShingles(col("text"), 5).as("sh"))
+      .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    est.foreach { case ((a, b), e) =>
+      val (sa, sb) = (sets(a), sets(b))
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(e - exact) < 0.35, s"pair ($a,$b) est $e exact $exact")
+    }
+  }
+
+  test("simhash near-dup pairs have hamming <= 3 and are distinct") {
+    val rows = q("d_dedup_simhash").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("hamming") <= 3)
+      assert(r.getAs[Long]("id1") < r.getAs[Long]("id2"))
+    }
+  }
+
+  test("brute-force ANN: 5 neighbors per query, cosine in [-1,1]") {
+    val rows = q("s_ann_brute").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.values.foreach(g => assert(g.length == 5))
+    rows.foreach { r =>
+      val c = r.getAs[Number]("cos").doubleValue()
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+  }
+
+  test("LSH ANN returns candidates whose cosine matches brute-force math") {
+    val lsh = q("s_ann_lsh").collect()
+    assert(lsh.nonEmpty, "LSH buckets produced no candidates")
+    lsh.groupBy(_.getAs[Long]("qid")).values
+      .foreach(g => assert(g.length <= 3))
+  }
+}

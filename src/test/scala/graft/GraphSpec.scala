@@ -1,0 +1,43 @@
+package graft
+
+import graft.graph.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpecBase {
+
+  private lazy val g = Graph.derived(t.orders)
+
+  test("shortest distances: source at 0, monotone frontier, bounded") {
+    val d = g.shortestDistances(0L, "out", maxHops = 6).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d(0L) == 0)
+    assert(d.values.forall(x => x >= 0 && x <= 6))
+  }
+
+  test("shortest distance agrees with 1-hop edge scan") {
+    val oneHop = g.oriented("out").filter(col("src") === 0)
+      .select("dst").collect().map(_.getLong(0)).toSet - 0L
+    val d = g.shortestDistances(0L, "out", maxHops = 6).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    oneHop.foreach(n => assert(d(n) == 1, s"node $n should be dist 1"))
+  }
+
+  test("reach(both, 3) contains reach(out, 1)") {
+    val src = spark.range(1).select(lit(0L).as("src"))
+    val r3 = g.reach(src, "both", 3).collect().map(_.getLong(0)).toSet
+    val r1 = g.reach(src, "out", 1).collect().map(_.getLong(0)).toSet
+    assert(r1.subsetOf(r3))
+  }
+
+  test("top-k shortest paths are simple, ordered by length") {
+    val rows = g.topKShortestPaths(0L, 7L, k = 3, maxHops = 4).collect()
+    assert(rows.length <= 3)
+    val lens = rows.map(_.getInt(0))
+    assert(lens.sameElements(lens.sorted))
+    rows.foreach { r =>
+      val nodes = r.getString(1).split("->")
+      assert(nodes.distinct.length == nodes.length, s"cycle in ${r.getString(1)}")
+      assert(nodes.head == "0" && nodes.last == "7")
+    }
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+/** Plan-quality assertions: the scale story only holds if Catalyst
+  * actually produces the intended physical shapes — pushed filters,
+  * pruned scans, broadcast dims, fused TopN.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    Registry.all.find(_.name == name).get.run(t)
+      .queryExecution.executedPlan.toString
+
+  test("q_scan_filter pushes predicates into the parquet scan") {
+    val p = plan("q_scan_filter")
+    assert(p.contains("PushedFilters") && p.contains("l_discount"),
+      s"no pushed filters in:\n$p")
+  }
+
+  test("q_scan_filter prunes the read schema to selected columns") {
+    val p = plan("q_scan_filter")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_tax") && !read.contains("l_returnflag"),
+      s"scan reads unneeded columns: $read")
+  }
+
+  test("q_join_broadcast uses broadcast hash joins for dims") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim join should not sort-merge")
+  }
+
+  test("q_join_merge honors the merge hint") {
+    assert(plan("q_join_merge").contains("SortMergeJoin"))
+  }
+
+  test("q_sort_topn fuses into TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_sort_topn")
+    assert(p.contains("TakeOrderedAndProject"), s"TopN not fused:\n$p")
+  }
+
+  test("q_tpch_q5 broadcasts all dimension tables") {
+    val p = plan("q_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected >=3 broadcast joins in:\n$p")
+  }
+
+  test("q_agg_hash aggregates partially before the shuffle") {
+    val p = plan("q_agg_hash")
+    assert(p.contains("HashAggregate"),
+      s"expected hash aggregation in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final aggregation")
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming parity: the same transforms produce the same
+  * results whether driven by a stream or a batch scan.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  private lazy val eventsDf = t.events
+    .select("event_id", "ts", "user_id", "event_type", "value")
+
+  test("streaming windowed agg equals batch windowed agg") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(eventsDf.as[Event].collect().toSeq)
+
+    val query = Streams.windowed(input.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try query.processAllAvailable() finally query.stop()
+
+    val streamed = spark.table("win_out")
+      .select("w_start", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = Streams.windowed(eventsDf)
+      .select("w_start", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("stateful sessionization equals the SQL sessionize query") {
+    import spark.implicits._
+    val stateful = Streams.sessionCounts(eventsDf.as[Event])
+      .collect().map(u => u.user_id -> (u.n_sessions, u.n_events)).toMap
+    val sql = Registry.all.find(_.name == "e_sessionize").get.run(t)
+      .select(col("user_id"), col("n_sessions").cast("long"),
+        col("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(stateful == sql && stateful.nonEmpty)
+  }
+}
