@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions.{col, expr}
   * pruning and partition pruning.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  functions.GraftFunctions.register(spark)
+
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -163,9 +163,15 @@ object DedupQueries {
         .withColumn("sh", TextFns.wordShingles(col("toks"), 3))
         .select(col("doc_id"),
           array_distinct(expr("transform(sh, x -> xxhash64(x))")).as("hs"))
-      val inv0 = withSets.select(col("doc_id"), explode(col("hs")).as("h"))
-      val dfByShingle = inv0.groupBy("h").agg(count(lit(1)).as("df"))
-      val kept = inv0.join(dfByShingle.filter(col("df") <= 1000), "h")
+      // df per shingle via a window over the h-partitioned exchange
+      // (instead of a groupBy + rejoin): every downstream consumer —
+      // sizes, both self-join sides — shares that single shuffle
+      // through ReusedExchange, so the text→shingle→hash pipeline
+      // runs once.
+      val kept = withSets.select(col("doc_id"), explode(col("hs")).as("h"))
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
+        .filter(col("df") <= 1000)
       val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
       val pairGen = kept.filter(col("df") > 1).select("h", "doc_id")
       val inter = pairGen.select(col("h"), col("doc_id").as("id1"))

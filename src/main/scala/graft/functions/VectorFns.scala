@@ -6,6 +6,11 @@ import org.apache.spark.sql.functions._
 /** Dense-vector primitives over `array<float>` embedding columns.
   * Arithmetic happens in DOUBLE with sequential fold order, so
   * results are deterministic and oracle-comparable after rounding.
+  *
+  * `dot` rides the native codegen'd [[DotProduct]] expression
+  * (registered per session by [[GraftFunctions.register]]); `dotHof`
+  * is the builtin higher-order-function formulation kept as a
+  * reference/cross-check implementation.
   */
 object VectorFns {
 
@@ -13,6 +18,9 @@ object VectorFns {
     transform(v, x => x.cast("double"))
 
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -565,6 +565,102 @@ object Relational {
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     },
 
+    // JSON aggregation (aggfuncs/func_json_arrayagg.go /
+    // func_json_objectagg.go) — deterministic via sorted members.
+    Q("q_agg_jsonagg", Some("""
+      SELECT r_name,
+             to_json(list(n_name ORDER BY n_name)) AS nations_json,
+             to_json(map(list(n_name ORDER BY n_name),
+                         list(n_nationkey ORDER BY n_name))) AS nation_keys_json
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+    """)) { t =>
+      t.nation.join(broadcast(t.region),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          to_json(array_sort(collect_list(col("n_name")))).as("nations_json"),
+          to_json(map_from_entries(array_sort(collect_list(
+            struct(col("n_name"), col("n_nationkey"))))))
+            .as("nation_keys_json"))
+    },
+
+    // TPC-H Q10 shape: returned-item reporting, join + agg + TopN.
+    Q("q_tpch_q10", Some("""
+      SELECT c_custkey, c_name, n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-07-01'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20
+    """)) { t =>
+      t.customer
+        .join(t.orders.filter(
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-07-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem.filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sumProd2(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+
+    // TPC-H Q14 shape: conditional aggregation ratio (promo revenue).
+    Q("q_tpch_q14", Some("""
+      SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+               THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2))
+               ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        AND l_shipdate < TIMESTAMP '1997-10-01'
+    """)) { t =>
+      val disc = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
+      t.lineitem.filter(
+          col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "ECONOMY", disc).otherwise(lit(0)))
+            .cast("double") /
+          sum(disc).cast("double")).as("promo_revenue"))
+    },
+
+    // TPC-H Q19 shape: disjunction of conjunctive predicates — the
+    // optimizer must push the common join key and keep the OR residual.
+    Q("q_tpch_q19", Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             AND l_quantity >= 1 AND l_quantity <= 20)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+             AND l_quantity >= 10 AND l_quantity <= 30)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+             AND l_quantity >= 20 AND l_quantity <= 40)
+    """)) { t =>
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 20) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 30) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity") >= 20 && col("l_quantity") <= 40)
+      t.lineitem.join(broadcast(t.part), col("p_partkey") === col("l_partkey"))
+        .filter(cond)
+        .agg(sumProd2(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     // Flagship: TPC-H Q5 — 6-way join; dims broadcast, facts shuffle.
     Q("q_tpch_q5", Some("""
       SELECT n_name,

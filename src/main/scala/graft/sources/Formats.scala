@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink format support. The reference engine owns its storage
+  * (TiKV row store / TiFlash column store); the Spark-native engine
+  * instead speaks the open formats a 100 TB lake actually uses —
+  * parquet (primary, pushdown + pruning), orc (same), csv/json
+  * (ingest interchange). Writers partition by any column set so a
+  * cluster write produces partition-pruned layouts.
+  */
+object Formats {
+
+  val supported = Seq("parquet", "orc", "json", "csv")
+
+  def write(df: DataFrame, format: String, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    require(supported.contains(format), s"unsupported sink: $format")
+    val w = df.write.format(format).mode(SaveMode.Overwrite)
+      .option("header", "true")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .save(path)
+  }
+
+  def read(spark: SparkSession, format: String, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    require(supported.contains(format), s"unsupported source: $format")
+    val r = spark.read.format(format)
+      .option("header", "true").option("inferSchema", "false")
+    schema.fold(r)(s => r.schema(s)).load(path)
+  }
+}
