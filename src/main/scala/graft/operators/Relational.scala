@@ -565,6 +565,65 @@ object Relational {
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     },
 
+    // GROUP_CONCAT(DISTINCT …) (func_group_concat.go distinct path).
+    Q("q_agg_groupconcat_distinct", Some("""
+      SELECT n_regionkey,
+             string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_regionkey
+    """)) { t =>
+      t.customer.join(broadcast(t.nation),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("c_mktsegment"))))
+            .as("segments"),
+          countDistinct(col("c_mktsegment")).as("n_segments"))
+    },
+
+    // PIVOT — wide conditional aggregation (TiDB expresses this as
+    // CASE sums; Spark has a first-class relational pivot).
+    Q("q_pivot", Some("""
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+      FROM orders GROUP BY o_orderpriority
+    """)) { t =>
+      t.orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt"))
+    },
+
+    // Value-based RANGE window frames (executor/window.go range
+    // frames): orders within a 30-day trailing window per customer.
+    Q("q_window_range", Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_last30d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_last30d
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+              CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS d
+            FROM orders WHERE o_custkey < 50) t
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """)) { t =>
+      val base = t.orders.filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .as("d"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("d"))
+        .rangeBetween(-30, Window.currentRow)
+      base.select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_last30d"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double")
+          .as("spend_last30d"))
+    },
+
     // JSON aggregation (aggfuncs/func_json_arrayagg.go /
     // func_json_objectagg.go) — deterministic via sorted members.
     Q("q_agg_jsonagg", Some("""
