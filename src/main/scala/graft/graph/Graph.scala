@@ -76,6 +76,38 @@ final case class Graph(edges: DataFrame) {
     visited
   }
 
+  /** ALL SHORTEST analog (ast.GraphPathPatternTypeAllShortestPath):
+    * per reachable node, the minimal hop distance AND the number of
+    * distinct shortest paths. Level-synchronized BFS where the
+    * frontier carries path counts — a node first reached at level d
+    * has count = Σ counts of its level-(d-1) predecessors. Counting
+    * stays fully distributed (groupBy dst + sum). */
+  def shortestPathCounts(source: Long, direction: String,
+      maxHops: Int): DataFrame = {
+    val e = oriented(direction)
+    var visited = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0).as("dist"),
+        lit(1L).as("n_paths"))
+      .localCheckpoint()
+    var frontier = visited
+    var hopN = 0
+    var done = false
+    while (hopN < maxHops && !done) {
+      hopN += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .groupBy(col("dst")).agg(sum(col("n_paths")).as("n_paths"))
+        .join(visited.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .select(col("dst").as("node"), lit(hopN).as("dist"), col("n_paths"))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    visited
+  }
+
   /** TOP-K SHORTEST path enumeration, ranked by (length, path) —
     * ast.GraphPathPatternTypeTopKShortestPath semantics.
     *

@@ -88,6 +88,39 @@ object GraphQueries {
       Graph.derived(t.orders).shortestDistances(0L, "out", maxHops = 6)
     },
 
+    // ALL SHORTEST (graph_shortest.go ALL variant): distance + number
+    // of distinct shortest paths. Oracle enumerates minimal-length
+    // walks (a minimal walk cannot revisit, so walk count = simple
+    // shortest-path count).
+    Q("g_shortest_all", Some(s"""
+      $edgeCte, w(node, d) AS (
+        SELECT CAST(0 AS BIGINT), 0
+        UNION ALL
+        SELECT e.dst, w.d + 1 FROM w JOIN e ON e.src = w.node WHERE w.d < 4),
+      m AS (SELECT node, MIN(d) AS md FROM w GROUP BY node)
+      SELECT w.node, CAST(m.md AS INT) AS dist, COUNT(*) AS n_paths
+      FROM w JOIN m ON w.node = m.node AND w.d = m.md
+      GROUP BY w.node, m.md
+    """)) { t =>
+      Graph.derived(t.orders).shortestPathCounts(0L, "out", maxHops = 4)
+    },
+
+    // Edge-property predicate (GraphVariableSpec.Where on the edge
+    // table): multiplicity-weighted edges, keep weight >= 2.
+    Q("g_edges_filtered", Some("""
+      SELECT src, dst, w FROM (
+        SELECT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst,
+               COUNT(*) AS w
+        FROM orders GROUP BY 1, 2) e
+      WHERE w >= 2
+    """)) { t =>
+      t.orders
+        .groupBy((col("o_custkey") % 1000).as("src"),
+          (col("o_orderkey") % 1000).as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+    },
+
     // TOP-K SHORTEST paths: path enumeration is engine-specific
     // (array accumulation) → rows-only check; spec asserts lengths
     // are non-decreasing and paths are simple.

@@ -29,6 +29,18 @@ class GraphSpec extends SparkSpecBase {
     assert(r1.subsetOf(r3))
   }
 
+  test("shortest path counts agree with shortest distances") {
+    val counts = g.shortestPathCounts(0L, "out", maxHops = 4).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val dists = g.shortestDistances(0L, "out", maxHops = 4).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts.keySet == dists.keySet)
+    counts.foreach { case (node, (d, n)) =>
+      assert(d == dists(node) && n >= 1L, s"node $node d=$d n=$n")
+    }
+    assert(counts(0L) == ((0, 1L)))
+  }
+
   test("top-k shortest paths are simple, ordered by length") {
     val rows = g.topKShortestPaths(0L, 7L, k = 3, maxHops = 4).collect()
     assert(rows.length <= 3)

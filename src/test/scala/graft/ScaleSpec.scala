@@ -23,6 +23,14 @@ class ScaleSpec extends SparkSpecBase {
   }
 
   test("bucketed tables sort-merge join without a shuffle") {
+    for (tbl <- Seq("orders_bucketed", "customer_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(s"/tmp/graft_warehouse/$tbl")
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete())
+        loc.delete()
+      }
+    }
     Bucketing.writeBucketed(
       t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
       "orders_bucketed", "o_custkey", buckets = 8)
