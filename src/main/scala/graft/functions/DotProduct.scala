@@ -81,9 +81,13 @@ object GraftFunctions {
     case _ => Cast(e, ArrayType(DoubleType))
   }
 
+  def dotBuilder(exprs: Seq[Expression]): Expression =
+    DotProduct(toDoubleArray(exprs.head), toDoubleArray(exprs(1)))
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot",
-      exprs => DotProduct(toDoubleArray(exprs.head), toDoubleArray(exprs(1))),
-      "built-in")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst
+          .FunctionIdentifier("graft_dot")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_dot", dotBuilder, "built-in")
 }

@@ -21,6 +21,16 @@ class DotProductSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("GraftExtensions installs graft_dot from session config alone") {
+    // The shared session is built with spark.sql.extensions =
+    // graft.plans.GraftExtensions; the function must resolve in SQL
+    // with no library-side registration call.
+    val v = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(v == 11.0)
+  }
+
   test("graft_dot is callable from SQL and casts float arrays") {
     t.embeddings.createOrReplaceTempView("emb")
     val n = spark.sql(
