@@ -565,6 +565,27 @@ object Relational {
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     },
 
+    // min_by/max_by — argmin/argmax aggregation (func_max_min.go /
+    // first_row analogs). Keyed by the unique orderkey so the picked
+    // row is deterministic on both engines.
+    Q("q_agg_minmax_by", Some("""
+      SELECT o_custkey,
+             MAX_BY(o_orderstatus, o_orderkey) AS last_status,
+             MIN_BY(o_totalprice, o_orderkey) AS first_price,
+             MAX(o_orderkey) AS last_key,
+             MIN(o_orderkey) AS first_key
+      FROM orders WHERE o_custkey < 200
+      GROUP BY o_custkey
+    """)) { t =>
+      t.orders.filter(col("o_custkey") < 200)
+        .groupBy("o_custkey")
+        .agg(max_by(col("o_orderstatus"), col("o_orderkey"))
+          .as("last_status"),
+          min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+          max(col("o_orderkey")).as("last_key"),
+          min(col("o_orderkey")).as("first_key"))
+    },
+
     // GROUP_CONCAT(DISTINCT …) (func_group_concat.go distinct path).
     Q("q_agg_groupconcat_distinct", Some("""
       SELECT n_regionkey,
