@@ -36,4 +36,21 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
+
+  /** Decouple map-side parallelism from source file layout.
+    *
+    * Per-row-CPU-heavy pipelines (sketching, hashing, shingling,
+    * vector scoring) are bottlenecked by the number of SCAN splits,
+    * not by the shuffle width: the local testdata is one row group
+    * per table, i.e. one task, and even on a production warehouse
+    * file splits can be far coarser than cores (a 128 MB split of
+    * compressed text is minutes of sketching work). A round-robin
+    * repartition right after the scan pays one narrow exchange of the
+    * input rows and spreads the expensive map work across the full
+    * executor width; it also evens out document-size skew. Use only
+    * where downstream per-row cost dominates the exchange (dedup,
+    * ANN, sessionization) — plain relational scans stay unfanned so
+    * filters/pruning keep reaching parquet. */
+  def fan(df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
 }

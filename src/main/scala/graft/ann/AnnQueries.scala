@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
 object AnnQueries {
 
   private def vecs(t: Tables): DataFrame =
-    t.embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    t.fan(t.embeddings)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
 
   /** 4 LSH tables × 8-bit signatures from deterministic pseudo-random
     * hyperplanes: component (table p, plane q, dim j) = xxhash64(p,q,j)

@@ -113,7 +113,7 @@ object DedupQueries {
     // engine-specific (xxhash64) → rows-only; the spec cross-checks
     // estimates against exact shingle Jaccard on a sample.
     Q("d_dedup_minhash", None) { t =>
-      val sigs = minhashSigs(t.documents)
+      val sigs = minhashSigs(t.fan(t.documents))
       val banded = sigs.select(col("doc_id"),
           posexplode(expr(
             "transform(sequence(0, 15), j -> xxhash64(j, slice(sigs, j * 4 + 1, 4)))")))
@@ -134,7 +134,7 @@ object DedupQueries {
     // SimHash near-dup: hamming ≤ 3 found via 4×16-bit bands
     // (pigeonhole: ≤3 differing bits leave ≥1 band intact).
     Q("d_dedup_simhash", None) { t =>
-      val sh = simhash(t.documents)
+      val sh = simhash(t.fan(t.documents))
       val banded = sh.select(col("doc_id"), col("simhash"),
           posexplode(expr(
             "transform(sequence(0, 3), j -> shiftright(simhash, j * 16) & 65535)")))
@@ -158,7 +158,7 @@ object DedupQueries {
     // (c) df=1 singletons skip pair-gen entirely (can't intersect).
     // Shuffle carries (shingle_hash, doc_id) pairs only — never text.
     Q("d_ngram_jaccard", None) { t =>
-      val withSets = t.documents
+      val withSets = t.fan(t.documents)
         .withColumn("toks", TextFns.tokens(col("text")))
         .withColumn("sh", TextFns.wordShingles(col("toks"), 3))
         .select(col("doc_id"),

@@ -84,10 +84,12 @@ object GraftFunctions {
   def dotBuilder(exprs: Seq[Expression]): Expression =
     DotProduct(toDoubleArray(exprs.head), toDoubleArray(exprs(1)))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     if (!spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst
           .FunctionIdentifier("graft_dot")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_dot", dotBuilder, "built-in")
+    TextStats.register(spark)
+  }
 }

@@ -191,9 +191,15 @@ object Scalars {
              COUNT(*) AS n
       FROM events GROUP BY event_type
     """)) { t =>
-      val k = get_json_object(col("props"), "$.k").cast("int")
-      t.events.groupBy("event_type").agg(
-        sum(k).as("sum_k"), max(k).as("max_k"), count(lit(1)).as("n"))
+      // Parse the JSON once per row in a pre-agg projection (fanned
+      // across cores) — inlining `k` into both aggregates re-runs the
+      // path parse per aggregate per row.
+      t.fan(t.events)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type").agg(
+          sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+          count(lit(1)).as("n"))
     },
 
     // Hash/digest functions (builtin_encryption.go): md5 + sha256,

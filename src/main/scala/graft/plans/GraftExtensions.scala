@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       GraftFunctions.dotBuilder _))
+    extensions.injectFunction(graft.functions.TextStats.registration)
   }
 }
