@@ -16,7 +16,9 @@ object Registry {
   /** All capability suites, in SURVEY.md §2 order. */
   def suites: Seq[Seq[Q]] = Seq(
     operators.Relational.all,
+    operators.TpchMore.all,
     operators.Scalars.all,
+    operators.Scalars2.all,
     graph.GraphQueries.all,
     dedup.DedupQueries.all,
     ann.AnnQueries.all,

@@ -37,6 +37,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
+  /** Run ANSI SQL against the catalog: registers the named tables as
+    * temp views (same readers as the typed accessors, so pushdown /
+    * pruning behave identically) and hands the text to Catalyst. */
+  def sql(query: String, tables: String*): DataFrame = {
+    tables.foreach {
+      case "events" => events.createOrReplaceTempView("events")
+      case name => t(name).createOrReplaceTempView(name)
+    }
+    spark.sql(query)
+  }
+
   /** Decouple map-side parallelism from source file layout.
     *
     * Per-row-CPU-heavy pipelines (sketching, hashing, shingling,

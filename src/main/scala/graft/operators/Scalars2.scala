@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Second wave of scalar-function coverage (reference:
+  * /root/reference/expression/builtin_string.go, builtin_like.go,
+  * builtin_time.go, builtin_json.go families not yet exercised by
+  * Scalars.scala). All codegen'd builtins, no UDFs; oracle SQL uses
+  * the DuckDB spelling of each function (e.g. `\1` vs `$1` backrefs,
+  * `string_split_regex` vs `split`) — only results are compared.
+  */
+object Scalars2 {
+
+  val all: Seq[Q] = Seq(
+
+    // String family 2: translate/split_part/levenshtein/contains/
+    // starts_with/bit_length/octet_length/chr/printf-format.
+    Q("q_func_string2", Some("""
+      SELECT c_custkey,
+             TRANSLATE(c_name, 'Ceu', 'X12') AS name_tr,
+             SPLIT_PART(c_name, '#', 2) AS name_num,
+             CAST(LEVENSHTEIN(c_mktsegment, 'BUILDING') AS INT) AS seg_dist,
+             CAST(CONTAINS(c_name, '7') AS INT) AS has_7,
+             CAST(STARTS_WITH(c_mktsegment, 'B') AS INT) AS seg_b,
+             CAST(BIT_LENGTH(c_mktsegment) AS INT) AS seg_bits,
+             CAST(STRLEN(c_name) AS INT) AS name_bytes,
+             CHR(65 + c_nationkey % 26) AS nat_chr,
+             PRINTF('%06d', c_custkey) AS key_pad,
+             CONCAT_WS('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat
+      FROM customer WHERE c_custkey < 300
+    """)) { t =>
+      t.customer.filter(col("c_custkey") < 300)
+        .select(col("c_custkey"),
+          translate(col("c_name"), "Ceu", "X12").as("name_tr"),
+          split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist"),
+          contains(col("c_name"), lit("7")).cast("int").as("has_7"),
+          startswith(col("c_mktsegment"), lit("B")).cast("int").as("seg_b"),
+          bit_length(col("c_mktsegment")).as("seg_bits"),
+          octet_length(col("c_name")).as("name_bytes"),
+          chr(lit(65) + col("c_nationkey") % 26).as("nat_chr"),
+          format_string("%06d", col("c_custkey")).as("key_pad"),
+          concat_ws("|", col("c_mktsegment"),
+            col("c_nationkey").cast("string")).as("seg_nat"))
+    },
+
+    // Regexp family 2: backreference replace, group-2 extract,
+    // regex split counts, match counting.
+    Q("q_func_regexp2", Some("""
+      SELECT p_partkey,
+             REGEXP_REPLACE(p_name, '([aeiou])', '<\1>', 'g') AS name_marked,
+             regexp_extract(p_brand, '(Brand)#([0-9]+)', 2) AS brand_n,
+             CAST(LEN(string_split_regex(p_name, '[aeiou]')) AS INT) AS n_vsplit,
+             CAST(LEN(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_runs,
+             REGEXP_REPLACE(p_type, '^(.)(.*)$', '\2\1', 'g') AS type_rot
+      FROM part WHERE p_partkey < 300
+    """)) { t =>
+      t.part.filter(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          regexp_replace(col("p_name"), "([aeiou])", "<$1>")
+            .as("name_marked"),
+          regexp_extract(col("p_brand"), "(Brand)#([0-9]+)", 2).as("brand_n"),
+          size(split(col("p_name"), "[aeiou]")).as("n_vsplit"),
+          regexp_count(col("p_name"), lit("[a-z]+")).cast("int").as("n_runs"),
+          regexp_replace(col("p_type"), "^(.)(.*)$", "$2$1").as("type_rot"))
+    },
+
+    // Time family 2: last_day/date_trunc/make_date/dayofyear/
+    // weekofyear/epoch seconds/strftime-format.
+    Q("q_func_time2", Some("""
+      SELECT o_orderkey,
+             LAST_DAY(o_orderdate) AS month_end,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+             CAST(dayofyear(o_orderdate) AS INT) AS doy,
+             CAST(weekofyear(o_orderdate) AS INT) AS woy,
+             CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+             strftime(o_orderdate, '%Y-%m') AS ym,
+             make_date(CAST(YEAR(o_orderdate) AS INT), 12, 1) AS year_dec
+      FROM orders WHERE o_orderkey < 500
+    """)) { t =>
+      t.orders.filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          last_day(col("o_orderdate")).as("month_end"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_trunc("quarter", col("o_orderdate")).as("quarter_start"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          weekofyear(col("o_orderdate")).as("woy"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          make_date(year(col("o_orderdate")), lit(12), lit(1)).as("year_dec"))
+    },
+
+    // JSON family 2 over a constructed nested document: dotted-path
+    // extraction, array length / element access, key listing.
+    Q("q_func_json2", Some("""
+      SELECT event_id,
+             json_extract_string(doc, '$.meta.k') AS k_str,
+             CAST(json_extract_string(doc, '$.meta.k') AS INT) AS k_int,
+             CAST(json_array_length(doc, '$.tags') AS INT) AS n_tags,
+             json_extract_string(doc, '$.tags[1]') AS tag1,
+             CAST(json_keys(doc) AS VARCHAR[]) AS top_keys
+      FROM (SELECT event_id,
+              CONCAT('{"meta":{"k":', json_extract_string(props, '$.k'),
+                     ',"type":"', event_type, '"},"tags":["a","b","c"]}') AS doc
+            FROM events) j
+      WHERE event_id < 500
+    """)) { t =>
+      t.events.filter(col("event_id") < 500)
+        .select(col("event_id"),
+          concat(lit("{\"meta\":{\"k\":"),
+            get_json_object(col("props"), "$.k"),
+            lit(",\"type\":\""), col("event_type"),
+            lit("\"},\"tags\":[\"a\",\"b\",\"c\"]}")).as("doc"))
+        .select(col("event_id"),
+          get_json_object(col("doc"), "$.meta.k").as("k_str"),
+          get_json_object(col("doc"), "$.meta.k").cast("int").as("k_int"),
+          json_array_length(get_json_object(col("doc"), "$.tags"))
+            .as("n_tags"),
+          get_json_object(col("doc"), "$.tags[1]").as("tag1"),
+          json_object_keys(col("doc")).as("top_keys"))
+    },
+  )
+}

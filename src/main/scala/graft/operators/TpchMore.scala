@@ -1,0 +1,304 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import Exact._
+
+/** Second wave of TPC-H-shaped flagship queries (reference:
+  * tigraph/tidb planner/core + executor join/agg pipelines; TiDB's
+  * own TPC-H suite is its canonical OLAP workload). The driver tables
+  * carry no `partsupp`, `l_shipmode` or `l_commitdate`, so Q12/Q21/
+  * Q22 keep their *plan shapes* (late-shipment predicates, multi-
+  * EXISTS self-joins, scalar-subquery + anti-join) over the columns
+  * that exist.
+  *
+  * Scale notes: nation/region/part/supplier are broadcast; the
+  * lineitem⋈orders spine shuffles on the order key once per query;
+  * per-order EXISTS/NOT-EXISTS collapse into one aggregation over
+  * that same key (no repeated correlated scans).
+  */
+object TpchMore {
+
+  private val day = (n: Int) => expr(s"INTERVAL $n DAYS")
+
+  val all: Seq[Q] = Seq(
+
+    // Q7 — volume shipping between two nations, by year.
+    Q("q_tpch_q7", Some("""
+      SELECT supp_nation, cust_nation, l_year,
+             CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2)) AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+      GROUP BY supp_nation, cust_nation, l_year
+    """)) { t =>
+      val n1 = t.nation.select(col("n_nationkey").as("n1_key"),
+        col("n_name").as("supp_nation"))
+      val n2 = t.nation.select(col("n_nationkey").as("n2_key"),
+        col("n_name").as("cust_nation"))
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sumProd2(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"))
+    },
+
+    // Q8 — market share of one nation inside a region, by year.
+    Q("q_tpch_q8", Some("""
+      SELECT o_year,
+             ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
+      FROM (SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2)) AS volume,
+                   n2.n_name AS nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01') all_nations
+      GROUP BY o_year
+    """)) { t =>
+      val n1 = t.nation.select(col("n_nationkey").as("n1_key"),
+        col("n_regionkey").as("n1_region"))
+      val n2 = t.nation.select(col("n_nationkey").as("n2_key"),
+        col("n_name").as("nation"))
+      val vol = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(t.orders.filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+        .join(broadcast(t.region.filter(col("r_name") === "AMERICA")),
+          col("n1_region") === col("r_regionkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+            sum(vol).cast("double"), 4).as("mkt_share"))
+    },
+
+    // Q12 shape — late-shipment priority counts (no l_shipmode /
+    // l_commitdate in the data: returnflag stands in for the mode
+    // dimension, "late" = shipped 60–120 days after the order date).
+    Q("q_tpch_q12", Some("""
+      SELECT l_returnflag,
+             SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS high_line_count,
+             SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        AND l_shipdate < o_orderdate + INTERVAL 120 DAY
+      GROUP BY l_returnflag
+    """)) { t =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t.lineitem
+        .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >= col("o_orderdate") + day(60) &&
+          col("l_shipdate") < col("o_orderdate") + day(120))
+        .groupBy("l_returnflag")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+    },
+
+    // Q18 — large-volume orders: HAVING-subquery membership join.
+    Q("q_tpch_q18", Some("""
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+    """)) { t =>
+      val big = t.lineitem.groupBy("l_orderkey")
+        .agg(sum(dec2(col("l_quantity"))).as("q"))
+        .filter(col("q") > 250)
+        .select(col("l_orderkey").as("big_orderkey"))
+      t.lineitem
+        .join(big, col("l_orderkey") === col("big_orderkey"), "left_semi")
+        .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "o_totalprice")
+        .agg(sum2(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(50)
+    },
+
+    // Q21 shape — suppliers who alone shipped late in multi-supplier
+    // finished orders. The correlated EXISTS / NOT EXISTS pair
+    // collapses into one per-order aggregation (supplier count + late
+    // supplier count) instead of two more passes over lineitem.
+    Q("q_tpch_q21", Some("""
+      SELECT s_name, COUNT(*) AS numwait
+      FROM supplier, lineitem l1, orders
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_shipdate >= o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate >= o_orderdate + INTERVAL 90 DAY)
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+    """)) { t =>
+      val fOrders = t.orders.filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      // Per (order, supplier): number of late lines (numwait counts
+      // qualifying l1 ROWS, so late lines weight the final count).
+      val perSupp = t.lineitem
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(sum(when(col("l_shipdate") >= col("o_orderdate") + day(90), 1L)
+          .otherwise(0L)).as("late_lines"))
+      // Per order: how many suppliers, how many of them late.
+      val perOrder = perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"),
+          sum((col("late_lines") > 0).cast("long")).as("n_late"))
+      perSupp
+        .join(perOrder, "l_orderkey")
+        .filter(col("late_lines") > 0 && col("n_supp") > 1 &&
+          col("n_late") === 1)
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(sum(col("late_lines")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(10)
+    },
+
+    // Q22 shape — well-funded inactive customers per country code
+    // (c_nationkey % 10 stands in for the phone prefix): scalar AVG
+    // subquery threshold + anti join against orders.
+    Q("q_tpch_q22", Some("""
+      SELECT cntrycode, COUNT(*) AS numcust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM (SELECT CAST(c.c_nationkey % 10 AS INT) AS cntrycode, c.c_acctbal
+            FROM customer c
+            WHERE c.c_nationkey % 10 IN (1, 3, 5, 7, 9)
+              AND c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                                 FROM customer c2
+                                 WHERE c2.c_acctbal > 0.0
+                                   AND c2.c_nationkey % 10 IN (1, 3, 5, 7, 9))
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-01-01')) custsale
+      GROUP BY cntrycode
+    """)) { t =>
+      val codes = Seq(1, 3, 5, 7, 9)
+      val inCode = t.customer.filter((col("c_nationkey") % 10).isin(codes: _*))
+      val thresh = inCode.filter(col("c_acctbal") > 0.0)
+        .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("avg_bal"))
+      inCode
+        .crossJoin(broadcast(thresh))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t.orders.filter(
+          col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 10).cast("int").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum2(col("c_acctbal")).as("totacctbal"))
+    },
+
+    // Explicit GROUPING SETS (TiDB planner/core grouping-set Expand).
+    Q("q_groupingsets", Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                              (l_returnflag, l_linestatus))
+    """)) { t =>
+      t.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+      """, "lineitem")
+    },
+
+    // Rank-predicate top-k per group: Spark 4 plans the filter as a
+    // WindowGroupLimit (partial per-partition limit before the
+    // shuffle) — the declarative twin of TiDB's topn pushdown
+    // (planner/core/rule_topn_push_down.go). PlanShapeSpec asserts
+    // the operator is present.
+    Q("q_window_grouplimit", Some("""
+      SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rn AS INT) AS rn
+      FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer) t
+      WHERE rn <= 5
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t.customer
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 5)
+    },
+
+    // Native recursive CTE (Spark 4 UnionLoopExec) — the declarative
+    // twin of the driver-side iterate in q_cte_recursive (reference:
+    // executor/cte.go seed/recursive parts). Same result set.
+    Q("q_cte_recursive_native", Some("""
+      WITH RECURSIVE t(n) AS (
+        SELECT CAST(r_regionkey AS BIGINT) FROM region
+        UNION ALL
+        SELECT n + 7 FROM t WHERE n + 7 < 200)
+      SELECT n, COUNT(*) AS c FROM t GROUP BY n
+    """)) { t =>
+      t.sql("""
+        WITH RECURSIVE t(n) AS (
+          SELECT CAST(r_regionkey AS BIGINT) FROM region
+          UNION ALL
+          SELECT n + 7 FROM t WHERE n + 7 < 200)
+        SELECT n, COUNT(*) AS c FROM t GROUP BY n
+      """, "region")
+    },
+  )
+}

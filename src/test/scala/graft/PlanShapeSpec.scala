@@ -51,4 +51,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "expected partial+final aggregation")
   }
+
+  test("q_window_grouplimit plans a WindowGroupLimit below the shuffle") {
+    // rank<=k predicates must become a per-partition group limit
+    // (Spark's InferWindowGroupLimit), not a full window + filter —
+    // at 100 TB the pre-shuffle limit is the difference between
+    // shuffling k rows per group and shuffling the whole table.
+    val p = plan("q_window_grouplimit")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("q_cte_recursive_native runs on Spark's UnionLoop operator") {
+    val p = plan("q_cte_recursive_native")
+    assert(p.contains("UnionLoop"), s"no UnionLoop in:\n$p")
+  }
 }
