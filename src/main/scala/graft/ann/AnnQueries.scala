@@ -78,6 +78,33 @@ object AnnQueries {
         .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))
     },
 
+    // IVF (inverted-file) ANN — the coarse-quantizer scale path:
+    // deterministic k-means (first-C seeds, 2 Lloyd rounds, centroids
+    // rounded to 6dp to kill float-order noise), corpus assigned to
+    // its nearest cell, queries probe their 4 nearest cells, exact
+    // cosine re-rank inside the probed cells only. At 100 TB the
+    // corpus-cell assignment is one broadcast-centroid map pass and
+    // the probe touches ~nprobe/C of the corpus per query. k-means
+    // arithmetic is engine-specific → rows-only; the spec checks
+    // recall against brute force.
+    Q("s_ann_ivf", None) { t =>
+      val corpus = vecs(t)
+      val (cells, centroids) = IvfIndex.build(corpus, c = 16, iters = 2)
+      val queryProbes = IvfIndex.probes(
+        corpus.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv")),
+        centroids, nprobe = 4)
+      val w = Window.partitionBy("qid")
+        .orderBy(round(col("c"), 8).desc, col("vec_id"))
+      queryProbes.join(cells, "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          cosine(col("qv"), col("v")).as("c")).distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))
+    },
+
     // LSH-bucketed ANN: 4 tables × 8 hyperplane bits; candidates are
     // same-bucket vectors, re-ranked by exact cosine, top-3 kept.
     // Hash-derived planes are engine-specific → rows-only; the spec

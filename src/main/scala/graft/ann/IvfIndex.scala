@@ -1,0 +1,72 @@
+package graft.ann
+
+import graft.functions.VectorFns._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF coarse quantizer: deterministic distributed k-means over an
+  * embedding DataFrame (`vec_id`, `v: array<double>`).
+  *
+  * Scale design: centroids are O(C·dim) — always broadcast; the
+  * corpus is only ever touched by map-side assignment passes (cross
+  * join against the broadcast centroid table + per-row argmin), and
+  * the Lloyd update is one posexplode + (cell, dim) aggregation, so
+  * each iteration is a single shuffle of (cell, dim, component)
+  * triples. Determinism: seeds are the first C vec_ids, every
+  * distance is ranked on round(·, 6) with the cell id as tiebreak,
+  * and updated centroid components are rounded to 6dp so float
+  * summation order cannot flip an assignment between runs.
+  *
+  * Reference analog: tigraph/tidb has no vector index; this is the
+  * pipeline-mandate ANN scale path (SURVEY §2) modeled on the
+  * classic IVF-flat layout.
+  */
+object IvfIndex {
+
+  /** Squared-L2 ranking key (monotone in true distance for fixed
+    * query): |c|^2 - 2 v·c. */
+  private def distKey(v: org.apache.spark.sql.Column,
+      cv: org.apache.spark.sql.Column) =
+    round(dot(cv, cv) - lit(2.0) * dot(v, cv), 6)
+
+  /** Nearest-cell assignment of `points` (id/vec column names given)
+    * against a broadcast centroid table. */
+  private def assign(points: DataFrame, centroids: DataFrame,
+      idCol: String, vCol: String, keep: Int): DataFrame = {
+    val w = Window.partitionBy(idCol)
+      .orderBy(distKey(col(vCol), col("cv")), col("cell"))
+    points.crossJoin(broadcast(centroids))
+      .withColumn("rnc", row_number().over(w))
+      .filter(col("rnc") <= keep)
+      .drop("cv", "rnc")
+  }
+
+  /** Build the index: (corpus with `cell` column, centroid table). */
+  def build(corpus: DataFrame, c: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
+    var centroids = corpus.filter(col("vec_id") < c)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = assign(corpus, centroids, "vec_id", "v", keep = 1)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy("cell", "j").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(j, m)))," +
+          " s -> round(s.m, 6))").as("cv"))
+    }
+    (assign(corpus, centroids, "vec_id", "v", keep = 1), centroids)
+  }
+
+  /** The `nprobe` nearest cells per query (`qid`, `qv`). */
+  def probes(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val w = Window.partitionBy("qid")
+      .orderBy(distKey(col("qv"), col("cv")), col("cell"))
+    queries.crossJoin(broadcast(centroids))
+      .withColumn("rnc", row_number().over(w))
+      .filter(col("rnc") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+  }
+}

@@ -108,6 +108,34 @@ final case class Graph(edges: DataFrame) {
     visited
   }
 
+  /** Weighted shortest distance (Bellman-Ford relaxation, bounded to
+    * `maxHops` edges) — the weighted extension of ANY SHORTEST
+    * (graph_shortest.go tracks hop counts; edge weights generalize
+    * it). Each round relaxes every tentative distance through the
+    * weighted edge list and keeps the per-node minimum, so round i
+    * holds the cheapest path of ≤ i edges. All-distributed: the
+    * tentative-distance table shuffles on `node`, never enumerates
+    * paths, and is bounded by |V| rows regardless of edge count —
+    * the 100 TB-safe property the walk-enumerating oracle lacks.
+    *
+    * `wedges` schema: src, dst, w (BIGINT weight). */
+  def weightedShortest(wedges: DataFrame, source: Long,
+      maxHops: Int): DataFrame = {
+    var dist = wedges.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("wdist"))
+      .localCheckpoint()
+    var hopN = 0
+    while (hopN < maxHops) {
+      hopN += 1
+      val relaxed = dist.join(wedges, dist("node") === wedges("src"))
+        .select(col("dst").as("node"), (col("wdist") + col("w")).as("wdist"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min(col("wdist")).as("wdist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** TOP-K SHORTEST path enumeration, ranked by (length, path) —
     * ast.GraphPathPatternTypeTopKShortestPath semantics.
     *

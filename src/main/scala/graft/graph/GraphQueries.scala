@@ -127,5 +127,29 @@ object GraphQueries {
     Q("g_topk_paths", None) { t =>
       Graph.derived(t.orders).topKShortestPaths(0L, 7L, k = 3, maxHops = 4)
     },
+
+    // Weighted shortest distance ≤4 hops (weights = edge
+    // multiplicity). The engine runs |V|-bounded Bellman-Ford
+    // relaxation; the oracle brute-enumerates bounded walks — tiny at
+    // oracle scale, impossible at bench scale, which is the point of
+    // the relaxation formulation.
+    Q("g_shortest_weighted", Some("""
+      WITH RECURSIVE e AS (
+        SELECT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst,
+               COUNT(*) AS w
+        FROM orders GROUP BY 1, 2),
+      p(node, cost, hops) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+        UNION ALL
+        SELECT e.dst, p.cost + e.w, p.hops + 1
+        FROM p JOIN e ON e.src = p.node WHERE p.hops < 4)
+      SELECT node, MIN(cost) AS wdist FROM p GROUP BY node
+    """)) { t =>
+      val wedges = t.orders
+        .groupBy((col("o_custkey") % 1000).as("src"),
+          (col("o_orderkey") % 1000).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Graph.derived(t.orders).weightedShortest(wedges, 0L, maxHops = 4)
+    },
   )
 }

@@ -68,5 +68,80 @@ object EventQueries {
           round(count(lit(1)).cast("double") / max(col("sess_id")), 4)
             .as("events_per_session"))
     },
+
+    // AS-OF join: each purchase picks the latest click of the same
+    // user at-or-before its timestamp. Implemented as ONE window pass
+    // over the unioned stream (last click-marker struct, nulls
+    // skipped) — a single shuffle on user_id, no range join, no
+    // per-row probe: the formulation that survives 100 TB. Clicks
+    // sort before purchases on timestamp ties ("at-or-before");
+    // event_id breaks exact duplicates deterministically.
+    Q("e_asof", Some("""
+      WITH u AS (
+        SELECT user_id, event_id, ts, value, event_type,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      m AS (
+        SELECT *,
+               last_value(CASE WHEN is_click = 1 THEN ts END IGNORE NULLS)
+                 OVER w AS click_ts,
+               last_value(CASE WHEN is_click = 1 THEN value END IGNORE NULLS)
+                 OVER w AS click_value
+        FROM u
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts, is_click DESC, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, ts, value, click_ts, click_value
+      FROM m WHERE event_type = 'purchase'
+    """)) { t =>
+      val u = t.fan(t.events)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("is_click",
+          when(col("event_type") === "click", 1).otherwise(0))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_click").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("ck",
+          last(when(col("is_click") === 1,
+            struct(col("ts"), col("value"))), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("ck.ts").as("click_ts"), col("ck.value").as("click_value"))
+    },
+
+    // Native session windows (30-min gap): Spark's SessionWindow
+    // operator merges overlapping [ts, ts+gap) intervals per user —
+    // the same operator Structured Streaming uses with state. Oracle
+    // rebuilds sessions with the lag/cumsum idiom (new session when
+    // the gap is >= 30 min, matching the exclusive window end).
+    Q("e_session_window", Some("""
+      WITH seq AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM seq)
+      SELECT user_id, MIN(ts) AS s_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM sess GROUP BY user_id, sid
+    """)) { t =>
+      t.events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("n_events"), col("sum_value"))
+    },
   )
 }
