@@ -20,5 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       GraftFunctions.dotBuilder _))
     extensions.injectFunction(graft.functions.TextStats.registration)
+    // Whole-operator extension: plans RangeJoinPlan nodes onto the
+    // broadcast-binary-search range join (see plans/RangeJoin.scala).
+    extensions.injectPlannerStrategy(_ => RangeJoinStrategy)
   }
 }

@@ -143,5 +143,35 @@ object EventQueries {
           col("session_window.end").as("s_end"),
           col("n_events"), col("sum_value"))
     },
+
+    // Interval-containment join through graft's custom broadcast
+    // range-join operator (plans/RangeJoin.scala): events land in
+    // weekly [lo, hi) buckets by binary search against the broadcast
+    // bucket table — Spark's native plan for this predicate is a
+    // BroadcastNestedLoopJoin that compares every event against
+    // every bucket.
+    Q("e_range_join", Some("""
+      WITH r AS (
+        SELECT CAST(i AS INT) AS bucket_id,
+               TIMESTAMP '2024-01-01' + i * INTERVAL 7 DAY AS lo,
+               TIMESTAMP '2024-01-01' + (i + 1) * INTERVAL 7 DAY AS hi
+        FROM generate_series(0, 59) AS t(i))
+      SELECT bucket_id, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events JOIN r ON r.lo <= ts AND ts < r.hi
+      GROUP BY bucket_id
+    """)) { t =>
+      val buckets = t.spark.range(0, 60)
+        .select(col("id").cast("int").as("bucket_id"),
+          expr("timestampadd(DAY, id * 7, timestamp'2024-01-01')").as("lo"),
+          expr("timestampadd(DAY, (id + 1) * 7, timestamp'2024-01-01')")
+            .as("hi"))
+      graft.plans.RangeJoin
+        .join(t.fan(t.events), buckets, col("ts"), col("lo"), col("hi"))
+        .groupBy("bucket_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    },
   )
 }
