@@ -32,6 +32,31 @@ object Streams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** Native session windows (30-minute gap), shared by batch and
+    * streaming: under a stream this runs Spark's stateful
+    * SessionWindow merge with watermark-driven eviction — the same
+    * operator family as the reference's continuous aggregation over
+    * the TP stream. */
+  def sessioned(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup on a business key within the watermark
+    * horizon — the streaming twin of d_dedup_exact: state holds one
+    * entry per key and ages out with the watermark, so memory is
+    * bounded by the horizon, not the stream length. */
+  def dedupedWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_type", "user_id")
+
   /** Stateful sessionization via mapGroupsWithState: counts sessions
     * per user with a 30-minute inactivity gap. The per-group state is
     * O(1) (count + last timestamp), so state storage stays bounded

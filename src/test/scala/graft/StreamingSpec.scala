@@ -33,6 +33,48 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming session_window agg equals the batch session query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(eventsDf.as[Event].collect().toSeq)
+
+    val query = Streams.sessioned(
+        input.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    try query.processAllAvailable() finally query.stop()
+
+    val streamed = spark.table("sess_out").collect().map(_.toSeq).toSet
+    val batch = Streams.sessioned(eventsDf).collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // And the batch form is exactly the oracled e_session_window.
+    val oracled = Registry.all.find(_.name == "e_session_window").get.run(t)
+      .collect().map(_.toSeq).toSet
+    assert(batch == oracled)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups keys inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val rows = eventsDf.as[Event].collect().toSeq
+    input.addData(rows ++ rows.take(50)) // replay some duplicates
+
+    val query = Streams.dedupedWithinWatermark(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try query.processAllAvailable() finally query.stop()
+
+    val out = spark.table("dedup_out")
+    val keys = out.select("event_type", "user_id")
+    assert(keys.count() == keys.distinct().count(),
+      "watermark-scoped dedup emitted a duplicate key")
+    assert(out.count() > 0)
+    assert(out.count() <= eventsDf
+      .select("event_type", "user_id").distinct().count())
+  }
+
   test("stateful sessionization equals the SQL sessionize query") {
     import spark.implicits._
     val stateful = Streams.sessionCounts(eventsDf.as[Event])
