@@ -26,7 +26,7 @@ object TpchMore {
     // Q7 — volume shipping between two nations, by year.
     Q("q_tpch_q7", Some("""
       SELECT supp_nation, cust_nation, l_year,
-             CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             CAST(SUM(volume) AS DOUBLE) AS revenue
       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(YEAR(l_shipdate) AS INT) AS l_year,
                    CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2)) AS volume
