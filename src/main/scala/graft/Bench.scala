@@ -23,6 +23,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t = Tables(spark, sfDir)
+    // Untimed warmup: exercise the scan+agg+join+window pipeline once
+    // so JIT/codegen compilation doesn't land on the first measured
+    // queries (steady-state timings are what a resident engine sees).
+    Registry.all.filter(q => Set("q_scan_filter", "q_agg_hash",
+        "q_join_broadcast", "q_window_rank").contains(q.name))
+      .foreach(q => q.run(t).write.format("noop").mode("overwrite").save())
     val results = Registry.all.map { q =>
       val t0 = System.nanoTime()
       try q.run(t).write.format("noop").mode("overwrite").save()

@@ -27,9 +27,8 @@ object DedupQueries {
   private def minhashSigs(docs: DataFrame): DataFrame = {
     val k = 64
     val hashed = docs
-      .withColumn("sh", TextFns.charShingles(col("text"), 5))
       .select(col("doc_id"),
-        explode(expr("transform(sh, s -> xxhash64(s))")).as("h"))
+        explode(TextFns.charShingleHashes(col("text"), 5)).as("h"))
     val aggs = (0 until k).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"s_$i"))
     hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -43,9 +42,8 @@ object DedupQueries {
     * this runs in seconds and scales map-side). */
   private def simhash(docs: DataFrame): DataFrame = {
     val tokHash = docs
-      .withColumn("toks", TextFns.tokens(col("text")))
       .select(col("doc_id"),
-        explode(expr("transform(toks, t -> xxhash64(t))")).as("h"))
+        explode(TextFns.wordShingleHashes(col("text"), 1)).as("h"))
     val votes: Seq[org.apache.spark.sql.Column] = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as(s"b_$i"))
@@ -159,10 +157,9 @@ object DedupQueries {
     // Shuffle carries (shingle_hash, doc_id) pairs only — never text.
     Q("d_ngram_jaccard", None) { t =>
       val withSets = t.fan(t.documents)
-        .withColumn("toks", TextFns.tokens(col("text")))
-        .withColumn("sh", TextFns.wordShingles(col("toks"), 3))
         .select(col("doc_id"),
-          array_distinct(expr("transform(sh, x -> xxhash64(x))")).as("hs"))
+          array_distinct(TextFns.wordShingleHashes(col("text"), 3))
+            .as("hs"))
       // df per shingle via a window over the h-partitioned exchange
       // (instead of a groupBy + rejoin): every downstream consumer —
       // sizes, both self-join sides — shares that single shuffle

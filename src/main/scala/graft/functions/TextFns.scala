@@ -29,4 +29,17 @@ object TextFns {
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(expr(
         s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
+
+  /** xxhash64 of every char n-gram, via the single-pass kernel —
+    * bit-identical to `transform(charShingles(t, n), xxhash64)`. */
+  def charShingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      CharShingleHashes(org.apache.spark.sql.GraftSqlShim.expr(text), n))
+
+  /** xxhash64 of every word n-gram (single-space joined) — bit-
+    * identical to `transform(wordShingles(tokens(t), n), xxhash64)`;
+    * n=1 is per-token hashing. */
+  def wordShingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      WordShingleHashes(org.apache.spark.sql.GraftSqlShim.expr(text), n))
 }

@@ -17,4 +17,8 @@ object GraftSqlShim {
   /** Catalyst expression behind a (classic) Column. */
   def expr(c: Column): catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Column over a catalyst expression. */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }
