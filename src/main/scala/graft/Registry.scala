@@ -19,6 +19,7 @@ object Registry {
     operators.TpchMore.all,
     operators.Scalars.all,
     operators.Scalars2.all,
+    operators.Analytics.all,
     graph.GraphQueries.all,
     dedup.DedupQueries.all,
     ann.AnnQueries.all,

@@ -183,5 +183,32 @@ object DedupQueries {
             (col("sz1") + col("sz2") - col("n_inter")), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     },
+
+    // Embedding-cosine near-dup: pairs above a cosine threshold
+    // (0.4 fits the synthetic embedding distribution; real near-dup
+    // corpora use ~0.95+). Exact all-pairs here for oracle parity —
+    // the LSH/IVF buckets (s_ann_lsh / s_ann_ivf) are the 100 TB
+    // candidate-generation path for the same predicate. Ranking and
+    // output rounded like s_ann_brute so float noise can't flip
+    // the threshold.
+    Q("d_dedup_embed", Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                 FROM embeddings)
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             ROUND(list_cosine_similarity(a.ve, b.ve), 4) AS cos
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.ve, b.ve), 8) >= 0.4
+    """)) { t =>
+      import graft.functions.VectorFns
+      val v = t.fan(t.embeddings)
+        .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("ve"))
+      val a = v.select(col("vec_id").as("id1"), col("ve").as("va"))
+      val b = v.select(col("vec_id").as("id2"), col("ve").as("vb"))
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          VectorFns.cosine(col("va"), col("vb")).as("c"))
+        .filter(round(col("c"), 8) >= 0.4)
+        .select(col("id1"), col("id2"), round(col("c"), 4).as("cos"))
+    },
   )
 }

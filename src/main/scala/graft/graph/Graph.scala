@@ -136,6 +136,33 @@ final case class Graph(edges: DataFrame) {
     dist
   }
 
+  /** Connected components by min-label propagation (undirected).
+    * Each round every node takes the minimum of its own label and its
+    * neighbors' labels; the loop runs to a fixpoint (stable-count
+    * check is the only driver-side value), reaching the component-
+    * minimum node id within the component diameter. State is one
+    * (node, label) row per vertex — |V|-bounded like the BFS ops,
+    * shuffled on node each round. */
+  def connectedComponents(): DataFrame = {
+    val und = oriented("both")
+    var labels = und.select(col("src").as("node"))
+      .distinct()
+      .select(col("node"), col("node").as("component"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val fromNeighbors = labels
+        .join(und, labels("node") === und("src"))
+        .select(col("dst").as("node"), col("component"))
+      val next = labels.union(fromNeighbors)
+        .groupBy("node").agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      changed = next.exceptAll(labels).count()
+      labels = next
+    }
+    labels
+  }
+
   /** TOP-K SHORTEST path enumeration, ranked by (length, path) —
     * ast.GraphPathPatternTypeTopKShortestPath semantics.
     *

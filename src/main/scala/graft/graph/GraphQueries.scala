@@ -151,5 +151,21 @@ object GraphQueries {
         .agg(count(lit(1)).as("w"))
       Graph.derived(t.orders).weightedShortest(wedges, 0L, maxHops = 4)
     },
+
+    // Connected components (undirected): min-label propagation to a
+    // fixpoint. The oracle materializes the full reachability closure
+    // — quadratic, oracle-scale only; the propagation loop carries
+    // one label per vertex and is the form that scales.
+    Q("g_cc", Some(s"""
+      $edgeCte, u AS (
+        SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      r(a, b) AS (
+        SELECT src, src FROM u
+        UNION
+        SELECT r.a, u.dst FROM r JOIN u ON u.src = r.b)
+      SELECT a AS node, MIN(b) AS component FROM r GROUP BY a
+    """)) { t =>
+      Graph.derived(t.orders).connectedComponents()
+    },
   )
 }

@@ -173,5 +173,68 @@ object EventQueries {
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("sum_value"))
     },
+
+    // Ordered funnel view → click → purchase: per user, the earliest
+    // view, the earliest click strictly after it, the earliest
+    // purchase strictly after that. Three key-local aggregations —
+    // no window over the whole stream, no self-join explosion.
+    Q("e_funnel", Some("""
+      WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+             FROM events e JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t1
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+             FROM events e JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             GROUP BY e.user_id)
+      SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+             (SELECT COUNT(*) FROM s2) AS n_view_click,
+             (SELECT COUNT(*) FROM s3) AS n_full_funnel
+    """)) { t =>
+      val ev = t.fan(t.events)
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_full_funnel")))
+    },
+
+    // Cohort retention: users grouped by first-activity ISO week,
+    // distinct-user counts per week offset. Two shuffles (first-seen
+    // per user, then cohort × offset counts).
+    Q("e_retention", Some("""
+      WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY user_id),
+      activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+        FROM events)
+      SELECT cohort_week,
+             CAST((epoch(act_week) - epoch(cohort_week)) / 604800 AS INT) AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM first_seen JOIN activity USING (user_id)
+      GROUP BY cohort_week, week_offset
+    """)) { t =>
+      val ev = t.fan(t.events)
+      val firstSeen = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val activity = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+        .distinct()
+      firstSeen.join(activity, "user_id")
+        .groupBy(col("cohort_week"),
+          ((unix_timestamp(col("act_week")) -
+            unix_timestamp(col("cohort_week"))) / 604800).cast("int")
+            .as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
   )
 }

@@ -65,4 +65,11 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = plan("q_cte_recursive_native")
     assert(p.contains("UnionLoop"), s"no UnionLoop in:\n$p")
   }
+
+  test("q_lateral decorrelates the per-row LIMIT into a ranked join") {
+    val p = plan("q_lateral")
+    assert(!p.contains("CartesianProduct"), s"lateral not decorrelated:\n$p")
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"),
+      s"expected rank-based rewrite in:\n$p")
+  }
 }
