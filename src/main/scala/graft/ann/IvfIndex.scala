@@ -30,16 +30,18 @@ object IvfIndex {
       cv: org.apache.spark.sql.Column) =
     round(dot(cv, cv) - lit(2.0) * dot(v, cv), 6)
 
-  /** Nearest-cell assignment of `points` (id/vec column names given)
-    * against a broadcast centroid table. */
+  /** Nearest-cell assignment of `points` against a broadcast
+    * centroid table: min_by over the per-cell distance keys — a
+    * partial-aggregating map-side argmin, no sort, no window
+    * shuffle. */
   private def assign(points: DataFrame, centroids: DataFrame,
-      idCol: String, vCol: String, keep: Int): DataFrame = {
-    val w = Window.partitionBy(idCol)
-      .orderBy(distKey(col(vCol), col("cv")), col("cell"))
+      idCol: String, vCol: String): DataFrame = {
+    val others = points.columns.filter(_ != idCol).map(c => col(c))
     points.crossJoin(broadcast(centroids))
-      .withColumn("rnc", row_number().over(w))
-      .filter(col("rnc") <= keep)
-      .drop("cv", "rnc")
+      .groupBy(col(idCol))
+      .agg(min_by(col("cell"),
+          struct(distKey(col(vCol), col("cv")), col("cell"))).as("cell"),
+        others.map(c => first(c).as(c.toString)): _*)
   }
 
   /** Build the index: (corpus with `cell` column, centroid table). */
@@ -48,7 +50,7 @@ object IvfIndex {
     var centroids = corpus.filter(col("vec_id") < c)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
     for (_ <- 1 to iters) {
-      val assigned = assign(corpus, centroids, "vec_id", "v", keep = 1)
+      val assigned = assign(corpus, centroids, "vec_id", "v")
       centroids = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("j", "x")))
         .groupBy("cell", "j").agg(avg(col("x")).as("m"))
@@ -56,7 +58,7 @@ object IvfIndex {
         .agg(expr("transform(array_sort(collect_list(struct(j, m)))," +
           " s -> round(s.m, 6))").as("cv"))
     }
-    (assign(corpus, centroids, "vec_id", "v", keep = 1), centroids)
+    (assign(corpus, centroids, "vec_id", "v"), centroids)
   }
 
   /** The `nprobe` nearest cells per query (`qid`, `qv`). */

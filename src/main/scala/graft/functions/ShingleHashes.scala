@@ -115,6 +115,66 @@ object ShingleHashKernel {
   }
 }
 
+object MinHashKernel {
+  /** Fused MinHash signature: k running minima over
+    * `XXH64.hashLong(shingleHash, perm)` maintained in ONE pass over
+    * the char shingles — no exploded (doc, shingle) rows, no k
+    * aggregate columns, no shuffle at all until banding. Texts with
+    * no shingle yield an empty array (callers filter on size, the
+    * analog of such docs vanishing from the exploded form). */
+  def signature(s: UTF8String, n: Int, k: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    val starts = new Array[Int](s.numChars() + 1)
+    var i = 0
+    var cp = 0
+    while (i < len) {
+      val b = Platform.getByte(base, off + i)
+      if ((b & 0xc0) != 0x80) { starts(cp) = i; cp += 1 }
+      i += 1
+    }
+    starts(cp) = len
+    if (cp < n) return new GenericArrayData(Array.empty[Long])
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j + n <= cp) {
+      val h = XXH64.hashUnsafeBytes(base, off + starts(j),
+        starts(j + n) - starts(j), 42L)
+      var p = 0
+      while (p < k) {
+        val v = XXH64.hashLong(h, p)
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `minhash_signature(text)`: k-permutation MinHash over char
+  * n-grams via [[MinHashKernel]]. */
+case class MinHashSignature(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input")
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.signature(input.asInstanceOf[UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashKernel.signature($c, $n, $k);")
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** `char_shingle_hashes(text)` / `word_shingle_hashes(text)` exprs
   * with a compile-time shingle width. */
 abstract class ShingleHashExpr extends UnaryExpression {

@@ -42,4 +42,12 @@ object TextFns {
   def wordShingleHashes(text: Column, n: Int): Column =
     org.apache.spark.sql.GraftSqlShim.column(
       WordShingleHashes(org.apache.spark.sql.GraftSqlShim.expr(text), n))
+
+  /** Fused k-permutation MinHash signature over char n-grams —
+    * running minima kept inside one kernel pass, so signature
+    * building is pure map work with no exploded rows (empty array
+    * for sub-n texts). */
+  def minhashSignature(text: Column, n: Int, k: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      MinHashSignature(org.apache.spark.sql.GraftSqlShim.expr(text), n, k))
 }

@@ -149,15 +149,21 @@ final case class Graph(edges: DataFrame) {
       .distinct()
       .select(col("node"), col("node").as("component"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // Labels only ever decrease, so the label sum is a strictly
+    // decreasing convergence measure — one cheap scalar aggregate per
+    // round instead of a join/except against the previous state.
+    var prevSum = labels.agg(sum(col("component"))).head().getLong(0)
+    var converged = false
+    while (!converged) {
       val fromNeighbors = labels
         .join(und, labels("node") === und("src"))
         .select(col("dst").as("node"), col("component"))
       val next = labels.union(fromNeighbors)
         .groupBy("node").agg(min(col("component")).as("component"))
         .localCheckpoint()
-      changed = next.exceptAll(labels).count()
+      val nextSum = next.agg(sum(col("component"))).head().getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
     }
     labels

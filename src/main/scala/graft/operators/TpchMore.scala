@@ -147,17 +147,19 @@ object TpchMore {
       GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
     """)) { t =>
+      // One pass over lineitem: the HAVING aggregate IS the output
+      // aggregate (o_orderkey is the group key), so the filtered
+      // per-order sums join straight to orders/customer — no second
+      // lineitem shuffle, no re-aggregation on five columns.
       val big = t.lineitem.groupBy("l_orderkey")
         .agg(sum(dec2(col("l_quantity"))).as("q"))
         .filter(col("q") > 250)
-        .select(col("l_orderkey").as("big_orderkey"))
-      t.lineitem
-        .join(big, col("l_orderkey") === col("big_orderkey"), "left_semi")
+      big
         .join(t.orders, col("o_orderkey") === col("l_orderkey"))
         .join(t.customer, col("c_custkey") === col("o_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-          "o_totalprice")
-        .agg(sum2(col("l_quantity")).as("sum_qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("q").cast("double").as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(50)
     },
 
