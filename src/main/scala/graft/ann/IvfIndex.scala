@@ -61,6 +61,41 @@ object IvfIndex {
     (assign(corpus, centroids, "vec_id", "v"), centroids)
   }
 
+  /** Persist the index as a warehouse layout: corpus vectors
+    * partitioned BY CELL (so a probe touches only its cells'
+    * directories) plus the broadcast-sized centroid table. This is
+    * the on-disk shape of the IVF inverted lists — at 100 TB each
+    * cell directory is a self-contained shard and probing k of C
+    * cells reads k/C of the bytes. */
+  def writeIndex(corpus: DataFrame, dir: String, c: Int,
+      iters: Int): Unit = {
+    val (cells, centroids) = build(corpus, c, iters)
+    cells.write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/cells")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Top-k cosine search against a persisted index: queries pick
+    * their `nprobe` cells, and the cell-partitioned corpus is read
+    * with dynamic partition pruning from the broadcast probe side —
+    * non-probed cell directories are never scanned (spec-asserted). */
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, nprobe: Int, topk: Int): DataFrame = {
+    import graft.functions.VectorFns.cosine
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val cells = spark.read.parquet(s"$dir/cells")
+    val probed = probes(queries, centroids, nprobe)
+    val w = Window.partitionBy("qid")
+      .orderBy(round(col("c"), 8).desc, col("vec_id"))
+    cells.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qv"), col("v")).as("c")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topk)
+      .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))
+  }
+
   /** The `nprobe` nearest cells per query (`qid`, `qv`). */
   def probes(queries: DataFrame, centroids: DataFrame,
       nprobe: Int): DataFrame = {

@@ -61,5 +61,50 @@ object Analytics {
         WHERE o.o_totalprice > 400000
       """, "orders", "lineitem")
     },
+
+    // INTERSECT ALL / EXCEPT ALL (multiset set ops — TiDB setops
+    // keep duplicates under ALL).
+    Q("q_setops_all", Some("""
+      SELECT src, l_partkey FROM (
+        SELECT 'i' AS src, l_partkey FROM
+          (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+           INTERSECT ALL
+           SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+        UNION ALL
+        SELECT 'e' AS src, l_partkey FROM
+          (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+           EXCEPT ALL
+           SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')) u
+      WHERE l_partkey < 200
+    """)) { t =>
+      val r = t.lineitem.filter(col("l_returnflag") === "R")
+        .select("l_partkey")
+      val a = t.lineitem.filter(col("l_returnflag") === "A")
+        .select("l_partkey")
+      r.intersectAll(a).select(lit("i").as("src"), col("l_partkey"))
+        .unionAll(
+          r.exceptAll(a).select(lit("e").as("src"), col("l_partkey")))
+        .filter(col("l_partkey") < 200)
+    },
+
+    // Value-RANGE window frame over TIMESTAMPS (window.go range
+    // frames): per user, events and spend inside the trailing hour.
+    Q("q_window_timerange", Some("""
+      SELECT event_id, user_id, ts,
+             COUNT(*) OVER w AS n_last_hour,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_last_hour
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """)) { t =>
+      t.sql("""
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n_last_hour,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      """, "events")
+    },
   )
 }

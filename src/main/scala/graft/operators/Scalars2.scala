@@ -121,5 +121,57 @@ object Scalars2 {
           get_json_object(col("doc"), "$.tags[1]").as("tag1"),
           json_object_keys(col("doc")).as("top_keys"))
     },
+
+    // JSON array unnest (json_table analog): parse an embedded array
+    // and explode it with ordinality — posexplode(from_json) on the
+    // Spark side, json_transform + UNNEST WITH ORDINALITY in DuckDB.
+    Q("q_func_json3", Some("""
+      SELECT event_id, pos, tag, CAST(LENGTH(tag) AS INT) AS tag_len
+      FROM (SELECT event_id,
+              CAST(unnest(generate_series(0, LEN(ta) - 1)) AS INT) AS pos,
+              unnest(ta) AS tag
+            FROM (SELECT event_id,
+                    json_transform(CONCAT('["', event_type, '","k',
+                      json_extract_string(props, '$.k'), '","x"]'),
+                      '["VARCHAR"]') AS ta
+                  FROM events WHERE event_id < 300) j) u
+    """)) { t =>
+      t.events.filter(col("event_id") < 300)
+        .select(col("event_id"),
+          concat(lit("[\""), col("event_type"), lit("\",\"k"),
+            get_json_object(col("props"), "$.k"), lit("\",\"x\"]"))
+            .as("arr"))
+        .select(col("event_id"),
+          posexplode(expr("from_json(arr, 'array<string>')"))
+            .as(Seq("pos", "tag")))
+        .select(col("event_id"), col("pos"), col("tag"),
+          length(col("tag")).as("tag_len"))
+    },
+
+    // Array functions over per-order collected line numbers:
+    // sort/distinct/contains/slice/reverse + element access.
+    Q("q_func_array", Some("""
+      SELECT l_orderkey,
+             list_sort(list(l_linenumber)) AS lines,
+             CAST(LEN(list_distinct(list(l_linenumber))) AS INT) AS n_distinct,
+             CAST(list_contains(list(l_linenumber), 3) AS INT) AS has_3,
+             list_sort(list(l_linenumber))[1] AS first_line,
+             list_reverse(list_sort(list(l_linenumber)))[1] AS last_line,
+             list_slice(list_sort(list(l_linenumber)), 1, 2) AS first_two
+      FROM lineitem WHERE l_orderkey < 300 GROUP BY l_orderkey
+    """)) { t =>
+      t.lineitem.filter(col("l_orderkey") < 300)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
+          size(array_distinct(collect_list(col("l_linenumber"))))
+            .as("n_distinct"),
+          array_contains(collect_list(col("l_linenumber")), 3).cast("int")
+            .as("has_3"))
+        .select(col("l_orderkey"), col("lines"), col("n_distinct"),
+          col("has_3"),
+          element_at(col("lines"), 1).as("first_line"),
+          element_at(reverse(col("lines")), 1).as("last_line"),
+          slice(col("lines"), 1, 2).as("first_two"))
+    },
   )
 }

@@ -57,6 +57,28 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_type", "user_id")
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks in the preceding hour. Watermarks on BOTH sides
+    * let Spark bound the join state (clicks older than the horizon
+    * are evicted), so state size tracks the interval, not the stream
+    * length — the scalable form of event-correlation joins. */
+  def clickPurchaseJoin(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    p.join(c, col("c_user") === col("p_user") &&
+      col("click_ts") <= col("purchase_ts") &&
+      col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("p_user"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Stateful sessionization via mapGroupsWithState: counts sessions
     * per user with a 30-minute inactivity gap. The per-group state is
     * O(1) (count + last timestamp), so state storage stays bounded

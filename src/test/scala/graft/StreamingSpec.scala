@@ -75,6 +75,30 @@ class StreamingSpec extends SparkSpecBase {
       .select("event_type", "user_id").distinct().count())
   }
 
+  test("stream-stream interval join equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = eventsDf.as[Event].collect().toSeq
+    val clicksIn = MemoryStream[Event]
+    val purchasesIn = MemoryStream[Event]
+    clicksIn.addData(rows.filter(_.event_type == "click"))
+    purchasesIn.addData(rows.filter(_.event_type == "purchase"))
+
+    val query = Streams
+      .clickPurchaseJoin(clicksIn.toDF(), purchasesIn.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out").start()
+    try query.processAllAvailable() finally query.stop()
+
+    val streamed = spark.table("ss_join_out").collect()
+      .map(_.toSeq).toSet
+    val clicks = eventsDf.filter(col("event_type") === "click")
+    val purchases = eventsDf.filter(col("event_type") === "purchase")
+    val batch = Streams.clickPurchaseJoin(clicks, purchases)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful sessionization equals the SQL sessionize query") {
     import spark.implicits._
     val stateful = Streams.sessionCounts(eventsDf.as[Event])
