@@ -167,5 +167,31 @@ object GraphQueries {
     """)) { t =>
       Graph.derived(t.orders).connectedComponents()
     },
+
+    // Triangle count (undirected): the oriented a<b<c wedge join —
+    // each edge stored once in canonical order, so wedge generation
+    // is bounded by the ordered degrees (the standard distributed
+    // triangle-count orientation trick).
+    Q("g_triangles", Some(s"""
+      $edgeCte, u AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst)
+      SELECT COUNT(*) AS n_triangles
+      FROM u e1
+      JOIN u e2 ON e1.b = e2.a
+      JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
+    """)) { t =>
+      val e = Graph.derived(t.orders).edges
+      val u = e.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val e1 = u.select(col("a").as("x"), col("b").as("y"))
+      val e2 = u.select(col("a").as("y2"), col("b").as("z"))
+      val e3 = u.select(col("a").as("x3"), col("b").as("z3"))
+      e1.join(e2, col("y") === col("y2"))
+        .join(e3, col("x") === col("x3") && col("z") === col("z3"))
+        .agg(count(lit(1)).as("n_triangles"))
+    },
   )
 }

@@ -239,6 +239,88 @@ object TpchMore {
           sum2(col("c_acctbal")).as("totacctbal"))
     },
 
+    // Q2 shape — cheapest regional supplier per part (the correlated
+    // MIN subquery). No partsupp table: the supply relation is
+    // derived from lineitem as min unit price per (part, supplier) —
+    // same join tree, same correlated-min decorrelation. Cost is the
+    // SAME double on both engines (identical division + MIN), so the
+    // min-equality predicate is exact.
+    Q("q_tpch_q2", Some("""
+      WITH ps AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               MIN(l_extendedprice / l_quantity) AS cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+      rps AS (
+        SELECT pk, sk, cost, s_name, n_name
+        FROM ps JOIN supplier ON sk = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey = 2)
+      SELECT p_partkey, p_type, s_name, n_name, ROUND(cost, 4) AS cost
+      FROM part JOIN rps ON p_partkey = pk
+      WHERE p_size > 45
+        AND cost = (SELECT MIN(r2.cost) FROM rps r2 WHERE r2.pk = p_partkey)
+    """)) { t =>
+      val ps = t.lineitem.groupBy(col("l_partkey").as("pk"),
+          col("l_suppkey").as("sk"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+      val rps = ps
+        .join(broadcast(t.supplier), col("sk") === col("s_suppkey"))
+        .join(broadcast(t.nation.filter(col("n_regionkey") === 2)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("pk"), col("sk"), col("cost"), col("s_name"),
+          col("n_name"))
+      val minc = rps.groupBy(col("pk").as("m_pk"))
+        .agg(min(col("cost")).as("min_cost"))
+      rps
+        .join(minc, col("pk") === col("m_pk") &&
+          col("cost") === col("min_cost"))
+        .join(t.part.filter(col("p_size") > 45),
+          col("p_partkey") === col("pk"))
+        .select(col("p_partkey"), col("p_type"), col("s_name"),
+          col("n_name"), round(col("cost"), 4).as("cost"))
+    },
+
+    // Q9 shape — profit by supplier nation and year. The derived
+    // unit cost stays in DECIMAL end-to-end (1% of the cheapest
+    // observed line price): a double→decimal cast rounds differently
+    // across engines on representation boundaries, exact decimal
+    // arithmetic cannot.
+    Q("q_tpch_q9", Some("""
+      WITH ps AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) * CAST(0.01 AS DECIMAL(4,2)) AS cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2))
+                      - cost * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+      FROM lineitem
+      JOIN ps ON pk = l_partkey AND sk = l_suppkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY n_name, o_year
+    """)) { t =>
+      val ps = t.lineitem.groupBy(col("l_partkey").as("pk"),
+          col("l_suppkey").as("sk"))
+        .agg((min(dec2(col("l_extendedprice"))) *
+          lit(0.01).cast("decimal(4,2)")).as("cost"))
+      t.lineitem
+        .join(ps, col("pk") === col("l_partkey") &&
+          col("sk") === col("l_suppkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t.part.filter(col("p_type") === "PROMO")),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(dec2(col("l_extendedprice")) *
+            dec2(lit(1) - col("l_discount")) -
+            col("cost") * dec2(col("l_quantity")))
+          .cast("double").as("sum_profit"))
+    },
+
     // Explicit GROUPING SETS (TiDB planner/core grouping-set Expand).
     Q("q_groupingsets", Some("""
       SELECT l_returnflag, l_linestatus,
