@@ -173,5 +173,27 @@ object Scalars2 {
           element_at(reverse(col("lines")), 1).as("last_line"),
           slice(col("lines"), 1, 2).as("first_two"))
     },
+
+    // Bitwise operator family (builtin_op.go): AND/OR/XOR/shift/NOT.
+    Q("q_func_bitops", Some("""
+      SELECT l_orderkey, l_linenumber,
+             l_orderkey & 255 AS k_and,
+             l_orderkey | 4096 AS k_or,
+             xor(l_orderkey, l_linenumber) AS k_xor,
+             l_linenumber << 4 AS k_shl,
+             l_orderkey >> 3 AS k_shr,
+             ~l_orderkey AS k_not
+      FROM lineitem WHERE l_orderkey < 300
+    """)) { t =>
+      t.lineitem.filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey").bitwiseAND(255).as("k_and"),
+          col("l_orderkey").bitwiseOR(4096).as("k_or"),
+          col("l_orderkey").bitwiseXOR(col("l_linenumber").cast("bigint"))
+            .as("k_xor"),
+          shiftleft(col("l_linenumber"), 4).as("k_shl"),
+          shiftright(col("l_orderkey"), 3).as("k_shr"),
+          expr("~l_orderkey").as("k_not"))
+    },
   )
 }

@@ -236,5 +236,46 @@ object EventQueries {
             .as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
     },
+
+    // Time-series gap fill: per-user daily activity with explicit
+    // zero rows for silent days inside the user's own active span.
+    // The calendar is generated per user from its min/max day
+    // (sequence + explode — no driver-side loop) and left-joined to
+    // the observed counts; both sides of that join share the same
+    // user partitioning.
+    Q("e_gapfill", Some("""
+      WITH span AS (
+        SELECT user_id,
+               CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS d0,
+               CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS d1
+        FROM events GROUP BY user_id),
+      cal AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+        FROM span),
+      obs AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY user_id, day)
+      SELECT cal.user_id, cal.day,
+             CAST(COALESCE(obs.n, 0) AS BIGINT) AS n_events,
+             CAST(obs.n IS NULL AS INT) AS is_gap
+      FROM cal LEFT JOIN obs
+        ON cal.user_id = obs.user_id AND cal.day = obs.day
+    """)) { t =>
+      val ev = t.fan(t.events)
+      val span = ev.groupBy("user_id")
+        .agg(date_trunc("day", min(col("ts"))).as("d0"),
+          date_trunc("day", max(col("ts"))).as("d1"))
+      val cal = span.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      val obs = ev
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      cal.join(obs, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          col("n").isNull.cast("int").as("is_gap"))
+    },
   )
 }

@@ -98,6 +98,37 @@ object TextQueries {
             .as("keep_flag"))
     },
 
+    // End-to-end corpus cleaning: quality gate (length/token floor)
+    // → exact dedup keeping the smallest doc_id → the table a shard
+    // writer consumes (ShardWriter lays it out as fixed-size shards;
+    // spec-verified). Composes the kernels: one TextStats pass + one
+    // md5 groupBy.
+    Q("t_pipeline", Some("""
+      WITH scored AS (
+        SELECT doc_id, lang, source,
+               CAST(LENGTH(text) AS INT) AS n_chars_p,
+               CAST(LEN(regexp_extract_all(text, '(\S+)', 1)) AS INT) AS n_tokens,
+               MD5(text) AS fp
+        FROM documents),
+      kept AS (SELECT * FROM scored WHERE n_chars_p >= 100 AND n_tokens >= 10),
+      dedup AS (SELECT fp, MIN(doc_id) AS keep_id FROM kept GROUP BY fp)
+      SELECT k.doc_id, k.lang, k.source, k.n_chars_p, k.n_tokens
+      FROM kept k JOIN dedup d ON k.doc_id = d.keep_id
+    """)) { t =>
+      val scored = t.documents.select(col("doc_id"), col("lang"),
+          col("source"), expr("text_stats(text)").as("s"),
+          md5(col("text").cast("binary")).as("fp"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("s.n_chars").as("n_chars_p"),
+          col("s.n_tokens").as("n_tokens"), col("fp"))
+      val kept = scored
+        .filter(col("n_chars_p") >= 100 && col("n_tokens") >= 10)
+      val dedup = kept.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+      kept.join(dedup, kept("doc_id") === dedup("keep_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars_p"), col("n_tokens"))
+    },
+
     // Token counting: whitespace tokens + a BPE-ish regex
     // segmentation (letter runs / single digits / punctuation marks).
     Q("t_tokens", Some("""
