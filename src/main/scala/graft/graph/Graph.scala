@@ -37,7 +37,9 @@ final case class Graph(edges: DataFrame) {
   /** Distinct nodes reachable from `sources` within `maxHops`,
     * direction-aware. */
   def reach(sources: DataFrame, direction: String, maxHops: Int): DataFrame = {
-    val e = oriented(direction)
+    // Materialize the (possibly union-distinct) edge table once; every
+    // BFS round joins the checkpointed table instead of re-deriving it.
+    val e = oriented(direction).localCheckpoint()
     val seed = sources.select(col("src").as("node")).distinct()
     Iterate.unionLoop(seed,
       frontier => frontier
@@ -53,7 +55,7 @@ final case class Graph(edges: DataFrame) {
     * (= minimal) level wins and the frontier shrinks monotonically. */
   def shortestDistances(source: Long, direction: String,
       maxHops: Int): DataFrame = {
-    val e = oriented(direction)
+    val e = oriented(direction).localCheckpoint()
     var visited = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0).as("dist"))
       .localCheckpoint()
@@ -84,7 +86,7 @@ final case class Graph(edges: DataFrame) {
     * stays fully distributed (groupBy dst + sum). */
   def shortestPathCounts(source: Long, direction: String,
       maxHops: Int): DataFrame = {
-    val e = oriented(direction)
+    val e = oriented(direction).localCheckpoint()
     var visited = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0).as("dist"),
         lit(1L).as("n_paths"))
@@ -121,19 +123,52 @@ final case class Graph(edges: DataFrame) {
     * `wedges` schema: src, dst, w (BIGINT weight). */
   def weightedShortest(wedges: DataFrame, source: Long,
       maxHops: Int): DataFrame = {
+    val we = wedges.localCheckpoint()
     var dist = wedges.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("wdist"))
       .localCheckpoint()
     var hopN = 0
     while (hopN < maxHops) {
       hopN += 1
-      val relaxed = dist.join(wedges, dist("node") === wedges("src"))
+      val relaxed = dist.join(we, dist("node") === we("src"))
         .select(col("dst").as("node"), (col("wdist") + col("w")).as("wdist"))
       dist = dist.union(relaxed)
         .groupBy("node").agg(min(col("wdist")).as("wdist"))
         .localCheckpoint()
     }
     dist
+  }
+
+  /** PageRank, fixed iteration count, non-normalized convention
+    * (init 1.0; rank = (1-d) + d·Σ in-rank/out-deg; dangling mass
+    * not redistributed). Each round is one co-partitioned join plus
+    * one aggregation on dst — rank state is |V| rows. Output rounded
+    * to 6dp so cross-engine float summation noise (~1e-15 relative)
+    * cannot surface. */
+  def pageRank(iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = oriented("out").localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val deg = e.groupBy(col("src").as("d_node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(deg, col("node") === col("d_node"))
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("c"))
+      ranks = nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
   /** Connected components by min-label propagation (undirected).
@@ -144,7 +179,7 @@ final case class Graph(edges: DataFrame) {
     * (node, label) row per vertex — |V|-bounded like the BFS ops,
     * shuffled on node each round. */
   def connectedComponents(): DataFrame = {
-    val und = oriented("both")
+    val und = oriented("both").localCheckpoint()
     var labels = und.select(col("src").as("node"))
       .distinct()
       .select(col("node"), col("node").as("component"))
@@ -183,7 +218,7 @@ final case class Graph(edges: DataFrame) {
     * can enter the top-k and the loop ends. */
   def topKShortestPaths(source: Long, target: Long, k: Int,
       maxHops: Int): DataFrame = {
-    val e = oriented("out")
+    val e = oriented("out").localCheckpoint()
     val distToTarget = shortestDistances(target, "in", maxHops)
       .select(col("node"), col("dist").as("d_to_t"))
     var paths = e.sparkSession.range(1)

@@ -122,9 +122,20 @@ object GraphQueries {
     },
 
     // TOP-K SHORTEST paths: path enumeration is engine-specific
-    // (array accumulation) → rows-only check; spec asserts lengths
-    // are non-decreasing and paths are simple.
-    Q("g_topk_paths", None) { t =>
+    // (array accumulation): the oracle enumerates bounded simple
+    // paths with the same "a->b->c" rendering and (len, path)
+    // ordering, so even the path strings hash-compare.
+    Q("g_topk_paths", Some(s"""
+      $edgeCte, p(node, path, len) AS (
+        SELECT CAST(0 AS BIGINT), '0', 0
+        UNION ALL
+        SELECT e.dst, p.path || '->' || e.dst, p.len + 1
+        FROM p JOIN e ON e.src = p.node
+        WHERE p.len < 4 AND p.node <> 7
+          AND instr('->' || p.path || '->', '->' || e.dst || '->') = 0)
+      SELECT CAST(len AS INT) AS len, path
+      FROM p WHERE node = 7 ORDER BY len, path LIMIT 3
+    """)) { t =>
       Graph.derived(t.orders).topKShortestPaths(0L, 7L, k = 3, maxHops = 4)
     },
 
@@ -186,12 +197,48 @@ object GraphQueries {
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
-      val e1 = u.select(col("a").as("x"), col("b").as("y"))
-      val e2 = u.select(col("a").as("y2"), col("b").as("z"))
-      val e3 = u.select(col("a").as("x3"), col("b").as("z3"))
-      e1.join(e2, col("y") === col("y2"))
-        .join(e3, col("x") === col("x3") && col("z") === col("z3"))
-        .agg(count(lit(1)).as("n_triangles"))
+      triangles(u)
+    },
+
+    // PageRank, 10 fixed rounds. No recursive-aggregate SQL exists,
+    // so the oracle unrolls the iteration as chained CTEs — same
+    // convention (init 1.0, dangling mass not redistributed), 6dp
+    // output absorbs float summation-order noise.
+    Q("g_pagerank", Some(pageRankOracle(10))) { t =>
+      Graph.derived(t.orders).pageRank(iters = 10)
     },
   )
+
+  private def triangles(u: org.apache.spark.sql.DataFrame) = {
+    val e1 = u.select(col("a").as("x"), col("b").as("y"))
+    val e2 = u.select(col("a").as("y2"), col("b").as("z"))
+    val e3 = u.select(col("a").as("x3"), col("b").as("z3"))
+    e1.join(e2, col("y") === col("y2"))
+      .join(e3, col("x") === col("x3") && col("z") === col("z3"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Unrolled PageRank oracle: chained CTEs r0..rN (recursive CTEs
+    * cannot aggregate over the recursive term). */
+  private def pageRankOracle(iters: Int): String = {
+    val stages = (1 to iters).map { i =>
+      s"""r$i AS (
+        SELECT n.node, 0.15 + 0.85 * COALESCE(s.c, 0) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM(r.rank / d.deg) AS c
+          FROM r${i - 1} r
+          JOIN deg d ON d.node = r.node
+          JOIN e ON e.src = r.node
+          GROUP BY e.dst) s ON n.node = s.node)"""
+    }.mkString(",\n      ")
+    s"""
+      $edgeCte,
+      nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e) x),
+      deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+      $stages
+      SELECT node, ROUND(rank, 6) AS rank FROM r$iters
+    """
+  }
 }

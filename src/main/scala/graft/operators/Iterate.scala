@@ -6,8 +6,9 @@ import org.apache.spark.sql.DataFrame
   * CTE executor (reference: /root/reference/executor/cte.go, which
   * loops seed → iterative part until an empty chunk).
   *
-  * Spark has no native WITH RECURSIVE, so we drive the loop from the
-  * planner side: apply `step` to the previous frontier, union results,
+  * The driver-side twin of Spark 4's native WITH RECURSIVE
+  * (UnionLoopExec — see q_cte_recursive_native), for loops whose step
+  * is built with the DataFrame API: apply `step` to the previous frontier, union results,
   * stop on empty frontier or `maxIter`. `localCheckpoint` truncates
   * lineage so plan depth stays O(1) per iteration instead of stacking
   * maxIter unions of unresolved plans — essential once frontiers are
