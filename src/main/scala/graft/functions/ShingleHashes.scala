@@ -175,6 +175,47 @@ case class MinHashSignature(child: Expression, n: Int, k: Int)
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+object SigAgreementKernel {
+  /** Positions where two equal-length signature arrays agree. */
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** `sig_agreement(a, b)`: matching positions of two array<long>
+  * signatures — the codegen replacement for the interpreted
+  * `aggregate(zip_with(a, b, ...))` MinHash-agreement fold. */
+case class SigAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "sig_agreement"
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigAgreementKernel.count(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SigAgreementKernel.count($a, $b);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 /** `char_shingle_hashes(text)` / `word_shingle_hashes(text)` exprs
   * with a compile-time shingle width. */
 abstract class ShingleHashExpr extends UnaryExpression {
