@@ -57,6 +57,42 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_type", "user_id")
 
+  final case class UserTotals(user_id: Long, n_events: Long,
+      sum_value: Double)
+
+  /** Spark 4 arbitrary-state v2 (`transformWithState`): a per-user
+    * running totals processor on typed ValueState. State lives in the
+    * RocksDB state store, one small record per key, TTL-capable —
+    * the modern replacement for mapGroupsWithState and the engine's
+    * continuous-aggregation primitive at scale. */
+  class TotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserTotals] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserTotals] = {
+      var (n, v) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; v += e.value }
+      totals.update((n, v))
+      Iterator.single(UserTotals(key, n, math.round(v * 100) / 100.0))
+    }
+  }
+
+  /** transformWithState pipeline over the event stream (requires the
+    * RocksDB state store provider). */
+  def runningTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Stream-stream interval join: each purchase matched to the same
     * user's clicks in the preceding hour. Watermarks on BOTH sides
     * let Spark bound the join state (clicks older than the horizon

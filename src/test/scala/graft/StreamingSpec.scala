@@ -99,6 +99,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("transformWithState running totals equal the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      input.addData(eventsDf.as[Event].collect().toSeq)
+      val query = Streams.runningTotals(input.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_out").start()
+      try query.processAllAvailable() finally query.stop()
+
+      // Update mode: last emitted row per user is the final total.
+      val streamed = spark.table("tws_out").groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("sum_value")).as("sum_value"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val batch = eventsDf.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("v"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+      streamed.foreach { case (u, (n, v)) =>
+        assert(n == batch(u)._1, s"count mismatch for user $u")
+        assert(math.abs(v - batch(u)._2) < 0.01,
+          s"sum mismatch for user $u: $v vs ${batch(u)._2}")
+      }
+    } finally spark.conf.unset(
+      "spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stateful sessionization equals the SQL sessionize query") {
     import spark.implicits._
     val stateful = Streams.sessionCounts(eventsDf.as[Event])
