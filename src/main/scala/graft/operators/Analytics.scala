@@ -87,6 +87,53 @@ object Analytics {
         .filter(col("l_partkey") < 200)
     },
 
+    // FILTER-clause aggregates (conditional aggregation without
+    // CASE-NULL wrapping) + any_value on a constant-per-group column.
+    Q("q_agg_filter", Some("""
+      SELECT l_returnflag,
+             COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev,
+             CAST(MAX(l_quantity) FILTER (WHERE l_tax < 0.03) AS DOUBLE) AS max_lowtax_qty,
+             ANY_VALUE(SUBSTR(l_returnflag, 1, 1)) AS flag_pfx,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    """)) { t =>
+      t.sql("""
+        SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev,
+               CAST(MAX(l_quantity) FILTER (WHERE l_tax < 0.03) AS DOUBLE) AS max_lowtax_qty,
+               ANY_VALUE(SUBSTR(l_returnflag, 1, 1)) AS flag_pfx,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+      """, "lineitem")
+    },
+
+    // Struct construction + JSON rendering + field access — the
+    // nested-type surface (TiDB renders via its JSON binary format;
+    // both engines print identical JSON text for structs).
+    Q("q_func_struct", Some("""
+      SELECT o_orderkey,
+             to_json(struct_pack(k := o_orderkey, p := o_orderpriority,
+                                 t := CAST(ROUND(o_totalprice) AS BIGINT))) AS js,
+             struct_pack(a := o_custkey, b := o_orderstatus).a AS s_a,
+             struct_pack(a := o_custkey, b := o_orderstatus).b AS s_b
+      FROM orders WHERE o_orderkey < 400
+    """)) { t =>
+      t.orders.filter(col("o_orderkey") < 400)
+        .select(col("o_orderkey"),
+          to_json(struct(col("o_orderkey").as("k"),
+            col("o_orderpriority").as("p"),
+            round(col("o_totalprice"), 0).cast("bigint").as("t")))
+            .as("js"),
+          struct(col("o_custkey").as("a"), col("o_orderstatus").as("b"))
+            .getField("a").as("s_a"),
+          struct(col("o_custkey").as("a"), col("o_orderstatus").as("b"))
+            .getField("b").as("s_b"))
+    },
+
     // Value-RANGE window frame over TIMESTAMPS (window.go range
     // frames): per user, events and spend inside the trailing hour.
     Q("q_window_timerange", Some("""
