@@ -115,6 +115,54 @@ object Streams {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  final case class SessionOut(user_id: Long, s_start: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Session EMISSION via flatMapGroupsWithState: closed sessions are
+    * emitted as rows (not just counted) — one output row per
+    * completed 30-min-gap session, state = the single open session
+    * per user. In a live stream the open session would close on an
+    * event-time timeout; driving a finite batch through the stream
+    * flushes it when the group's input ends (flagged by `flushTail`).
+    */
+  def sessionRows(events: Dataset[Event],
+      flushTail: Boolean): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 30L * 60 * 1000000
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    events.groupByKey(_.user_id).flatMapGroupsWithState[
+      (Long, Long, Long), SessionOut](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (userId: Long, batch: Iterator[Event],
+          state: GroupState[(Long, Long, Long)]) =>
+        var open = state.getOption // (startUs, lastUs, n)
+        val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+        batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val tsUs = DateTimeUtils.fromJavaTimestamp(e.ts)
+          open match {
+            // strict <: an event exactly at last+gap falls outside the
+            // [last, last+gap) window — matches session_window's
+            // exclusive end.
+            case Some((s0, last, n)) if tsUs - last < gapUs =>
+              open = Some((s0, tsUs, n + 1))
+            case Some((s0, _, n)) =>
+              out += SessionOut(userId, DateTimeUtils.toJavaTimestamp(s0), n)
+              open = Some((tsUs, tsUs, 1L))
+            case None =>
+              open = Some((tsUs, tsUs, 1L))
+          }
+        }
+        if (flushTail) {
+          open.foreach { case (s0, _, n) =>
+            out += SessionOut(userId, DateTimeUtils.toJavaTimestamp(s0), n)
+          }
+          state.remove()
+        } else open.foreach(state.update)
+        out.iterator
+    }
+  }
+
   /** Stateful sessionization via mapGroupsWithState: counts sessions
     * per user with a 30-minute inactivity gap. The per-group state is
     * O(1) (count + last timestamp), so state storage stays bounded

@@ -66,6 +66,33 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("UnionLoop"), s"no UnionLoop in:\n$p")
   }
 
+  test("q_tpch_q9 broadcasts every dimension side") {
+    val p = plan("q_tpch_q9")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected >=3 broadcast joins in:\n$p")
+  }
+
+  test("q_tpch_q8 keeps the fact spine shuffled and dims broadcast") {
+    val p = plan("q_tpch_q8")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"expected >=4 broadcast joins in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("e_range_join plans on the custom broadcast range join") {
+    val p = plan("e_range_join")
+    assert(p.contains("BroadcastRangeJoin"), s"no range join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t_tokens stays inside whole-stage codegen (kernel path)") {
+    // executedPlan.toString renders codegen spans as "*(n)".
+    val p = plan("t_tokens")
+    assert(p.contains("*(1)"), s"no codegen span in:\n$p")
+    assert(!p.toLowerCase.contains("regexp_extract_all"),
+      "token counters still fall back to regex scans")
+  }
+
   test("q_lateral decorrelates the per-row LIMIT into a ranked join") {
     val p = plan("q_lateral")
     assert(!p.contains("CartesianProduct"), s"lateral not decorrelated:\n$p")

@@ -133,6 +133,20 @@ class StreamingSpec extends SparkSpecBase {
       "spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("flatMapGroupsWithState emits the same sessions as session_window") {
+    import spark.implicits._
+    val emitted = Streams.sessionRows(eventsDf.as[Event], flushTail = true)
+      .collect()
+      .map(s => (s.user_id, s.s_start, s.n_events)).toSet
+    // e_session_window is oracled; its (user, start, count) rows are
+    // the ground truth for the emitted sessions.
+    val oracled = Registry.all.find(_.name == "e_session_window").get.run(t)
+      .select(col("user_id"), col("s_start"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(emitted == oracled && emitted.nonEmpty)
+  }
+
   test("stateful sessionization equals the SQL sessionize query") {
     import spark.implicits._
     val stateful = Streams.sessionCounts(eventsDf.as[Event])
