@@ -183,11 +183,23 @@ object DedupQueries {
 
     // Embedding-cosine near-dup: pairs above a cosine threshold
     // (0.4 fits the synthetic embedding distribution; real near-dup
-    // corpora use ~0.95+). Exact all-pairs here for oracle parity —
-    // the LSH/IVF buckets (s_ann_lsh / s_ann_ivf) are the 100 TB
-    // candidate-generation path for the same predicate. Ranking and
-    // output rounded like s_ann_brute so float noise can't flip
-    // the threshold.
+    // corpora use ~0.95+). Semantics are EXACT — and an exact
+    // cosine-threshold join is inherently O(n²) compute, so the plan
+    // shape is what must scale: triangular block replication
+    // (1-bucket-theta, Okcan & Riedewald SIGMOD'11) turns the
+    // comparison space into a co-partitioned EQUI-join on the block
+    // id — bounded build side (n/B vectors per task), no
+    // CartesianProduct / BroadcastNestedLoopJoin anywhere
+    // (plan-asserted in PlanShapeSpec), AQE-splittable tasks. Each
+    // unordered pair is compared exactly once: a vector in block i
+    // is replicated to blocks i..B-1 and meets block j's residents
+    // there; same-block duplicates die on the id residual before the
+    // cosine is evaluated. Sub-quadratic compute requires dropping
+    // exactness — the LSH/IVF buckets (s_ann_lsh / s_ann_ivf) are
+    // that path, and on this synthetic distribution (max pair cos
+    // ≈ 0.51, smooth tail — no separable dup cluster) no bucketing
+    // can be exact at τ=0.4. Ranking and output rounded like
+    // s_ann_brute so float noise can't flip the threshold.
     Q("d_dedup_embed", Some("""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
                  FROM embeddings)
@@ -197,13 +209,21 @@ object DedupQueries {
       WHERE ROUND(list_cosine_similarity(a.ve, b.ve), 8) >= 0.4
     """)) { t =>
       import graft.functions.VectorFns
+      val B = 32
       val v = t.fan(t.embeddings)
-        .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("ve"))
-      val a = v.select(col("vec_id").as("id1"), col("ve").as("va"))
-      val b = v.select(col("vec_id").as("id2"), col("ve").as("vb"))
-      a.join(b, col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          VectorFns.cosine(col("va"), col("vb")).as("c"))
+        .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("ve"),
+          pmod(col("vec_id"), lit(B)).cast("int").as("blk"))
+      val left = v
+        .withColumn("pj", explode(sequence(col("blk"), lit(B - 1))))
+        .select(col("vec_id").as("idl"), col("ve").as("vl"),
+          col("blk").as("bl"), col("pj"))
+      val right = v.select(col("vec_id").as("idr"), col("ve").as("vr"),
+        col("blk").as("br"))
+      left.join(right, col("pj") === col("br") &&
+          (col("bl") < col("br") || col("idl") < col("idr")))
+        .select(least(col("idl"), col("idr")).as("id1"),
+          greatest(col("idl"), col("idr")).as("id2"),
+          VectorFns.cosine(col("vl"), col("vr")).as("c"))
         .filter(round(col("c"), 8) >= 0.4)
         .select(col("id1"), col("id2"), round(col("c"), 4).as("cos"))
     },

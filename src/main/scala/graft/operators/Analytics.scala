@@ -14,16 +14,29 @@ object Analytics {
   val all: Seq[Q] = Seq(
 
     // Correlation / covariance / mode / boolean aggs / count_if.
+    // mode() ties are broken low on both engines: Spark via
+    // mode(col, deterministic = true); DuckDB via an explicit
+    // min-of-max-frequency CTE (its bare mode() is tie-arbitrary).
     Q("q_agg_stats2", Some("""
-      SELECT l_returnflag,
+      WITH freq AS (
+        SELECT l_returnflag, l_linenumber, COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2
+      ), pinned_mode AS (
+        SELECT l_returnflag, MIN(l_linenumber) AS mode_line
+        FROM (SELECT *, MAX(c) OVER (PARTITION BY l_returnflag) AS mc
+              FROM freq) f
+        WHERE c = mc GROUP BY 1
+      )
+      SELECT a.l_returnflag,
              ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
              ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS qp_covar_p,
              ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qp_covar_s,
-             CAST(mode(l_linenumber) AS INT) AS mode_line,
+             CAST(MIN(m.mode_line) AS INT) AS mode_line,
              CAST(bool_and(l_quantity > 0) AS INT) AS all_pos,
              CAST(bool_or(l_discount > 0.09) AS INT) AS any_deep_disc,
              CAST(count_if(l_tax > 0.04) AS BIGINT) AS n_high_tax
-      FROM lineitem GROUP BY l_returnflag
+      FROM lineitem a JOIN pinned_mode m ON a.l_returnflag = m.l_returnflag
+      GROUP BY a.l_returnflag
     """)) { t =>
       t.lineitem.groupBy("l_returnflag").agg(
         round(corr(col("l_quantity"), col("l_extendedprice")), 4)
@@ -32,7 +45,8 @@ object Analytics {
           .as("qp_covar_p"),
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
           .as("qp_covar_s"),
-        mode(col("l_linenumber")).cast("int").as("mode_line"),
+        mode(col("l_linenumber"), deterministic = true).cast("int")
+          .as("mode_line"),
         bool_and(col("l_quantity") > 0).cast("int").as("all_pos"),
         bool_or(col("l_discount") > 0.09).cast("int").as("any_deep_disc"),
         count_if(col("l_tax") > 0.04).as("n_high_tax"))

@@ -100,7 +100,7 @@ object Scalars2 {
              CAST(json_extract_string(doc, '$.meta.k') AS INT) AS k_int,
              CAST(json_array_length(doc, '$.tags') AS INT) AS n_tags,
              json_extract_string(doc, '$.tags[1]') AS tag1,
-             CAST(json_keys(doc) AS VARCHAR[]) AS top_keys
+             CAST(to_json(json_keys(doc)) AS VARCHAR) AS top_keys
       FROM (SELECT event_id,
               CONCAT('{"meta":{"k":', json_extract_string(props, '$.k'),
                      ',"type":"', event_type, '"},"tags":["a","b","c"]}') AS doc
@@ -119,7 +119,7 @@ object Scalars2 {
           json_array_length(get_json_object(col("doc"), "$.tags"))
             .as("n_tags"),
           get_json_object(col("doc"), "$.tags[1]").as("tag1"),
-          json_object_keys(col("doc")).as("top_keys"))
+          to_json(json_object_keys(col("doc"))).as("top_keys"))
     },
 
     // JSON array unnest (json_table analog): parse an embedded array
@@ -152,12 +152,13 @@ object Scalars2 {
     // sort/distinct/contains/slice/reverse + element access.
     Q("q_func_array", Some("""
       SELECT l_orderkey,
-             list_sort(list(l_linenumber)) AS lines,
+             CAST(to_json(list_sort(list(l_linenumber))) AS VARCHAR) AS lines,
              CAST(LEN(list_distinct(list(l_linenumber))) AS INT) AS n_distinct,
              CAST(list_contains(list(l_linenumber), 3) AS INT) AS has_3,
              list_sort(list(l_linenumber))[1] AS first_line,
              list_reverse(list_sort(list(l_linenumber)))[1] AS last_line,
-             list_slice(list_sort(list(l_linenumber)), 1, 2) AS first_two
+             CAST(to_json(list_slice(list_sort(list(l_linenumber)), 1, 2))
+                  AS VARCHAR) AS first_two
       FROM lineitem WHERE l_orderkey < 300 GROUP BY l_orderkey
     """)) { t =>
       t.lineitem.filter(col("l_orderkey") < 300)
@@ -167,11 +168,11 @@ object Scalars2 {
             .as("n_distinct"),
           array_contains(collect_list(col("l_linenumber")), 3).cast("int")
             .as("has_3"))
-        .select(col("l_orderkey"), col("lines"), col("n_distinct"),
-          col("has_3"),
+        .select(col("l_orderkey"), to_json(col("lines")).as("lines"),
+          col("n_distinct"), col("has_3"),
           element_at(col("lines"), 1).as("first_line"),
           element_at(reverse(col("lines")), 1).as("last_line"),
-          slice(col("lines"), 1, 2).as("first_two"))
+          to_json(slice(col("lines"), 1, 2)).as("first_two"))
     },
 
     // Bitwise operator family (builtin_op.go): AND/OR/XOR/shift/NOT.

@@ -115,10 +115,10 @@ object TpchMore {
     // dimension, "late" = shipped 60–120 days after the order date).
     Q("q_tpch_q12", Some("""
       SELECT l_returnflag,
-             SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                      THEN 1 ELSE 0 END) AS high_line_count,
-             SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                      THEN 1 ELSE 0 END) AS low_line_count
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
         AND l_shipdate < o_orderdate + INTERVAL 120 DAY

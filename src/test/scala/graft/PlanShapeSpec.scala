@@ -93,6 +93,15 @@ class PlanShapeSpec extends SparkSpecBase {
       "token counters still fall back to regex scans")
   }
 
+  test("d_dedup_embed plans as an equi-join (no cartesian / nested loop)") {
+    // Exact pair generation must ride the triangular block equi-join,
+    // never a BroadcastNestedLoopJoin over the corpus — at 100 TB the
+    // block join is memory-bounded per task; a nested loop is not.
+    val p = plan("d_dedup_embed")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
+  }
+
   test("q_lateral decorrelates the per-row LIMIT into a ranked join") {
     val p = plan("q_lateral")
     assert(!p.contains("CartesianProduct"), s"lateral not decorrelated:\n$p")
