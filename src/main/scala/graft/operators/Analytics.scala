@@ -167,5 +167,81 @@ object Analytics {
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
       """, "events")
     },
+
+    // Equi-width + equi-depth histogram sketch (reference: TiDB's
+    // statistics histograms, statistics/histogram.go — bucket counts,
+    // bounds and per-bucket NDV drive its cost-based planner). The
+    // width buckets use identical FLOOR arithmetic on both engines
+    // and are one map-side-combined pass over the full table. The
+    // depth buckets are built the way TiDB builds them at scale —
+    // over a SAMPLE, because exact equi-depth needs a global sort;
+    // the sampler is deterministic modular arithmetic (~5%) so both
+    // engines see the identical sample and the result hash-matches.
+    Q("q_agg_histogram", Some("""
+      WITH width AS (
+        SELECT CAST(LEAST(FLOOR(l_extendedprice / 11000.0), 9) AS INT)
+                 AS bucket,
+               COUNT(*) AS n,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv,
+               ROUND(MIN(l_extendedprice), 2) AS lo,
+               ROUND(MAX(l_extendedprice), 2) AS hi
+        FROM lineitem GROUP BY 1),
+      depth AS (
+        SELECT CAST(tile - 1 AS INT) AS bucket, COUNT(*) AS n,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv,
+               ROUND(MIN(l_extendedprice), 2) AS lo,
+               ROUND(MAX(l_extendedprice), 2) AS hi
+        FROM (SELECT l_extendedprice, l_partkey,
+                     NTILE(10) OVER (ORDER BY l_extendedprice,
+                                     l_orderkey, l_linenumber) AS tile
+              FROM lineitem
+              WHERE ((l_orderkey % 97) * 31 + l_linenumber) % 20 = 0) x
+        GROUP BY 1)
+      SELECT 'width' AS kind, * FROM width
+      UNION ALL
+      SELECT 'depth' AS kind, * FROM depth
+    """)) { t =>
+      val width = t.lineitem
+        .groupBy(least(floor(col("l_extendedprice") / 11000.0), lit(9))
+          .cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_partkey")).as("ndv"),
+          round(min(col("l_extendedprice")), 2).as("lo"),
+          round(max(col("l_extendedprice")), 2).as("hi"))
+        .select(lit("width").as("kind"), col("*"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+      val depth = t.lineitem
+        .filter(((col("l_orderkey") % 97) * 31 + col("l_linenumber"))
+          % 20 === 0)
+        .select(col("l_extendedprice"), col("l_partkey"),
+          ntile(10).over(w).as("tile"))
+        .groupBy((col("tile") - 1).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_partkey")).as("ndv"),
+          round(min(col("l_extendedprice")), 2).as("lo"),
+          round(max(col("l_extendedprice")), 2).as("hi"))
+        .select(lit("depth").as("kind"), col("*"))
+      width.unionAll(depth)
+    },
+
+    // approx_percentile (reference: executor/aggfuncs/
+    // func_percentile.go + the approx family) — the mergeable
+    // quantile sketch users reach for first at 100 TB, where the
+    // exact percentile's global sort-ish agg is the bottleneck.
+    // Sketch internals are engine-specific → rows-only here;
+    // RegistrySpec pins every estimate inside a tight relative-error
+    // band around the exact percentile.
+    Q("q_agg_approxpct", None) { t =>
+      t.lineitem.groupBy("l_returnflag").agg(
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("ap50"),
+        approx_percentile(col("l_extendedprice"), lit(0.95), lit(10000))
+          .as("ap95"),
+        approx_percentile(col("l_extendedprice"), lit(0.99), lit(10000))
+          .as("ap99"),
+        count(lit(1)).as("n_rows"))
+    },
   )
 }

@@ -196,5 +196,89 @@ object Scalars2 {
           shiftright(col("l_orderkey"), 3).as("k_shr"),
           expr("~l_orderkey").as("k_not"))
     },
+
+    // Map-typed columns (reference: TiDB JSON object semantics,
+    // types/json/binary.go + builtin_json.go json_keys/values over
+    // objects — Spark's MapType is the columnar twin). Construction,
+    // element access, keys/values, concat, filter and value
+    // transformation; every map-typed output is rendered to_json so
+    // the driver compare stays scalar. DuckDB's m['key'] yields a
+    // one-element list → [1]; its map_filter/transform_values twins
+    // are list_filter/list_transform over map_entries.
+    Q("q_func_map", Some("""
+      WITH m AS (
+        SELECT o_orderkey,
+               MAP {'s': o_orderstatus, 'p': o_orderpriority} AS ms,
+               MAP {'total': CAST(ROUND(o_totalprice, 0) AS BIGINT),
+                    'cust': o_custkey} AS mv
+        FROM orders WHERE o_orderkey < 200)
+      SELECT o_orderkey,
+             CAST(to_json(ms) AS VARCHAR) AS m_js,
+             ms['p'][1] AS p_val,
+             CAST(cardinality(ms) AS INT) AS m_size,
+             CAST(to_json(map_keys(ms)) AS VARCHAR) AS m_keys,
+             CAST(to_json(map_values(mv)) AS VARCHAR) AS m_vals,
+             CAST(to_json(map_concat(ms, MAP {'src': 'oltp'})) AS VARCHAR)
+               AS m_plus,
+             CAST(to_json(map_from_entries(list_filter(map_entries(mv),
+               e -> e.value > 100))) AS VARCHAR) AS m_big,
+             CAST(to_json(map_from_entries(list_transform(map_entries(mv),
+               e -> struct_pack(k := e.key, v := e.value * 2)))) AS VARCHAR)
+               AS m_doubled
+      FROM m
+    """)) { t =>
+      val ms = map(lit("s"), col("o_orderstatus"),
+        lit("p"), col("o_orderpriority"))
+      val mv = map(lit("total"), round(col("o_totalprice"), 0).cast("bigint"),
+        lit("cust"), col("o_custkey"))
+      t.orders.filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          to_json(ms).as("m_js"),
+          element_at(ms, "p").as("p_val"),
+          size(ms).as("m_size"),
+          to_json(map_keys(ms)).as("m_keys"),
+          to_json(map_values(mv)).as("m_vals"),
+          to_json(map_concat(ms, map(lit("src"), lit("oltp")))).as("m_plus"),
+          to_json(map_filter(mv, (_, v) => v > 100)).as("m_big"),
+          to_json(transform_values(mv, (_, v) => v * 2)).as("m_doubled"))
+    },
+
+    // JSON mutation family (reference: builtin_json.go JSONSetSig /
+    // JSONInsertSig / JSONRemoveSig / json_merge). Spark has no
+    // json_set; the declarative twin is struct surgery —
+    // withField / dropFields — between from_json and to_json, which
+    // stays in codegen. DuckDB's json_merge_patch is the oracle:
+    // RFC 7386 patch = set/insert/merge, and a null value = remove.
+    // merge_patch moves an OVERWRITTEN key to the end of the object,
+    // so the Spark "set" is dropFields + withField (append), not an
+    // in-place withField.
+    Q("q_func_json4", Some("""
+      WITH e AS (
+        SELECT event_id, value,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               json_object('k', CAST(json_extract_string(props, '$.k') AS INT),
+                           'type', event_type) AS doc
+        FROM events WHERE event_id < 300)
+      SELECT event_id,
+             CAST(doc AS VARCHAR) AS doc,
+             CAST(json_merge_patch(doc, json_object('k', k * 2)) AS VARCHAR)
+               AS set_k,
+             CAST(json_merge_patch(doc, '{"src":"evt"}') AS VARCHAR) AS ins,
+             CAST(json_merge_patch(doc, '{"type":null}') AS VARCHAR) AS rm,
+             CAST(json_merge_patch(doc, json_object('q', ROUND(value, 2),
+               'src', 'e')) AS VARCHAR) AS mrg
+      FROM e
+    """)) { t =>
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      val base = struct(k.as("k"), col("event_type").as("type"))
+      t.events.filter(col("event_id") < 300)
+        .select(col("event_id"),
+          to_json(base).as("doc"),
+          to_json(base.dropFields("k").withField("k", k * 2)).as("set_k"),
+          to_json(base.withField("src", lit("evt"))).as("ins"),
+          to_json(base.dropFields("type")).as("rm"),
+          to_json(base.withField("q", round(col("value"), 2))
+            .withField("src", lit("e"))).as("mrg"))
+    },
   )
 }

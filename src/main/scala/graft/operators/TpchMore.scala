@@ -42,18 +42,28 @@ object TpchMore {
               AND l_shipdate < TIMESTAMP '1998-01-01') shipping
       GROUP BY supp_nation, cust_nation, l_year
     """)) { t =>
-      val n1 = t.nation.select(col("n_nationkey").as("n1_key"),
-        col("n_name").as("supp_nation"))
-      val n2 = t.nation.select(col("n_nationkey").as("n2_key"),
-        col("n_name").as("cust_nation"))
+      // The nation-pair filter folds into the supplier/customer dims
+      // BEFORE the fact joins (only ~2/25 of suppliers and customers
+      // survive), so fact rows die at the first broadcast join instead
+      // of surviving four joins; the OR residual keeps only the cross
+      // pairing afterwards.
+      val pair = t.nation.filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val supp = t.supplier
+        .join(broadcast(pair.select(col("n_nationkey").as("n1_key"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n1_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = t.customer
+        .join(broadcast(pair.select(col("n_nationkey").as("n2_key"),
+          col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("n2_key"))
+        .select(col("c_custkey"), col("cust_nation"))
       t.lineitem
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(t.orders, col("o_orderkey") === col("l_orderkey"))
-        .join(t.customer, col("c_custkey") === col("o_custkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
-        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
         .filter((col("supp_nation") === "NATION_1" &&
           col("cust_nation") === "NATION_2") ||
           (col("supp_nation") === "NATION_2" &&
@@ -319,6 +329,85 @@ object TpchMore {
             dec2(lit(1) - col("l_discount")) -
             col("cost") * dec2(col("l_quantity")))
           .cast("double").as("sum_profit"))
+    },
+
+    // Q16 shape — supplier counts by part attribute, excluding a
+    // NOT-IN supplier set (reference: TPC-H suite;
+    // planner/core/rule_decorrelate.go turns the NOT IN into an anti
+    // semi join). No partsupp: the supply relation is the distinct
+    // (part, supplier) pairs observed in lineitem; the "complaints"
+    // predicate maps onto s_acctbal (no s_comment column). s_suppkey
+    // is non-null so NOT IN ≡ anti join on both engines.
+    Q("q_tpch_q16", Some("""
+      WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+                  FROM lineitem)
+      SELECT p_brand, p_type, p_size,
+             CAST(COUNT(DISTINCT sk) AS BIGINT) AS supplier_cnt
+      FROM ps JOIN part ON p_partkey = pk
+      WHERE p_brand <> 'Brand#2'
+        AND p_type NOT LIKE 'MEDIUM%'
+        AND p_size IN (2, 5, 11, 23, 28, 34, 40, 47)
+        AND sk NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+      GROUP BY p_brand, p_type, p_size
+    """)) { t =>
+      val ps = t.lineitem
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val bad = t.supplier.filter(col("s_acctbal") < 500)
+        .select(col("s_suppkey"))
+      val parts = t.part.filter(col("p_brand") =!= "Brand#2" &&
+        !col("p_type").like("MEDIUM%") &&
+        col("p_size").isin(2, 5, 11, 23, 28, 34, 40, 47))
+      ps.join(broadcast(bad), col("sk") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("p_partkey") === col("pk"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("sk")).as("supplier_cnt"))
+    },
+
+    // Q20 shape — suppliers holding excess stock of watched parts
+    // (nested EXISTS-with-agg: IN subquery whose body compares a
+    // correlated aggregate; rule_decorrelate.go collapses it to an
+    // agg + semi join). availqty := pre-1997 shipped quantity per
+    // (part, supplier); demand := 1997 shipments. One lineitem pass:
+    // both sums come from a single map-side-combined aggregation, then
+    // suppliers semi-join the qualifying pairs.
+    Q("q_tpch_q20", Some("""
+      WITH ps AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01'
+                        THEN l_quantity ELSE 0 END) AS availqty,
+               SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                         AND l_shipdate < TIMESTAMP '1998-01-01'
+                        THEN l_quantity ELSE 0 END) AS qty97
+        FROM lineitem GROUP BY 1, 2)
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_4')
+        AND s_suppkey IN (
+          SELECT sk FROM ps
+          WHERE pk IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+            AND qty97 > 0 AND availqty > 0.5 * qty97)
+    """)) { t =>
+      val ps = t.lineitem
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(
+          sum(when(col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
+            col("l_quantity")).otherwise(lit(0.0))).as("availqty"),
+          sum(when(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"),
+            col("l_quantity")).otherwise(lit(0.0))).as("qty97"))
+      val watched = t.part.filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"))
+      val qualifying = ps
+        .join(broadcast(watched), col("pk") === col("p_partkey"), "left_semi")
+        .filter(col("qty97") > 0 && col("availqty") > lit(0.5) * col("qty97"))
+        .select(col("sk"))
+      t.supplier
+        .join(broadcast(t.nation.filter(
+          col("n_name").isin("NATION_3", "NATION_4"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qualifying, col("s_suppkey") === col("sk"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
     },
 
     // Explicit GROUPING SETS (TiDB planner/core grouping-set Expand).

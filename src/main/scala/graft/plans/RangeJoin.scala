@@ -31,12 +31,22 @@ object RangeJoin {
   /** Inner-join `probeDf` rows to every `buildDf` row whose
     * [lo, hi) interval contains the probe expression's value. */
   def join(probeDf: DataFrame, buildDf: DataFrame, probe: Column,
-      lo: Column, hi: Column): DataFrame =
+      lo: Column, hi: Column): DataFrame = {
+    val probeE = resolveAgainst(probeDf, probe)
+    val loE = resolveAgainst(buildDf, lo)
+    val hiE = resolveAgainst(buildDf, hi)
+    // The comparator is built from the probe type alone, so mixed
+    // types (e.g. INT probe vs BIGINT bounds) must fail at planning
+    // time, not as a mid-job ClassCastException.
+    require(probeE.dataType == loE.dataType && probeE.dataType == hiE.dataType,
+      s"range join requires probe/lo/hi to share one type, got " +
+        s"probe=${probeE.dataType.sql} lo=${loE.dataType.sql} " +
+        s"hi=${hiE.dataType.sql}")
+    comparator(probeE.dataType) // reject unsupported types up front
     GraftSqlShim.ofRows(probeDf.sparkSession,
       RangeJoinPlan(probeDf.queryExecution.analyzed,
-        buildDf.queryExecution.analyzed,
-        resolveAgainst(probeDf, probe),
-        resolveAgainst(buildDf, lo), resolveAgainst(buildDf, hi)))
+        buildDf.queryExecution.analyzed, probeE, loE, hiE))
+  }
 
   /** Resolve a Column to a concrete catalyst Expression against one
     * side's analyzed output (Spark 4's lazy ColumnNode wrapper is

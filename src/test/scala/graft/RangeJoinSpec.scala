@@ -56,6 +56,19 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("mismatched probe/bound types fail at planning time") {
+    val intProbes = probes.select(col("v").cast("int").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.join(intProbes, intervals, col("v"), col("lo"), col("hi"))
+    }
+    assert(e.getMessage.contains("share one type"))
+    val strIntervals = intervals.selectExpr(
+      "iid", "CAST(lo AS STRING) lo", "CAST(hi AS STRING) hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.join(probes, strIntervals, col("v"), col("lo"), col("hi"))
+    }
+  }
+
   test("timestamp bounds work end-to-end (e_range_join shape)") {
     val rows = Registry.all.find(_.name == "e_range_join").get.run(t)
       .collect()
