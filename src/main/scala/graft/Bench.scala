@@ -29,7 +29,12 @@ object Bench {
     Registry.all.filter(q => Set("q_scan_filter", "q_agg_hash",
         "q_join_broadcast", "q_window_rank").contains(q.name))
       .foreach(q => q.run(t).write.format("noop").mode("overwrite").save())
-    val results = Registry.all.map { q =>
+    // Optional dev-only filter (comma-separated names): bench a subset
+    // while iterating. The driver passes no args → full suite.
+    val wanted = args.headOption.map(_.split(",").toSet)
+    val results = Registry.all
+      .filter(q => wanted.forall(_.contains(q.name)))
+      .map { q =>
       val t0 = System.nanoTime()
       try q.run(t).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

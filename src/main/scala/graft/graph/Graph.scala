@@ -1,6 +1,5 @@
 package graft.graph
 
-import graft.operators.Iterate
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -38,15 +37,23 @@ final case class Graph(edges: DataFrame) {
     * direction-aware. */
   def reach(sources: DataFrame, direction: String, maxHops: Int): DataFrame = {
     // Materialize the (possibly union-distinct) edge table once; every
-    // BFS round joins the checkpointed table instead of re-deriving it.
+    // BFS level joins the checkpointed table instead of re-deriving it.
+    // For a bounded hop count the whole expansion is declared LAZILY —
+    // level k = distinct neighbors of level k-1 — and executed as ONE
+    // job (maxHops chained shuffle stages), instead of a driver loop
+    // paying per-round scheduling + empty-frontier actions. Each level
+    // is distinct-bounded by |V|, so an exhausted frontier just flows
+    // empty through the remaining stages for free.
     val e = oriented(direction).localCheckpoint()
     val seed = sources.select(col("src").as("node")).distinct()
-    Iterate.unionLoop(seed,
-      frontier => frontier
+    var levels = List(seed)
+    for (_ <- 1 to maxHops) {
+      val frontier = levels.head
+      levels ::= frontier
         .join(e, frontier("node") === e("src"))
-        .select(col("dst").as("node")).distinct(),
-      maxIter = maxHops)
-      .distinct()
+        .select(col("dst").as("node")).distinct()
+    }
+    levels.reduce(_ union _).distinct()
   }
 
   /** ANY SHORTEST analog (graph_shortest.go): minimal hop distance
@@ -127,8 +134,20 @@ final case class Graph(edges: DataFrame) {
     var dist = wedges.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("wdist"))
       .localCheckpoint()
+    // Tentative distances only ever (a) add nodes or (b) decrease, so
+    // the (row count, distance sum) pair is a strictly improving
+    // convergence measure: once stable, every later round is a no-op
+    // and the loop stops early (same early-stop idea as
+    // connectedComponents' label sum).
+    var prev = (-1L, -1L)
     var hopN = 0
-    while (hopN < maxHops) {
+    while (hopN < maxHops && {
+        val r = dist.agg(count(lit(1)), sum(col("wdist"))).head()
+        val cur = (r.getLong(0), r.getLong(1))
+        val improving = cur != prev
+        prev = cur
+        improving
+      }) {
       hopN += 1
       val relaxed = dist.join(we, dist("node") === we("src"))
         .select(col("dst").as("node"), (col("wdist") + col("w")).as("wdist"))
@@ -146,23 +165,33 @@ final case class Graph(edges: DataFrame) {
     * to 6dp so cross-engine float summation noise (~1e-15 relative)
     * cannot surface. */
   def pageRank(iters: Int, damping: Double = 0.85): DataFrame = {
+    // Spark 4's WITH RECURSIVE can't express this (aggregates over the
+    // recursive reference are rejected: INVALID_RECURSIVE_REFERENCE;
+    // measured: a fully lazy 10-round unrolled plan is also SLOWER —
+    // 4.6 s vs 3.3 s — because every per-round broadcast/AQE stage
+    // serializes inside one job). So: per-round materialization of the
+    // |V|-row rank state, with the out-degree pre-fused into the edge
+    // list once (one join per round, not two) and the tiny rank /
+    // contribution sides broadcast so each round pays exactly one
+    // shuffle (the contribution groupBy on dst).
     val e = oriented("out").localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-    val deg = e.groupBy(col("src").as("d_node"))
-      .agg(count(lit(1)).as("deg"))
+    val edeg = e.join(
+        e.groupBy(col("src").as("d_node")).agg(count(lit(1)).as("deg")),
+        col("src") === col("d_node"))
+      .select(col("src"), col("dst"), col("deg"))
       .localCheckpoint()
     var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val contribs = ranks
-        .join(deg, col("node") === col("d_node"))
-        .join(e, col("node") === col("src"))
+      val contribs = edeg
+        .join(broadcast(ranks), col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("deg")).as("c"))
       ranks = nodes
-        .join(contribs, col("node") === col("dst"), "left")
+        .join(broadcast(contribs), col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0)))
             .as("rank"))
