@@ -163,6 +163,61 @@ object Streams {
     }
   }
 
+  /** Session EMISSION on a LIVE stream: the open session closes when
+    * the event-time watermark passes its inactivity deadline
+    * (`GroupStateTimeout.EventTimeTimeout`), not when the input ends —
+    * no batch `flushTail` crutch. Each key holds one timer at
+    * `last + gap`; when it fires the completed session is emitted and
+    * the state removed, so state stays one small record per ACTIVE
+    * user and drains as users go quiet. Sessions that complete inside
+    * a batch are emitted immediately; only the tail session per user
+    * waits for the watermark. */
+  def sessionRowsStream(events: Dataset[Event],
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val gapUs = 30L * 60 * 1000000
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event],
+            state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s0, _, n) = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(userId, DateTimeUtils.toJavaTimestamp(s0), n))
+          } else {
+            var open = state.getOption // (startUs, lastUs, n)
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val tsUs = DateTimeUtils.fromJavaTimestamp(e.ts)
+              open match {
+                case Some((s0, last, n)) if tsUs - last < gapUs =>
+                  open = Some((s0, tsUs, n + 1))
+                case Some((s0, _, n)) =>
+                  out += SessionOut(userId,
+                    DateTimeUtils.toJavaTimestamp(s0), n)
+                  open = Some((tsUs, tsUs, 1L))
+                case None =>
+                  open = Some((tsUs, tsUs, 1L))
+              }
+            }
+            open.foreach { st =>
+              state.update(st)
+              // Fire once the watermark passes last + gap (strictly
+              // after the current watermark, as the API requires).
+              state.setTimeoutTimestamp(math.max(st._2 / 1000 + gapUs / 1000,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Stateful sessionization via mapGroupsWithState: counts sessions
     * per user with a 30-minute inactivity gap. The per-group state is
     * O(1) (count + last timestamp), so state storage stays bounded

@@ -147,6 +147,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(emitted == oracled && emitted.nonEmpty)
   }
 
+  test("event-time timeout emits closed sessions on watermark advance") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = eventsDf.as[Event].collect().toSeq.sortBy(_.ts.getTime)
+    val (chunk1, chunk2) = rows.splitAt(rows.length / 2)
+    // Far-future sentinel for a synthetic user: advances the watermark
+    // past every real session's deadline so the tail sessions time out
+    // and emit; the sentinel's own session stays open and is excluded.
+    val sentinel = Event(-1L,
+      new java.sql.Timestamp(rows.last.ts.getTime + 3L * 3600 * 1000),
+      -1L, "noop", 0.0)
+    val input = MemoryStream[Event]
+    val query = Streams.sessionRowsStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_emit").start()
+    try {
+      input.addData(chunk1)
+      query.processAllAvailable()
+      input.addData(chunk2)
+      query.processAllAvailable()
+      input.addData(Seq(sentinel))
+      query.processAllAvailable()
+    } finally query.stop()
+    val emitted = spark.table("sess_emit")
+      .filter(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val oracled = Registry.all.find(_.name == "e_session_window").get.run(t)
+      .select(col("user_id"), col("s_start"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(emitted == oracled && emitted.nonEmpty,
+      s"emitted ${emitted.size} sessions vs oracle ${oracled.size}")
+  }
+
   test("stateful sessionization equals the SQL sessionize query") {
     import spark.implicits._
     val stateful = Streams.sessionCounts(eventsDf.as[Event])
