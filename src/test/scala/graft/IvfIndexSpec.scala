@@ -32,6 +32,14 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(fromDisk == inMem && fromDisk.nonEmpty)
   }
 
+  test("s_ann_ivf_probe registry entry equals the in-query build") {
+    val probe = Registry.all.find(_.name == "s_ann_ivf_probe").get.run(t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inMem = Registry.all.find(_.name == "s_ann_ivf").get.run(t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe == inMem && probe.nonEmpty)
+  }
+
   test("probe prunes to the probed cell partitions") {
     assert(written)
     val plan = IvfIndex.probeIndex(spark, dir, queries,
