@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-source federation over JDBC (reference: tigraph/tidb reads
+  * two engines — TiKV row store and TiFlash column store, `store/` —
+  * behind one SQL surface; Spark's twin is one logical plan spanning
+  * a JDBC relation and parquet relations). The embedded Derby driver
+  * that ships with Spark backs the spec end to end: a dimension lives
+  * in the RDBMS, facts live in parquet, and one query joins them with
+  * filters pushed INTO the JDBC scan (`PushedFilters` on the
+  * JDBCRelation — the scan ships `WHERE` to the database instead of
+  * reading the table).
+  *
+  * Scale notes: a JDBC dimension is read once per query (optionally
+  * `partitionColumn/numPartitions` for parallel reads of big tables)
+  * and then broadcast like any other dim; the database never sees
+  * fact-sized traffic.
+  */
+object Jdbc {
+
+  /** Column-type overrides: Spark's Derby dialect maps StringType to
+    * CLOB, which Derby refuses to compare/join on — pin every string
+    * column to VARCHAR at table-creation time. */
+  private def varcharOverrides(df: DataFrame): String =
+    df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(255)")
+      .mkString(", ")
+
+  /** Publish a DataFrame as a database table (overwrite). */
+  def writeTable(df: DataFrame, url: String, table: String): Unit = {
+    val w = df.write.mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val overrides = varcharOverrides(df)
+    (if (overrides.nonEmpty)
+      w.option("createTableColumnTypes", overrides) else w).save()
+  }
+
+  /** A lazily-read JDBC relation: filters and column pruning push
+    * down to the database (visible as PushedFilters on the scan). */
+  def readTable(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      .load()
+}
