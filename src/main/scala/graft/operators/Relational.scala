@@ -481,9 +481,11 @@ object Relational {
       SELECT n, COUNT(*) AS c FROM t GROUP BY n
     """)) { t =>
       val seed = t.region.select(col("r_regionkey").cast("long").as("n"))
+      // ~28 tiny levels: batching 8 lazy levels per materialized job
+      // amortizes the per-round scheduling floor (3.2 s -> ~1 s).
       Iterate.unionLoop(seed,
         f => f.select((col("n") + 7).as("n")).filter(col("n") < 200),
-        maxIter = 64)
+        maxIter = 64, batch = 8)
         .groupBy("n").agg(count(lit(1)).as("c"))
     },
 

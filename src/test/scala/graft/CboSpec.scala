@@ -77,6 +77,14 @@ class CboSpec extends SparkSpecBase {
       val withColStats = joinPlan()
       assert(withColStats.contains("BroadcastHashJoin"),
         s"column stats should flip the filtered dim to broadcast:\n$withColStats")
+
+      // The cost EXPLAIN surface exposes the estimates the decision
+      // was made from (TiDB EXPLAIN estRows analog).
+      val costPlan = graft.plans.Explain.cost(
+        spark.table("cbo_orders").filter(col("o_orderkey") < 10))
+      assert(costPlan.contains("Statistics(") &&
+        costPlan.contains("rowCount="),
+        s"cost explain carries no row estimates:\n$costPlan")
     }
   }
 }
