@@ -227,5 +227,93 @@ object DedupQueries {
         .filter(round(col("c"), 8) >= 0.4)
         .select(col("id1"), col("id2"), round(col("c"), 4).as("cos"))
     },
+
+    // Dedup FINALIZATION: multiple blocking keys (raw hash,
+    // normalized hash, (lang, length) shape) each link a document to
+    // the key's minimum doc id; connected components over the union
+    // of those links merge overlapping blocks into clusters, and the
+    // cluster minimum becomes the canonical document — the standard
+    // last stage of a production dedup pipeline (blocking → union
+    // edges → CC → canonical pick). Scale: edges are (doc_id, rep_id)
+    // pairs keyed by fingerprints — text never shuffles; the CC label
+    // state is |docs| rows (Graph.connectedComponents, label-sum
+    // convergence). Oracle reproduces the closure with a recursive
+    // CTE (quadratic — oracle-scale only).
+    Q("d_dedup_cluster", Some("""
+      WITH RECURSIVE k AS (
+        SELECT doc_id, MD5(text) AS key FROM documents
+        UNION ALL
+        SELECT doc_id,
+               MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        FROM documents
+        UNION ALL
+        SELECT doc_id, lang || ':' || CAST(n_chars AS VARCHAR)
+        FROM documents),
+      e AS (
+        SELECT k.doc_id AS src, m.rep AS dst
+        FROM k JOIN (SELECT key, MIN(doc_id) AS rep FROM k GROUP BY key) m
+        USING (key)),
+      u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      r(a, b) AS (
+        SELECT src, src FROM u
+        UNION
+        SELECT r.a, u.dst FROM r JOIN u ON u.src = r.b)
+      SELECT a AS doc_id, MIN(b) AS cluster_id,
+             CAST(a = MIN(b) AS INT) AS is_canonical
+      FROM r GROUP BY a
+    """)) { t =>
+      val d = t.documents
+      val k = d.select(col("doc_id"),
+          md5(col("text").cast("binary")).as("key"))
+        .union(d.select(col("doc_id"),
+          md5(TextFns.normalize(col("text")).cast("binary")).as("key")))
+        .union(d.select(col("doc_id"),
+          concat_ws(":", col("lang"), col("n_chars")).as("key")))
+      val rep = k.groupBy("key").agg(min(col("doc_id")).as("rep"))
+      val edges = k.join(rep, "key")
+        .select(col("doc_id").as("src"), col("rep").as("dst"))
+      graft.graph.Graph(edges).connectedComponents()
+        .select(col("node").as("doc_id"),
+          col("component").as("cluster_id"),
+          (col("node") === col("component")).cast("int")
+            .as("is_canonical"))
+    },
+
+    // Train/test CONTAMINATION check: which training documents share a
+    // word 4-gram with the held-out set (source 'src19') — the
+    // standard n-gram-overlap decontamination pass before an
+    // evaluation split ships. Scale: grams are generated map-side;
+    // the shuffle joins (gram, doc_id) pairs against the DISTINCT
+    // held-out gram set (at 100 TB you'd hash grams to 64-bit before
+    // the shuffle and broadcast the held-out side when it fits —
+    // strings kept here for oracle parity).
+    Q("d_contamination", Some("""
+      WITH w AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws
+                 FROM documents),
+      g AS (SELECT doc_id, source,
+              UNNEST(list_transform(
+                generate_series(1, GREATEST(LEN(ws) - 3, 0)),
+                i -> ARRAY_TO_STRING(ws[i:i+3], ' '))) AS gram
+            FROM w),
+      test_grams AS (SELECT DISTINCT gram FROM g WHERE source = 'src19')
+      SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_shared
+      FROM g JOIN test_grams USING (gram)
+      WHERE g.source <> 'src19'
+      GROUP BY g.doc_id
+    """)) { t =>
+      val words = split(col("text"), " ")
+      val grams = when(size(words) >= 4,
+        transform(sequence(lit(1), size(words) - 3),
+          i => concat_ws(" ", slice(words, i, lit(4)))))
+        .otherwise(array().cast("array<string>"))
+      val g = t.fan(t.documents)
+        .select(col("doc_id"), col("source"), explode(grams).as("gram"))
+      val testGrams = g.filter(col("source") === "src19")
+        .select("gram").distinct()
+      g.filter(col("source") =!= "src19")
+        .join(testGrams, "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_shared"))
+    },
   )
 }

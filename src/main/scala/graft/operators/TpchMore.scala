@@ -331,6 +331,59 @@ object TpchMore {
           .cast("double").as("sum_profit"))
     },
 
+    // Q6 — the canonical predicate-pushdown + single-agg forecasting
+    // query: no join, every filter reaches the parquet scan, one
+    // map-side-combined global sum. Decimal-exact product (discounts
+    // are clean 2dp values).
+    Q("q_tpch_q6", Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24
+    """)) { t =>
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+          .cast("double").as("revenue"))
+    },
+
+    // Q11 shape — important stock per part for one nation's suppliers,
+    // kept above a fraction of the GLOBAL value (HAVING with a scalar
+    // subquery over the same derived relation; rule_decorrelate.go
+    // collapses it to an agg reused twice). The derived relation is
+    // computed once; the 1-row global threshold broadcasts. Exact
+    // decimal arithmetic on both engines makes the > cut identical.
+    Q("q_tpch_q11", Some("""
+      WITH ps AS (
+        SELECT l_partkey AS pk,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+        GROUP BY l_partkey)
+      SELECT pk, CAST(val AS DOUBLE) AS part_value
+      FROM ps
+      WHERE val > (SELECT SUM(val) * 0.001 FROM ps)
+    """)) { t =>
+      val ps = t.lineitem
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation.filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(dec2(col("l_extendedprice"))).as("val"))
+      val threshold = ps.agg(
+        (sum(col("val")) * lit(BigDecimal("0.001"))).as("thr"))
+      ps.crossJoin(broadcast(threshold))
+        .filter(col("val") > col("thr"))
+        .select(col("pk"), col("val").cast("double").as("part_value"))
+    },
+
     // Q16 shape — supplier counts by part attribute, excluding a
     // NOT-IN supplier set (reference: TPC-H suite;
     // planner/core/rule_decorrelate.go turns the NOT IN into an anti
