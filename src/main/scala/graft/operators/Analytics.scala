@@ -226,6 +226,29 @@ object Analytics {
       width.unionAll(depth)
     },
 
+    // UNPIVOT — the inverse of q_pivot's wide conditional aggregation
+    // (relational completeness: melt a wide per-status table back to
+    // long form; Spark's Dataset.unpivot / SQL UNPIVOT vs DuckDB's
+    // UNPIVOT clause). Every (flag, status) pair exists in the data so
+    // null-dropping semantics can't diverge.
+    Q("q_unpivot", Some("""
+      WITH wide AS (
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+               CAST(SUM(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, l_linestatus, sum_qty
+      FROM wide UNPIVOT (sum_qty FOR l_linestatus IN (F, O))
+    """)) { t =>
+      val wide = t.lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+      wide.unpivot(Array(col("l_returnflag")),
+        Array(col("F"), col("O")), "l_linestatus", "sum_qty")
+    },
+
     // approx_percentile (reference: executor/aggfuncs/
     // func_percentile.go + the approx family) — the mergeable
     // quantile sketch users reach for first at 100 TB, where the

@@ -197,6 +197,44 @@ object Scalars2 {
           expr("~l_orderkey").as("k_not"))
     },
 
+    // MySQL-family position/encoding functions (reference:
+    // builtin_compare.go INTERVAL, builtin_string.go ELT/FIELD,
+    // builtin_math.go CONV/HEX, builtin_miscellaneous.go
+    // INET_ATON). Spark has no named twins for most of these; the
+    // Spark-first forms are array element/position/filter expressions
+    // and arithmetic — all codegen'd — with identical DuckDB
+    // renderings (MySQL INTERVAL(N, b...) = count of bounds <= N).
+    Q("q_func_mysql", Some("""
+      SELECT o_orderkey,
+             (['alpha', 'beta', 'gamma'])[1 + CAST(o_orderkey % 3 AS INT)]
+               AS elt_val,
+             CAST(list_position(['1-URGENT', '2-HIGH', '3-MEDIUM',
+               '4-NOT SPECIFIED', '5-LOW'], o_orderpriority) AS INT)
+               AS field_val,
+             CAST(len(list_filter([50000.0, 100000.0, 150000.0],
+               b -> b <= o_totalprice)) AS INT) AS interval_idx,
+             UPPER(TO_HEX(o_orderkey)) AS hex_key,
+             CAST(10 * 16777216 + (o_custkey % 256) * 65536
+                  + (o_orderkey % 256) * 256 + 1 AS BIGINT) AS inet_num
+      FROM orders WHERE o_orderkey < 300
+    """)) { t =>
+      val priorities = array(Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW").map(lit): _*)
+      t.orders.filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          element_at(array(lit("alpha"), lit("beta"), lit("gamma")),
+            (lit(1) + pmod(col("o_orderkey"), lit(3))).cast("int"))
+            .as("elt_val"),
+          array_position(priorities, col("o_orderpriority")).cast("int")
+            .as("field_val"),
+          size(filter(array(lit(50000.0), lit(100000.0), lit(150000.0)),
+            b => b <= col("o_totalprice"))).as("interval_idx"),
+          upper(hex(col("o_orderkey"))).as("hex_key"),
+          (lit(10L * 16777216) + pmod(col("o_custkey"), lit(256)) * 65536 +
+            pmod(col("o_orderkey"), lit(256)) * 256 + 1).cast("bigint")
+            .as("inet_num"))
+    },
+
     // Map-typed columns (reference: TiDB JSON object semantics,
     // types/json/binary.go + builtin_json.go json_keys/values over
     // objects — Spark's MapType is the columnar twin). Construction,

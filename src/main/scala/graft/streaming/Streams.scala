@@ -48,6 +48,28 @@ object Streams {
         col("session_window.end").as("s_end"),
         col("n_events"), col("sum_value"))
 
+  /** CHAINED stateful aggregation (Spark 4 multiple-stateful-operator
+    * support): hourly windowed totals re-windowed into a daily rollup
+    * inside ONE query — the streaming twin of a two-level rollup
+    * materialized view. The second groupBy windows over the first's
+    * `window` struct column; under a stream both levels keep their own
+    * watermark-evicted state and daily rows finalize when the
+    * watermark passes the day. */
+  def dailyRollup(events: DataFrame, stream: Boolean): DataFrame = {
+    val base = if (stream) events.withWatermark("ts", "10 minutes")
+      else events
+    val hourly = base
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("v"))
+    hourly
+      .groupBy(window(col("window"), "1 day"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("v")).cast("double").as("sum_value"))
+      .select(col("window.start").as("d_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Streaming exact dedup on a business key within the watermark
     * horizon — the streaming twin of d_dedup_exact: state holds one
     * entry per key and ages out with the watermark, so memory is

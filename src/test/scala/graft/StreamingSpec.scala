@@ -147,6 +147,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(emitted == oracled && emitted.nonEmpty)
   }
 
+  test("chained windowed aggregations: daily rollup of hourly windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = eventsDf.as[Event].collect().toSeq
+    // Append mode only emits days the watermark has closed — the
+    // far-future sentinel closes every real day; its own rows are
+    // filtered out of the comparison.
+    val sentinel = Event(-1L,
+      new java.sql.Timestamp(rows.map(_.ts.getTime).max + 3L * 86400 * 1000),
+      -1L, "noop", 0.0)
+    val input = MemoryStream[Event]
+    val query = Streams.dailyRollup(input.toDF(), stream = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("daily_out").start()
+    try {
+      input.addData(rows)
+      query.processAllAvailable()
+      input.addData(Seq(sentinel))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("daily_out")
+      .filter(col("event_type") =!= "noop")
+      .collect().map(_.toSeq).toSet
+    val batch = Streams.dailyRollup(eventsDf, stream = false)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"stream ${streamed.size} days vs batch ${batch.size}")
+  }
+
   test("event-time timeout emits closed sessions on watermark advance") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
