@@ -226,6 +226,40 @@ object Analytics {
       width.unionAll(depth)
     },
 
+    // Window over an aggregate (the classic month-over-month report:
+    // GROUP BY feeds running totals and deltas — TiDB plans the same
+    // HashAgg → Window pipeline). The window runs over the ~24-row
+    // aggregate, not the fact table, so the single-partition window
+    // is bounded by the group count, not data volume.
+    Q("q_window_over_agg", Some("""
+      WITH m AS (
+        SELECT CAST(YEAR(o_orderdate) AS INT) AS y,
+               CAST(MONTH(o_orderdate) AS INT) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sales,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1, 2)
+      SELECT y, m, sales, n_orders,
+             CAST(SUM(CAST(sales AS DECIMAL(18,2)))
+               OVER (ORDER BY y, m) AS DOUBLE) AS cum_sales,
+             ROUND(sales - LAG(sales) OVER (ORDER BY y, m), 2) AS mom_delta
+      FROM m
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val m = t.orders
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sales"), count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("y"), col("m"))
+      m.select(col("y"), col("m"), col("sales"), col("n_orders"),
+        sum(col("sales").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("cum_sales"),
+        round(col("sales") - lag(col("sales"), 1).over(w), 2)
+          .as("mom_delta"))
+    },
+
     // UNPIVOT — the inverse of q_pivot's wide conditional aggregation
     // (relational completeness: melt a wide per-status table back to
     // long form; Spark's Dataset.unpivot / SQL UNPIVOT vs DuckDB's

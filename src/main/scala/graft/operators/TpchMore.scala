@@ -355,9 +355,12 @@ object TpchMore {
     // Q11 shape — important stock per part for one nation's suppliers,
     // kept above a fraction of the GLOBAL value (HAVING with a scalar
     // subquery over the same derived relation; rule_decorrelate.go
-    // collapses it to an agg reused twice). The derived relation is
-    // computed once; the 1-row global threshold broadcasts. Exact
-    // decimal arithmetic on both engines makes the > cut identical.
+    // collapses it to an agg reused twice). Catalyst has no
+    // common-subplan reuse across the two aggregates, so ps is
+    // MATERIALIZED once (localCheckpoint — plan-asserted zero parquet
+    // re-scans; on a cluster this is the cached derived relation) and
+    // the 1-row global threshold broadcasts. Exact decimal arithmetic
+    // on both engines makes the > cut identical.
     Q("q_tpch_q11", Some("""
       WITH ps AS (
         SELECT l_partkey AS pk,
@@ -377,6 +380,7 @@ object TpchMore {
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("l_partkey").as("pk"))
         .agg(sum(dec2(col("l_extendedprice"))).as("val"))
+        .localCheckpoint()
       val threshold = ps.agg(
         (sum(col("val")) * lit(BigDecimal("0.001"))).as("thr"))
       ps.crossJoin(broadcast(threshold))

@@ -102,6 +102,37 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
   }
 
+  test("q_tpch_q6 pushes every predicate into the parquet scan") {
+    // The PushedFilters render truncates long lists, so assert the
+    // prefix: all three filter columns reach the scan (IsNotNull is
+    // emitted per pushed column) and pushdown has begun on shipdate.
+    val p = plan("q_tpch_q6")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual"),
+      s"q6 filters did not reach the scan:\n$p")
+  }
+
+  test("new join-heavy queries stay free of cartesian plans") {
+    for (name <- Seq("q_tpch_q16", "q_tpch_q20", "d_contamination",
+        "d_dedup_cluster")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"nested loop in $name:\n$p")
+    }
+  }
+
+  test("q_tpch_q11 materializes the derived relation once") {
+    // ps feeds both the per-part groups and the global threshold;
+    // without materialization Catalyst plans TWO full lineitem join
+    // pipelines (no common-subplan reuse across aggregates). After the
+    // checkpoint the plan reads the derived relation, not parquet.
+    val p = plan("q_tpch_q11")
+    assert("FileScan parquet".r.findAllIn(p).size == 0 &&
+      p.contains("Scan ExistingRDD"),
+      s"q11 recomputes the derived relation from parquet:\n$p")
+  }
+
   test("q_lateral decorrelates the per-row LIMIT into a ranked join") {
     val p = plan("q_lateral")
     assert(!p.contains("CartesianProduct"), s"lateral not decorrelated:\n$p")
