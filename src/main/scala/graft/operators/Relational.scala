@@ -457,12 +457,16 @@ object Relational {
       FROM supplier JOIN revenue ON s_suppkey = supplier_no
       WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
     """)) { t =>
+      // The CTE is consumed twice (max + join); materialize it once —
+      // Spark inlines CTEs, so without this the revenue aggregation
+      // pipeline would run per consumer.
       val revenue = t.lineitem
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey").as("supplier_no"))
         .agg(sumProd2(col("l_extendedprice"), lit(1) - col("l_discount"))
           .as("total_rev"))
+        .localCheckpoint()
       val maxRev = revenue.agg(max(col("total_rev")).as("max_rev"))
       t.supplier
         .join(revenue, col("s_suppkey") === col("supplier_no"))

@@ -273,12 +273,17 @@ object TpchMore {
       val ps = t.lineitem.groupBy(col("l_partkey").as("pk"),
           col("l_suppkey").as("sk"))
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+      // rps feeds both the per-part minimum and the final join;
+      // without materialization Catalyst replays the whole
+      // lineitem-derivation pipeline for each consumer (no
+      // common-subplan reuse across aggregates).
       val rps = ps
         .join(broadcast(t.supplier), col("sk") === col("s_suppkey"))
         .join(broadcast(t.nation.filter(col("n_regionkey") === 2)),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("pk"), col("sk"), col("cost"), col("s_name"),
           col("n_name"))
+        .localCheckpoint()
       val minc = rps.groupBy(col("pk").as("m_pk"))
         .agg(min(col("cost")).as("min_cost"))
       rps

@@ -19,6 +19,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Jdbc {
 
+  // Derby writes derby.log into the CWD unless told otherwise.
+  System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+
   /** Column-type overrides: Spark's Derby dialect maps StringType to
     * CLOB, which Derby refuses to compare/join on — pin every string
     * column to VARCHAR at table-creation time. */
