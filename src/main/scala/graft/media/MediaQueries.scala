@@ -71,5 +71,42 @@ object MediaQueries {
           (lit(1) + floor(col("n_bytes") / 1000.0).cast("int")).as("n_frames"),
           col("source").as("media_kind"))
     },
+
+    // FRAME SAMPLING over "video" payloads (pipeline mandate): up to 4
+    // uniformly spaced frames per document — frame i = the i-th 64-byte
+    // slice of the payload, fingerprinted; ts from a fixed 25 fps
+    // clock. The decode is the same honest stub (no codecs in the
+    // container); the Spark-side plumbing is the real thing: per-row
+    // frame-index generation (map-side transform + explode, no
+    // shuffle until a consumer aggregates), byte-range slicing, one
+    // output row per sampled frame. The corpus is ASCII so char and
+    // byte offsets coincide on both engines.
+    Q("m_media_frames", Some("""
+      WITH m AS (
+        SELECT doc_id, text,
+               1 + CAST(FLOOR(STRLEN(text) / 64.0) AS INT) AS n_frames
+        FROM documents),
+      f AS (
+        SELECT doc_id, text, n_frames,
+               UNNEST(list_distinct(list_transform([0, 1, 2, 3],
+                 j -> CAST(FLOOR(j * (n_frames - 1) / 3.0) AS INT))))
+                 AS frame_idx
+        FROM m)
+      SELECT doc_id, frame_idx, frame_idx * 40 AS ts_ms,
+             MD5(SUBSTR(text, frame_idx * 64 + 1, 64)) AS frame_fp
+      FROM f
+    """)) { t =>
+      val nFrames = lit(1) + floor(length(col("text")) / 64.0).cast("int")
+      t.fan(t.documents)
+        .select(col("doc_id"), col("text"), nFrames.as("n_frames"))
+        .select(col("doc_id"), col("text"),
+          explode(array_distinct(transform(sequence(lit(0), lit(3)),
+            j => floor(j * (col("n_frames") - 1) / 3.0).cast("int"))))
+            .as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx") * 40).as("ts_ms"),
+          md5(col("text").substr(col("frame_idx") * 64 + 1, lit(64))
+            .cast("binary")).as("frame_fp"))
+    },
   )
 }
