@@ -113,9 +113,15 @@ object AnnQueries {
     // s_ann_ivf, so the two entries split the cost story: s_ann_ivf
     // = build+probe, this = probe only.
     Q("s_ann_ivf_probe", None) { t =>
-      val dir = s"/tmp/graft_ivf_${math.abs(t.dir.hashCode).toString}"
+      // Cache key carries the build parameters so changing c/iters
+      // invalidates the on-disk index; a code change to IvfIndex.build
+      // itself still requires wiping /tmp/graft_ivf_* (acceptable for
+      // a dev cache — IvfIndexSpec cross-checks probe == fresh build).
+      val (c, iters) = (16, 2)
+      val dir =
+        s"/tmp/graft_ivf_c${c}_i${iters}_${Integer.toHexString(t.dir.hashCode)}"
       if (!new java.io.File(s"$dir/centroids/_SUCCESS").exists())
-        IvfIndex.writeIndex(vecs(t), dir, c = 16, iters = 2)
+        IvfIndex.writeIndex(vecs(t), dir, c = c, iters = iters)
       IvfIndex.probeIndex(t.spark, dir,
         t.embeddings.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qv")),

@@ -24,11 +24,13 @@ object Jdbc {
 
   /** Column-type overrides: Spark's Derby dialect maps StringType to
     * CLOB, which Derby refuses to compare/join on — pin every string
-    * column to VARCHAR at table-creation time. */
+    * column to VARCHAR at table-creation time, at Derby's maximum
+    * VARCHAR width so long text columns don't hit a truncation
+    * error mid-insert. */
   private def varcharOverrides(df: DataFrame): String =
     df.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)
-      .map(f => s"${f.name} VARCHAR(255)")
+      .map(f => s"${f.name} VARCHAR(32672)")
       .mkString(", ")
 
   /** Publish a DataFrame as a database table (overwrite). */

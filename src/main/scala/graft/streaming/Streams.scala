@@ -193,7 +193,15 @@ object Streams {
     * the state removed, so state stays one small record per ACTIVE
     * user and drains as users go quiet. Sessions that complete inside
     * a batch are emitted immediately; only the tail session per user
-    * waits for the watermark. */
+    * waits for the watermark.
+    *
+    * Out-of-order merges: a late-but-within-watermark event may land
+    * BEFORE the open session's bounds, so the merge extends
+    * `[start, last]` with min/max rather than assuming event-time
+    * order across batches. Requires `watermarkDelay < gap`: then any
+    * surviving late event is at most `delay < gap` behind the open
+    * start, so it always merges into (never precedes) the open
+    * session and one state record per key stays sufficient. */
   def sessionRowsStream(events: Dataset[Event],
       watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -219,7 +227,8 @@ object Streams {
               val tsUs = DateTimeUtils.fromJavaTimestamp(e.ts)
               open match {
                 case Some((s0, last, n)) if tsUs - last < gapUs =>
-                  open = Some((s0, tsUs, n + 1))
+                  open = Some((math.min(s0, tsUs), math.max(last, tsUs),
+                    n + 1))
                 case Some((s0, _, n)) =>
                   out += SessionOut(userId,
                     DateTimeUtils.toJavaTimestamp(s0), n)

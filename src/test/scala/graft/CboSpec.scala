@@ -38,10 +38,12 @@ class CboSpec extends SparkSpecBase {
     // A crashed earlier run can leave the managed location behind with
     // no catalog entry; saveAsTable then refuses LOCATION_ALREADY_EXISTS.
     val loc = new java.io.File(s"/tmp/graft_warehouse/$name")
-    if (loc.exists())
-      java.nio.file.Files.walk(loc.toPath)
-        .sorted(java.util.Comparator.reverseOrder())
+    if (loc.exists()) {
+      val walk = java.nio.file.Files.walk(loc.toPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 
   test("column stats flip a filtered dim join to broadcast, no hint") {

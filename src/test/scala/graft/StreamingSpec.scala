@@ -180,7 +180,15 @@ class StreamingSpec extends SparkSpecBase {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val rows = eventsDf.as[Event].collect().toSeq.sortBy(_.ts.getTime)
-    val (chunk1, chunk2) = rows.splitAt(rows.length / 2)
+    // Split at the median, then hold back the last 5 minutes of
+    // chunk 1 into chunk 2: those stragglers arrive OUT OF ORDER in
+    // the second batch but above the 10-minute watermark, exercising
+    // the cross-batch late-merge path (min/max session extension).
+    val median = rows(rows.length / 2).ts.getTime
+    val (early, rest) = rows.partition(_.ts.getTime <= median)
+    val (stragglers, chunk1) =
+      early.partition(_.ts.getTime > median - 5L * 60 * 1000)
+    val chunk2 = stragglers ++ rest
     // Far-future sentinel for a synthetic user: advances the watermark
     // past every real session's deadline so the tail sessions time out
     // and emit; the sentinel's own session stays open and is excluded.
