@@ -15,6 +15,11 @@ run / fork := true
 // mains print machine-parsed JSON lines on stdout, and sbt's default
 // logger would wrap them as "[info] {...}".
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON; sbt's "[success] Total time: …" epilogue otherwise lands
+// after the bench JSON and breaks the parse (BENCH_r01..r03 all
+// recorded parsed:null because of it).
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -29,15 +29,23 @@ object Bench {
     // Optional dev-only filter (comma-separated names): bench a subset
     // while iterating. The driver passes no args → full suite.
     val wanted = args.headOption.map(_.split(",").toSet)
-    // s_ann_ivf_probe warms here so its lazy one-time index build
-    // lands in the untimed phase and the measured run is the
-    // steady-state probe (construction cost stays visible in
-    // s_ann_ivf, which rebuilds in-query). Subset runs only warm what
-    // they measure.
-    Registry.all.filter(q => Set("q_scan_filter", "q_agg_hash",
-        "q_join_broadcast", "q_window_rank", "s_ann_ivf_probe")
-        .contains(q.name) && wanted.forall(_.contains(q.name)))
-      .foreach(q => q.run(t).write.format("noop").mode("overwrite").save())
+    // Untimed warmup. Full runs warm a fixed pipeline-covering set
+    // (s_ann_ivf_probe included so its lazy one-time index build lands
+    // in the untimed phase; construction cost stays visible in
+    // s_ann_ivf, which rebuilds in-query). Subset runs warm each
+    // SELECTED query once untimed instead — otherwise the first
+    // measured query absorbs JIT/codegen compilation, skewing exactly
+    // the subset timings the filter exists to produce.
+    val warmup = wanted match {
+      case Some(names) => Registry.all.filter(q => names.contains(q.name))
+      case None => Registry.all.filter(q => Set("q_scan_filter",
+        "q_agg_hash", "q_join_broadcast", "q_window_rank",
+        "s_ann_ivf_probe").contains(q.name))
+    }
+    warmup.foreach { q =>
+      try q.run(t).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = Registry.all
       .filter(q => wanted.forall(_.contains(q.name)))
       .map { q =>
@@ -52,8 +60,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces for the driver's parse: stdout line AND a file
+    // copy (three rounds of BENCH_r0*.json came back parsed:null).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_bench.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

@@ -113,13 +113,24 @@ object AnnQueries {
     // s_ann_ivf, so the two entries split the cost story: s_ann_ivf
     // = build+probe, this = probe only.
     Q("s_ann_ivf_probe", None) { t =>
-      // Cache key carries the build parameters so changing c/iters
-      // invalidates the on-disk index; a code change to IvfIndex.build
-      // itself still requires wiping /tmp/graft_ivf_* (acceptable for
-      // a dev cache — IvfIndexSpec cross-checks probe == fresh build).
+      // Cache key carries the build parameters AND a content
+      // fingerprint of the source data (file names/sizes/mtimes) —
+      // regenerated data at the same path, or two data dirs whose
+      // String.hashCode collides, get distinct index dirs instead of
+      // silently serving a stale index. A code change to
+      // IvfIndex.build itself still requires wiping /tmp/graft_ivf_*
+      // (acceptable for a dev cache — IvfIndexSpec cross-checks
+      // probe == fresh build).
       val (c, iters) = (16, 2)
-      val dir =
-        s"/tmp/graft_ivf_c${c}_i${iters}_${Integer.toHexString(t.dir.hashCode)}"
+      val src = new java.io.File(s"${t.dir}/embeddings.parquet")
+      val leaves =
+        (if (src.isDirectory) src.listFiles().toSeq else Seq(src))
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+          .sorted.mkString("|")
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${src.getAbsolutePath}|$leaves".getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
+      val dir = s"/tmp/graft_ivf_c${c}_i${iters}_$fp"
       if (!new java.io.File(s"$dir/centroids/_SUCCESS").exists())
         IvfIndex.writeIndex(vecs(t), dir, c = c, iters = iters)
       IvfIndex.probeIndex(t.spark, dir,

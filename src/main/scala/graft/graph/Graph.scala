@@ -165,15 +165,33 @@ final case class Graph(edges: DataFrame) {
     * to 6dp so cross-engine float summation noise (~1e-15 relative)
     * cannot surface. */
   def pageRank(iters: Int, damping: Double = 0.85): DataFrame = {
+    val (edeg, nodes, init) = pageRankState()
+    var ranks = init
+    for (_ <- 1 to iters)
+      ranks = pageRankRound(edeg, nodes, ranks, damping).localCheckpoint()
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** The loop inputs: fused (src, dst, deg) edge table hash-
+    * partitioned on src, node set, initial ranks — exposed so plan
+    * tests can assert the per-round shape before checkpointing. */
+  def pageRankState(): (DataFrame, DataFrame, DataFrame) = {
     // Spark 4's WITH RECURSIVE can't express this (aggregates over the
     // recursive reference are rejected: INVALID_RECURSIVE_REFERENCE;
     // measured: a fully lazy 10-round unrolled plan is also SLOWER —
     // 4.6 s vs 3.3 s — because every per-round broadcast/AQE stage
     // serializes inside one job). So: per-round materialization of the
     // |V|-row rank state, with the out-degree pre-fused into the edge
-    // list once (one join per round, not two) and the tiny rank /
-    // contribution sides broadcast so each round pays exactly one
-    // shuffle (the contribution groupBy on dst).
+    // list once (one join per round, not two) and the fused table
+    // hash-partitioned on `src` so the |E|-row side of each round's
+    // rank join stays in place — localCheckpoint preserves the
+    // physical HashPartitioning, so EnsureRequirements only shuffles
+    // the |V|-row sides. NO broadcast hints: a forced broadcast of the
+    // full rank state is an unconditional promise that OOMs executors
+    // once |V| outgrows the broadcast threshold (≥1e8 vertices at
+    // 100 TB); without the hint AQE still broadcasts the rank side
+    // while it is measured-small, and degrades gracefully to the
+    // co-partitioned shuffle join when it isn't.
     val e = oriented("out").localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -182,22 +200,27 @@ final case class Graph(edges: DataFrame) {
         e.groupBy(col("src").as("d_node")).agg(count(lit(1)).as("deg")),
         col("src") === col("d_node"))
       .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src"))
       .localCheckpoint()
-    var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
+    val init = nodes.select(col("node"), lit(1.0).as("rank"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val contribs = edeg
-        .join(broadcast(ranks), col("node") === col("src"))
-        .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("deg")).as("c"))
-      ranks = nodes
-        .join(broadcast(contribs), col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0)))
-            .as("rank"))
-        .localCheckpoint()
-    }
-    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+    (edeg, nodes, init)
+  }
+
+  /** One PageRank round as a pure declarative plan: contribution join
+    * on the pre-partitioned edge table, dst aggregation, rank update.
+    * Hint-free by design (see pageRankState). */
+  def pageRankRound(edeg: DataFrame, nodes: DataFrame, ranks: DataFrame,
+      damping: Double): DataFrame = {
+    val contribs = edeg
+      .join(ranks, col("node") === col("src"))
+      .groupBy(col("dst"))
+      .agg(sum(col("rank") / col("deg")).as("c"))
+    nodes
+      .join(contribs, col("node") === col("dst"), "left")
+      .select(col("node"),
+        (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0)))
+          .as("rank"))
   }
 
   /** Connected components by min-label propagation (undirected).

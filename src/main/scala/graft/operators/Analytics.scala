@@ -173,10 +173,17 @@ object Analytics {
     // bounds and per-bucket NDV drive its cost-based planner). The
     // width buckets use identical FLOOR arithmetic on both engines
     // and are one map-side-combined pass over the full table. The
-    // depth buckets are built the way TiDB builds them at scale —
-    // over a SAMPLE, because exact equi-depth needs a global sort;
-    // the sampler is deterministic modular arithmetic (~5%) so both
-    // engines see the identical sample and the result hash-matches.
+    // depth buckets are built the way TiDB builds them at scale
+    // (statistics/builder.go): over a SIZE-BOUNDED sample, because
+    // exact equi-depth needs a global sort. The sampler is bottom-k
+    // by a deterministic LCG pseudo-hash of the row key — per-
+    // partition top-k + merge (TakeOrderedAndProject), so the global
+    // pass is O(k) regardless of table size; a RATE-based sample
+    // (the round-3 shape) would funnel ~5% of a 100 TB table through
+    // one window partition. Both engines compute the identical sample
+    // and tile arithmetic, so the result hash-matches; the NTILE
+    // window's input is bounded at 2000 rows BY CONSTRUCTION, never
+    // by data volume.
     Q("q_agg_histogram", Some("""
       WITH width AS (
         SELECT CAST(LEAST(FLOOR(l_extendedprice / 11000.0), 9) AS INT)
@@ -186,6 +193,13 @@ object Analytics {
                ROUND(MIN(l_extendedprice), 2) AS lo,
                ROUND(MAX(l_extendedprice), 2) AS hi
         FROM lineitem GROUP BY 1),
+      sample AS (
+        SELECT l_extendedprice, l_partkey, l_orderkey, l_linenumber
+        FROM lineitem
+        ORDER BY (l_orderkey * 1103515245 + l_linenumber * 12345)
+                   % 1000000007,
+                 l_orderkey, l_linenumber
+        LIMIT 2000),
       depth AS (
         SELECT CAST(tile - 1 AS INT) AS bucket, COUNT(*) AS n,
                CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv,
@@ -194,8 +208,7 @@ object Analytics {
         FROM (SELECT l_extendedprice, l_partkey,
                      NTILE(10) OVER (ORDER BY l_extendedprice,
                                      l_orderkey, l_linenumber) AS tile
-              FROM lineitem
-              WHERE ((l_orderkey % 97) * 31 + l_linenumber) % 20 = 0) x
+              FROM sample) x
         GROUP BY 1)
       SELECT 'width' AS kind, * FROM width
       UNION ALL
@@ -209,12 +222,20 @@ object Analytics {
           round(min(col("l_extendedprice")), 2).as("lo"),
           round(max(col("l_extendedprice")), 2).as("hi"))
         .select(lit("width").as("kind"), col("*"))
+      // Deterministic bottom-k sample: LCG pseudo-hash (plain BIGINT
+      // arithmetic both engines reproduce) with the unique row key as
+      // tie-break, so LIMIT picks the identical 2000 rows everywhere.
+      val h = (col("l_orderkey") * lit(1103515245L)
+        + col("l_linenumber") * lit(12345L)) % lit(1000000007L)
+      val sample = t.lineitem
+        .select(col("l_extendedprice"), col("l_partkey"),
+          col("l_orderkey"), col("l_linenumber"), h.as("__h"))
+        .orderBy(col("__h"), col("l_orderkey"), col("l_linenumber"))
+        .limit(2000)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("l_extendedprice"), col("l_orderkey"),
           col("l_linenumber"))
-      val depth = t.lineitem
-        .filter(((col("l_orderkey") % 97) * 31 + col("l_linenumber"))
-          % 20 === 0)
+      val depth = sample
         .select(col("l_extendedprice"), col("l_partkey"),
           ntile(10).over(w).as("tile"))
         .groupBy((col("tile") - 1).cast("int").as("bucket"))

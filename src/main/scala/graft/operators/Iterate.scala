@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions.{col, lit}
   * so shallow-but-many-level loops (arithmetic recursions, long
   * chains with small frontiers) should batch several levels into one
   * job. Levels inside a batch are tagged, checkpointed as ONE union,
-  * and the last level is re-sliced from the materialized batch — no
-  * recompute. Keep batch=1 when a single level can already be
+  * and the last level is re-sliced from the materialized batch rather
+  * than recomputed. Note the cost model honestly: within a batch each
+  * level is an independent union branch whose lineage re-applies
+  * `step` 1..k times, so one materialization evaluates O(batch²/2)
+  * step applications — batching only pays off when the step is a
+  * narrow, cheap map/join relative to the ~0.4 s per-round scheduling
+  * floor. Keep batch=1 when a single level can already be
   * executor-memory-sized (wide BFS frontiers): the per-level
-  * empty-check then prunes work as early as possible.
+  * empty-check then prunes work as early as possible, and no prefix
+  * re-evaluation happens at all.
   */
 object Iterate {
   def unionLoop(seed: DataFrame, step: DataFrame => DataFrame,
@@ -58,10 +64,12 @@ object Iterate {
       if (tagged.isEmpty) done = true
       else {
         acc = acc.union(tagged.drop("__lvl"))
-        // The last level read back from the materialized batch — if it
-        // came up empty the next batch's steps flow empty for free and
-        // the loop ends on that batch's emptiness check.
+        // The last level read back from the materialized batch. If the
+        // frontier died mid-batch, stop NOW — one cheap isEmpty on the
+        // already-materialized frame — instead of scheduling a whole
+        // extra batch of empty jobs before the next emptiness check.
         frontier = tagged.filter(col("__lvl") === lastIdx).drop("__lvl")
+        if (frontier.isEmpty) done = true
       }
     }
     acc

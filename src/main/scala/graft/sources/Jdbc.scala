@@ -26,11 +26,14 @@ object Jdbc {
     * CLOB, which Derby refuses to compare/join on — pin every string
     * column to VARCHAR at table-creation time, at Derby's maximum
     * VARCHAR width so long text columns don't hit a truncation
-    * error mid-insert. */
+    * error mid-insert. Column names are backtick-quoted — Spark parses
+    * this option with its own SQL parser (then re-quotes per the JDBC
+    * dialect), so an unquoted reserved word or unusual character in a
+    * column name would break table creation. */
   private def varcharOverrides(df: DataFrame): String =
     df.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)
-      .map(f => s"${f.name} VARCHAR(32672)")
+      .map(f => s"`${f.name}` VARCHAR(32672)")
       .mkString(", ")
 
   /** Publish a DataFrame as a database table (overwrite). */

@@ -133,6 +133,19 @@ class PlanShapeSpec extends SparkSpecBase {
       s"q11 recomputes the derived relation from parquet:\n$p")
   }
 
+  test("g_pagerank rounds carry no mandatory broadcast of the rank state") {
+    // A forced broadcast() of the |V|-row rank/contribution state is a
+    // scale ceiling (OOMs executors at 1e8+ vertices). The round plan
+    // must be hint-free — AQE may still choose a broadcast at runtime
+    // while the state is measured-small, but nothing may promise it.
+    val g = graph.Graph.derived(t.orders)
+    val (edeg, nodes, init) = g.pageRankState()
+    val round = g.pageRankRound(edeg, nodes, init, 0.85)
+    val logical = round.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("ResolvedHint"),
+      s"broadcast hint in pagerank round:\n$logical")
+  }
+
   test("q_lateral decorrelates the per-row LIMIT into a ranked join") {
     val p = plan("q_lateral")
     assert(!p.contains("CartesianProduct"), s"lateral not decorrelated:\n$p")
