@@ -20,6 +20,7 @@ object Registry {
     operators.Scalars.all,
     operators.Scalars2.all,
     operators.Analytics.all,
+    operators.Wave4.all,
     graph.GraphQueries.all,
     dedup.DedupQueries.all,
     ann.AnnQueries.all,

@@ -122,14 +122,8 @@ object AnnQueries {
       // (acceptable for a dev cache — IvfIndexSpec cross-checks
       // probe == fresh build).
       val (c, iters) = (16, 2)
-      val src = new java.io.File(s"${t.dir}/embeddings.parquet")
-      val leaves =
-        (if (src.isDirectory) src.listFiles().toSeq else Seq(src))
-          .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-          .sorted.mkString("|")
-      val fp = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${src.getAbsolutePath}|$leaves".getBytes("UTF-8"))
-        .take(8).map("%02x".format(_)).mkString
+      val fp = graft.sources.Formats
+        .contentFingerprint(s"${t.dir}/embeddings.parquet")
       val dir = s"/tmp/graft_ivf_c${c}_i${iters}_$fp"
       if (!new java.io.File(s"$dir/centroids/_SUCCESS").exists())
         IvfIndex.writeIndex(vecs(t), dir, c = c, iters = iters)

@@ -315,5 +315,45 @@ object DedupQueries {
         .groupBy("doc_id")
         .agg(countDistinct(col("gram")).as("n_shared"))
     },
+
+    // INCREMENTAL dedup across snapshots (reference analog: TiDB's
+    // incremental stats maintenance, statistics/handle/ — never
+    // recompute the world). The steady-state pipeline op: the corpus'
+    // normalized fingerprints are PERSISTED once (16-byte fp per doc —
+    // at 100 TB of text that's a ~0.1% index, written bucketed by fp);
+    // each incoming snapshot fingerprints map-side, anti-joins the
+    // index, and dedups only within itself. Nothing re-reads corpus
+    // text. Here the "snapshot" is the doc_id%10==0 slice, the corpus
+    // the rest; the index is lazily materialized under /tmp keyed by a
+    // content fingerprint of the source (stale-data-safe), exactly
+    // like the IVF serving index. At cluster scale the anti-join
+    // broadcasts when the index fits, else shuffles (fp, doc_id)
+    // pairs only.
+    Q("d_dedup_incremental", Some("""
+      WITH fp AS (
+        SELECT doc_id,
+               MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        FROM documents),
+      corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 0),
+      snap AS (SELECT fp, doc_id FROM fp WHERE doc_id % 10 = 0)
+      SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_new
+      FROM snap
+      WHERE fp NOT IN (SELECT fp FROM corpus)
+      GROUP BY fp
+    """)) { t =>
+      val fp = md5(TextFns.normalize(col("text")).cast("binary"))
+      val idxDir = "/tmp/graft_corpusfp_" + graft.sources.Formats
+        .contentFingerprint(s"${t.dir}/documents.parquet")
+      if (!new java.io.File(s"$idxDir/_SUCCESS").exists())
+        t.documents.filter(col("doc_id") % 10 =!= 0)
+          .select(fp.as("fp")).distinct()
+          .write.mode("overwrite").parquet(idxDir)
+      val corpusIndex = t.documents.sparkSession.read.parquet(idxDir)
+      t.documents.filter(col("doc_id") % 10 === 0)
+        .select(fp.as("fp"), col("doc_id"))
+        .join(corpusIndex, Seq("fp"), "left_anti")
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_new"))
+    },
   )
 }

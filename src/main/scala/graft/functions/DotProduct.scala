@@ -85,11 +85,19 @@ object GraftFunctions {
     DotProduct(toDoubleArray(exprs.head), toDoubleArray(exprs(1)))
 
   def register(spark: SparkSession): Unit = {
-    if (!spark.sessionState.functionRegistry
-        .functionExists(org.apache.spark.sql.catalyst
-          .FunctionIdentifier("graft_dot")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_dot", dotBuilder, "built-in")
+    // Gate PER FUNCTION: sessions built with GraftExtensions already
+    // have graft_dot injected, and a shared gate would then skip
+    // everything else (exactly what bit graft_cms_estimate in r4).
+    def ensure(name: String,
+        builder: Seq[Expression] => Expression): Unit =
+      if (!spark.sessionState.functionRegistry
+          .functionExists(org.apache.spark.sql.catalyst
+            .FunctionIdentifier(name)))
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, builder, "built-in")
+    ensure("graft_dot", dotBuilder)
+    ensure("graft_cms_estimate",
+      exprs => CmsEstimate(exprs.head, exprs(1)))
     TextStats.register(spark)
   }
 }

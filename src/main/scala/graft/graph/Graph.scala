@@ -56,6 +56,31 @@ final case class Graph(edges: DataFrame) {
     levels.reduce(_ union _).distinct()
   }
 
+  /** Variable-length path pattern `*min..max` (ast/graph.go
+    * GraphVariableSpec — `MATCH -[e*2..4]->` with a per-edge WHERE,
+    * which callers apply by pre-filtering the edge list this Graph
+    * wraps): distinct (node, hops) pairs reachable in min..max hops
+    * under walk semantics. Same lazy one-job level chain as
+    * [[reach]] — level k = distinct neighbors of level k-1 — but
+    * levels keep their hop tag, so the 2..4 window is a plain filter
+    * on the unioned levels. */
+  def reachLevels(sources: DataFrame, direction: String,
+      minHops: Int, maxHops: Int): DataFrame = {
+    val e = oriented(direction).localCheckpoint()
+    val seed = sources.select(col("src").as("node")).distinct()
+    var levels = List(seed.select(col("node"), lit(0).as("hops")))
+    for (d <- 1 to maxHops) {
+      val frontier = levels.head.select("node")
+      levels ::= frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .select(col("node"), lit(d).as("hops"))
+    }
+    // Pairs are distinct within a level and levels differ by tag, so
+    // the union is already distinct.
+    levels.reduce(_ union _).filter(col("hops") >= minHops)
+  }
+
   /** ANY SHORTEST analog (graph_shortest.go): minimal hop distance
     * from `source` to every node reachable within `maxHops`. Proper
     * BFS — each level anti-joins the visited set, so a node's first

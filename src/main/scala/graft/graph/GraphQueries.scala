@@ -121,6 +121,31 @@ object GraphQueries {
         .filter(col("w") >= 2)
     },
 
+    // Variable-length path pattern with a per-edge predicate
+    // (ast/graph.go GraphVariableSpec: `-[e*2..4]->` + WHERE on each
+    // traversed edge): nodes reachable from 0 in 2..4 hops using only
+    // edges satisfying (src + dst) % 7 <> 0, returning the hop count.
+    // The edge predicate is applied ONCE to the edge list before the
+    // traversal (the reference evaluates its GraphVariableSpec.Where
+    // per expansion — pre-filtering is the declarative equivalent and
+    // prunes the scan instead of every level).
+    Q("g_reach_pred", Some(s"""
+      $edgeCte,
+      fe AS (SELECT src, dst FROM e WHERE (src + dst) % 7 <> 0),
+      r(node, d) AS (
+        SELECT CAST(0 AS BIGINT), 0
+        UNION
+        SELECT fe.dst, r.d + 1 FROM r JOIN fe ON fe.src = r.node
+        WHERE r.d < 4)
+      SELECT node, CAST(d AS INT) AS hops FROM r WHERE d >= 2
+    """)) { t =>
+      val filtered = Graph.derived(t.orders).edges
+        .filter((col("src") + col("dst")) % 7 =!= 0)
+      val sources = t.orders.sparkSession.range(1)
+        .select(lit(0L).as("src"))
+      Graph(filtered).reachLevels(sources, "out", minHops = 2, maxHops = 4)
+    },
+
     // TOP-K SHORTEST paths: path enumeration is engine-specific
     // (array accumulation): the oracle enumerates bounded simple
     // paths with the same "a->b->c" rendering and (len, path)

@@ -79,8 +79,12 @@ object MediaQueries {
     // container); the Spark-side plumbing is the real thing: per-row
     // frame-index generation (map-side transform + explode, no
     // shuffle until a consumer aggregates), byte-range slicing, one
-    // output row per sampled frame. The corpus is ASCII so char and
-    // byte offsets coincide on both engines.
+    // output row per sampled frame. The engine slices the BINARY
+    // payload (1-based byte offsets — correct for a multilingual
+    // corpus where char != byte); DuckDB cannot slice BLOBs, so the
+    // oracle slices chars — equivalent ONLY because the test corpus
+    // is ASCII (documented precondition of the oracle, not of the
+    // engine).
     Q("m_media_frames", Some("""
       WITH m AS (
         SELECT doc_id, text,
@@ -96,17 +100,19 @@ object MediaQueries {
              MD5(SUBSTR(text, frame_idx * 64 + 1, 64)) AS frame_fp
       FROM f
     """)) { t =>
-      val nFrames = lit(1) + floor(length(col("text")) / 64.0).cast("int")
+      val payload = encode(col("text"), "UTF-8")
+      val nFrames = lit(1) + floor(length(payload) / 64.0).cast("int")
       t.fan(t.documents)
-        .select(col("doc_id"), col("text"), nFrames.as("n_frames"))
-        .select(col("doc_id"), col("text"),
+        .select(col("doc_id"), payload.as("payload"),
+          nFrames.as("n_frames"))
+        .select(col("doc_id"), col("payload"),
           explode(array_distinct(transform(sequence(lit(0), lit(3)),
             j => floor(j * (col("n_frames") - 1) / 3.0).cast("int"))))
             .as("frame_idx"))
         .select(col("doc_id"), col("frame_idx"),
           (col("frame_idx") * 40).as("ts_ms"),
-          md5(col("text").substr(col("frame_idx") * 64 + 1, lit(64))
-            .cast("binary")).as("frame_fp"))
+          md5(col("payload").substr(col("frame_idx") * 64 + 1, lit(64)))
+            .as("frame_fp"))
     },
   )
 }

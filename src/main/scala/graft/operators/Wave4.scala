@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Sketches
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 capability wave: partition-pruned fact scans, collation-
+  * aware string semantics, timezone conversion, encryption wave 2,
+  * and frequency-sketch heavy hitters.
+  */
+object Wave4 {
+
+  val all: Seq[Q] = Seq(
+
+    // Partitioned fact table with BOTH pruning modes the reference
+    // implements (planner/core/rule_partition_processor.go static
+    // prune, planner/core/partition_prune.go + runtime dynamic prune):
+    // lineitem lives ship-month-partitioned (sources/PartitionedFact),
+    // the BETWEEN on the partition column prunes directories at plan
+    // time (PartitionFilters on the scan), and the join against the
+    // urgent-months dim injects a dynamicpruning subquery that narrows
+    // the scan to the months the dim actually produces — at 100 TB
+    // this is the difference between scanning 7 years and reading 6
+    // directories. Plan-asserted in PlanShapeSpec.
+    Q("q_scan_partition", Some("""
+      WITH f AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS shipmonth,
+               l_extendedprice, l_discount
+        FROM lineitem
+        WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1996-01' AND '1996-12'),
+      m AS (
+        SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS shipmonth
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND strftime(o_orderdate, '%Y-%m') BETWEEN '1996-01' AND '1996-06')
+      SELECT f.shipmonth AS shipmonth, COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST((1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM f JOIN m ON f.shipmonth = m.shipmonth
+      GROUP BY f.shipmonth
+    """)) { t =>
+      val fact = graft.sources.PartitionedFact
+        .lineitemByShipMonth(t.spark, t.dir)
+      val months = t.orders
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("shipmonth"))
+        .filter(col("shipmonth").between("1996-01", "1996-06"))
+        .distinct()
+      fact
+        .filter(col("shipmonth").between("1996-01", "1996-12"))
+        .join(months, "shipmonth")
+        .groupBy("shipmonth")
+        .agg(count(lit(1)).as("n"),
+          Exact.sumProd2(col("l_extendedprice"), lit(1) - col("l_discount"))
+            .as("revenue"))
+    },
+
+    // Collation-aware compare/group (reference:
+    // expression/collation.go + charset/ — per-column collations make
+    // comparisons, GROUP BY and ORDER BY case-insensitive across the
+    // MySQL surface). Spark 4's native collation support
+    // (collate(col, 'UTF8_LCASE')) pushes the case-insensitive
+    // equality into the hash-aggregate/compare machinery itself — no
+    // lower() rewrite materializes a second column at 100 TB. The
+    // DuckDB oracle pins the same semantics with lower() (its ICU
+    // collations cannot be applied per-expression the same way).
+    Q("q_func_collate", Some("""
+      WITH m AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN UPPER(c_mktsegment)
+                    ELSE LOWER(c_mktsegment) END AS seg,
+               c_acctbal
+        FROM customer)
+      SELECT LOWER(seg) AS seg, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM m
+      WHERE LOWER(seg) <> 'machinery'
+      GROUP BY LOWER(seg)
+    """)) { t =>
+      val mixed = when(col("c_custkey") % 2 === 0,
+        upper(col("c_mktsegment"))).otherwise(lower(col("c_mktsegment")))
+      t.customer
+        .select(mixed.as("seg"), col("c_acctbal"))
+        // Case-insensitive predicate AND grouping ride the collation;
+        // the mixed-case groups ('BUILDING'/'building') merge without
+        // any lower() projection in the aggregation key.
+        .filter(collate(col("seg"), "UTF8_LCASE") =!= lit("MACHINERY"))
+        .groupBy(collate(col("seg"), "UTF8_LCASE").as("k"))
+        .agg(min(lower(col("seg"))).as("seg"), count(lit(1)).as("n"),
+          Exact.sum2(col("c_acctbal")).as("bal"))
+        .select("seg", "n", "bal")
+    },
+
+    // Timezone conversion (reference: expression/builtin_time.go
+    // CONVERT_TZ + time-zone-aware arithmetic). Directions are chosen
+    // so no DST ambiguity exists on either engine: instant → local is
+    // total (America/New_York crossing DST both ways), local → UTC
+    // uses a zone without DST (Asia/Tokyo). The DuckDB twins are the
+    // session-tz-independent double AT TIME ZONE chains.
+    Q("q_func_tz", Some("""
+      SELECT event_id,
+             (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'
+               AS ny_local,
+             CAST(EXTRACT(hour FROM (ts AT TIME ZONE 'UTC')
+                            AT TIME ZONE 'America/New_York') AS INT)
+               AS ny_hour,
+             CAST(DATE_TRUNC('day', (ts AT TIME ZONE 'UTC')
+                            AT TIME ZONE 'America/New_York') AS TIMESTAMP)
+               AS ny_day,
+             (ts AT TIME ZONE 'Asia/Tokyo') AT TIME ZONE 'UTC'
+               AS tokyo_as_utc
+      FROM events WHERE user_id < 5
+    """)) { t =>
+      val ny = from_utc_timestamp(col("ts"), "America/New_York")
+      t.events.filter(col("user_id") < 5)
+        .select(col("event_id"),
+          ny.as("ny_local"),
+          hour(ny).cast("int").as("ny_hour"),
+          date_trunc("DAY", ny).as("ny_day"),
+          to_utc_timestamp(col("ts"), "Asia/Tokyo").as("tokyo_as_utc"))
+    },
+
+    // Encryption wave 2 (reference: expression/builtin_encryption.go
+    // AES_ENCRYPT/AES_DECRYPT, TO_BASE64/FROM_BASE64, salted digests).
+    // AES ciphertext is not reproducible in DuckDB, so the oracle pins
+    // the round trip (decrypt∘encrypt = identity) — GCM exercises the
+    // authenticated random-IV path, ECB the deterministic one. All
+    // expressions are Spark builtins, codegen'd, map-side.
+    Q("q_func_crypto2", Some("""
+      SELECT c_custkey,
+             base64(CAST(c_name AS BLOB)) AS b64,
+             CAST(from_base64(base64(CAST(c_name AS BLOB))) AS VARCHAR)
+               AS b64_rt,
+             c_name AS aes_gcm_rt,
+             c_name AS aes_ecb_rt,
+             MD5(c_name || ':' || CAST(c_custkey AS VARCHAR)) AS salted
+      FROM customer WHERE c_custkey < 100
+    """)) { t =>
+      val key = "0123456789abcdef"
+      t.customer.filter(col("c_custkey") < 100)
+        .select(col("c_custkey"),
+          base64(col("c_name").cast("binary")).as("b64"),
+          unbase64(base64(col("c_name").cast("binary"))).cast("string")
+            .as("b64_rt"),
+          expr(s"CAST(aes_decrypt(aes_encrypt(CAST(c_name AS BINARY), " +
+            s"'$key', 'GCM'), '$key', 'GCM') AS STRING)").as("aes_gcm_rt"),
+          expr(s"CAST(aes_decrypt(aes_encrypt(CAST(c_name AS BINARY), " +
+            s"'$key', 'ECB'), '$key', 'ECB') AS STRING)").as("aes_ecb_rt"),
+          md5(concat(col("c_name"), lit(":"),
+            col("c_custkey").cast("string")).cast("binary")).as("salted"))
+    },
+
+    // Heavy hitters via Count-Min sketch (reference:
+    // statistics/cmsketch.go — TiDB keeps a CMSketch + TopN per column
+    // and answers frequency questions from the sketch, never a
+    // rescan). Build: one mergeable map-side-combined
+    // count_min_sketch aggregate per return flag (sketch size is
+    // eps/confidence-bounded — independent of fact volume). Probe:
+    // the bounded supplier dim crossed with the 3 sketch rows, scored
+    // by the native CmsEstimate expression, ranked top-5 per flag.
+    // The fact table is scanned ONCE; estimates are engine-specific →
+    // rows-only, with Wave4Spec pinning them against exact counts
+    // (overestimate-only, within the eps·N bound).
+    Q("q_agg_heavyhitters", None) { t =>
+      val sketches = t.lineitem
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)")
+          .as("cms"))
+      val candidates = t.supplier
+        .select(col("s_suppkey").as("l_suppkey"))
+      val w = Window.partitionBy("flag")
+        .orderBy(col("est").desc, col("l_suppkey"))
+      // cross join is 3 sketch rows × broadcast 100-row dim — bounded.
+      sketches.crossJoin(broadcast(candidates))
+        .select(col("flag"), col("l_suppkey"),
+          Sketches.cmsEstimate(col("cms"), col("l_suppkey")).as("est"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    },
+  )
+}

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, GraftFunctions}
+import graft.functions.{CmsEstimate, DotProduct, GraftFunctions}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -19,6 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       GraftFunctions.dotBuilder _))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName,
+        "graft_cms_estimate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CmsEstimate(exprs.head, exprs(1))))
     extensions.injectFunction(graft.functions.TextStats.registration)
     // Whole-operator extension: plans RangeJoinPlan nodes onto the
     // broadcast-binary-search range join (see plans/RangeJoin.scala).

@@ -30,4 +30,20 @@ object Formats {
       .option("header", "true").option("inferSchema", "false")
     schema.fold(r)(s => r.schema(s)).load(path)
   }
+
+  /** 8-byte hex content fingerprint of a local file or directory
+    * (absolute path + leaf names/sizes/mtimes). Keys /tmp caches of
+    * derived layouts (partitioned copies, ANN indexes) so regenerated
+    * source data — or two paths whose String.hashCode collides — get
+    * distinct cache dirs instead of silently serving stale derived
+    * state. */
+  def contentFingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    val leaves = (if (f.isDirectory) f.listFiles().toSeq else Seq(f))
+      .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${f.getAbsolutePath}|$leaves".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+  }
 }

@@ -133,6 +133,21 @@ class PlanShapeSpec extends SparkSpecBase {
       s"q11 recomputes the derived relation from parquet:\n$p")
   }
 
+  test("q_scan_partition prunes statically AND via dynamic partition pruning") {
+    // The ship-month-partitioned lineitem must (a) turn the BETWEEN on
+    // the partition column into PartitionFilters (directories outside
+    // 1996 are never listed) and (b) carry a dynamicpruning subquery
+    // from the filtered month dim, narrowing the scan to the months
+    // the dim produces at runtime — the reference's two pruning modes
+    // (rule_partition_processor.go / partition_prune.go).
+    val p = plan("q_scan_partition")
+    assert(p.contains("PartitionFilters"), s"no partition filters in:\n$p")
+    assert(p.contains("1996-01") && p.contains("1996-12"),
+      s"static month bounds did not reach the partition filters:\n$p")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$p")
+  }
+
   test("g_pagerank rounds carry no mandatory broadcast of the rank state") {
     // A forced broadcast() of the |V|-row rank/contribution state is a
     // scale ceiling (OOMs executors at 1e8+ vertices). The round plan
