@@ -31,6 +31,25 @@ object Formats {
     schema.fold(r)(s => r.schema(s)).load(path)
   }
 
+  /** Whole-file binary ingestion (`binaryFile` source) — the real
+    * entry point for multimodal corpora stored as loose files: one
+    * row per file with (path, modificationTime, length, content),
+    * the payload arriving as the opaque binary column the media
+    * pipeline (graft.media) consumes. Files larger than
+    * `spark.sql.sources.binaryFile.maxLength` fail fast instead of
+    * OOMing a task; pushdown on length/path works because the
+    * metadata columns come from the file listing, not the bytes. */
+  def readBinaryFiles(spark: SparkSession, path: String,
+      glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
+  /** Line-oriented text ingestion (one `value` column per line) —
+    * raw-corpus landing format before any schema exists. */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** 8-byte hex content fingerprint of a local file or directory
     * (absolute path + leaf names/sizes/mtimes). Keys /tmp caches of
     * derived layouts (partitioned copies, ANN indexes) so regenerated

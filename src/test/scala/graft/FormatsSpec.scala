@@ -26,6 +26,39 @@ class FormatsSpec extends SparkSpecBase {
     }
   }
 
+  test("binaryFile source ingests whole files as opaque payloads") {
+    // The real multimodal landing path: loose media files become
+    // (path, mtime, length, content) rows; the payload column is the
+    // binary the media pipeline consumes. Glob pushdown keeps the
+    // listing (not the bytes) doing the filtering.
+    val dir = Files.createTempDirectory("graft_bin")
+    val payloads = Map("a.img" -> Array[Byte](1, 2, 3, -1),
+      "b.img" -> Array[Byte](9, 8), "skip.txt" -> Array[Byte](0))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(dir.resolve(name), bytes) }
+    val df = Formats.readBinaryFiles(spark, dir.toString, Some("*.img"))
+    assert(df.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val rows = df.select(col("path"), col("length"), col("content"))
+      .collect().map(r => (r.getString(0).split('/').last,
+        r.getLong(1), r.getAs[Array[Byte]](2))).toSeq
+    assert(rows.map(_._1).toSet == Set("a.img", "b.img"))
+    rows.foreach { case (name, len, content) =>
+      assert(len == payloads(name).length.toLong)
+      assert(java.util.Arrays.equals(content, payloads(name)))
+    }
+  }
+
+  test("text source lands raw lines as a single value column") {
+    val dir = Files.createTempDirectory("graft_txt")
+    Files.write(dir.resolve("corpus.txt"),
+      "first line\nsecond line\n".getBytes("UTF-8"))
+    val df = Formats.readText(spark, dir.toString)
+    assert(df.columns.toSeq == Seq("value"))
+    assert(df.orderBy("value").collect().map(_.getString(0)).toSeq ==
+      Seq("first line", "second line"))
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = Files.createTempDirectory("graft_part").toString
     Formats.write(sample, "parquet", dir, partitionBy = Seq("o_orderstatus"))
