@@ -178,5 +178,41 @@ object Wave4 {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
     },
+
+    // TopN sketch via Spark 4's native ApproxTopK family (reference:
+    // statistics/cmsketch.go TopN — TiDB stores an exact top-N list
+    // ALONGSIDE the CMS; the pair q_agg_heavyhitters/q_agg_topk_sketch
+    // mirrors that split). approx_top_k is mergeable (map-side
+    // partials; accumulate/combine/estimate exist for persisted
+    // sketch serving), needs no candidate set — the sketch itself
+    // carries the items — and with maxItemsTracked >= per-key NDV its
+    // counts are exact. Output re-ranked deterministically; sketch
+    // internals are engine-specific → rows-only, Wave4Spec pins
+    // equality with the exact top-5.
+    Q("q_agg_topk_sketch", None) { t =>
+      val w = Window.partitionBy("flag")
+        .orderBy(col("est").desc, col("l_suppkey"))
+      t.lineitem
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(expr("approx_top_k(l_suppkey, 5, 1000)").as("topk"))
+        .select(col("flag"), explode(col("topk")).as("e"))
+        .select(col("flag"), col("e.item").as("l_suppkey"),
+          col("e.count").as("est"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    },
+
+    // Seeded Bernoulli table sample (reference: executor/sample.go
+    // TABLESAMPLE): sampling happens AT THE SCAN — each partition
+    // draws independently with a seed-derived RNG, so no shuffle, no
+    // full materialization, and a fixed (seed, layout) is
+    // reproducible. The row subset is engine-specific → rows-only;
+    // Wave4Spec pins reproducibility, the fraction band, and
+    // subset-of-source.
+    Q("q_scan_sample", None) { t =>
+      t.lineitem
+        .sample(withReplacement = false, fraction = 0.05, seed = 42)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    },
   )
 }

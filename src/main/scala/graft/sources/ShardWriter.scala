@@ -25,4 +25,23 @@ object ShardWriter {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", shardRows)
       .parquet(dir)
+
+  /** Streaming shard export: the continuous version of the terminal
+    * pipeline stage — a cleaned document STREAM lands as training
+    * shards as it arrives. Each micro-batch is written with the same
+    * deterministic layout into its own `batch=<id>` directory, and
+    * because the directory name is the batch id and the write is an
+    * overwrite, a batch replayed after a failure rewrites the SAME
+    * directory instead of appending duplicates — idempotent sink +
+    * checkpointed offsets = effectively-once shard export. Readers
+    * consume `dir/batch=*` as one partitioned dataset. */
+  def startStream(docs: DataFrame, idCol: String, dir: String,
+      shardRows: Int, nShards: Int, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        write(batch, idCol, s"$dir/batch=$batchId", shardRows, nShards)
+      }
+      .start()
 }

@@ -100,6 +100,71 @@ class Wave4Spec extends SparkSpecBase {
     assert(byCollation == byLower)
   }
 
+  test("q_agg_topk_sketch equals the exact top-5 per flag") {
+    // maxItemsTracked (1000) exceeds the per-flag supplier NDV (100),
+    // so the sketch counts are exact and, after the deterministic
+    // re-rank, the output must match the exact top-5 precisely.
+    val sketchTop = run("q_agg_topk_sketch")
+      .select(col("flag"), col("l_suppkey"), col("est"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getInt(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+      .orderBy(col("n").desc, col("l_suppkey"))
+    val exactTop = t.lineitem
+      .groupBy(col("l_returnflag"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getInt(3))).toSet
+    assert(sketchTop == exactTop)
+  }
+
+  test("q_scan_sample is seed-reproducible, in-band, and a subset") {
+    val once = run("q_scan_sample")
+    val again = run("q_scan_sample")
+    val a = once.collect().map(_.toSeq).toSet
+    assert(a == again.collect().map(_.toSeq).toSet,
+      "same seed produced different samples")
+    val total = t.lineitem.count().toDouble
+    val frac = a.size / total
+    assert(frac > 0.02 && frac < 0.09, s"sample fraction $frac off 5%")
+    assert(once.join(t.lineitem,
+      Seq("l_orderkey", "l_linenumber"), "left_anti").isEmpty,
+      "sample contains rows not in the source")
+  }
+
+  test("streaming shard export is deterministic and idempotent per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.sources.ShardWriter.startStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", dir.toString,
+      shardRows = 50, nShards = 4, checkpoint = ckpt.toString)
+    try {
+      input.addData(docs.as[(Long, String)].collect().toSeq.take(200))
+      q.processAllAvailable()
+      input.addData(docs.as[(Long, String)].collect().toSeq.drop(200))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(s"$dir/batch=*")
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() ==
+      docs.select("doc_id").distinct().count())
+    // Batch replay (failure recovery) rewrites the same directory
+    // instead of appending: re-running batch 0's write is a no-op for
+    // the total row count.
+    graft.sources.ShardWriter.write(
+      docs.limit(200), "doc_id", s"$dir/batch=0", 50, 4)
+    assert(spark.read.parquet(s"$dir/batch=*").count() == docs.count(),
+      "batch replay duplicated rows")
+  }
+
   test("incremental dedup emits only fingerprints absent from the corpus index") {
     val out = run("d_dedup_incremental")
     val corpusFps = t.documents.filter(col("doc_id") % 10 =!= 0)
