@@ -47,7 +47,12 @@ object Bench {
     }
     warmup.foreach { q =>
       try q.run(t).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        // A failed warmup voids the steady-state guarantee for this
+        // query (its one-time build lands in the measured run) — say
+        // so instead of silently skewing the timing.
+        System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
+      }
     }
     val results = Registry.all
       .filter(q => wanted.forall(_.contains(q.name)))
@@ -67,10 +72,16 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parse: stdout line AND a file
     // copy (three rounds of BENCH_r0*.json came back parsed:null).
+    // A failed write is LOUD — a silently-kept stale file from a
+    // previous run would masquerade as this run's numbers.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/graft_bench.json"),
       (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"[bench] /tmp/graft_bench.json write failed (stdout line is " +
+          s"authoritative): ${e.getMessage}")
+    }
     println(json)
     spark.stop()
   }

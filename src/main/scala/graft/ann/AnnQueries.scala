@@ -122,9 +122,10 @@ object AnnQueries {
       // (acceptable for a dev cache — IvfIndexSpec cross-checks
       // probe == fresh build).
       val (c, iters) = (16, 2)
-      val fp = graft.sources.Formats
-        .contentFingerprint(s"${t.dir}/embeddings.parquet")
-      val dir = s"/tmp/graft_ivf_c${c}_i${iters}_$fp"
+      val F = graft.sources.Formats
+      val dir = F.cacheDir(
+        s"/tmp/graft_ivf_c${c}_i${iters}_${F.sanitize(t.dir)}",
+        F.contentFingerprint(s"${t.dir}/embeddings.parquet"))
       if (!new java.io.File(s"$dir/centroids/_SUCCESS").exists())
         IvfIndex.writeIndex(vecs(t), dir, c = c, iters = iters)
       IvfIndex.probeIndex(t.spark, dir,

@@ -336,14 +336,16 @@ object DedupQueries {
         FROM documents),
       corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 0),
       snap AS (SELECT fp, doc_id FROM fp WHERE doc_id % 10 = 0)
-      SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_new
-      FROM snap
-      WHERE fp NOT IN (SELECT fp FROM corpus)
-      GROUP BY fp
+      SELECT s.fp AS fp, MIN(s.doc_id) AS keep_id, COUNT(*) AS n_new
+      FROM snap s
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = s.fp)
+      GROUP BY s.fp
     """)) { t =>
       val fp = md5(TextFns.normalize(col("text")).cast("binary"))
-      val idxDir = "/tmp/graft_corpusfp_" + graft.sources.Formats
-        .contentFingerprint(s"${t.dir}/documents.parquet")
+      val F = graft.sources.Formats
+      val idxDir = F.cacheDir(
+        s"/tmp/graft_corpusfp_${F.sanitize(t.dir)}",
+        F.contentFingerprint(s"${t.dir}/documents.parquet"))
       if (!new java.io.File(s"$idxDir/_SUCCESS").exists())
         t.documents.filter(col("doc_id") % 10 =!= 0)
           .select(fp.as("fp")).distinct()

@@ -84,6 +84,11 @@ object GraftFunctions {
   def dotBuilder(exprs: Seq[Expression]): Expression =
     DotProduct(toDoubleArray(exprs.head), toDoubleArray(exprs(1)))
 
+  /** Shared by the temp-function registration below and the
+    * GraftExtensions injection — one builder, both session paths. */
+  def cmsBuilder(exprs: Seq[Expression]): Expression =
+    CmsEstimate(exprs.head, exprs(1))
+
   def register(spark: SparkSession): Unit = {
     // Gate PER FUNCTION: sessions built with GraftExtensions already
     // have graft_dot injected, and a shared gate would then skip
@@ -96,8 +101,7 @@ object GraftFunctions {
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           name, builder, "built-in")
     ensure("graft_dot", dotBuilder)
-    ensure("graft_cms_estimate",
-      exprs => CmsEstimate(exprs.head, exprs(1)))
+    ensure("graft_cms_estimate", cmsBuilder)
     TextStats.register(spark)
   }
 }

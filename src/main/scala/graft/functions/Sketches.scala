@@ -37,13 +37,17 @@ case class CmsEstimate(left: Expression, right: Expression)
     }
 
   // One sketch is probed for many candidate rows in sequence; memoize
-  // the last deserialization keyed by the byte array reference.
+  // the last deserialization. Keyed by CONTENT, not reference —
+  // UnsafeRow.getBinary allocates a fresh array per access, so a
+  // reference check would never hit and every probe row would re-parse
+  // the ~100 KB blob. Arrays.equals is a linear scan but cheap next
+  // to readFrom's allocation + parse.
   @transient private var lastBytes: Array[Byte] = _
   @transient private var lastSketch: CountMinSketch = _
 
   override def nullSafeEval(sk: Any, item: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    if (!(bytes eq lastBytes)) {
+    if (lastBytes == null || !java.util.Arrays.equals(bytes, lastBytes)) {
       lastSketch =
         CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
       lastBytes = bytes

@@ -68,8 +68,11 @@ object Iterate {
         // frontier died mid-batch, stop NOW — one cheap isEmpty on the
         // already-materialized frame — instead of scheduling a whole
         // extra batch of empty jobs before the next emptiness check.
+        // Only meaningful for batch > 1: with one level per batch,
+        // tagged nonempty == frontier nonempty, and the extra action
+        // would just double the per-round driver overhead.
         frontier = tagged.filter(col("__lvl") === lastIdx).drop("__lvl")
-        if (frontier.isEmpty) done = true
+        if (lastIdx > 0 && frontier.isEmpty) done = true
       }
     }
     acc

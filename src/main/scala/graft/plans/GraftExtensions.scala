@@ -23,8 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName,
         "graft_cms_estimate"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CmsEstimate(exprs.head, exprs(1))))
+      GraftFunctions.cmsBuilder _))
     extensions.injectFunction(graft.functions.TextStats.registration)
     // Whole-operator extension: plans RangeJoinPlan nodes onto the
     // broadcast-binary-search range join (see plans/RangeJoin.scala).

@@ -65,4 +65,34 @@ object Formats {
       .digest(s"${f.getAbsolutePath}|$leaves".getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
   }
+
+  /** Path component safe for embedding a source path in a cache dir
+    * name. The DATA IDENTITY (source dir, build params) belongs in
+    * the cacheDir PREFIX — only the content fingerprint goes in the
+    * suffix — so eviction never touches caches of other datasets. */
+  def sanitize(path: String): String =
+    path.replaceAll("[^A-Za-z0-9.]+", "-").stripPrefix("-")
+
+  /** Cache directory `<prefix>_<fp>` for a fingerprint-keyed derived
+    * layout, evicting STALE siblings first: without this, every
+    * source-data regeneration leaves behind a full previous copy
+    * (`<prefix>_<oldfp>`) and iterating on data generation steadily
+    * fills /tmp. Anything that isn't a `<prefix>_*` sibling — e.g. a
+    * same-prefix-different-params or different-dataset cache — is
+    * untouched because those belong in the prefix (see sanitize). */
+  def cacheDir(prefix: String, fp: String): String = {
+    val p = new java.io.File(prefix)
+    val (base, stem) = (p.getParentFile, p.getName)
+    if (base != null && base.isDirectory) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      Option(base.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(stem + "_") &&
+          f.getName != s"${stem}_$fp")
+        .foreach(rm)
+    }
+    s"${prefix}_$fp"
+  }
 }

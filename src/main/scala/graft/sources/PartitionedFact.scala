@@ -32,8 +32,9 @@ object PartitionedFact {
     * fingerprint; returns the partition-aware reader. */
   def lineitemByShipMonth(spark: SparkSession, dataDir: String): DataFrame = {
     val src = s"$dataDir/lineitem.parquet"
-    val dir =
-      s"/tmp/graft_part_lineitem_${Formats.contentFingerprint(src)}"
+    val dir = Formats.cacheDir(
+      s"/tmp/graft_part_lineitem_${Formats.sanitize(dataDir)}",
+      Formats.contentFingerprint(src))
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       Formats.write(
         spark.read.parquet(src)

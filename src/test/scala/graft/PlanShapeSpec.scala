@@ -156,9 +156,16 @@ class PlanShapeSpec extends SparkSpecBase {
     val g = graph.Graph.derived(t.orders)
     val (edeg, nodes, init) = g.pageRankState()
     val round = g.pageRankRound(edeg, nodes, init, 0.85)
-    val logical = round.queryExecution.optimizedPlan.toString
-    assert(!logical.contains("ResolvedHint"),
-      s"broadcast hint in pagerank round:\n$logical")
+    // ResolvedHint only survives in the ANALYZED plan (the optimizer's
+    // EliminateResolvedHint folds it into the Join's hint field, where
+    // it renders as "strategy=broadcast") — check both forms so a
+    // re-added broadcast() cannot slip past this test.
+    val analyzed = round.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"broadcast hint in pagerank round:\n$analyzed")
+    val optimized = round.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("strategy=broadcast"),
+      s"broadcast join hint survived optimization:\n$optimized")
   }
 
   test("q_lateral decorrelates the per-row LIMIT into a ranked join") {
