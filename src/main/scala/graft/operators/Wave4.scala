@@ -202,6 +202,89 @@ object Wave4 {
         .filter(col("rank") <= 5)
     },
 
+    // Correlated scalar subqueries in the SELECT list (reference:
+    // planner/core/rule_decorrelate.go — Apply over a per-row
+    // aggregate). Catalyst decorrelates both subqueries into
+    // left-outer aggregate joins — one orders scan per subquery, no
+    // per-row execution, no cartesian (plan-asserted). The COUNT
+    // correlation is the classic null-vs-zero trap: an orderless
+    // customer must report 0, not NULL.
+    Q("q_subquery_select", Some("""
+      SELECT c.c_custkey, c.c_name,
+             (SELECT COUNT(*) FROM orders o
+              WHERE o.o_custkey = c.c_custkey) AS n_orders,
+             CAST((SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+                   FROM orders o
+                   WHERE o.o_custkey = c.c_custkey) AS DOUBLE) AS spend
+      FROM customer c WHERE c.c_custkey < 200
+    """)) { t =>
+      t.sql("""
+        SELECT c.c_custkey, c.c_name,
+               (SELECT COUNT(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               CAST((SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+                     FROM orders o
+                     WHERE o.o_custkey = c.c_custkey) AS DOUBLE) AS spend
+        FROM customer c WHERE c.c_custkey < 200
+      """, "customer", "orders")
+    },
+
+    // Quantified comparison `> ALL (subquery)` (reference:
+    // planner/core/expression_rewriter.go rewrites ANY/ALL into
+    // min/max aggregates). Spark has no quantified-subquery syntax,
+    // so the engine RUNS the reference's own rewrite — per-nation MAX
+    // + left join, with the empty-set case (`ALL` over nothing =
+    // TRUE) pinned via COALESCE to -infinity — while the DuckDB
+    // oracle executes the NATIVE `> ALL` form, proving the rewrite
+    // equivalent.
+    Q("q_subquery_all", Some("""
+      SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+      FROM customer c
+      WHERE c_acctbal > ALL (SELECT s_acctbal FROM supplier s
+                             WHERE s.s_nationkey = c.c_nationkey)
+    """)) { t =>
+      val natMax = t.supplier
+        .groupBy(col("s_nationkey").as("nk"))
+        .agg(max(col("s_acctbal")).as("max_bal"))
+      t.customer
+        .join(broadcast(natMax), col("c_nationkey") === col("nk"), "left")
+        .filter(col("c_acctbal") >
+          coalesce(col("max_bal"), lit(Double.MinValue)))
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+    },
+
+    // Higher-order array functions (reference twin: the expression
+    // evaluator over JSON arrays, expression/builtin_json.go — the
+    // lambda forms are how a columnar engine expresses per-element
+    // logic without exploding rows). transform/filter/aggregate/
+    // exists/forall all stay inside one projection — no explode, no
+    // shuffle; arrays JSON-rendered for the cross-engine compare.
+    Q("q_func_hof", Some("""
+      WITH a AS (
+        SELECT c_custkey,
+               [c_custkey % 10, c_custkey % 7, c_custkey % 3] AS arr
+        FROM customer WHERE c_custkey < 100)
+      SELECT c_custkey,
+             to_json(list_transform(arr, x -> x * 2 + 1)) AS doubled,
+             to_json(list_filter(arr, x -> x % 2 = 0)) AS evens,
+             list_aggregate(arr, 'sum') AS total,
+             CAST(LEN(list_filter(arr, x -> x > 5)) > 0 AS INT) AS any_big,
+             CAST(LEN(list_filter(arr, x -> x >= 0)) = LEN(arr) AS INT)
+               AS all_nonneg
+      FROM a
+    """)) { t =>
+      val arr = array(col("c_custkey") % 10, col("c_custkey") % 7,
+        col("c_custkey") % 3)
+      t.customer.filter(col("c_custkey") < 100)
+        .select(col("c_custkey"), arr.as("arr"))
+        .select(col("c_custkey"),
+          to_json(transform(col("arr"), x => x * 2 + 1)).as("doubled"),
+          to_json(filter(col("arr"), x => x % 2 === 0)).as("evens"),
+          aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("total"),
+          exists(col("arr"), x => x > 5).cast("int").as("any_big"),
+          forall(col("arr"), x => x >= 0).cast("int").as("all_nonneg"))
+    },
+
     // Seeded Bernoulli table sample (reference: executor/sample.go
     // TABLESAMPLE): sampling happens AT THE SCAN — each partition
     // draws independently with a seed-derived RNG, so no shuffle, no

@@ -168,6 +168,13 @@ class PlanShapeSpec extends SparkSpecBase {
       s"broadcast join hint survived optimization:\n$optimized")
   }
 
+  test("q_subquery_select decorrelates both scalar subqueries") {
+    val p = plan("q_subquery_select")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated scalar subqueries not decorrelated:\n$p")
+  }
+
   test("q_lateral decorrelates the per-row LIMIT into a ranked join") {
     val p = plan("q_lateral")
     assert(!p.contains("CartesianProduct"), s"lateral not decorrelated:\n$p")
