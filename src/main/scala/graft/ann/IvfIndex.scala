@@ -25,10 +25,18 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Squared-L2 ranking key (monotone in true distance for fixed
-    * query): |c|^2 - 2 v·c. */
+    * query): |c|^2 - 2 v·c. The |c|^2 term is constant per centroid,
+    * so callers precompute it once into a `cc` column ([[withCC]]) —
+    * paying C dot products instead of |corpus|·C per assignment pass
+    * (the rounding happens on the same doubles, so assignments and
+    * hashes are unchanged). */
   private def distKey(v: org.apache.spark.sql.Column,
-      cv: org.apache.spark.sql.Column) =
-    round(dot(cv, cv) - lit(2.0) * dot(v, cv), 6)
+      cv: org.apache.spark.sql.Column,
+      cc: org.apache.spark.sql.Column) =
+    round(cc - lit(2.0) * dot(v, cv), 6)
+
+  private def withCC(centroids: DataFrame): DataFrame =
+    centroids.withColumn("cc", dot(col("cv"), col("cv")))
 
   /** Nearest-cell assignment of `points` against a broadcast
     * centroid table: min_by over the per-cell distance keys — a
@@ -37,10 +45,11 @@ object IvfIndex {
   private def assign(points: DataFrame, centroids: DataFrame,
       idCol: String, vCol: String): DataFrame = {
     val others = points.columns.filter(_ != idCol).map(c => col(c))
-    points.crossJoin(broadcast(centroids))
+    points.crossJoin(broadcast(withCC(centroids)))
       .groupBy(col(idCol))
       .agg(min_by(col("cell"),
-          struct(distKey(col(vCol), col("cv")), col("cell"))).as("cell"),
+          struct(distKey(col(vCol), col("cv"), col("cc")), col("cell")))
+          .as("cell"),
         others.map(c => first(c).as(c.toString)): _*)
   }
 
@@ -100,8 +109,8 @@ object IvfIndex {
   def probes(queries: DataFrame, centroids: DataFrame,
       nprobe: Int): DataFrame = {
     val w = Window.partitionBy("qid")
-      .orderBy(distKey(col("qv"), col("cv")), col("cell"))
-    queries.crossJoin(broadcast(centroids))
+      .orderBy(distKey(col("qv"), col("cv"), col("cc")), col("cell"))
+    queries.crossJoin(broadcast(withCC(centroids)))
       .withColumn("rnc", row_number().over(w))
       .filter(col("rnc") <= nprobe)
       .select(col("qid"), col("qv"), col("cell"))

@@ -151,6 +151,46 @@ object Wave4 {
             col("c_custkey").cast("string")).cast("binary")).as("salted"))
     },
 
+    // Table checksum (reference: executor/checksum.go — ADMIN
+    // CHECKSUM TABLE folds every row into one order-independent
+    // digest for cross-store consistency checks; the same op
+    // validates a migrated/replicated 100 TB table here). Per row:
+    // md5 over the pipe-joined business key + 2dp money rendering
+    // (identical string on both engines), top 60 bits as a BIGINT,
+    // BIT_XOR-folded — commutative, so it map-side combines and never
+    // sorts; one scan per table.
+    Q("q_table_checksum", Some("""
+      SELECT 'lineitem' AS tbl, COUNT(*) AS n_rows,
+             BIT_XOR(CAST(('0x' || substr(MD5(CONCAT_WS('|',
+               l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR))),
+               1, 15)) AS BIGINT)) AS checksum
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders' AS tbl, COUNT(*) AS n_rows,
+             BIT_XOR(CAST(('0x' || substr(MD5(CONCAT_WS('|',
+               o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR))),
+               1, 15)) AS BIGINT)) AS checksum
+      FROM orders
+    """)) { t =>
+      val li = t.lineitem
+        .select(conv(substring(md5(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"),
+            Exact.dec2(col("l_extendedprice")).cast("string"))
+          .cast("binary")), 1, 15), 16, 10).cast("long").as("__h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("checksum"))
+        .select(lit("lineitem").as("tbl"), col("n_rows"), col("checksum"))
+      val ord = t.orders
+        .select(conv(substring(md5(concat_ws("|",
+            col("o_orderkey"), col("o_orderstatus"),
+            Exact.dec2(col("o_totalprice")).cast("string"))
+          .cast("binary")), 1, 15), 16, 10).cast("long").as("__h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("checksum"))
+        .select(lit("orders").as("tbl"), col("n_rows"), col("checksum"))
+      li.union(ord)
+    },
+
     // Heavy hitters via Count-Min sketch (reference:
     // statistics/cmsketch.go — TiDB keeps a CMSketch + TopN per column
     // and answers frequency questions from the sketch, never a
