@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object AnnQueries {
 
+  /** Corpus vectors with their norm precomputed ONCE per vector —
+    * every downstream scorer uses cosinePre (1 dot per pair). */
   private def vecs(t: Tables): DataFrame =
     t.fan(t.embeddings)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
 
   /** 4 LSH tables × 8-bit signatures from deterministic pseudo-random
     * hyperplanes: component (table p, plane q, dim j) = xxhash64(p,q,j)
@@ -66,13 +69,14 @@ object AnnQueries {
     """)) { t =>
       val corpus = vecs(t)
       val queries = corpus.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nv").as("nq"))
       val w = Window.partitionBy("qid")
         .orderBy(round(col("c"), 8).desc, col("vec_id"))
       corpus.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          cosine(col("qv"), col("v")).as("c"))
+          cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("c"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))
@@ -92,14 +96,16 @@ object AnnQueries {
       val (cells, centroids) = IvfIndex.build(corpus, c = 16, iters = 2)
       val queryProbes = IvfIndex.probes(
         corpus.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("v").as("qv")),
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nv").as("nq")),
         centroids, nprobe = 4)
       val w = Window.partitionBy("qid")
         .orderBy(round(col("c"), 8).desc, col("vec_id"))
       queryProbes.join(cells, "cell")
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          cosine(col("qv"), col("v")).as("c")).distinct()
+          cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("c"))
+        .distinct()
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))
@@ -140,17 +146,18 @@ object AnnQueries {
     // checks recall against brute force.
     Q("s_ann_lsh", None) { t =>
       val corpus = withSigs(vecs(t))
-        .select(col("vec_id"), col("v"),
+        .select(col("vec_id"), col("v"), col("nv"),
           posexplode(col("sigs")).as(Seq("tbl", "sig")))
       val queries = corpus.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("tbl"), col("sig"))
+          col("nv").as("nq"), col("tbl"), col("sig"))
       val w = Window.partitionBy("qid")
         .orderBy(round(col("c"), 8).desc, col("vec_id"))
       queries.join(corpus, Seq("tbl", "sig"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          cosine(col("qv"), col("v")).as("c")).distinct()
+          cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("c"))
+        .distinct()
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))

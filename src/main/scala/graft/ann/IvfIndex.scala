@@ -90,29 +90,38 @@ object IvfIndex {
     * non-probed cell directories are never scanned (spec-asserted). */
   def probeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, nprobe: Int, topk: Int): DataFrame = {
-    import graft.functions.VectorFns.cosine
+    import graft.functions.VectorFns.{cosinePre, norm}
     val centroids = spark.read.parquet(s"$dir/centroids")
+    // Vector norms are computed once per side in a projection (an
+    // index may or may not persist nv — recomputing after the read
+    // keeps old layouts readable and costs one pass); the re-rank
+    // then pays exactly one dot product per (query, candidate) pair.
     val cells = spark.read.parquet(s"$dir/cells")
-    val probed = probes(queries, centroids, nprobe)
+      .withColumn("nv", norm(col("v")))
+    val probed = probes(
+      queries.withColumn("nq", norm(col("qv"))), centroids, nprobe)
     val w = Window.partitionBy("qid")
       .orderBy(round(col("c"), 8).desc, col("vec_id"))
     cells.join(broadcast(probed), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("qv"), col("v")).as("c")).distinct()
+        cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("c"))
+      .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topk)
       .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))
   }
 
-  /** The `nprobe` nearest cells per query (`qid`, `qv`). */
+  /** The `nprobe` nearest cells per query: every query column is
+    * passed through (callers carry precomputed norms alongside qv). */
   def probes(queries: DataFrame, centroids: DataFrame,
       nprobe: Int): DataFrame = {
     val w = Window.partitionBy("qid")
       .orderBy(distKey(col("qv"), col("cv"), col("cc")), col("cell"))
+    val passthrough = queries.columns.map(col).toSeq :+ col("cell")
     queries.crossJoin(broadcast(withCC(centroids)))
       .withColumn("rnc", row_number().over(w))
       .filter(col("rnc") <= nprobe)
-      .select(col("qid"), col("qv"), col("cell"))
+      .select(passthrough: _*)
   }
 }

@@ -27,4 +27,13 @@ object VectorFns {
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine from precomputed norms: identical arithmetic to
+    * [[cosine]] — norm(x) = sqrt(dot(x, x)) evaluated once per VECTOR
+    * (a projection column) instead of once per PAIR — so scores are
+    * bit-identical and oracle hashes unchanged, but an all-pairs
+    * scoring pass runs 1 dot product per pair instead of 3. At 100 TB
+    * the pair side dwarfs the vector side by orders of magnitude. */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 }
