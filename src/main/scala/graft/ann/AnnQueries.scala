@@ -3,7 +3,6 @@ package graft.ann
 import graft.{Q, Tables}
 import graft.functions.VectorFns._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (64-dim float).
@@ -71,15 +70,9 @@ object AnnQueries {
       val queries = corpus.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("nv").as("nq"))
-      val w = Window.partitionBy("qid")
-        .orderBy(round(col("c"), 8).desc, col("vec_id"))
-      corpus.crossJoin(broadcast(queries))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))
+      // Unique pairs by construction — no dedup shuffle needed.
+      rerankTopK(corpus.crossJoin(broadcast(queries)), topk = 5,
+        dedup = false)
     },
 
     // IVF (inverted-file) ANN — the coarse-quantizer scale path:
@@ -99,16 +92,7 @@ object AnnQueries {
           .select(col("vec_id").as("qid"), col("v").as("qv"),
             col("nv").as("nq")),
         centroids, nprobe = 4)
-      val w = Window.partitionBy("qid")
-        .orderBy(round(col("c"), 8).desc, col("vec_id"))
-      queryProbes.join(cells, "cell")
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("c"))
-        .distinct()
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))
+      rerankTopK(queryProbes.join(cells, "cell"), topk = 3, dedup = true)
     },
 
     // IVF probe against the PERSISTED index — the steady-state
@@ -151,16 +135,8 @@ object AnnQueries {
       val queries = corpus.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("nv").as("nq"), col("tbl"), col("sig"))
-      val w = Window.partitionBy("qid")
-        .orderBy(round(col("c"), 8).desc, col("vec_id"))
-      queries.join(corpus, Seq("tbl", "sig"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("c"))
-        .distinct()
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))
+      rerankTopK(queries.join(corpus, Seq("tbl", "sig")), topk = 3,
+        dedup = true)
     },
   )
 }

@@ -56,10 +56,15 @@ object IvfIndex {
   /** Build the index: (corpus with `cell` column, centroid table). */
   def build(corpus: DataFrame, c: Int, iters: Int)
       : (DataFrame, DataFrame) = {
+    // Lloyd iterations only consume (vec_id, v) — strip any extra
+    // caller columns (e.g. precomputed norms) so the per-iteration
+    // crossJoin/aggregation doesn't drag them through; the FINAL
+    // assignment below carries the full row set into the cells.
+    val lean = corpus.select(col("vec_id"), col("v"))
     var centroids = corpus.filter(col("vec_id") < c)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
     for (_ <- 1 to iters) {
-      val assigned = assign(corpus, centroids, "vec_id", "v")
+      val assigned = assign(lean, centroids, "vec_id", "v")
       centroids = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("j", "x")))
         .groupBy("cell", "j").agg(avg(col("x")).as("m"))
@@ -79,7 +84,10 @@ object IvfIndex {
   def writeIndex(corpus: DataFrame, dir: String, c: Int,
       iters: Int): Unit = {
     val (cells, centroids) = build(corpus, c, iters)
-    cells.write.partitionBy("cell").mode("overwrite")
+    // Norms are cheap to recompute at probe time (probeIndex does,
+    // unconditionally) — persisting them would grow every cell shard
+    // by a double per vector for a column the probe scan never reads.
+    cells.drop("nv").write.partitionBy("cell").mode("overwrite")
       .parquet(s"$dir/cells")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
   }
@@ -90,26 +98,16 @@ object IvfIndex {
     * non-probed cell directories are never scanned (spec-asserted). */
   def probeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, nprobe: Int, topk: Int): DataFrame = {
-    import graft.functions.VectorFns.{cosinePre, norm}
     val centroids = spark.read.parquet(s"$dir/centroids")
-    // Vector norms are computed once per side in a projection (an
-    // index may or may not persist nv — recomputing after the read
-    // keeps old layouts readable and costs one pass); the re-rank
-    // then pays exactly one dot product per (query, candidate) pair.
+    // Vector norms are computed once per side in a projection — the
+    // index deliberately does not persist them (writeIndex), so the
+    // read stays schema-stable and the re-rank still pays exactly one
+    // dot product per (query, candidate) pair.
     val cells = spark.read.parquet(s"$dir/cells")
       .withColumn("nv", norm(col("v")))
     val probed = probes(
       queries.withColumn("nq", norm(col("qv"))), centroids, nprobe)
-    val w = Window.partitionBy("qid")
-      .orderBy(round(col("c"), 8).desc, col("vec_id"))
-    cells.join(broadcast(probed), "cell")
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("c"))
-      .distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topk)
-      .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))
+    rerankTopK(cells.join(broadcast(probed), "cell"), topk, dedup = true)
   }
 
   /** The `nprobe` nearest cells per query: every query column is

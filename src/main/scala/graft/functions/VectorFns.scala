@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dense-vector primitives over `array<float>` embedding columns.
@@ -36,4 +37,27 @@ object VectorFns {
     * the pair side dwarfs the vector side by orders of magnitude. */
   def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
+
+  /** Shared exact-cosine re-rank over candidate pairs carrying
+    * (qid, qv, nq) × (vec_id, v, nv): score with precomputed-norm
+    * cosine, keep top-k per query on the deterministic
+    * (round(c, 8) desc, vec_id) key, emit (qid, vec_id, cos@4dp).
+    * Every ANN entry (brute / LSH / IVF in-query / IVF probe) ends in
+    * this block — one definition, so a ranking-key tweak cannot
+    * silently diverge between them. `dedup` inserts the distinct that
+    * multi-bucket candidate generators (LSH tables, IVF probes) need;
+    * generators that already emit unique pairs skip its shuffle. */
+  def rerankTopK(pairs: DataFrame, topk: Int,
+      dedup: Boolean): DataFrame = {
+    val w = Window.partitionBy("qid")
+      .orderBy(round(col("c"), 8).desc, col("vec_id"))
+    val scored = pairs
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("c"))
+    (if (dedup) scored.distinct() else scored)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topk)
+      .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))
+  }
 }

@@ -96,7 +96,7 @@ object Analytics {
       val a = t.lineitem.filter(col("l_returnflag") === "A")
         .select("l_partkey")
       r.intersectAll(a).select(lit("i").as("src"), col("l_partkey"))
-        .unionAll(
+        .union(
           r.exceptAll(a).select(lit("e").as("src"), col("l_partkey")))
         .filter(col("l_partkey") < 200)
     },
@@ -244,7 +244,7 @@ object Analytics {
           round(min(col("l_extendedprice")), 2).as("lo"),
           round(max(col("l_extendedprice")), 2).as("hi"))
         .select(lit("depth").as("kind"), col("*"))
-      width.unionAll(depth)
+      width.union(depth)
     },
 
     // Window over an aggregate (the classic month-over-month report:

@@ -271,25 +271,30 @@ object Wave4 {
 
     // Quantified comparison `> ALL (subquery)` (reference:
     // planner/core/expression_rewriter.go rewrites ANY/ALL into
-    // min/max aggregates). Spark has no quantified-subquery syntax,
-    // so the engine RUNS the reference's own rewrite — per-nation MAX
-    // + left join, with the empty-set case (`ALL` over nothing =
-    // TRUE) pinned via COALESCE to -infinity — while the DuckDB
-    // oracle executes the NATIVE `> ALL` form, proving the rewrite
-    // equivalent.
+    // min/max aggregates WITH null bookkeeping). Spark has no
+    // quantified-subquery syntax, so the engine runs the same
+    // null-aware rewrite the reference's rewriter emits:
+    //   - empty subquery  → ALL is TRUE (left-join miss keeps the row,
+    //     even for NULL c_acctbal — native semantics, verified);
+    //   - any NULL element → ALL is NULL unless already FALSE → drop
+    //     (n_null gate; a false comparison drops the row either way);
+    //   - otherwise x > MAX(non-null elements).
+    // The DuckDB oracle executes the NATIVE `> ALL` form, so the
+    // rewrite's full three-valued semantics are what hash-compares.
     Q("q_subquery_all", Some("""
       SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
       FROM customer c
       WHERE c_acctbal > ALL (SELECT s_acctbal FROM supplier s
                              WHERE s.s_nationkey = c.c_nationkey)
     """)) { t =>
-      val natMax = t.supplier
+      val natAgg = t.supplier
         .groupBy(col("s_nationkey").as("nk"))
-        .agg(max(col("s_acctbal")).as("max_bal"))
+        .agg(max(col("s_acctbal")).as("max_bal"),
+          count(when(col("s_acctbal").isNull, 1)).as("n_null"))
       t.customer
-        .join(broadcast(natMax), col("c_nationkey") === col("nk"), "left")
-        .filter(col("c_acctbal") >
-          coalesce(col("max_bal"), lit(Double.MinValue)))
+        .join(broadcast(natAgg), col("c_nationkey") === col("nk"), "left")
+        .filter(col("nk").isNull ||
+          (col("n_null") === 0 && col("c_acctbal") > col("max_bal")))
         .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
     },
 
