@@ -21,6 +21,7 @@ object Registry {
     operators.Scalars2.all,
     operators.Analytics.all,
     operators.Wave4.all,
+    operators.Dml.all,
     graph.GraphQueries.all,
     dedup.DedupQueries.all,
     ann.AnnQueries.all,

@@ -124,6 +124,36 @@ object AnnQueries {
         nprobe = 4, topk = 3)
     },
 
+    // Product-quantization ANN — the vector-compression scale path
+    // (PqIndex: 8 subspaces × 16 centroids = 64× smaller corpus
+    // representation). Queries build one 8×16 ADC lookup table each;
+    // every corpus vector's approximate dot product is then 8 table
+    // lookups over its codes — the float corpus is never scanned at
+    // query time. ADC top-10 candidates re-rank by exact cosine into
+    // the shared top-3 output shape. Quantizer arithmetic is
+    // engine-specific → rows-only; the spec checks recall against
+    // brute force.
+    Q("s_ann_pq", None) { t =>
+      val corpus = vecs(t)
+      val (codes, cent) = PqIndex.build(
+        corpus.select("vec_id", "v"), m = 8, s = 8, k = 16, iters = 2)
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nv").as("nq"))
+      val lut = PqIndex.adcLut(queries.select("qid", "qv"), cent, s = 8)
+      val adcTop = codes.join(broadcast(lut), Seq("m", "cid"))
+        .groupBy("qid", "vec_id").agg(sum(col("d")).as("adc"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(round(col("adc"), 6).desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+        .select("qid", "vec_id")
+      rerankTopK(
+        adcTop.join(corpus, "vec_id").join(queries, "qid"),
+        topk = 3, dedup = false)
+    },
+
     // LSH-bucketed ANN: 4 tables × 8 hyperplane bits; candidates are
     // same-bucket vectors, re-ranked by exact cosine, top-3 kept.
     // Hash-derived planes are engine-specific → rows-only; the spec

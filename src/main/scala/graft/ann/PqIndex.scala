@@ -1,0 +1,86 @@
+package graft.ann
+
+import graft.functions.VectorFns.dot
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the vector-COMPRESSION leg of the ANN
+  * family (IVF partitions the corpus; PQ shrinks the bytes). The
+  * D-dim vector is split into M subspaces of S dims; each subspace
+  * gets its own K-centroid codebook (deterministic k-means, same
+  * conventions as [[IvfIndex]]: first-K seeds, bounded Lloyd rounds,
+  * centroids rounded to 6dp so float summation order cannot flip an
+  * assignment); a vector is stored as M small codes. At K=16 a 64-dim
+  * float vector compresses 64× (256 bytes → 8 nibbles) — the
+  * difference between an embedding corpus that fits executor memory
+  * and one that doesn't.
+  *
+  * Queries score against codes with the ADC (asymmetric distance
+  * computation) trick: one M×K lookup table of exact
+  * query-sub×centroid dot products per query, then every corpus
+  * vector's approximate dot is a sum of M table lookups — no float
+  * vector is ever read at scan time.
+  *
+  * Scale: codebooks are tiny (M·K rows) and broadcast everywhere;
+  * training shuffles (vec_id, m) sub-vector rows with map-side
+  * partial means; encoding is one broadcast-join map pass over the
+  * corpus. All k-means caveats from IvfIndex apply (empty cells may
+  * drop, which only ever coarsens the quantizer).
+  */
+object PqIndex {
+
+  /** Sub-vector view of the corpus: (vec_id, m, sv, nsv2). */
+  private def subvectors(corpus: DataFrame, m: Int, s: Int): DataFrame =
+    corpus.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), j -> struct(j AS m, slice(v, j * $s + 1, $s) AS sv))"))
+        .as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      .withColumn("nsv2", dot(col("sv"), col("sv")))
+
+  /** Nearest-centroid assignment per (vec_id, m): L2 via the
+    * precomputed-norm identity |a-c|² = |a|² + |c|² - 2a·c (one dot
+    * per pair); argmin through a struct MIN so ties break on cid
+    * deterministically. */
+  private def assign(subv: DataFrame, cent: DataFrame): DataFrame =
+    subv.join(broadcast(cent), "m")
+      .select(col("vec_id"), col("m"), col("sv"),
+        struct((col("nsv2") + col("nc2") - lit(2.0) * dot(col("sv"), col("c")))
+          .as("dist"), col("cid")).as("dc"))
+      .groupBy("vec_id", "m")
+      .agg(min(col("dc")).as("mn"), first(col("sv")).as("sv"))
+      .select(col("vec_id"), col("m"), col("mn.cid").as("cid"), col("sv"))
+
+  /** Per-(m, cid) mean of member sub-vectors, rounded to 6dp. */
+  private def recompute(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy("m", "cid", "dim").agg(round(avg(col("x")), 6).as("a"))
+      .groupBy("m", "cid")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, a))), p -> p.a)")
+        .as("c"))
+      .withColumn("nc2", dot(col("c"), col("c")))
+
+  /** Train M codebooks and encode the corpus.
+    * @return (codes: (vec_id, m, cid), codebooks: (m, cid, c, nc2)) */
+  def build(corpus: DataFrame, m: Int, s: Int, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val subv = subvectors(corpus, m, s).localCheckpoint()
+    var cent = subv.filter(col("vec_id") < k)
+      .select(col("m"), col("vec_id").as("cid"),
+        expr("transform(sv, x -> round(x, 6))").as("c"))
+      .withColumn("nc2", dot(col("c"), col("c")))
+      .localCheckpoint()
+    for (_ <- 1 to iters)
+      cent = recompute(assign(subv, cent)).localCheckpoint()
+    (assign(subv, cent).select("vec_id", "m", "cid"), cent)
+  }
+
+  /** ADC lookup table for a query set: exact dot of each query
+    * sub-vector against each centroid, rounded to 6dp so the M-term
+    * score sum is order-independent across runs. */
+  def adcLut(queries: DataFrame, cent: DataFrame, s: Int): DataFrame =
+    queries.crossJoin(broadcast(cent))
+      .select(col("qid"), col("m"), col("cid"),
+        round(dot(slice(col("qv"), col("m") * s + 1, lit(s)), col("c")), 6)
+          .as("d"))
+}

@@ -321,6 +321,54 @@ object DedupQueries {
         .agg(countDistinct(col("gram")).as("n_shared"))
     },
 
+    // Cross-document LINE/paragraph dedup (the CCNet recipe): split
+    // each document into fixed 10-word chunks (this corpus has no
+    // newlines, so the chunker is positional; real text splits on
+    // '\n'), count chunk occurrences across the corpus, and drop
+    // every occurrence outside the chunk's first (minimum-doc_id)
+    // document — boilerplate (headers, nav bars, license blocks)
+    // disappears corpus-wide while one copy survives. Scale: chunks
+    // shuffle ONCE (the first-doc window exchange is reused by the
+    // rebuild aggregation); at 100 TB chunks are hashed to 128-bit
+    // before the shuffle, same as d_contamination's gram path. The
+    // per-doc rebuild sorts only that doc's own ≤len/10 chunks.
+    Q("d_dedup_lines", Some("""
+      WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+      c AS (SELECT doc_id, i AS idx,
+              ARRAY_TO_STRING(ws[(i-1)*10+1:i*10], ' ') AS chunk
+            FROM w, UNNEST(generate_series(1, CAST(CEIL(LEN(ws)/10.0) AS INT))) AS t(i)),
+      f AS (SELECT chunk, MIN(doc_id) AS first_doc FROM c GROUP BY chunk),
+      k AS (SELECT c.doc_id, c.idx, c.chunk,
+              CAST(c.doc_id = f.first_doc AS INT) AS keep
+            FROM c JOIN f USING (chunk))
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(1 - keep) AS BIGINT) AS n_dropped,
+             MD5(COALESCE(STRING_AGG(CASE WHEN keep = 1 THEN chunk END, ' ' ORDER BY idx), '')) AS clean_fp
+      FROM k GROUP BY doc_id
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val ws = split(col("text"), " ")
+      val chunks = t.fan(t.documents)
+        .select(col("doc_id"),
+          posexplode(when(size(ws) >= 1,
+            transform(sequence(lit(1), ceil(size(ws) / 10.0).cast("int")),
+              i => concat_ws(" ", slice(ws, (i - 1) * 10 + 1, lit(10)))))
+            .otherwise(array().cast("array<string>")))
+            .as(Seq("idx0", "chunk")))
+        .select(col("doc_id"), (col("idx0") + 1).as("idx"), col("chunk"))
+      val tagged = chunks.withColumn("keep",
+        (col("doc_id") ===
+          min(col("doc_id")).over(Window.partitionBy("chunk")))
+          .cast("int"))
+      tagged.groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(lit(1) - col("keep")).as("n_dropped"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep") === 1,
+            struct(col("idx"), col("chunk"))))),
+          x => x.getField("chunk")), " ").cast("binary")).as("clean_fp"))
+    },
+
     // INCREMENTAL dedup across snapshots (reference analog: TiDB's
     // incremental stats maintenance, statistics/handle/ — never
     // recompute the world). The steady-state pipeline op: the corpus'

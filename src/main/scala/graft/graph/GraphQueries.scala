@@ -232,6 +232,61 @@ object GraphQueries {
     Q("g_pagerank", Some(pageRankOracle(10))) { t =>
       Graph.derived(t.orders).pageRank(iters = 10)
     },
+
+    // Neighborhood-similarity link scoring: for each existing
+    // undirected edge (a, b), the Jaccard similarity of the two
+    // endpoints' neighbor sets — the classic related-entity /
+    // link-prediction op (same family as the reference's MATCH-based
+    // similarity lookups). Top 20 by (similarity, a, b) with a
+    // deterministic ranking key. Scale: common-neighbor counting is
+    // the triangle wedge join keyed on the MIDDLE node — wedge fan-out
+    // is bounded by per-node degree (hub nodes would get degree-capped
+    // or salted, SkewJoin.salted, before the wedge join at 100 TB);
+    // the undirected edge table shuffles once on src and every
+    // consumer (wedge sides, degree counts, edge check) reuses that
+    // exchange.
+    Q("g_jaccard_nbrs", Some(s"""
+      $edgeCte, u AS (
+        -- DISTINCT over UNION ALL, not bare UNION: inside a WITH
+        -- RECURSIVE list DuckDB gives a two-arm UNION recursive-
+        -- accumulation semantics and keeps rows both arms produce
+        -- (self-loops, symmetric pairs) — harmless to the min/
+        -- reachability oracles but fatal to row COUNTS.
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e) z),
+      d AS (SELECT src, COUNT(*) AS deg FROM u GROUP BY src),
+      pairs AS (SELECT u1.src AS a, u2.src AS b, COUNT(*) AS common
+                FROM u u1 JOIN u u2 ON u1.dst = u2.dst AND u1.src < u2.src
+                GROUP BY u1.src, u2.src),
+      ep AS (SELECT p.a, p.b, p.common, da.deg AS dega, db.deg AS degb
+             FROM pairs p
+             JOIN u ON u.src = p.a AND u.dst = p.b
+             JOIN d da ON da.src = p.a
+             JOIN d db ON db.src = p.b)
+      SELECT a, b, ROUND(CAST(common AS DOUBLE) / (dega + degb - common), 4) AS jac
+      FROM ep
+      ORDER BY ROUND(CAST(common AS DOUBLE) / (dega + degb - common), 8) DESC, a, b
+      LIMIT 20
+    """)) { t =>
+      val u = Graph.derived(t.orders).oriented("both")
+        .repartition(col("src"))
+      val d = u.groupBy("src").agg(count(lit(1)).as("deg"))
+      val pairs = u.select(col("src").as("a"), col("dst"))
+        .join(u.select(col("src").as("b"), col("dst")), "dst")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      pairs
+        .join(u.select(col("src").as("a"), col("dst").as("b")),
+          Seq("a", "b"), "left_semi")
+        .join(d.select(col("src").as("a"), col("deg").as("dega")), "a")
+        .join(d.select(col("src").as("b"), col("deg").as("degb")), "b")
+        .withColumn("j",
+          col("common").cast("double") /
+            (col("dega") + col("degb") - col("common")))
+        .orderBy(round(col("j"), 8).desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a"), col("b"), round(col("j"), 4).as("jac"))
+    },
   )
 
   private def triangles(u: org.apache.spark.sql.DataFrame) = {

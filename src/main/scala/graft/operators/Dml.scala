@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Batch DML analogs of the reference's write executors
+  * (reference: executor/insert.go ON DUPLICATE KEY UPDATE,
+  * executor/replace.go REPLACE INTO). In a Spark warehouse the same
+  * semantics run as a snapshot MERGE: matched keys take the update's
+  * columns, unmatched update rows append, untouched base rows flow
+  * through unchanged.
+  *
+  * Scale: one full-outer join co-partitioned on the key — both sides
+  * shuffle once, nothing touches the driver, and the result is
+  * directly writable as the next snapshot. At 100 TB the base table
+  * is date/key-partitioned and the merge overwrites only the
+  * partitions the update set touches (the update side is typically
+  * orders of magnitude smaller and broadcast by AQE).
+  */
+object Dml {
+
+  val all: Seq[Q] = Seq(
+
+    // INSERT ... ON DUPLICATE KEY UPDATE / REPLACE semantics: the
+    // update set changes every 7th order's status+price and appends
+    // fresh keys derived from every 97th order. The oracle states the
+    // same merge as LEFT JOIN (matched/passthrough) ∪ ANTI JOIN
+    // (appends); the engine runs the single full-outer form.
+    Q("q_upsert", Some("""
+      WITH upd AS (
+        SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
+               o_totalprice + 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N', 0.0
+        FROM orders WHERE o_orderkey % 97 = 0)
+      SELECT b.o_orderkey,
+             COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+             COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+             COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+      FROM orders b LEFT JOIN upd u USING (o_orderkey)
+      UNION ALL
+      SELECT u.o_orderkey, u.o_custkey, u.o_orderstatus, u.o_totalprice
+      FROM upd u ANTI JOIN orders b USING (o_orderkey)
+    """)) { t =>
+      val base = t.orders
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val upd = base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("P").as("o_orderstatus"),
+          (col("o_totalprice") + 100.0).as("o_totalprice"))
+        .union(base.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"), lit("N").as("o_orderstatus"),
+            lit(0.0).as("o_totalprice")))
+      base.as("b").join(upd.as("u"), Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("u.o_custkey"), col("b.o_custkey")).as("o_custkey"),
+          coalesce(col("u.o_orderstatus"), col("b.o_orderstatus"))
+            .as("o_orderstatus"),
+          coalesce(col("u.o_totalprice"), col("b.o_totalprice"))
+            .as("o_totalprice"))
+    },
+  )
+}

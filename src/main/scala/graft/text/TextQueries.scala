@@ -129,6 +129,136 @@ object TextQueries {
           col("n_chars_p"), col("n_tokens"))
     },
 
+    // REPETITION quality signals (the Gopher filter family): type-
+    // token ratio, most-frequent-word share, most-frequent-bigram
+    // share, and the composite keep flag a pretraining pipeline
+    // gates on. Degenerate machine-generated text (keyword stuffing,
+    // template loops) shows up as a high top-gram share long before
+    // perplexity filters see it. Scale: grams shuffle on (doc_id,
+    // gram) with map-side partial counts — per-doc state only,
+    // embarrassingly parallel across docs.
+    Q("t_quality_rep", Some("""
+      WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws
+                 FROM documents),
+      tok AS (SELECT doc_id, UNNEST(ws) AS tok FROM w WHERE LEN(ws) >= 2),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY doc_id, tok),
+      ts AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok, MAX(n) AS max_tok,
+                    COUNT(*) AS n_types FROM tf GROUP BY doc_id),
+      b AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+            FROM w, UNNEST(generate_series(1, LEN(ws) - 1)) AS t(i)
+            WHERE LEN(ws) >= 2),
+      bf AS (SELECT doc_id, bg, COUNT(*) AS n FROM b GROUP BY doc_id, bg),
+      bs AS (SELECT doc_id, SUM(n) AS n_bg, MAX(n) AS max_bg FROM bf GROUP BY doc_id)
+      SELECT ts.doc_id, n_tok,
+             ROUND(n_types / CAST(n_tok AS DOUBLE), 4) AS ttr,
+             ROUND(max_tok / CAST(n_tok AS DOUBLE), 4) AS top_word_frac,
+             ROUND(max_bg / CAST(n_bg AS DOUBLE), 4) AS top_bigram_frac,
+             CAST(max_tok / CAST(n_tok AS DOUBLE) <= 0.12
+                  AND max_bg / CAST(n_bg AS DOUBLE) <= 0.05 AS INT) AS keep_rep
+      FROM ts JOIN bs ON ts.doc_id = bs.doc_id
+    """)) { t =>
+      val ws = split(col("text"), " ")
+      val base = t.fan(t.documents).select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val tf = base.select(col("doc_id"), explode(col("ws")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      val ts = tf.groupBy("doc_id").agg(sum(col("n")).as("n_tok"),
+        max(col("n")).as("max_tok"), count(lit(1)).as("n_types"))
+      val bf = base.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ws")) - 1),
+            i => concat_ws(" ", element_at(col("ws"), i),
+              element_at(col("ws"), i + 1)))).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      val bs = bf.groupBy("doc_id").agg(sum(col("n")).as("n_bg"),
+        max(col("n")).as("max_bg"))
+      ts.join(bs, "doc_id").select(col("doc_id"), col("n_tok"),
+        round(col("n_types") / col("n_tok").cast("double"), 4).as("ttr"),
+        round(col("max_tok") / col("n_tok").cast("double"), 4)
+          .as("top_word_frac"),
+        round(col("max_bg") / col("n_bg").cast("double"), 4)
+          .as("top_bigram_frac"),
+        (col("max_tok") / col("n_tok").cast("double") <= 0.12 &&
+          col("max_bg") / col("n_bg").cast("double") <= 0.05).cast("int")
+          .as("keep_rep"))
+    },
+
+    // Sequence PACKING for training (concat-then-chunk): documents
+    // are laid out in deterministic doc_id order and sliced into
+    // fixed 2048-token sequences; each doc reports its global token
+    // offset and the first/last sequence it lands in. The global
+    // running offset is the scale crux — a single ORDER BY window is
+    // ONE task at 100 TB — so it runs as the classic two-phase
+    // distributed prefix sum: (1) per-range partial cumsum via a
+    // PARTITIONed window (range = 100 docs here; any bounded range
+    // works), (2) range TOTALS — |docs|/range rows, thousands not
+    // billions — prefix-summed in the tiny second phase and joined
+    // back (broadcast). The oracle states the same quantity as the
+    // naive single window.
+    Q("t_pack", Some("""
+      WITH s AS (SELECT doc_id,
+               CAST(LEN(regexp_extract_all(text, '(\S+)', 1)) AS BIGINT) AS n_tok
+             FROM documents),
+      o AS (SELECT doc_id, n_tok,
+              COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+            FROM s WHERE n_tok > 0)
+      SELECT doc_id, n_tok, tok_offset,
+             tok_offset // 2048 AS seq_first,
+             (tok_offset + n_tok - 1) // 2048 AS seq_last
+      FROM o
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val s = t.documents
+        .select(col("doc_id"),
+          expr("text_stats(text)").getField("n_tokens").cast("bigint")
+            .as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("rng", expr("doc_id div 100"))
+      val intraW = Window.partitionBy("rng").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val intra = s.withColumn("intra",
+        coalesce(sum(col("n_tok")).over(intraW), lit(0L)))
+      // Phase 2 operates on |docs|/100 rows — the single-partition
+      // window here is over the tiny totals table, not the data.
+      val totalsW = Window.orderBy("rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rngOff = s.groupBy("rng").agg(sum(col("n_tok")).as("tot"))
+        .withColumn("rng_off", coalesce(sum(col("tot")).over(totalsW), lit(0L)))
+        .select(col("rng"), col("rng_off"))
+      intra.join(broadcast(rngOff), "rng")
+        .select(col("doc_id"), col("n_tok"),
+          (col("rng_off") + col("intra")).as("tok_offset"))
+        .select(col("doc_id"), col("n_tok"), col("tok_offset"),
+          expr("tok_offset div 2048").as("seq_first"),
+          expr("(tok_offset + n_tok - 1) div 2048").as("seq_last"))
+    },
+
+    // PII-safe metadata: irreversible masking for display plus a
+    // salted-hash pseudonym that keeps joinability (same input → same
+    // token, so dedup/joins work without cleartext), and value
+    // generalization (balance banding) — the transformation pass
+    // before data leaves the trusted zone. Pure map-side projection,
+    // no shuffle at any scale.
+    Q("t_pii_mask", Some("""
+      SELECT c_custkey,
+             CONCAT(SUBSTR(c_name, 1, 2),
+                    REPEAT('*', GREATEST(LENGTH(c_name) - 2, 0))) AS name_masked,
+             SUBSTR(sha256(CONCAT('pepper42:', c_name)), 1, 16) AS name_token,
+             CAST(FLOOR(c_acctbal / 500) * 500 AS BIGINT) AS acctbal_band,
+             c_mktsegment
+      FROM customer
+    """)) { t =>
+      t.customer.select(col("c_custkey"),
+        concat(substring(col("c_name"), 1, 2),
+          expr("repeat('*', greatest(length(c_name) - 2, 0))"))
+          .as("name_masked"),
+        substring(sha2(concat(lit("pepper42:"), col("c_name")), 256), 1, 16)
+          .as("name_token"),
+        (floor(col("c_acctbal") / 500) * 500).cast("bigint")
+          .as("acctbal_band"),
+        col("c_mktsegment"))
+    },
+
     // Token counting: whitespace tokens + a BPE-ish regex
     // segmentation (letter runs / single digits / punctuation marks).
     Q("t_tokens", Some("""

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Wave-5 coverage: chunk-level corpus dedup, repetition quality,
+  * sequence packing, PII masking, upsert merge, PQ ANN, neighborhood
+  * Jaccard. */
+class Wave5Spec extends SparkSpecBase {
+
+  private def q(name: String) = Registry.all.find(_.name == name).get.run(t)
+
+  test("chunk dedup: untouched docs rebuild to their original text hash") {
+    val rows = q("d_dedup_lines").collect()
+    assert(rows.length == t.documents.count())
+    val origFp = t.documents
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = rows.filter(_.getAs[Long]("n_dropped") == 0L)
+    assert(untouched.nonEmpty)
+    // Chunking at word granularity and re-joining with single spaces
+    // is lossless for this single-spaced corpus, so a doc that lost
+    // no chunks must hash back to its original text.
+    untouched.foreach { r =>
+      assert(r.getAs[String]("clean_fp") ==
+        origFp(r.getAs[Long]("doc_id")))
+    }
+    // The corpus contains exact duplicates, so some doc must lose
+    // all of its chunks to the first copy.
+    assert(rows.exists(_.getAs[Long]("n_dropped") > 0L))
+  }
+
+  test("repetition signals match a hand count on one document") {
+    val doc = t.documents.filter(col("doc_id") === 0)
+      .select("text").head().getString(0)
+    val toks = doc.split(" ")
+    val tf = toks.groupBy(identity).map(_._2.length)
+    val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+    val bf = bgs.groupBy(identity).map(_._2.length)
+    val r = q("t_quality_rep").filter(col("doc_id") === 0).head()
+    assert(r.getAs[Long]("n_tok") == toks.length)
+    assert(r.getAs[Double]("ttr") ==
+      math.rint(tf.size.toDouble / toks.length * 1e4) / 1e4)
+    assert(r.getAs[Double]("top_word_frac") ==
+      math.rint(tf.max.toDouble / toks.length * 1e4) / 1e4)
+    assert(r.getAs[Double]("top_bigram_frac") ==
+      math.rint(bf.max.toDouble / bgs.length * 1e4) / 1e4)
+  }
+
+  test("sequence packing: two-phase prefix sum equals the naive window") {
+    val packed = q("t_pack")
+    val naive = t.documents
+      .select(col("doc_id"),
+        expr("text_stats(text)").getField("n_tokens").cast("bigint")
+          .as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("tok_offset", coalesce(sum(col("n_tok")).over(
+        Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val mismatches = packed.select("doc_id", "tok_offset")
+      .except(naive.select("doc_id", "tok_offset")).count()
+    assert(mismatches == 0)
+    // Sequences are contiguous: every doc's span is within its bounds.
+    packed.collect().foreach { r =>
+      val off = r.getAs[Long]("tok_offset")
+      assert(r.getAs[Long]("seq_first") == off / 2048)
+      assert(r.getAs[Long]("seq_last") ==
+        (off + r.getAs[Long]("n_tok") - 1) / 2048)
+    }
+  }
+
+  test("PII masking is deterministic, format-preserving and irreversible") {
+    val rows = q("t_pii_mask").collect()
+    val names = t.customer.select("c_custkey", "c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val name = names(r.getAs[Long]("c_custkey"))
+      val masked = r.getAs[String]("name_masked")
+      assert(masked.length == name.length)
+      assert(masked == name.take(2) + "*" * (name.length - 2))
+      assert(r.getAs[String]("name_token").length == 16)
+      assert(!masked.contains(name.drop(2)))
+    }
+    // Same cleartext always gets the same pseudonym (joinability).
+    val byName = rows.groupBy(r => names(r.getAs[Long]("c_custkey")))
+    byName.values.foreach(g =>
+      assert(g.map(_.getAs[String]("name_token")).distinct.length == 1))
+  }
+
+  test("upsert: matched keys updated, new keys appended, rest untouched") {
+    val merged = q("q_upsert")
+    val base = t.orders
+    val nBase = base.count()
+    val nNew = base.filter(col("o_orderkey") % 97 === 0).count()
+    assert(merged.count() == nBase + nNew)
+    val upd = merged.filter(col("o_orderkey") % 7 === 0 &&
+      col("o_orderkey") < 10000000L)
+    assert(upd.filter(col("o_orderstatus") =!= "P").count() == 0)
+    // Untouched rows flow through bit-identically.
+    val untouched = merged
+      .filter(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") < 10000000L)
+    val orig = base
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") % 7 =!= 0)
+    assert(untouched.except(orig).count() == 0)
+  }
+
+  test("PQ ANN recovers most of the brute-force neighborhood") {
+    val bruteSet = q("s_ann_brute").collect().map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val pq = q("s_ann_pq").collect()
+    assert(pq.nonEmpty)
+    pq.groupBy(_.getAs[Long]("qid")).values
+      .foreach(g => assert(g.length <= 3))
+    val hits = pq.count(r =>
+      bruteSet((r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))))
+    // 8×16 codebooks on 64-dim synthetic vectors: expect at least
+    // half the PQ picks to be true brute top-5 neighbors (observed
+    // higher; loose bound pins behavior, not one dataset).
+    assert(hits * 2 >= pq.length, s"PQ recall too low: $hits of ${pq.length}")
+  }
+
+  test("neighborhood jaccard: top pair agrees with a direct set count") {
+    val top = q("g_jaccard_nbrs").head()
+    val (a, b) = (top.getAs[Long]("a"), top.getAs[Long]("b"))
+    val und = graph.Graph.derived(t.orders).oriented("both")
+    val na = und.filter(col("src") === a).select("dst").collect()
+      .map(_.getLong(0)).toSet
+    val nb = und.filter(col("src") === b).select("dst").collect()
+      .map(_.getLong(0)).toSet
+    assert(nb.contains(a) || na.contains(b))
+    val exact = na.intersect(nb).size.toDouble / na.union(nb).size
+    assert(top.getAs[Double]("jac") == math.rint(exact * 1e4) / 1e4)
+  }
+}
