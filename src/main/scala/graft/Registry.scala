@@ -22,6 +22,7 @@ object Registry {
     operators.Analytics.all,
     operators.Wave4.all,
     operators.Dml.all,
+    operators.Lookups.all,
     graph.GraphQueries.all,
     dedup.DedupQueries.all,
     ann.AnnQueries.all,

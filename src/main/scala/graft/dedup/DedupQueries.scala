@@ -321,6 +321,43 @@ object DedupQueries {
         .agg(countDistinct(col("gram")).as("n_shared"))
     },
 
+    // Domain-MIXING sampler: per-source keep rates (the training-mix
+    // weights step — upsample curated sources, downsample crawl) with
+    // a fully DETERMINISTIC per-doc coin: Knuth's multiplicative hash
+    // of doc_id reduced mod 2^32, kept iff below rate·2^32. Pure
+    // integer arithmetic, so the oracle reproduces the exact sample —
+    // no engine RNG involved — and any re-run (or a resumed 100 TB
+    // job) selects the identical subset. Map-side only; the output
+    // aggregates realized rates per source.
+    Q("d_mix_sample", Some("""
+      WITH rated AS (
+        SELECT doc_id, source,
+               CASE WHEN source IN ('src0','src1','src2','src3') THEN 0.9
+                    WHEN source IN ('src4','src5','src6','src7') THEN 0.5
+                    ELSE 0.2 END AS rate,
+               (doc_id * 2654435761) % 4294967296 AS coin
+        FROM documents)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in,
+             CAST(SUM(CASE WHEN coin < rate * 4294967296 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             ROUND(SUM(CASE WHEN coin < rate * 4294967296 THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE), 4) AS realized_rate
+      FROM rated GROUP BY source
+    """)) { t =>
+      val rate = when(col("source").isin("src0", "src1", "src2", "src3"), 0.9)
+        .when(col("source").isin("src4", "src5", "src6", "src7"), 0.5)
+        .otherwise(0.2)
+      val coin = (col("doc_id") * 2654435761L) % 4294967296L
+      t.documents
+        .select(col("doc_id"), col("source"), rate.as("rate"),
+          coin.as("coin"))
+        .withColumn("keep",
+          when(col("coin") < col("rate") * 4294967296L, 1L).otherwise(0L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_in"), sum(col("keep")).as("n_kept"),
+          round(sum(col("keep")) / count(lit(1)).cast("double"), 4)
+            .as("realized_rate"))
+    },
+
     // Cross-document LINE/paragraph dedup (the CCNet recipe): split
     // each document into fixed 10-word chunks (this corpus has no
     // newlines, so the chunker is positional; real text splits on

@@ -318,5 +318,42 @@ object Scalars2 {
           to_json(base.withField("q", round(col("value"), 2))
             .withField("src", lit("e"))).as("mrg"))
     },
+
+    // VARIANT semi-structured type (Spark 4) — the engine twin of the
+    // reference's binary JSON storage (types/json/binary.go: TiDB
+    // parses JSON text once into a typed binary tree and evaluates
+    // paths against that). parse_json → VariantType does exactly
+    // that: one parse, then typed variant_get path probes with
+    // per-probe casts, all codegen'd — far cheaper than re-parsing
+    // text per get_json_object at 100 TB. Output columns are plain
+    // SQL types (the variant never leaves the query), so the DuckDB
+    // JSON oracle compares exactly.
+    Q("q_func_variant", Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+             CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+             CAST(json_extract_string(props, '$.missing') AS INT) AS k_missing,
+             CAST(json_extract_string(
+               json_object('meta', json_object('type', event_type,
+                                               'v', ROUND(value, 2))),
+               '$.meta.type') AS VARCHAR) AS nested_type,
+             CAST(json_extract(
+               json_object('meta', json_object('type', event_type,
+                                               'v', ROUND(value, 2))),
+               '$.meta.v') AS DOUBLE) AS nested_v
+      FROM events WHERE event_id < 400
+    """)) { t =>
+      val v = parse_json(col("props"))
+      val nested = parse_json(to_json(struct(struct(
+        col("event_type").as("type"),
+        round(col("value"), 2).as("v")).as("meta"))))
+      t.events.filter(col("event_id") < 400)
+        .select(col("event_id"),
+          try_variant_get(v, "$.k", "int").as("k_int"),
+          try_variant_get(v, "$.k", "string").as("k_str"),
+          try_variant_get(v, "$.missing", "int").as("k_missing"),
+          try_variant_get(nested, "$.meta.type", "string").as("nested_type"),
+          try_variant_get(nested, "$.meta.v", "double").as("nested_v"))
+    },
   )
 }

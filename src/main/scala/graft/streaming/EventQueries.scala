@@ -109,6 +109,47 @@ object EventQueries {
           col("ck.ts").as("click_ts"), col("ck.value").as("click_value"))
     },
 
+    // FORWARD as-of join: each purchase picks the EARLIEST click of
+    // the same user at-or-after its timestamp (the "next follow-up
+    // event" direction — attribution windows, next-error-after-deploy
+    // lookups). Mirror of e_asof: one window pass over the unioned
+    // stream, frame flipped to CURRENT ROW .. UNBOUNDED FOLLOWING
+    // with purchases sorting before same-ts clicks so "at-or-after"
+    // includes ties. Same single shuffle on user_id — no range join.
+    Q("e_asof_fwd", Some("""
+      WITH u AS (
+        SELECT user_id, event_id, ts, value, event_type,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      m AS (
+        SELECT *,
+               first_value(CASE WHEN is_click = 1 THEN ts END IGNORE NULLS)
+                 OVER w AS next_click_ts,
+               first_value(CASE WHEN is_click = 1 THEN value END IGNORE NULLS)
+                 OVER w AS next_click_value
+        FROM u
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts, is_click, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT event_id, user_id, ts, value, next_click_ts, next_click_value
+      FROM m WHERE event_type = 'purchase'
+    """)) { t =>
+      val u = t.fan(t.events)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("is_click",
+          when(col("event_type") === "click", 1).otherwise(0))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_click"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      u.withColumn("ck",
+          first(when(col("is_click") === 1,
+            struct(col("ts"), col("value"))), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("ck.ts").as("next_click_ts"),
+          col("ck.value").as("next_click_value"))
+    },
+
     // Native session windows (30-min gap): Spark's SessionWindow
     // operator merges overlapping [ts, ts+gap) intervals per user —
     // the same operator Structured Streaming uses with state. Oracle

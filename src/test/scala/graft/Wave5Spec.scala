@@ -132,4 +132,46 @@ class Wave5Spec extends SparkSpecBase {
     val exact = na.intersect(nb).size.toDouble / na.union(nb).size
     assert(top.getAs[Double]("jac") == math.rint(exact * 1e4) / 1e4)
   }
+
+  private def plan(name: String): String =
+    Registry.all.find(_.name == name).get.run(t)
+      .queryExecution.executedPlan.toString
+
+  test("point/batch lookups push their keys into the parquet scan") {
+    val pg = plan("q_point_get")
+    assert(pg.contains("PushedFilters") &&
+      pg.contains("EqualTo(l_orderkey,96)"), s"point key not pushed:\n$pg")
+    val bg = plan("q_batch_get")
+    assert(bg.contains("In(l_orderkey"), s"IN list not pushed:\n$bg")
+  }
+
+  test("index-merge disjunction pushes the whole Or to one scan") {
+    val p = plan("q_scan_indexmerge")
+    assert(p.contains("Or(GreaterThanOrEqual(l_quantity"),
+      s"Or not pushed:\n$p")
+    // One scan serves both branches — no union-and-dedup of two reads.
+    assert("FileScan parquet".r.findAllIn(p).length == 1)
+  }
+
+  test("forward as-of picks the earliest at-or-after click") {
+    val rows = q("e_asof_fwd").collect()
+    assert(rows.nonEmpty)
+    rows.filter(r => !r.isNullAt(r.fieldIndex("next_click_ts"))).foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("next_click_ts")
+        .before(r.getAs[java.sql.Timestamp]("ts")))
+    }
+  }
+
+  test("mix sampler keeps per-source rates near the configured weights") {
+    val rows = q("d_mix_sample").collect()
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val want =
+        if (Set("src0", "src1", "src2", "src3")(src)) 0.9
+        else if (Set("src4", "src5", "src6", "src7")(src)) 0.5
+        else 0.2
+      val got = r.getAs[Double]("realized_rate")
+      assert(math.abs(got - want) < 0.35, s"$src: $got vs $want")
+    }
+  }
 }
