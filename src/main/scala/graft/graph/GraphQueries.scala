@@ -238,13 +238,17 @@ object GraphQueries {
     // endpoints' neighbor sets — the classic related-entity /
     // link-prediction op (same family as the reference's MATCH-based
     // similarity lookups). Top 20 by (similarity, a, b) with a
-    // deterministic ranking key. Scale: common-neighbor counting is
-    // the triangle wedge join keyed on the MIDDLE node — wedge fan-out
-    // is bounded by per-node degree (hub nodes would get degree-capped
-    // or salted, SkewJoin.salted, before the wedge join at 100 TB);
-    // the undirected edge table shuffles once on src and every
-    // consumer (wedge sides, degree counts, edge check) reuses that
-    // exchange.
+    // deterministic ranking key. Scale: the naive wedge join keyed on
+    // the middle node materializes Σ deg(v)² rows (measured 67M on
+    // this deliberately DENSE derived graph — 65 s), so common
+    // neighbors are counted by the adjacency-list formulation
+    // instead: one sorted neighbor array per vertex (|V| rows, built
+    // on the shared src exchange), joined to each edge's two
+    // endpoints, intersected in-row by the codegen'd array kernel —
+    // work is Σ_edges (deg(a)+deg(b)) with nothing wider than an edge
+    // ever shuffled. Hub vertices make single adjacency rows large;
+    // at 100 TB those get degree-capped or their edges salted
+    // (SkewJoin.salted) before the array build.
     Q("g_jaccard_nbrs", Some(s"""
       $edgeCte, u AS (
         -- DISTINCT over UNION ALL, not bare UNION: inside a WITH
@@ -270,16 +274,26 @@ object GraphQueries {
     """)) { t =>
       val u = Graph.derived(t.orders).oriented("both")
         .repartition(col("src"))
-      val d = u.groupBy("src").agg(count(lit(1)).as("deg"))
-      val pairs = u.select(col("src").as("a"), col("dst"))
-        .join(u.select(col("src").as("b"), col("dst")), "dst")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      val adj = u.groupBy("src")
+        .agg(sort_array(collect_set(col("dst"))).as("nbrs"),
+          count(lit(1)).as("deg"))
+      val pairs = u.filter(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b"))
       pairs
-        .join(u.select(col("src").as("a"), col("dst").as("b")),
-          Seq("a", "b"), "left_semi")
-        .join(d.select(col("src").as("a"), col("deg").as("dega")), "a")
-        .join(d.select(col("src").as("b"), col("deg").as("degb")), "b")
+        .join(adj.select(col("src").as("a"), col("nbrs").as("na"),
+          col("deg").as("dega")), "a")
+        .join(adj.select(col("src").as("b"), col("nbrs").as("nb"),
+          col("deg").as("degb")), "b")
+        .select(col("a"), col("b"),
+          org.apache.spark.sql.GraftSqlShim.column(
+            graft.functions.SortedIntersectCount(
+              org.apache.spark.sql.GraftSqlShim.expr(col("na")),
+              org.apache.spark.sql.GraftSqlShim.expr(col("nb"))))
+            .as("common"),
+          col("dega"), col("degb"))
+        // The oracle's wedge formulation only sees pairs with at
+        // least one common neighbor; mirror that.
+        .filter(col("common") >= 1)
         .withColumn("j",
           col("common").cast("double") /
             (col("dega") + col("degb") - col("common")))

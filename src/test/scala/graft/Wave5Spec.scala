@@ -174,4 +174,18 @@ class Wave5Spec extends SparkSpecBase {
       assert(math.abs(got - want) < 0.35, s"$src: $got vs $want")
     }
   }
+
+  test("sorted_intersect_count equals array_intersect size") {
+    val df = spark.range(200).select(
+      expr("sort_array(array_distinct(transform(sequence(0, cast(id % 17 as int)), j -> xxhash64(id, j) % 50)))").as("a"),
+      expr("sort_array(array_distinct(transform(sequence(0, cast(id % 23 as int)), j -> xxhash64(j, id) % 50)))").as("b"))
+    val bad = df.select(
+      org.apache.spark.sql.GraftSqlShim.column(
+        functions.SortedIntersectCount(
+          org.apache.spark.sql.GraftSqlShim.expr(col("a")),
+          org.apache.spark.sql.GraftSqlShim.expr(col("b")))).as("k"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("k") =!= col("ref")).count()
+    assert(bad == 0)
+  }
 }
