@@ -52,6 +52,37 @@ object Analytics {
         count_if(col("l_tax") > 0.04).as("n_high_tax"))
     },
 
+    // Linear-regression aggregate family (SQL:2003 REGR_*): slope /
+    // intercept / R² / count of price-on-quantity per return flag —
+    // the in-database modeling primitives (trend fits, anomaly
+    // baselines) that run as ONE map-side-combined pass exactly like
+    // corr/covar (each is algebra over the same five moment sums).
+    // 4dp rounding absorbs cross-engine float summation order, as in
+    // q_agg_stats2.
+    Q("q_agg_regr", Some("""
+      SELECT l_returnflag,
+             ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+             ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+             CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+             ROUND(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
+             ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy
+      FROM lineitem GROUP BY l_returnflag
+    """)) { t =>
+      t.lineitem.groupBy("l_returnflag").agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("icept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
+        round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("avgx"),
+        round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("avgy"))
+    },
+
     // LATERAL correlated subquery with per-row TopN (the Apply
     // operator): first two line items of each high-value order.
     // Catalyst decorrelates the LIMIT into a ranked window join —

@@ -61,5 +61,35 @@ object Dml {
           coalesce(col("u.o_totalprice"), col("b.o_totalprice"))
             .as("o_totalprice"))
     },
+
+    // Dense row-id ALLOCATION (reference: TiDB assigns _tidb_rowid /
+    // AUTO_INCREMENT batches per insert — ddl/ + tablecodec rowid
+    // allocators). The distributed analog hands every row a gapless
+    // global ordinal WITHOUT a global window: (1) per-range
+    // row_number over a PARTITIONed window (range = source here, any
+    // bounded key works), (2) range COUNTS — one row per range —
+    // prefix-summed in the tiny phase and broadcast back. Same
+    // two-phase prefix shape as t_pack; monotonically_increasing_id
+    // can't do this (its ids are sparse per-partition blocks). The
+    // oracle is the naive single-task ROW_NUMBER.
+    Q("q_id_assign", Some("""
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS row_id
+      FROM documents
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val intraW = Window.partitionBy("source").orderBy("doc_id")
+      val intra = t.documents.select(col("doc_id"), col("source"))
+        .withColumn("intra", row_number().over(intraW) - 1)
+      val totalsW = Window.orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = t.documents.groupBy("source")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(totalsW), lit(0L)))
+        .select(col("source"), col("off"))
+      intra.join(broadcast(offs), "source")
+        .select(col("doc_id"), col("source"),
+          (col("off") + col("intra")).as("row_id"))
+    },
   )
 }

@@ -259,6 +259,50 @@ object TextQueries {
         col("c_mktsegment"))
     },
 
+    // URL canonicalization (web-crawl curation): parse host / path /
+    // query and strip tracking parameters (utm_*) so syntactically
+    // different URLs of the same resource dedup together — the step
+    // before URL-level dedup of a crawl. The corpus has no URL
+    // column, so one is derived deterministically per doc; the engine
+    // uses the native parse_url (java.net.URI semantics, codegen'd),
+    // the oracle the equivalent anchored regexes. Pure map-side.
+    Q("t_url_normalize", Some("""
+      WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || lang || '/'
+                 || doc_id || '?utm_source=feed&id=' || doc_id
+                 || '&utm_medium=x&ref=' || source AS url
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+               regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               regexp_extract(url, '^https?://[^/]+([^?]*)', 1) AS path,
+               regexp_replace(
+                 regexp_replace(regexp_extract(url, '\?(.*)$', 1),
+                                '&?utm_[^&]*', '', 'g'),
+                 '^&', '') AS clean_query
+        FROM u)
+      SELECT doc_id, host, path, clean_query,
+             'https://' || host || path || '?' || clean_query AS canon_url
+      FROM p
+    """)) { t =>
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/docs/"), col("lang"), lit("/"), col("doc_id"),
+        lit("?utm_source=feed&id="), col("doc_id"),
+        lit("&utm_medium=x&ref="), col("source"))
+      t.documents.select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          regexp_replace(
+            regexp_replace(parse_url(col("url"), lit("QUERY")),
+              "&?utm_[^&]*", ""),
+            "^&", "").as("clean_query"))
+        .withColumn("canon_url",
+          concat(lit("https://"), col("host"), col("path"), lit("?"),
+            col("clean_query")))
+    },
+
     // Token counting: whitespace tokens + a BPE-ish regex
     // segmentation (letter runs / single digits / punctuation marks).
     Q("t_tokens", Some("""

@@ -188,4 +188,32 @@ class Wave5Spec extends SparkSpecBase {
       .filter(col("k") =!= col("ref")).count()
     assert(bad == 0)
   }
+
+  test("id assignment is gapless, unique, ordered by (source, doc_id)") {
+    val rows = q("q_id_assign").collect()
+    val ids = rows.map(_.getAs[Long]("row_id")).sorted
+    assert(ids.head == 0L && ids.last == rows.length - 1L)
+    assert(ids.distinct.length == rows.length)
+    val ordered = rows.sortBy(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    assert(ordered.map(_.getAs[Long]("row_id")).toSeq ==
+      (0L until rows.length).toSeq)
+  }
+
+  test("regression aggregates: r2 bounded, slope consistent with corr sign") {
+    q("q_agg_regr").collect().foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+
+  test("url canonicalization strips every tracking param") {
+    q("t_url_normalize").collect().foreach { r =>
+      val canon = r.getAs[String]("canon_url")
+      assert(!canon.contains("utm_"))
+      assert(canon.startsWith("https://src"))
+      assert(r.getAs[String]("clean_query").matches("id=\\d+&ref=src\\d+"))
+    }
+  }
 }
