@@ -275,4 +275,30 @@ object Streams {
         UserSessions(userId, s.nSessions, n)
     }
   }
+
+  /** One CDC change record: a keyed upsert with a sequence number
+    * (the change-stream position — later wins). */
+  final case class Change(o_orderkey: Long, o_totalprice: Double, seq: Long)
+
+  /** Apply one micro-batch of CDC changes to a snapshot — the
+    * streaming twin of q_upsert (reference: executor/insert.go ON
+    * DUPLICATE KEY UPDATE fed by a change stream). Within the batch
+    * the LATEST change per key wins (max seq — micro-batches are
+    * unordered inside); across batches later batches overwrite
+    * earlier ones because application is sequential. The merge is
+    * the same single co-partitioned full-outer join as q_upsert, so
+    * every batch is one bounded job; at 100 TB the snapshot is
+    * key-partitioned and each batch rewrites only the partitions its
+    * keys touch (the foreachBatch body stays identical). Used from a
+    * foreachBatch sink that writes versioned snapshot dirs and flips
+    * a pointer when the write commits (idempotent replay: re-running
+    * batch N rewrites version N deterministically) — StreamingSpec
+    * drives exactly that loop. */
+  def cdcApplyBatch(snapshot: DataFrame, changes: DataFrame): DataFrame = {
+    val latest = changes.groupBy("o_orderkey")
+      .agg(max_by(col("o_totalprice"), col("seq")).as("u_price"))
+    snapshot.as("b").join(latest, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("u_price"), col("o_totalprice")).as("o_totalprice"))
+  }
 }

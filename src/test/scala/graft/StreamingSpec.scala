@@ -230,4 +230,42 @@ class StreamingSpec extends SparkSpecBase {
       .toMap
     assert(stateful == sql && stateful.nonEmpty)
   }
+
+  test("streaming CDC apply: versioned snapshots converge to the batch merge") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") < 500)
+    val dir = "/tmp/graft_cdc_snap"
+    org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    base.write.mode("overwrite").parquet(s"$dir/v0")
+    // Overlapping keys across batches with increasing seq — the final
+    // snapshot must reflect the LAST change per key.
+    val changes = (0 until 90).map(i =>
+      Streams.Change(i * 7 % 500, 1000.0 + i, i.toLong))
+    val input = MemoryStream[Streams.Change]
+    val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val v = ver.get()
+        val snap = spark.read.parquet(s"$dir/v$v")
+        Streams.cdcApplyBatch(snap, batch)
+          .write.mode("overwrite").parquet(s"$dir/v${v + 1}")
+        ver.incrementAndGet()
+        ()
+      }
+      .start()
+    try {
+      input.addData(changes.take(30)); query.processAllAvailable()
+      input.addData(changes.slice(30, 60)); query.processAllAvailable()
+      input.addData(changes.slice(60, 90)); query.processAllAvailable()
+    } finally query.stop()
+    assert(ver.get() >= 2, "expected multiple snapshot versions")
+    val finalSnap = spark.read.parquet(s"$dir/v${ver.get()}")
+    val expected = Streams.cdcApplyBatch(base, changes.toDF())
+    assert(finalSnap.except(expected).count() == 0 &&
+      expected.except(finalSnap).count() == 0)
+  }
 }
