@@ -35,5 +35,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Sized for the full 150+-query bench in ONE JVM: localCheckpoint
+  // blocks and broadcasts of finished queries are reclaimed lazily
+  // (GC-driven ContextCleaner), so headroom prevents tail-end GC
+  // thrash. The box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
