@@ -103,5 +103,6 @@ object GraftFunctions {
     ensure("graft_dot", dotBuilder)
     ensure("graft_cms_estimate", cmsBuilder)
     TextStats.register(spark)
+    RepStats.register(spark)
   }
 }

@@ -157,29 +157,24 @@ object TextQueries {
                   AND max_bg / CAST(n_bg AS DOUBLE) <= 0.05 AS INT) AS keep_rep
       FROM ts JOIN bs ON ts.doc_id = bs.doc_id
     """)) { t =>
-      val ws = split(col("text"), " ")
-      val base = t.fan(t.documents).select(col("doc_id"), ws.as("ws"))
-        .filter(size(col("ws")) >= 2)
-      val tf = base.select(col("doc_id"), explode(col("ws")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
-      val ts = tf.groupBy("doc_id").agg(sum(col("n")).as("n_tok"),
-        max(col("n")).as("max_tok"), count(lit(1)).as("n_types"))
-      val bf = base.select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("ws")) - 1),
-            i => concat_ws(" ", element_at(col("ws"), i),
-              element_at(col("ws"), i + 1)))).as("bg"))
-        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
-      val bs = bf.groupBy("doc_id").agg(sum(col("n")).as("n_bg"),
-        max(col("n")).as("max_bg"))
-      ts.join(bs, "doc_id").select(col("doc_id"), col("n_tok"),
-        round(col("n_types") / col("n_tok").cast("double"), 4).as("ttr"),
-        round(col("max_tok") / col("n_tok").cast("double"), 4)
-          .as("top_word_frac"),
-        round(col("max_bg") / col("n_bg").cast("double"), 4)
-          .as("top_bigram_frac"),
-        (col("max_tok") / col("n_tok").cast("double") <= 0.12 &&
-          col("max_bg") / col("n_bg").cast("double") <= 0.05).cast("int")
-          .as("keep_rep"))
+      // Single-pass RepStats kernel (functions/RepStats.scala): the
+      // explode + two (doc_id, gram) shuffle formulation cost ~7 s at
+      // sf0.1 for state that never needs to leave the row; this is
+      // scan → project.
+      t.documents
+        .select(col("doc_id"), expr("rep_stats(text)").as("s"))
+        .filter(col("s.n_tok") >= 2)
+        .select(col("doc_id"),
+          col("s.n_tok").cast("bigint").as("n_tok"),
+          round(col("s.n_types") / col("s.n_tok").cast("double"), 4)
+            .as("ttr"),
+          round(col("s.max_tok") / col("s.n_tok").cast("double"), 4)
+            .as("top_word_frac"),
+          round(col("s.max_bg") / col("s.n_bg").cast("double"), 4)
+            .as("top_bigram_frac"),
+          (col("s.max_tok") / col("s.n_tok").cast("double") <= 0.12 &&
+            col("s.max_bg") / col("s.n_bg").cast("double") <= 0.05)
+            .cast("int").as("keep_rep"))
     },
 
     // Sequence PACKING for training (concat-then-chunk): documents
