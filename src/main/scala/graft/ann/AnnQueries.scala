@@ -140,15 +140,40 @@ object AnnQueries {
       val queries = corpus.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("nv").as("nq"))
-      val lut = PqIndex.adcLut(queries.select("qid", "qv"), cent, s = 8)
-      val adcTop = codes.join(broadcast(lut), Seq("m", "cid"))
-        .groupBy("qid", "vec_id").agg(sum(col("d")).as("adc"))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("qid")
-            .orderBy(round(col("adc"), 6).desc, col("vec_id"))))
-        .filter(col("rn") <= 10)
-        .select("qid", "vec_id")
+      val adcTop = PqIndex.adcCandidates(codes, cent, queries,
+        s = 8, topn = 10)
+      rerankTopK(
+        adcTop.join(corpus, "vec_id").join(queries, "qid"),
+        topk = 3, dedup = false)
+    },
+
+    // PQ probe against the PERSISTED index — the steady-state serving
+    // op: codebook training is amortized (lazily written once, keyed
+    // by a content fingerprint of the source like the IVF index);
+    // each query reads the 64×-compressed code table + the tiny
+    // codebooks, never the float corpus, and only the ADC top-10
+    // candidates' true vectors are fetched for the exact re-rank —
+    // at 100 TB that's the difference between scanning compressed
+    // codes and scanning embeddings. Same parameters as s_ann_pq, so
+    // the two entries split build+probe vs probe-only exactly like
+    // s_ann_ivf / s_ann_ivf_probe.
+    Q("s_ann_pq_probe", None) { t =>
+      val (m, s, k, iters) = (8, 8, 16, 2)
+      val F = graft.sources.Formats
+      val dir = F.cacheDir(
+        s"/tmp/graft_pq_m${m}k${k}i${iters}_${F.sanitize(t.dir)}",
+        F.contentFingerprint(s"${t.dir}/embeddings.parquet"))
+      if (!new java.io.File(s"$dir/codebooks/_SUCCESS").exists())
+        PqIndex.writeIndex(vecs(t).select("vec_id", "v"), dir, m, s, k, iters)
+      val sess = t.spark
+      val codes = sess.read.parquet(s"$dir/codes")
+      val cent = sess.read.parquet(s"$dir/codebooks")
+      val corpus = vecs(t)
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nv").as("nq"))
+      val adcTop = PqIndex.adcCandidates(codes, cent, queries,
+        s = s, topn = 10)
       rerankTopK(
         adcTop.join(corpus, "vec_id").join(queries, "qid"),
         topk = 3, dedup = false)

@@ -83,4 +83,32 @@ object PqIndex {
       .select(col("qid"), col("m"), col("cid"),
         round(dot(slice(col("qv"), col("m") * s + 1, lit(s)), col("c")), 6)
           .as("d"))
+
+  /** ADC candidate generation, shared by the in-query build
+    * (s_ann_pq) and the persisted-index probe (s_ann_pq_probe) so the
+    * scoring/ranking key cannot silently diverge: approximate dot =
+    * sum of the M per-code table lookups, top-`topn` per query on the
+    * deterministic (round(adc, 6) desc, vec_id) key. */
+  def adcCandidates(codes: DataFrame, cent: DataFrame, queries: DataFrame,
+      s: Int, topn: Int): DataFrame = {
+    val lut = adcLut(queries.select("qid", "qv"), cent, s)
+    codes.join(broadcast(lut), Seq("m", "cid"))
+      .groupBy("qid", "vec_id").agg(sum(col("d")).as("adc"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(round(col("adc"), 6).desc, col("vec_id"))))
+      .filter(col("rn") <= topn)
+      .select("qid", "vec_id")
+  }
+
+  /** Persist codes + codebooks as the serving index: the corpus
+    * representation on disk is M codes per vector (64× smaller than
+    * the float vectors) plus the tiny codebook table. */
+  def writeIndex(corpus: DataFrame, dir: String, m: Int, s: Int, k: Int,
+      iters: Int): Unit = {
+    val (codes, cent) = build(corpus, m, s, k, iters)
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    cent.write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
 }

@@ -52,6 +52,28 @@ object Analytics {
         count_if(col("l_tax") > 0.04).as("n_high_tax"))
     },
 
+    // MERGEABLE sketch serving (reference: statistics/cmsketch.go +
+    // histogram merge paths — TiDB stores per-region sketches and
+    // merges them at query time): distinct users per event type
+    // computed by building one Datasketches-HLL PER DAY and UNIONing
+    // the day sketches — the pre-aggregated serving layout where a
+    // dashboard reads |days| tiny binary blobs instead of rescanning
+    // events, and any date range is a sketch union. Sketch binaries
+    // are engine-specific → rows-only; the spec pins estimates within
+    // 5% of exact and checks union-vs-direct consistency.
+    Q("q_agg_sketch_merge", None) { t =>
+      val daily = t.events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count(lit(1)).as("n_events"))
+      daily.groupBy("event_type")
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as("approx_users"),
+          count(lit(1)).as("n_days"),
+          sum(col("n_events")).as("n_events"))
+    },
+
     // Linear-regression aggregate family (SQL:2003 REGR_*): slope /
     // intercept / R² / count of price-on-quantity per return flag —
     // the in-database modeling primitives (trend fits, anomaly

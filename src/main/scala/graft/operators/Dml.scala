@@ -91,5 +91,46 @@ object Dml {
         .select(col("doc_id"), col("source"),
           (col("off") + col("intra")).as("row_id"))
     },
+
+    // Incremental MATERIALIZED-VIEW refresh: a persisted aggregate
+    // over the historical slice is combined with a partial aggregate
+    // of only the NEW slice — algebraic aggregates (count, sum) merge
+    // by summation, so the refresh never rescans history (reference
+    // analog: statistics/handle's incremental stats maintenance; the
+    // warehouse version of TiFlash's delta-tree merging base + delta).
+    // The MV is lazily materialized under /tmp keyed by a content
+    // fingerprint of the source (same stale-safe layout as the IVF
+    // index / corpus fingerprints). At 100 TB the delta is a day
+    // partition and the merge touches |groups| + |delta| rows. Money
+    // sums run in DECIMAL and surface as DOUBLE (exact — 2dp values
+    // well under 2^53), the suite's money convention. The oracle
+    // recomputes the aggregate from scratch: merged == full is the
+    // correctness statement.
+    Q("q_mv_refresh", Some("""
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY o_orderpriority
+    """)) { t =>
+      val split = "1997-01-01"
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val F = graft.sources.Formats
+      val mvDir = F.cacheDir(
+        s"/tmp/graft_mv_${F.sanitize(t.dir)}",
+        F.contentFingerprint(s"${t.dir}/orders.parquet"))
+      if (!new java.io.File(s"$mvDir/_SUCCESS").exists())
+        partial(t.orders.filter(col("o_orderdate") < split))
+          .write.mode("overwrite").parquet(mvDir)
+      val mv = t.orders.sparkSession.read.parquet(mvDir)
+      val delta = partial(t.orders.filter(col("o_orderdate") >= split))
+      mv.union(delta)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("rev")).cast("double").as("revenue"))
+    },
   )
 }

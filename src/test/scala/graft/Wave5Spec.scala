@@ -216,4 +216,34 @@ class Wave5Spec extends SparkSpecBase {
       assert(r.getAs[String]("clean_query").matches("id=\\d+&ref=src\\d+"))
     }
   }
+
+  test("HLL day-sketch union tracks exact distinct counts within 5%") {
+    val approx = q("q_agg_sketch_merge").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("approx_users")).toMap
+    val exact = t.events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) <= math.max(1L, (e * 0.05).toLong),
+        s"$k: approx ${approx(k)} vs exact $e")
+    }
+  }
+
+  test("PQ probe of the persisted index equals the in-query build") {
+    val fresh = q("s_ann_pq").collect().map(_.toSeq).toSet
+    val probe = q("s_ann_pq_probe").collect().map(_.toSeq).toSet
+    assert(fresh == probe && fresh.nonEmpty)
+  }
+
+  test("MV refresh: incremental merge equals the from-scratch aggregate") {
+    val merged = q("q_mv_refresh")
+    val full = t.orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+    assert(merged.except(full).count() == 0 &&
+      full.except(merged).count() == 0)
+  }
 }
