@@ -23,6 +23,7 @@ object Registry {
     operators.Wave4.all,
     operators.Dml.all,
     operators.Lookups.all,
+    operators.TpchFull.all,
     graph.GraphQueries.all,
     dedup.DedupQueries.all,
     ann.AnnQueries.all,

@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.operators.Exact._
+import org.apache.spark.sql.functions._
+
+/** The five TPC-H queries covered so far only as "shapes" under other
+  * entries (Q1→q_agg_hash, Q4→q_exists_agg, Q13→q_join_outer,
+  * Q15→q_tpch_q2's derived-relation idiom, Q17→q_subquery_scalar),
+  * here in their OFFICIAL forms so the suite runs the complete 22/22
+  * set (reference: TiDB ships the full TPC-H suite as its benchmark
+  * workload — executor docs + cmd/benchdb). Schema adaptations are
+  * the suite's established ones: no l_commitdate/l_receiptdate →
+  * "late" means shipped after the order date (the q_tpch_q12
+  * convention); no comment columns → Q13's exclusion filter maps to
+  * o_orderpriority. Money math follows Exact (decimal in, DOUBLE
+  * out).
+  */
+object TpchFull {
+
+  val all: Seq[Q] = Seq(
+
+    // Q1 official: pricing summary report — the full column list
+    // (q_agg_hash carries only the Q1 *shape*). One scan, map-side
+    // partials, 6dp-stable derived averages via exact decimal sums.
+    Q("q_tpch_q1", Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+      GROUP BY l_returnflag, l_linestatus
+    """)) { t =>
+      t.lineitem
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum2(col("l_quantity")).as("sum_qty"),
+          sum2(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+            * (lit(1) + dec2(col("l_tax"))))
+            .cast("double").as("sum_charge"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1)))
+            .as("avg_price"),
+          (sum(dec2(col("l_discount"))).cast("double") / count(lit(1)))
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Q4 official (adapted): order-priority checking — orders of one
+    // quarter with at least one late line item (shipped after the
+    // order date + 30 days; no commit/receipt dates in this schema).
+    // The EXISTS collapses to a semi join before the priority count.
+    Q("q_tpch_q4", Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority
+    """)) { t =>
+      val o = t.orders
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val late = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      o.join(late,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // Q13 official (adapted): customer distribution — how many
+    // customers placed 0, 1, 2… orders, excluding one priority class
+    // (the comment-pattern filter of the official query; no comment
+    // column here). The left outer join keeps zero-order customers;
+    // the double aggregation is the histogram over per-customer
+    // counts.
+    Q("q_tpch_q13", Some("""
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c.c_custkey) cc
+      GROUP BY c_count
+    """)) { t =>
+      t.customer.select(col("c_custkey"))
+        .join(t.orders
+            .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // Q15 official: top supplier(s) by 3-month revenue — the revenue
+    // "view" is a derived relation consumed twice (per-supplier rows
+    // + the global MAX threshold), so it materializes once
+    // (localCheckpoint, the q_tpch_q11 idiom) and the 1-row max
+    // broadcasts. Exact decimal revenue makes the = cut identical on
+    // both engines.
+    Q("q_tpch_q15", Some("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s.s_suppkey, s.s_name,
+             CAST(r.total_revenue AS DOUBLE) AS total_revenue
+      FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """)) { t =>
+      val revenue = t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(dec2(col("l_extendedprice")) *
+          (lit(1) - dec2(col("l_discount")))).as("total_revenue"))
+        .localCheckpoint()
+      val top = revenue.agg(max(col("total_revenue")).as("max_rev"))
+      t.supplier
+        .join(revenue, col("s_suppkey") === col("supplier_no"))
+        .crossJoin(broadcast(top))
+        .filter(col("total_revenue") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue").cast("double").as("total_revenue"))
+    },
+
+    // Q17 official: small-quantity-order revenue — lineitems of one
+    // brand whose quantity is under 20% of that part's average
+    // quantity. The correlated AVG subquery decorrelates to a
+    // per-part aggregate joined back (q_subquery_scalar carries the
+    // shape; this is the official brand-filtered form). avg is
+    // exact-decimal-sum / count so the < cut can't drift.
+    Q("q_tpch_q17", Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#1'
+        AND l.l_quantity * 5 * (
+          SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """)) { t =>
+      // quantity < 0.2 * avg  ⇔  quantity * 5 * n < sum  (exact
+      // integer/decimal arithmetic, no division on either engine).
+      val perPart = t.lineitem.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n_pk"),
+          sum(dec2(col("l_quantity"))).as("sum_qty_pk"))
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_brand") === "Brand#1")),
+          col("p_partkey") === col("l_partkey"))
+        .join(perPart, col("pk") === col("l_partkey"))
+        .filter(dec2(col("l_quantity")) * 5 * col("n_pk") <
+          col("sum_qty_pk"))
+        .agg((sum(dec2(col("l_extendedprice"))).cast("double") / 7.0)
+          .as("avg_yearly"))
+    },
+  )
+}

@@ -246,4 +246,12 @@ class Wave5Spec extends SparkSpecBase {
     assert(merged.except(full).count() == 0 &&
       full.except(merged).count() == 0)
   }
+
+  test("TPC-H Q1/Q17 plans: single pushed scan; part dim broadcasts") {
+    val p1 = plan("q_tpch_q1")
+    assert("FileScan parquet".r.findAllIn(p1).length == 1)
+    assert(p1.contains("PushedFilters") && p1.contains("l_shipdate"))
+    val p17 = plan("q_tpch_q17")
+    assert(p17.contains("BroadcastHashJoin"), s"part not broadcast:\n$p17")
+  }
 }
