@@ -50,14 +50,14 @@ object PqIndex {
       .agg(min(col("dc")).as("mn"), first(col("sv")).as("sv"))
       .select(col("vec_id"), col("m"), col("mn.cid").as("cid"), col("sv"))
 
-  /** Per-(m, cid) mean of member sub-vectors, rounded to 6dp. */
-  private def recompute(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
-      .groupBy("m", "cid", "dim").agg(round(avg(col("x")), 6).as("a"))
-      .groupBy("m", "cid")
-      .agg(expr("transform(array_sort(collect_list(struct(dim, a))), p -> p.a)")
-        .as("c"))
+  /** Per-(m, cid) mean of member sub-vectors, rounded to 6dp — one
+    * groupBy carrying `s` per-dimension AVG aggregates (the
+    * posexplode + per-dim groupBy + re-collect formulation paid a
+    * second shuffle per Lloyd round for the same arithmetic). */
+  private def recompute(assigned: DataFrame, s: Int): DataFrame =
+    assigned.groupBy("m", "cid")
+      .agg(array((1 to s).map(j =>
+        round(avg(element_at(col("sv"), j)), 6)): _*).as("c"))
       .withColumn("nc2", dot(col("c"), col("c")))
 
   /** Train M codebooks and encode the corpus.
@@ -71,7 +71,7 @@ object PqIndex {
       .withColumn("nc2", dot(col("c"), col("c")))
       .localCheckpoint()
     for (_ <- 1 to iters)
-      cent = recompute(assign(subv, cent)).localCheckpoint()
+      cent = recompute(assign(subv, cent), s).localCheckpoint()
     (assign(subv, cent).select("vec_id", "m", "cid"), cent)
   }
 
