@@ -52,6 +52,36 @@ object Analytics {
         count_if(col("l_tax") > 0.04).as("n_high_tax"))
     },
 
+    // IGNORE NULLS window offsets (window.go lead/lag/nth with the
+    // MySQL 8 ignore-nulls extension): previous / next / second
+    // non-null click value around every event — the sparse-signal
+    // carry-forward idiom (sensor gaps, sparse prices) without
+    // gap-fill materialization. Unique (ts, event_id) ordering makes
+    // the default RANGE frame row-equivalent on both engines.
+    Q("q_window_ignorenulls", Some("""
+      SELECT event_id, user_id,
+             LAG(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+               OVER w AS prev_click,
+             LEAD(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+               OVER w AS next_click,
+             NTH_VALUE(CASE WHEN event_type = 'click' THEN value END,
+                       2 IGNORE NULLS) OVER w AS second_click
+      FROM events WHERE event_id < 2000
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val clickVal = when(col("event_type") === "click", col("value"))
+      t.events.filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"),
+          lag(clickVal, 1, null, ignoreNulls = true).over(w)
+            .as("prev_click"),
+          lead(clickVal, 1, null, ignoreNulls = true).over(w)
+            .as("next_click"),
+          nth_value(clickVal, 2, ignoreNulls = true).over(w)
+            .as("second_click"))
+    },
+
     // MERGEABLE sketch serving (reference: statistics/cmsketch.go +
     // histogram merge paths — TiDB stores per-region sketches and
     // merges them at query time): distinct users per event type

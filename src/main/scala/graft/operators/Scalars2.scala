@@ -355,5 +355,30 @@ object Scalars2 {
           try_variant_get(nested, "$.meta.type", "string").as("nested_type"),
           try_variant_get(nested, "$.meta.v", "double").as("nested_v"))
     },
+
+    // TRY_* error-handling family (reference: TiDB's non-strict
+    // evaluation — expression/builtin_cast.go + errctx downgrade
+    // cast/overflow/zero-division errors to NULL+warning when strict
+    // mode is off). Spark runs ANSI-strict by default, and the try_*
+    // functions are the per-expression escape hatch: malformed cast →
+    // NULL, divide-by-zero → NULL, int overflow → NULL, out-of-bounds
+    // index → NULL. The pipeline reality: one corrupt row must not
+    // kill a 100 TB job.
+    Q("q_func_try", Some("""
+      SELECT c_custkey,
+             TRY_CAST(c_mktsegment AS INT) AS seg_int,
+             TRY_CAST(SUBSTR(c_name, 10) AS INT) AS name_num,
+             c_acctbal / NULLIF(c_nationkey % 3, 0) AS div3,
+             TRY_CAST(c_custkey * 10000000000 AS INT) AS ovf,
+             STRING_SPLIT(c_name, '#')[3] AS elem3
+      FROM customer
+    """)) { t =>
+      t.customer.select(col("c_custkey"),
+        expr("try_cast(c_mktsegment AS int)").as("seg_int"),
+        expr("try_cast(substr(c_name, 10) AS int)").as("name_num"),
+        try_divide(col("c_acctbal"), col("c_nationkey") % 3).as("div3"),
+        expr("try_cast(c_custkey * 10000000000 AS int)").as("ovf"),
+        try_element_at(split(col("c_name"), "#"), lit(3)).as("elem3"))
+    },
   )
 }

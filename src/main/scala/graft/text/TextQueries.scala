@@ -254,6 +254,36 @@ object TextQueries {
         col("c_mktsegment"))
     },
 
+    // Deterministic corpus SHUFFLE: every training run wants the
+    // corpus in a pseudo-random but REPRODUCIBLE order (data order is
+    // part of the training recipe). The permutation key is the same
+    // multiplicative-hash coin as d_mix_sample — no engine RNG, so
+    // the oracle reproduces the exact order — and the gapless global
+    // position comes from the two-phase distributed prefix count
+    // (q_id_assign's shape) over coin-range groups: no global-window
+    // task at any scale.
+    Q("t_shuffle", Some("""
+      WITH c AS (SELECT doc_id,
+                        (doc_id * 2654435761) % 4294967296 AS coin
+                 FROM documents)
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY coin, doc_id) - 1 AS pos
+      FROM c
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val c = t.documents.select(col("doc_id"),
+          ((col("doc_id") * 2654435761L) % 4294967296L).as("coin"))
+        .withColumn("grp", expr("coin div 33554432")) // 2^25 → 128 ranges
+      val intraW = Window.partitionBy("grp").orderBy("coin", "doc_id")
+      val intra = c.withColumn("intra", row_number().over(intraW) - 1)
+      val totalsW = Window.orderBy("grp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = c.groupBy("grp").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(totalsW), lit(0L)))
+        .select(col("grp"), col("off"))
+      intra.join(broadcast(offs), "grp")
+        .select(col("doc_id"), (col("off") + col("intra")).as("pos"))
+    },
+
     // URL canonicalization (web-crawl curation): parse host / path /
     // query and strip tracking parameters (utm_*) so syntactically
     // different URLs of the same resource dedup together — the step
