@@ -161,7 +161,7 @@ object AnnQueries {
       val (m, s, k, iters) = (8, 8, 16, 2)
       val F = graft.sources.Formats
       val dir = F.cacheDir(
-        s"/tmp/graft_pq_m${m}k${k}i${iters}_${F.sanitize(t.dir)}",
+        s"/tmp/graft_pq_m${m}s${s}k${k}i${iters}_${F.sanitize(t.dir)}",
         F.contentFingerprint(s"${t.dir}/embeddings.parquet"))
       if (!new java.io.File(s"$dir/codebooks/_SUCCESS").exists())
         PqIndex.writeIndex(vecs(t).select("vec_id", "v"), dir, m, s, k, iters)

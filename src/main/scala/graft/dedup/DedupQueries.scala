@@ -346,7 +346,7 @@ object DedupQueries {
       val rate = when(col("source").isin("src0", "src1", "src2", "src3"), 0.9)
         .when(col("source").isin("src4", "src5", "src6", "src7"), 0.5)
         .otherwise(0.2)
-      val coin = (col("doc_id") * 2654435761L) % 4294967296L
+      val coin = TextFns.knuthCoin(col("doc_id"))
       t.documents
         .select(col("doc_id"), col("source"), rate.as("rate"),
           coin.as("coin"))
@@ -364,10 +364,11 @@ object DedupQueries {
     // '\n'), count chunk occurrences across the corpus, and drop
     // every occurrence outside the chunk's first (minimum-doc_id)
     // document — boilerplate (headers, nav bars, license blocks)
-    // disappears corpus-wide while one copy survives. Scale: chunks
-    // shuffle ONCE (the first-doc window exchange is reused by the
-    // rebuild aggregation); at 100 TB chunks are hashed to 128-bit
-    // before the shuffle, same as d_contamination's gram path. The
+    // disappears corpus-wide while one copy survives. Scale: two
+    // bounded exchanges — chunks shuffle on the chunk hash for the
+    // first-doc window, then tagged chunks shuffle back on doc_id
+    // for the rebuild; at 100 TB chunks are hashed to 128-bit before
+    // the first shuffle, same as d_contamination's gram path. The
     // per-doc rebuild sorts only that doc's own ≤len/10 chunks.
     Q("d_dedup_lines", Some("""
       WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),

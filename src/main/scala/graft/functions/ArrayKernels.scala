@@ -37,13 +37,17 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull arrays are rejected outright: ArrayData.getLong
+    // reads a null slot as 0, so a null element would silently
+    // corrupt counts (and break the sorted-walk invariant) instead
+    // of failing analysis.
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<bigint> inputs")
+      s"$prettyName requires array<bigint> inputs without null elements")
   }
   override def nullSafeEval(a: Any, b: Any): Any =
     SortedIntersectKernel.count(a.asInstanceOf[ArrayData],

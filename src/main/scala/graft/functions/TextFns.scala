@@ -13,6 +13,14 @@ object TextFns {
   def tokens(text: Column): Column =
     regexp_extract_all(text, lit("(\\S+)"), lit(1))
 
+  /** Deterministic per-row coin in [0, 2^32): Knuth's multiplicative
+    * hash of an integral key. Pure integer arithmetic, so any SQL
+    * engine reproduces the exact value — the sampling/shuffle
+    * primitive behind d_mix_sample and t_shuffle (their oracles
+    * inline the same expression). */
+  def knuthCoin(key: Column): Column =
+    (key * 2654435761L) % 4294967296L
+
   /** Lowercased, punctuation-stripped, whitespace-collapsed text. */
   def normalize(text: Column): Column =
     trim(regexp_replace(

@@ -77,19 +77,10 @@ object Dml {
              ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS row_id
       FROM documents
     """)) { t =>
-      import org.apache.spark.sql.expressions.Window
-      val intraW = Window.partitionBy("source").orderBy("doc_id")
-      val intra = t.documents.select(col("doc_id"), col("source"))
-        .withColumn("intra", row_number().over(intraW) - 1)
-      val totalsW = Window.orderBy("source")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = t.documents.groupBy("source")
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(sum(col("cnt")).over(totalsW), lit(0L)))
-        .select(col("source"), col("off"))
-      intra.join(broadcast(offs), "source")
-        .select(col("doc_id"), col("source"),
-          (col("off") + col("intra")).as("row_id"))
+      PrefixSum.rowNumberBefore(
+          t.documents.select(col("doc_id"), col("source")),
+          rangeCol = "source", orderCols = Seq("doc_id"), out = "row_id")
+        .select("doc_id", "source", "row_id")
     },
 
     // Incremental MATERIALIZED-VIEW refresh: a persisted aggregate

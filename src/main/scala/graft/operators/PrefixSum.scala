@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase DISTRIBUTED prefix sum — the scale-safe replacement for
+  * a single global ORDER BY window (one task at 100 TB): (1) a
+  * per-range partial via a PARTITIONed window, (2) range TOTALS —
+  * one row per range, thousands not billions — prefix-summed in the
+  * tiny second phase and broadcast back. Shared by q_id_assign
+  * (gapless row ids), t_pack (token offsets) and t_shuffle
+  * (permutation positions) so the subtle parts — the 1-PRECEDING
+  * frame, the coalesce-to-0 first row, the broadcast join-back —
+  * exist once.
+  *
+  * The global order is (rangeCol, orderCols...); rangeCol must be a
+  * RANGE bucket of that order (equal ranges ⇒ contiguous), e.g.
+  * `doc_id div 100` for doc_id order.
+  */
+object PrefixSum {
+
+  /** Adds `out` = Σ `valueCol` over all rows strictly before this row
+    * in (rangeCol, orderCols) order. */
+  def sumBefore(df: DataFrame, rangeCol: String, orderCols: Seq[String],
+      valueCol: String, out: String): DataFrame = {
+    val intraW = Window.partitionBy(rangeCol)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = df.withColumn("_intra",
+      coalesce(sum(col(valueCol)).over(intraW), lit(0L)))
+    intra.join(broadcast(rangeOffsets(df, rangeCol, sum(col(valueCol)))),
+        rangeCol)
+      .withColumn(out, col("_off") + col("_intra"))
+      .drop("_intra", "_off")
+  }
+
+  /** Adds `out` = number of rows strictly before this row in
+    * (rangeCol, orderCols) order — the gapless global ordinal. */
+  def rowNumberBefore(df: DataFrame, rangeCol: String,
+      orderCols: Seq[String], out: String): DataFrame = {
+    val intraW = Window.partitionBy(rangeCol)
+      .orderBy(orderCols.map(col): _*)
+    val intra = df.withColumn("_intra",
+      (row_number().over(intraW) - 1).cast("long"))
+    intra.join(broadcast(rangeOffsets(df, rangeCol, count(lit(1)))), rangeCol)
+      .withColumn(out, col("_off") + col("_intra"))
+      .drop("_intra", "_off")
+  }
+
+  /** Phase 2: per-range totals prefix-summed — |ranges| rows, so the
+    * single-partition window here is over the tiny totals table, not
+    * the data. */
+  private def rangeOffsets(df: DataFrame, rangeCol: String,
+      total: org.apache.spark.sql.Column): DataFrame = {
+    val totalsW = Window.orderBy(rangeCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.groupBy(rangeCol).agg(total.as("_cnt"))
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(totalsW), lit(0L)))
+      .select(col(rangeCol), col("_off"))
+  }
+}

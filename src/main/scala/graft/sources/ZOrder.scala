@@ -38,11 +38,15 @@ object ZOrder {
           shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
 
-  /** Scale an arbitrary non-negative integral column into [0, 2^16)
-    * by linear bucketing over a known max — keeps z-interleaving
-    * meaningful for wide key domains. */
+  /** Scale an arbitrary non-negative integral column into [0, 2^bits)
+    * by linear bucketing over a known max. Values above `maxVal`
+    * clamp to the top bucket — without the clamp they would exceed
+    * the bit budget and `zvalue` (which reads only bits 0..bits-1)
+    * would alias them onto the SMALLEST key region, silently
+    * destroying the layout's locality for stale or estimated maxima. */
   def bucketed(c: Column, maxVal: Long, bits: Int = 16): Column =
-    (c.cast("long") * ((1L << bits) - 1) / maxVal).cast("long")
+    (least(c.cast("long"), lit(maxVal)) * ((1L << bits) - 1) / maxVal)
+      .cast("long")
 
   /** Write `df` z-ordered by (a, b) into `nFiles` range-partitioned
     * sorted files under `dir`. */

@@ -202,27 +202,15 @@ object TextQueries {
              (tok_offset + n_tok - 1) // 2048 AS seq_last
       FROM o
     """)) { t =>
-      import org.apache.spark.sql.expressions.Window
       val s = t.documents
         .select(col("doc_id"),
           expr("text_stats(text)").getField("n_tokens").cast("bigint")
             .as("n_tok"))
         .filter(col("n_tok") > 0)
         .withColumn("rng", expr("doc_id div 100"))
-      val intraW = Window.partitionBy("rng").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val intra = s.withColumn("intra",
-        coalesce(sum(col("n_tok")).over(intraW), lit(0L)))
-      // Phase 2 operates on |docs|/100 rows — the single-partition
-      // window here is over the tiny totals table, not the data.
-      val totalsW = Window.orderBy("rng")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val rngOff = s.groupBy("rng").agg(sum(col("n_tok")).as("tot"))
-        .withColumn("rng_off", coalesce(sum(col("tot")).over(totalsW), lit(0L)))
-        .select(col("rng"), col("rng_off"))
-      intra.join(broadcast(rngOff), "rng")
-        .select(col("doc_id"), col("n_tok"),
-          (col("rng_off") + col("intra")).as("tok_offset"))
+      graft.operators.PrefixSum.sumBefore(s, rangeCol = "rng",
+          orderCols = Seq("doc_id"), valueCol = "n_tok",
+          out = "tok_offset")
         .select(col("doc_id"), col("n_tok"), col("tok_offset"),
           expr("tok_offset div 2048").as("seq_first"),
           expr("(tok_offset + n_tok - 1) div 2048").as("seq_last"))
@@ -269,19 +257,12 @@ object TextQueries {
       SELECT doc_id, ROW_NUMBER() OVER (ORDER BY coin, doc_id) - 1 AS pos
       FROM c
     """)) { t =>
-      import org.apache.spark.sql.expressions.Window
       val c = t.documents.select(col("doc_id"),
-          ((col("doc_id") * 2654435761L) % 4294967296L).as("coin"))
+          graft.functions.TextFns.knuthCoin(col("doc_id")).as("coin"))
         .withColumn("grp", expr("coin div 33554432")) // 2^25 → 128 ranges
-      val intraW = Window.partitionBy("grp").orderBy("coin", "doc_id")
-      val intra = c.withColumn("intra", row_number().over(intraW) - 1)
-      val totalsW = Window.orderBy("grp")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = c.groupBy("grp").agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(sum(col("cnt")).over(totalsW), lit(0L)))
-        .select(col("grp"), col("off"))
-      intra.join(broadcast(offs), "grp")
-        .select(col("doc_id"), (col("off") + col("intra")).as("pos"))
+      graft.operators.PrefixSum.rowNumberBefore(c, rangeCol = "grp",
+          orderCols = Seq("coin", "doc_id"), out = "pos")
+        .select("doc_id", "pos")
     },
 
     // URL canonicalization (web-crawl curation): parse host / path /

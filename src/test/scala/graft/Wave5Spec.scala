@@ -176,9 +176,18 @@ class Wave5Spec extends SparkSpecBase {
   }
 
   test("sorted_intersect_count equals array_intersect size") {
-    val df = spark.range(200).select(
-      expr("sort_array(array_distinct(transform(sequence(0, cast(id % 17 as int)), j -> xxhash64(id, j) % 50)))").as("a"),
-      expr("sort_array(array_distinct(transform(sequence(0, cast(id % 23 as int)), j -> xxhash64(j, id) % 50)))").as("b"))
+    // collect_set produces containsNull=false element types — the
+    // only array shape the expression accepts (null slots would read
+    // as 0 in the merge walk; rejected at analysis).
+    def sets(swap: Boolean) = spark.range(200)
+      .select(col("id"), explode(expr("sequence(0, cast(id % 17 as int))"))
+        .as("j"))
+      .select(col("id"),
+        ((if (swap) xxhash64(col("j"), col("id"))
+          else xxhash64(col("id"), col("j"))) % 50).as("h"))
+      .groupBy("id")
+      .agg(sort_array(collect_set(col("h"))).as(if (swap) "b" else "a"))
+    val df = sets(false).join(sets(true), "id")
     val bad = df.select(
       org.apache.spark.sql.GraftSqlShim.column(
         functions.SortedIntersectCount(
