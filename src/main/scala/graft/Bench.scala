@@ -83,8 +83,17 @@ object Bench {
       if (s.isEmpty) 0.0 else s(s.length / 2)
     }
     val results = firstPass.map { case (q, t1) =>
-      if (t1 > math.max(3.0, 3 * med)) q.name -> math.min(t1, measure(q))
-      else q.name -> t1
+      // Stall windows here can outlast one re-measure (observed: a
+      // map-side 0.5 s query at 13.8 s with BOTH samples inside a
+      // stall), so retry up to twice while the best sample is still
+      // an outlier.
+      var best = t1
+      var tries = 0
+      while (best > math.max(3.0, 3 * med) && tries < 2) {
+        best = math.min(best, measure(q))
+        tries += 1
+      }
+      q.name -> best
     }
     val qs = results
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
