@@ -329,13 +329,13 @@ object DedupQueries {
     // no engine RNG involved — and any re-run (or a resumed 100 TB
     // job) selects the identical subset. Map-side only; the output
     // aggregates realized rates per source.
-    Q("d_mix_sample", Some("""
+    Q("d_mix_sample", Some(s"""
       WITH rated AS (
         SELECT doc_id, source,
                CASE WHEN source IN ('src0','src1','src2','src3') THEN 0.9
                     WHEN source IN ('src4','src5','src6','src7') THEN 0.5
                     ELSE 0.2 END AS rate,
-               (doc_id * 2654435761) % 4294967296 AS coin
+               ${TextFns.knuthCoinSql("doc_id")} AS coin
         FROM documents)
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in,
              CAST(SUM(CASE WHEN coin < rate * 4294967296 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -364,12 +364,15 @@ object DedupQueries {
     // '\n'), count chunk occurrences across the corpus, and drop
     // every occurrence outside the chunk's first (minimum-doc_id)
     // document — boilerplate (headers, nav bars, license blocks)
-    // disappears corpus-wide while one copy survives. Scale: two
-    // bounded exchanges — chunks shuffle on the chunk hash for the
-    // first-doc window, then tagged chunks shuffle back on doc_id
-    // for the rebuild; at 100 TB chunks are hashed to 128-bit before
-    // the first shuffle, same as d_contamination's gram path. The
-    // per-doc rebuild sorts only that doc's own ≤len/10 chunks.
+    // disappears corpus-wide while one copy survives. Scale: the
+    // first-doc window partitions on a 128-bit chunk hash (two
+    // xxhash64 seeds), so its exchange carries (doc_id, idx, h1, h2)
+    // — never chunk text; the keep flags then pack to one int array
+    // per doc, and the rebuild joins them back to a map-side re-chunk
+    // of documents on doc_id. Text therefore crosses AT MOST one
+    // exchange (the doc_id rebuild join; AQE broadcasts the flag side
+    // when it is measured-small, and then text never shuffles at
+    // all). The per-doc rebuild sorts only that doc's ≤len/10 chunks.
     Q("d_dedup_lines", Some("""
       WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
       c AS (SELECT doc_id, i AS idx,
@@ -386,25 +389,34 @@ object DedupQueries {
     """)) { t =>
       import org.apache.spark.sql.expressions.Window
       val ws = split(col("text"), " ")
-      val chunks = t.fan(t.documents)
-        .select(col("doc_id"),
-          posexplode(when(size(ws) >= 1,
-            transform(sequence(lit(1), ceil(size(ws) / 10.0).cast("int")),
-              i => concat_ws(" ", slice(ws, (i - 1) * 10 + 1, lit(10)))))
-            .otherwise(array().cast("array<string>")))
-            .as(Seq("idx0", "chunk")))
-        .select(col("doc_id"), (col("idx0") + 1).as("idx"), col("chunk"))
-      val tagged = chunks.withColumn("keep",
-        (col("doc_id") ===
-          min(col("doc_id")).over(Window.partitionBy("chunk")))
-          .cast("int"))
-      tagged.groupBy("doc_id").agg(
-        count(lit(1)).as("n_chunks"),
-        sum(lit(1) - col("keep")).as("n_dropped"),
-        md5(array_join(transform(
-          array_sort(collect_list(when(col("keep") === 1,
-            struct(col("idx"), col("chunk"))))),
-          x => x.getField("chunk")), " ").cast("binary")).as("clean_fp"))
+      val chunkArr = when(size(ws) >= 1,
+        transform(sequence(lit(1), ceil(size(ws) / 10.0).cast("int")),
+          i => concat_ws(" ", slice(ws, (i - 1) * 10 + 1, lit(10)))))
+        .otherwise(array().cast("array<string>"))
+      // Window input: ids + the 128-bit chunk hash only. Chunk text is
+      // dropped before the exchange.
+      val hashed = t.fan(t.documents)
+        .select(col("doc_id"), posexplode(chunkArr).as(Seq("idx0", "chunk")))
+        .select(col("doc_id"), (col("idx0") + 1).as("idx"),
+          xxhash64(col("chunk")).as("h1"),
+          xxhash64(lit(20260813L), col("chunk")).as("h2"))
+      val flags = hashed
+        .withColumn("keep",
+          (col("doc_id") ===
+            min(col("doc_id")).over(Window.partitionBy("h1", "h2")))
+            .cast("int"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum(lit(1) - col("keep")).as("n_dropped"),
+          sort_array(collect_list(when(col("keep") === 1, col("idx"))))
+            .as("kept_idxs"))
+      // Rebuild: re-chunk map-side and pick kept chunks by index.
+      t.documents.select(col("doc_id"), chunkArr.as("chunks"))
+        .join(flags, Seq("doc_id"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
+          md5(array_join(transform(col("kept_idxs"),
+            i => element_at(col("chunks"), i)), " ").cast("binary"))
+            .as("clean_fp"))
     },
 
     // INCREMENTAL dedup across snapshots (reference analog: TiDB's

@@ -17,9 +17,29 @@ object TextFns {
     * hash of an integral key. Pure integer arithmetic, so any SQL
     * engine reproduces the exact value — the sampling/shuffle
     * primitive behind d_mix_sample and t_shuffle (their oracles
-    * inline the same expression). */
-  def knuthCoin(key: Column): Column =
-    (key * 2654435761L) % 4294967296L
+    * inline the same expression).
+    *
+    * The multiply runs as a 16/16-bit split so no intermediate
+    * exceeds 2^49: a naive `key * 2654435761` silently wraps Long
+    * for keys above ~3.47e9 (negative coin → rows never sampled)
+    * while DuckDB raises a BIGINT-overflow error — a latent
+    * engine/oracle divergence at 100 TB id ranges. The split form
+    * equals `((key & 0xFFFFFFFF) * M) mod 2^32` exactly for every
+    * non-negative key, and matches the old formula for keys < 2^32
+    * (so existing outputs are unchanged). */
+  def knuthCoin(key: Column): Column = {
+    val m = 2654435761L
+    val hi = shiftright(key, 16).bitwiseAND(lit(65535L)) * m % 4294967296L
+    val lo = key.bitwiseAND(lit(65535L)) * m
+    (hi * 65536L + lo) % 4294967296L
+  }
+
+  /** The DuckDB rendering of [[knuthCoin]] — inlined by the
+    * d_mix_sample / t_shuffle oracles so both engines evaluate the
+    * bit-identical arithmetic. */
+  def knuthCoinSql(key: String): String =
+    s"((((($key >> 16) & 65535) * 2654435761) % 4294967296) * 65536 + " +
+      s"(($key & 65535) * 2654435761)) % 4294967296"
 
   /** Lowercased, punctuation-stripped, whitespace-collapsed text. */
   def normalize(text: Column): Column =

@@ -165,11 +165,21 @@ object TpchFull {
     """)) { t =>
       // quantity < 0.2 * avg  ⇔  quantity * 5 * n < sum  (exact
       // integer/decimal arithmetic, no division on either engine).
-      val perPart = t.lineitem.groupBy(col("l_partkey").as("pk"))
+      // The per-part aggregate semi-joins the broadcast Brand#1
+      // partkey set FIRST: only ~1/|brands| of parts survive the
+      // later equi-join anyway, so aggregating all of lineitem here
+      // would shuffle the full table to discard 99.9% of it at
+      // 100 TB. Semantics are identical — non-brand partkeys can
+      // never reach the output.
+      val brandParts = t.part.filter(col("p_brand") === "Brand#1")
+      val perPart = t.lineitem
+        .join(broadcast(brandParts.select("p_partkey")),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy(col("l_partkey").as("pk"))
         .agg(count(lit(1)).as("n_pk"),
           sum(dec2(col("l_quantity"))).as("sum_qty_pk"))
       t.lineitem
-        .join(broadcast(t.part.filter(col("p_brand") === "Brand#1")),
+        .join(broadcast(brandParts),
           col("p_partkey") === col("l_partkey"))
         .join(perPart, col("pk") === col("l_partkey"))
         .filter(dec2(col("l_quantity")) * 5 * col("n_pk") <

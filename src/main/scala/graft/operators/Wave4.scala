@@ -312,7 +312,7 @@ object Wave4 {
       SELECT c_custkey,
              to_json(list_transform(arr, x -> x * 2 + 1)) AS doubled,
              to_json(list_filter(arr, x -> x % 2 = 0)) AS evens,
-             list_aggregate(arr, 'sum') AS total,
+             CAST(list_aggregate(arr, 'sum') AS BIGINT) AS total,
              CAST(LEN(list_filter(arr, x -> x > 5)) > 0 AS INT) AS any_big,
              CAST(LEN(list_filter(arr, x -> x >= 0)) = LEN(arr) AS INT)
                AS all_nonneg

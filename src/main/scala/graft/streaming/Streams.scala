@@ -295,8 +295,12 @@ object Streams {
     * batch N rewrites version N deterministically) — StreamingSpec
     * drives exactly that loop. */
   def cdcApplyBatch(snapshot: DataFrame, changes: DataFrame): DataFrame = {
+    // max over (seq, price) structs, not max_by: if two changes for a
+    // key tie on seq inside one micro-batch, max_by picks an arbitrary
+    // one and idempotent replay would not be deterministic.
     val latest = changes.groupBy("o_orderkey")
-      .agg(max_by(col("o_totalprice"), col("seq")).as("u_price"))
+      .agg(max(struct(col("seq"), col("o_totalprice")))
+        .getField("o_totalprice").as("u_price"))
     snapshot.as("b").join(latest, Seq("o_orderkey"), "full_outer")
       .select(col("o_orderkey"),
         coalesce(col("u_price"), col("o_totalprice")).as("o_totalprice"))

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.{Q, Tables}
+import graft.functions.TextFns
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -194,12 +195,13 @@ object TextQueries {
                CAST(LEN(regexp_extract_all(text, '(\S+)', 1)) AS BIGINT) AS n_tok
              FROM documents),
       o AS (SELECT doc_id, n_tok,
-              COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+              CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS tok_offset
             FROM s WHERE n_tok > 0)
       SELECT doc_id, n_tok, tok_offset,
-             tok_offset // 2048 AS seq_first,
-             (tok_offset + n_tok - 1) // 2048 AS seq_last
+             CAST(tok_offset // 2048 AS BIGINT) AS seq_first,
+             CAST((tok_offset + n_tok - 1) // 2048 AS BIGINT) AS seq_last
       FROM o
     """)) { t =>
       val s = t.documents
@@ -250,9 +252,9 @@ object TextQueries {
     // position comes from the two-phase distributed prefix count
     // (q_id_assign's shape) over coin-range groups: no global-window
     // task at any scale.
-    Q("t_shuffle", Some("""
+    Q("t_shuffle", Some(s"""
       WITH c AS (SELECT doc_id,
-                        (doc_id * 2654435761) % 4294967296 AS coin
+                        ${TextFns.knuthCoinSql("doc_id")} AS coin
                  FROM documents)
       SELECT doc_id, ROW_NUMBER() OVER (ORDER BY coin, doc_id) - 1 AS pos
       FROM c

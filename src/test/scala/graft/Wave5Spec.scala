@@ -262,5 +262,18 @@ class Wave5Spec extends SparkSpecBase {
     assert(p1.contains("PushedFilters") && p1.contains("l_shipdate"))
     val p17 = plan("q_tpch_q17")
     assert(p17.contains("BroadcastHashJoin"), s"part not broadcast:\n$p17")
+    // The per-part aggregate must consume a Brand#1-pruned lineitem
+    // (broadcast semi join BEFORE the groupBy), not all of lineitem:
+    // at 100 TB an unpruned per-part aggregate is a full-table
+    // shuffle feeding a filter that discards 99.9% of it.
+    assert(p17.contains("LeftSemi"), s"per-part agg not pruned:\n$p17")
+  }
+
+  test("chunk dedup window shuffles 128-bit hashes, never chunk text") {
+    val p = plan("d_dedup_lines")
+    assert(p.contains("hashpartitioning(h1"),
+      s"first-doc window not keyed on the chunk hash:\n$p")
+    assert(!p.contains("hashpartitioning(chunk"),
+      s"window exchange still keyed on raw chunk text:\n$p")
   }
 }

@@ -53,6 +53,21 @@ def main(sf_dir, out_dir):
                   f"duck={sorted(duck_cols)}")
             n_fail += 1
             continue
+        # The driver converts DuckDB results via pandas, which renders
+        # HUGEINT as float64 ("1234.0" vs Spark's "1234") — the hash
+        # compare then fails even when values are identical. Any
+        # HUGEINT output column (unpinned SUM(int)/window-SUM/
+        # list_aggregate) must be CAST to BIGINT in the oracle SQL.
+        # (This dev checker compares python ints, so it would pass —
+        # fail loudly instead.)
+        huge = [c for c, ty in zip(duck_rel.columns, duck_rel.types)
+                if "HUGEINT" in str(ty).upper()]
+        if huge:
+            print(f"FAIL {name}: oracle output column(s) {huge} are "
+                  f"HUGEINT — pin with CAST(... AS BIGINT) or the "
+                  f"driver's pandas compare renders them float64")
+            n_fail += 1
+            continue
         a, b = rowset(spark_cols, spark_rows), rowset(duck_cols, duck_rows)
         if len(a) != len(b):
             print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
