@@ -75,26 +75,38 @@ object Bench {
     // This box shows intermittent external stalls (measured: the same
     // trivial map-side agg at 0.4 s and 13 s in back-to-back full
     // runs, with the slow SET differing every run — neighbor noise,
-    // not plan cost). Re-measure only the outliers once and keep the
-    // minimum: the min of two runs estimates the engine, not the
-    // neighbor. Outlier = above 3× the suite median and 3 s absolute.
+    // not plan cost). Re-measure outliers and keep the minimum: the
+    // min across runs estimates the engine, not the neighbor.
+    // Outlier = above 3× the suite median and 3 s absolute.
+    //
+    // Retries are TEMPORALLY DECORRELATED: a stall window can outlast
+    // back-to-back retries (observed: a 1.6 s query at 44 s with all
+    // three samples inside one window), so outliers are re-measured
+    // in passes after the whole suite finishes, with a 30 s gap
+    // before each later pass. An entry settles once two samples agree
+    // within 25% — consistent cost is genuine (the in-query index
+    // builds legitimately run 3-4 s) and stops consuming retries.
     val med = {
       val s = firstPass.map(_._2).sorted
       if (s.isEmpty) 0.0 else s(s.length / 2)
     }
-    val results = firstPass.map { case (q, t1) =>
-      // Stall windows here can outlast one re-measure (observed: a
-      // map-side 0.5 s query at 13.8 s with BOTH samples inside a
-      // stall), so retry up to twice while the best sample is still
-      // an outlier.
-      var best = t1
-      var tries = 0
-      while (best > math.max(3.0, 3 * med) && tries < 2) {
-        best = math.min(best, measure(q))
-        tries += 1
+    val byName = selected.map(q => q.name -> q).toMap
+    val times = scala.collection.mutable.LinkedHashMap(
+      firstPass.map { case (q, t1) => q.name -> t1 }: _*)
+    val settled = scala.collection.mutable.Set[String]()
+    def outlier(v: Double) = v > math.max(3.0, 3 * med)
+    var pass = 0
+    while (pass < 3 &&
+        times.exists { case (n, v) => outlier(v) && !settled(n) }) {
+      if (pass > 0) Thread.sleep(30000)
+      for ((name, v) <- times.toSeq if outlier(v) && !settled(name)) {
+        val again = measure(byName(name))
+        if (math.abs(again - v) <= 0.25 * math.min(again, v)) settled += name
+        times(name) = math.min(v, again)
       }
-      q.name -> best
+      pass += 1
     }
+    val results = times.toSeq
     val qs = results
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

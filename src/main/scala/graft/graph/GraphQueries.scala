@@ -272,36 +272,58 @@ object GraphQueries {
       ORDER BY ROUND(CAST(common AS DOUBLE) / (dega + degb - common), 8) DESC, a, b
       LIMIT 20
     """)) { t =>
-      val u = Graph.derived(t.orders).oriented("both")
-        .repartition(col("src"))
-      val adj = u.groupBy("src")
-        .agg(sort_array(collect_set(col("dst"))).as("nbrs"),
-          count(lit(1)).as("deg"))
-      val pairs = u.filter(col("src") < col("dst"))
-        .select(col("src").as("a"), col("dst").as("b"))
-      pairs
-        .join(adj.select(col("src").as("a"), col("nbrs").as("na"),
-          col("deg").as("dega")), "a")
-        .join(adj.select(col("src").as("b"), col("nbrs").as("nb"),
-          col("deg").as("degb")), "b")
-        .select(col("a"), col("b"),
-          org.apache.spark.sql.GraftSqlShim.column(
-            graft.functions.SortedIntersectCount(
-              org.apache.spark.sql.GraftSqlShim.expr(col("na")),
-              org.apache.spark.sql.GraftSqlShim.expr(col("nb"))))
-            .as("common"),
-          col("dega"), col("degb"))
-        // The oracle's wedge formulation only sees pairs with at
-        // least one common neighbor; mirror that.
-        .filter(col("common") >= 1)
-        .withColumn("j",
-          col("common").cast("double") /
-            (col("dega") + col("degb") - col("common")))
+      jaccardPairs(t, maxDeg = 10000L)
         .orderBy(round(col("j"), 8).desc, col("a"), col("b"))
         .limit(20)
         .select(col("a"), col("b"), round(col("j"), 4).as("jac"))
     },
   )
+
+  /** All edge-adjacent vertex pairs scored by neighborhood Jaccard,
+    * on sorted adjacency arrays + the codegen merge-walk kernel.
+    *
+    * `maxDeg` is the hub guard — the df>1000 rule of d_ngram_jaccard
+    * transplanted to graphs: a vertex above the cap would materialize
+    * one unbounded sorted array AND join into deg-many pairs, so hub
+    * vertices are dropped from scoring entirely (they still appear
+    * inside other vertices' neighbor arrays, which stay bounded by
+    * the owner's own degree). The hub list is by construction tiny
+    * (heavy tail), so the exclusion is a broadcast anti join before
+    * any array is built. 10000 never binds on the derived order
+    * graph at test SFs (max degree ~hundreds) — the registry entry
+    * stays hash-exact — and GraphSpec pins capped == uncapped-then-
+    * filtered parity on a cap that does bind. */
+  def jaccardPairs(t: graft.Tables,
+      maxDeg: Long): org.apache.spark.sql.DataFrame = {
+    val u = Graph.derived(t.orders).oriented("both")
+      .repartition(col("src"))
+    val deg = u.groupBy("src").agg(count(lit(1)).as("deg"))
+    val hubs = deg.filter(col("deg") > maxDeg).select("src")
+    val scored = u.join(broadcast(hubs), Seq("src"), "left_anti")
+    val adj = scored.groupBy("src")
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs"),
+        count(lit(1)).as("deg"))
+    val pairs = scored.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    pairs
+      .join(adj.select(col("src").as("a"), col("nbrs").as("na"),
+        col("deg").as("dega")), "a")
+      .join(adj.select(col("src").as("b"), col("nbrs").as("nb"),
+        col("deg").as("degb")), "b")
+      .select(col("a"), col("b"),
+        org.apache.spark.sql.GraftSqlShim.column(
+          graft.functions.SortedIntersectCount(
+            org.apache.spark.sql.GraftSqlShim.expr(col("na")),
+            org.apache.spark.sql.GraftSqlShim.expr(col("nb"))))
+          .as("common"),
+        col("dega"), col("degb"))
+      // The oracle's wedge formulation only sees pairs with at
+      // least one common neighbor; mirror that.
+      .filter(col("common") >= 1)
+      .withColumn("j",
+        col("common").cast("double") /
+          (col("dega") + col("degb") - col("common")))
+  }
 
   private def triangles(u: org.apache.spark.sql.DataFrame) = {
     val e1 = u.select(col("a").as("x"), col("b").as("y"))

@@ -58,7 +58,9 @@ object MediaQueries {
              3 AS channels,
              1 + CAST(FLOOR(n_bytes / 1000.0) AS INT) AS n_frames,
              source AS media_kind
-      FROM (SELECT doc_id, CAST(STRLEN(text) AS INT) AS n_bytes, source
+      FROM (SELECT doc_id,
+                   CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+                   source
             FROM documents) t
     """)) { t =>
       t.documents
@@ -79,40 +81,51 @@ object MediaQueries {
     // container); the Spark-side plumbing is the real thing: per-row
     // frame-index generation (map-side transform + explode, no
     // shuffle until a consumer aggregates), byte-range slicing, one
-    // output row per sampled frame. The engine slices the BINARY
-    // payload (1-based byte offsets — correct for a multilingual
-    // corpus where char != byte); DuckDB cannot slice BLOBs, so the
-    // oracle slices chars — equivalent ONLY because the test corpus
-    // is ASCII (documented precondition of the oracle, not of the
-    // engine).
+    // output row per sampled frame. Both engines slice BYTES — the
+    // engine substrings the BINARY payload directly; DuckDB cannot
+    // slice or hash BLOBs, so both sides fingerprint the HEX
+    // rendering of the slice (2 hex chars per byte — byte-exact and
+    // safe on multibyte text; a slice may split a codepoint, which
+    // is fine because the bytes are never decoded back to a string).
+    // MediaSpec pins the multibyte case against hand-computed UTF-8
+    // byte offsets.
     Q("m_media_frames", Some("""
       WITH m AS (
-        SELECT doc_id, text,
-               1 + CAST(FLOOR(STRLEN(text) / 64.0) AS INT) AS n_frames
+        SELECT doc_id, HEX(ENCODE(text)) AS hx,
+               1 + CAST(FLOOR(OCTET_LENGTH(ENCODE(text)) / 64.0) AS INT)
+                 AS n_frames
         FROM documents),
       f AS (
-        SELECT doc_id, text, n_frames,
+        SELECT doc_id, hx, n_frames,
                UNNEST(list_distinct(list_transform([0, 1, 2, 3],
                  j -> CAST(FLOOR(j * (n_frames - 1) / 3.0) AS INT))))
                  AS frame_idx
         FROM m)
       SELECT doc_id, frame_idx, frame_idx * 40 AS ts_ms,
-             MD5(SUBSTR(text, frame_idx * 64 + 1, 64)) AS frame_fp
+             MD5(SUBSTR(hx, frame_idx * 128 + 1, 128)) AS frame_fp
       FROM f
     """)) { t =>
-      val payload = encode(col("text"), "UTF-8")
-      val nFrames = lit(1) + floor(length(payload) / 64.0).cast("int")
-      t.fan(t.documents)
-        .select(col("doc_id"), payload.as("payload"),
-          nFrames.as("n_frames"))
-        .select(col("doc_id"), col("payload"),
-          explode(array_distinct(transform(sequence(lit(0), lit(3)),
-            j => floor(j * (col("n_frames") - 1) / 3.0).cast("int"))))
-            .as("frame_idx"))
-        .select(col("doc_id"), col("frame_idx"),
-          (col("frame_idx") * 40).as("ts_ms"),
-          md5(col("payload").substr(col("frame_idx") * 64 + 1, lit(64)))
-            .as("frame_fp"))
+      frameSample(t.fan(t.documents))
     },
   )
+
+  /** ≤4 uniformly spaced 64-byte frames per document, fingerprinted
+    * on the hex rendering of the raw byte slice. Shared by the
+    * registry entry and the multibyte MediaSpec. */
+  def frameSample(docs: DataFrame): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    val nFrames = lit(1) + floor(length(payload) / 64.0).cast("int")
+    docs
+      .select(col("doc_id"), payload.as("payload"),
+        nFrames.as("n_frames"))
+      .select(col("doc_id"), col("payload"),
+        explode(array_distinct(transform(sequence(lit(0), lit(3)),
+          j => floor(j * (col("n_frames") - 1) / 3.0).cast("int"))))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * 40).as("ts_ms"),
+        md5(hex(col("payload").substr(col("frame_idx") * 64 + 1, lit(64))))
+          .as("frame_fp"))
+  }
+
 }

@@ -52,4 +52,21 @@ class GraphSpec extends SparkSpecBase {
       assert(nodes.head == "0" && nodes.last == "7")
     }
   }
+
+  test("jaccard degree cap: capped == uncapped restricted to non-hubs") {
+    import graft.graph.GraphQueries
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("common"))
+    val uncapped = GraphQueries.jaccardPairs(t, Long.MaxValue)
+    // Pick a cap that BINDS: the median degree, so real hubs exist.
+    val cap = uncapped.agg(
+      org.apache.spark.sql.functions.expr("percentile(dega, 0.5)"))
+      .head().getDouble(0).toLong
+    val capped = GraphQueries.jaccardPairs(t, cap).collect().map(key).toSet
+    val expected = uncapped
+      .filter(s"dega <= $cap AND degb <= $cap").collect().map(key).toSet
+    assert(capped.nonEmpty && capped == expected)
+    // The cap must actually have dropped something in this regime.
+    assert(expected.size < uncapped.count())
+  }
 }

@@ -15,4 +15,32 @@ class MediaSpec extends SparkSpecBase {
           r.getAs[Int]("n_frames")))).toMap
     assert(typed == sql && typed.nonEmpty)
   }
+
+  test("frame slicing is byte-offset-correct on multibyte text") {
+    import org.apache.spark.sql.functions.col
+    // 200 chars but 400 UTF-8 bytes: char==byte slicing would pick
+    // the wrong window AND the wrong frame count.
+    val text = "ü" * 150 + "héllo wörld φράση 文档 " * 4
+    val bytes = text.getBytes("UTF-8")
+    assert(bytes.length > text.length)
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = MediaQueries.frameSample(
+        Seq((7L, text)).toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getAs[Int]("frame_idx") -> r.getAs[String]("frame_fp"))
+      .toMap
+    val nFrames = 1 + bytes.length / 64
+    val expectedIdx = (0 to 3)
+      .map(j => math.floor(j * (nFrames - 1) / 3.0).toInt).distinct
+    assert(rows.keySet == expectedIdx.toSet)
+    val mdRef = java.security.MessageDigest.getInstance("MD5")
+    expectedIdx.foreach { i =>
+      val slice = bytes.slice(i * 64, math.min(i * 64 + 64, bytes.length))
+      val hexStr = slice.map(b => f"$b%02X").mkString
+      val fp = mdRef.digest(hexStr.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(rows(i) == fp, s"frame $i: byte slicing drifted")
+    }
+  }
 }
