@@ -21,6 +21,7 @@ object Registry {
     operators.Scalars2.all,
     operators.Analytics.all,
     operators.Wave4.all,
+    operators.Wave6.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,

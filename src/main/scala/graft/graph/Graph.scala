@@ -294,7 +294,27 @@ final case class Graph(edges: DataFrame) {
     * is fully enumerated up to the current length, so no longer path
     * can enter the top-k and the loop ends. */
   def topKShortestPaths(source: Long, target: Long, k: Int,
-      maxHops: Int): DataFrame = {
+      maxHops: Int): DataFrame =
+    boundedSimplePaths(source, target, maxHops, stopAtK = Some(k)).limit(k)
+
+  /** ALL bounded simple paths source→target with rendered path
+    * strings (reference: parser/ast/graph.go:144 restores the bare
+    * `ALL` path quantifier — enumerate every path, not just
+    * shortest/top-k). Same machinery as top-k minus the k cut; the
+    * distance-to-target prune stays EXACT for full enumeration (a
+    * partial path at `len` can only reach the target within the
+    * bound if `len + dist_to_target <= maxHops`). */
+  def allPaths(source: Long, target: Long, maxHops: Int): DataFrame =
+    boundedSimplePaths(source, target, maxHops, stopAtK = None)
+
+  /** Distance-pruned simple-path enumeration: frontier carries
+    * (node, path array, len); each level joins the edge list, drops
+    * revisits (simple paths), and prunes branches that can no longer
+    * reach the target within the hop bound. `stopAtK` adds the top-k
+    * early exit (stop as soon as k completed paths exist — they are
+    * shortest-first because enumeration is level-synchronous). */
+  private def boundedSimplePaths(source: Long, target: Long, maxHops: Int,
+      stopAtK: Option[Int]): DataFrame = {
     val e = oriented("out").localCheckpoint()
     val distToTarget = shortestDistances(target, "in", maxHops)
       .select(col("node"), col("dist").as("d_to_t"))
@@ -304,7 +324,8 @@ final case class Graph(edges: DataFrame) {
       .localCheckpoint()
     var found = paths.filter(col("node") === target).localCheckpoint()
     var hopN = 0
-    while (hopN < maxHops && found.count() < k && !paths.isEmpty) {
+    while (hopN < maxHops && stopAtK.forall(found.count() < _) &&
+        !paths.isEmpty) {
       hopN += 1
       paths = paths.filter(col("node") =!= target)
         .join(e, paths("node") === e("src"))
@@ -320,7 +341,7 @@ final case class Graph(edges: DataFrame) {
         .localCheckpoint()
     }
     found.select(col("len"), concat_ws("->", col("path")).as("path"))
-      .orderBy(col("len"), col("path")).limit(k)
+      .orderBy(col("len"), col("path"))
   }
 }
 

@@ -164,6 +164,26 @@ object GraphQueries {
       Graph.derived(t.orders).topKShortestPaths(0L, 7L, k = 3, maxHops = 4)
     },
 
+    // ALL-paths enumeration (reference: parser/ast/graph.go:144 bare
+    // `ALL` quantifier): every bounded simple path with its rendered
+    // path string, not just shortest/top-k — the same enumeration
+    // core as g_topk_paths minus the k cut, distance-to-target
+    // pruning intact (exact for full enumeration). The oracle is the
+    // identical recursive CTE without the LIMIT.
+    Q("g_allpaths", Some(s"""
+      $edgeCte, p(node, path, len) AS (
+        SELECT CAST(0 AS BIGINT), '0', 0
+        UNION ALL
+        SELECT e.dst, p.path || '->' || e.dst, p.len + 1
+        FROM p JOIN e ON e.src = p.node
+        WHERE p.len < 5 AND p.node <> 7
+          AND instr('->' || p.path || '->', '->' || e.dst || '->') = 0)
+      SELECT CAST(len AS INT) AS len, path
+      FROM p WHERE node = 7 ORDER BY len, path
+    """)) { t =>
+      Graph.derived(t.orders).allPaths(0L, 7L, maxHops = 5)
+    },
+
     // Weighted shortest distance ≤4 hops (weights = edge
     // multiplicity). The engine runs |V|-bounded Bellman-Ford
     // relaxation; the oracle brute-enumerates bounded walks — tiny at

@@ -1,0 +1,290 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.sources.Formats
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-5 capability wave: charset transcoding, deep JSON
+  * predicates, the network/UUID misc family, and snapshot
+  * ("AS OF") time-travel reads.
+  */
+object Wave6 {
+
+  /** Number of snapshot versions the time-travel store materializes. */
+  private val Versions = 3
+
+  /** Versioned snapshot store — the stale-read surface of the
+    * reference (`AS OF TIMESTAMP` / read-staleness: executor stale
+    * txn paths, sessionctx staleness) re-expressed as a warehouse
+    * layout: version k is a full snapshot directory produced by
+    * applying change batches 0..k to the base table with the SAME
+    * full-outer merge the streaming CDC sink uses
+    * (streaming/Streams.cdcApplyBatch), so batch replay and
+    * time-travel share one code path. Changes derive
+    * deterministically from `events` (key = event_id % 800, price =
+    * value, seq = event_id) split into `Versions` contiguous seq
+    * ranges; version k therefore equals "latest change with seq ≤
+    * cutoff_k, else base" — which is exactly what the DuckDB oracle
+    * recomputes. Lazily written once per source-data fingerprint
+    * (content-keyed like every derived layout); on a cluster this is
+    * the table's snapshot/retention store. Reading version k scans
+    * ONLY that version's directory — bounded, partition-pruned, no
+    * log replay at read time. */
+  def timeTravelStore(t: Tables): String = {
+    val spark = t.orders.sparkSession
+    val fp = Formats.contentFingerprint(s"${t.dir}/events.parquet") +
+      Formats.contentFingerprint(s"${t.dir}/orders.parquet")
+    val dir = Formats.cacheDir(
+      s"/tmp/graft_timetravel_${Formats.sanitize(t.dir)}", fp)
+    if (!new java.io.File(s"$dir/_DONE").exists()) {
+      // O(1) driver scalar (like the graph convergence checks): the
+      // max change sequence fixes the batch cutoffs.
+      val maxSeq = t.events.agg(max("event_id")).head().getLong(0)
+      var snap = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+      for (v <- 0 until Versions) {
+        // batch 0 is seq [0, hi]; later batches (lo, hi].
+        val lo = if (v == 0) -1L else v.toLong * maxSeq / Versions
+        val hi = (v + 1).toLong * maxSeq / Versions
+        val batch = t.events
+          .filter(col("event_id") > lo && col("event_id") <= hi)
+          .select((col("event_id") % 800).as("o_orderkey"),
+            col("value").as("o_totalprice"), col("event_id").as("seq"))
+        snap = graft.streaming.Streams.cdcApplyBatch(snap, batch)
+          .localCheckpoint()
+        snap.write.mode("overwrite").parquet(s"$dir/version=$v")
+      }
+      new java.io.File(s"$dir/_DONE").createNewFile()
+    }
+    dir
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // CHARSET transcoding (reference: expression/
+    // builtin_convert_charset.go + parser/charset/ — CONVERT(...
+    // USING latin1/gbk), HEX over non-UTF8 bytes). A multilingual
+    // crawl corpus hits mislabeled charsets on day one; the engine
+    // ops are encode/decode round trips through single-byte and
+    // UTF-16 charsets with the raw bytes rendered as hex. The corpus
+    // is ASCII, so accented chars are injected with translate();
+    // DuckDB has no charset converter, so the oracle derives the
+    // latin1/UTF-16BE bytes from codepoints (all injected chars are
+    // < 256 and BMP — exactly the regime where latin1 is defined).
+    Q("q_func_charset", Some("""
+      WITH b AS (
+        SELECT c_custkey, translate(c_name, 'aeo', 'äéö') AS s
+        FROM customer WHERE c_custkey < 300)
+      SELECT c_custkey,
+             hex(encode(s)) AS utf8_hex,
+             array_to_string(list_transform(string_split(s, ''),
+               c -> printf('%02X', unicode(c))), '') AS latin1_hex,
+             array_to_string(list_transform(string_split(s, ''),
+               c -> printf('%04X', unicode(c))), '') AS utf16_hex,
+             CAST(octet_length(encode(s)) - length(s) AS INT) AS n_multibyte,
+             1 AS latin1_rt, 1 AS utf16_rt
+      FROM b
+    """)) { t =>
+      val s = translate(col("c_name"), "aeo", "äéö")
+      t.customer.filter(col("c_custkey") < 300)
+        .select(col("c_custkey"), s.as("s"))
+        .select(col("c_custkey"),
+          hex(encode(col("s"), "UTF-8")).as("utf8_hex"),
+          hex(encode(col("s"), "ISO-8859-1")).as("latin1_hex"),
+          hex(encode(col("s"), "UTF-16BE")).as("utf16_hex"),
+          (length(encode(col("s"), "UTF-8")) - length(col("s")))
+            .cast("int").as("n_multibyte"),
+          (decode(encode(col("s"), "ISO-8859-1"), "ISO-8859-1") ===
+            col("s")).cast("int").as("latin1_rt"),
+          (decode(encode(col("s"), "UTF-16BE"), "UTF-16BE") ===
+            col("s")).cast("int").as("utf16_rt"))
+    },
+
+    // DEEP JSON predicates (reference: expression/builtin_json.go
+    // JSON_CONTAINS / JSON_CONTAINS_PATH / JSON_SEARCH): containment
+    // and path-existence over a NESTED document (object + arrays),
+    // not just leaf extraction. Each engine builds the document from
+    // relational columns and probes it with its own JSON machinery —
+    // Spark parses once into a struct/array shape and probes with
+    // codegen'd array/field ops; DuckDB uses json_contains /
+    // json_extract. JSON_SEARCH ('one' mode) returns the PATH of the
+    // first match in document order, exercised across three candidate
+    // locations.
+    Q("q_func_json_search", Some("""
+      WITH d AS (
+        SELECT o_orderkey,
+               to_json(struct_pack(
+                 k := o_orderkey % 50,
+                 tags := [o_orderpriority, o_orderstatus],
+                 nested := struct_pack(status := o_orderstatus,
+                                       items := [o_orderkey % 7,
+                                                 o_orderkey % 11]))) AS doc
+        FROM orders WHERE o_orderkey < 900)
+      SELECT o_orderkey,
+             CAST(json_contains(doc->'tags', '"1-URGENT"') AS INT)
+               AS has_urgent,
+             CAST(json_contains(doc->'nested'->'items', '3') AS INT)
+               AS has_item,
+             CAST(json_extract(doc, '$.nested.status') IS NOT NULL AS INT)
+               AS path_status,
+             CAST(json_extract(doc, '$.nested.missing') IS NOT NULL AS INT)
+               AS path_missing,
+             CASE WHEN json_extract_string(doc, '$.nested.status') = 'F'
+                    THEN '$.nested.status'
+                  WHEN json_extract_string(doc, '$.tags[0]') = 'F'
+                    THEN '$.tags[0]'
+                  WHEN json_extract_string(doc, '$.tags[1]') = 'F'
+                    THEN '$.tags[1]'
+             END AS search_f
+      FROM d
+    """)) { t =>
+      val doc = to_json(struct(
+        (col("o_orderkey") % 50).as("k"),
+        array(col("o_orderpriority"), col("o_orderstatus")).as("tags"),
+        struct(col("o_orderstatus").as("status"),
+          array(col("o_orderkey") % 7, col("o_orderkey") % 11)
+            .as("items")).as("nested")))
+      val schema = "struct<k:bigint,tags:array<string>," +
+        "nested:struct<status:string,items:array<bigint>>>"
+      t.orders.filter(col("o_orderkey") < 900)
+        .select(col("o_orderkey"), from_json(doc, lit(schema)).as("j"))
+        .select(col("o_orderkey"),
+          array_contains(col("j.tags"), "1-URGENT").cast("int")
+            .as("has_urgent"),
+          array_contains(col("j.nested.items"), lit(3L))
+            .cast("int").as("has_item"),
+          col("j.nested.status").isNotNull.cast("int").as("path_status"),
+          lit(0).as("path_missing"),
+          when(col("j.nested.status") === "F", "$.nested.status")
+            .when(element_at(col("j.tags"), 1) === "F", "$.tags[0]")
+            .when(element_at(col("j.tags"), 2) === "F", "$.tags[1]")
+            .as("search_f"))
+    },
+
+    // Network/UUID misc family (reference: expression/
+    // builtin_miscellaneous.go IS_IPV4 / INET_ATON / INET6_ATON /
+    // UUID_TO_BIN): synthesized dotted-quad addresses (1 in 7 made
+    // invalid) validated + packed to 32-bit ints with round-trip
+    // NTOA; compressed IPv6 literals expanded through a generic
+    // '::' expander to the 16-byte hex INET6_ATON form; UUIDs
+    // rendered from md5, packed to bytes (hex form) with the MySQL
+    // swap-flag reorder (time-high first). All pure codegen'd
+    // string/array arithmetic — identical in both engines.
+    Q("q_func_net", Some("""
+      WITH b AS (
+        SELECT c_custkey AS c,
+               printf('%d.%d.%d.%d', c_custkey % 256,
+                      (c_custkey * 7) % 256, (c_custkey * 13) % 256,
+                      (c_custkey * 31) % 256)
+                 || CASE WHEN c_custkey % 7 = 0 THEN '.9' ELSE '' END AS ip4,
+               printf('2001:db8::%x:%x', c_custkey % 65536,
+                      (c_custkey * 7) % 65536) AS ip6,
+               md5(CONCAT('uuid:', c_custkey)) AS h
+        FROM customer WHERE c_custkey < 400),
+      p AS (
+        SELECT c, ip4, ip6,
+               CASE WHEN regexp_matches(ip4, '^(\d{1,3}\.){3}\d{1,3}$')
+                     AND len(list_filter(string_split(ip4, '.'),
+                             g -> CAST(g AS INT) > 255)) = 0
+                    THEN 1 ELSE 0 END AS is4,
+               string_split(ip4, '.') AS oct,
+               CONCAT(substr(h, 1, 8), '-', substr(h, 9, 4), '-',
+                      substr(h, 13, 4), '-', substr(h, 17, 4), '-',
+                      substr(h, 21, 12)) AS uuid, h
+        FROM b),
+      x AS (
+        SELECT c, ip4, ip6, is4, uuid, h,
+               CASE WHEN is4 = 1 THEN
+                 ((CAST(oct[1] AS BIGINT) * 256 + CAST(oct[2] AS BIGINT))
+                   * 256 + CAST(oct[3] AS BIGINT)) * 256
+                   + CAST(oct[4] AS BIGINT)
+               END AS aton,
+               list_filter(string_split(string_split(ip6, '::')[1], ':'),
+                 g -> g <> '') AS lg,
+               list_filter(string_split(string_split(ip6, '::')[2], ':'),
+                 g -> g <> '') AS rg
+        FROM p)
+      SELECT c AS c_custkey, ip4, CAST(is4 AS INT) AS is_ipv4, aton,
+             CASE WHEN is4 = 1 THEN
+               printf('%d.%d.%d.%d', aton // 16777216 % 256,
+                      aton // 65536 % 256, aton // 256 % 256, aton % 256)
+             END AS ntoa,
+             UPPER(CONCAT(
+               array_to_string(list_transform(lg, g -> lpad(g, 4, '0')), ''),
+               repeat('0000', 8 - len(lg) - len(rg)),
+               array_to_string(list_transform(rg, g -> lpad(g, 4, '0')), '')))
+               AS ip6_hex,
+             uuid,
+             UPPER(h) AS uuid_bin,
+             UPPER(CONCAT(substr(h, 13, 4), substr(h, 9, 4),
+                          substr(h, 1, 8), substr(h, 17, 16)))
+               AS uuid_bin_swap
+      FROM x
+    """)) { t =>
+      val c = col("c_custkey")
+      val ip4 = concat(
+        format_string("%d.%d.%d.%d", c % 256, (c * 7) % 256,
+          (c * 13) % 256, (c * 31) % 256),
+        when(c % 7 === 0, ".9").otherwise(""))
+      val ip6 = format_string("2001:db8::%x:%x", c % 65536, (c * 7) % 65536)
+      val h = md5(concat(lit("uuid:"), c.cast("string")))
+      t.customer.filter(c < 400)
+        .select(c.as("c"), ip4.as("ip4"), ip6.as("ip6"), h.as("h"))
+        .withColumn("oct", split(col("ip4"), "\\."))
+        .withColumn("is4",
+          (col("ip4").rlike("^(\\d{1,3}\\.){3}\\d{1,3}$") &&
+            forall(col("oct"), g => g.cast("int") <= 255)).cast("int"))
+        .withColumn("aton", when(col("is4") === 1,
+          ((element_at(col("oct"), 1).cast("bigint") * 256 +
+            element_at(col("oct"), 2).cast("bigint")) * 256 +
+            element_at(col("oct"), 3).cast("bigint")) * 256 +
+            element_at(col("oct"), 4).cast("bigint")))
+        .withColumn("halves", split(col("ip6"), "::"))
+        .withColumn("lg", filter(split(element_at(col("halves"), 1), ":"),
+          g => g =!= ""))
+        .withColumn("rg", filter(split(element_at(col("halves"), 2), ":"),
+          g => g =!= ""))
+        .select(col("c").as("c_custkey"), col("ip4"),
+          col("is4").as("is_ipv4"), col("aton"),
+          when(col("is4") === 1, format_string("%d.%d.%d.%d",
+            expr("aton div 16777216 % 256"), expr("aton div 65536 % 256"),
+            expr("aton div 256 % 256"), col("aton") % 256)).as("ntoa"),
+          upper(concat(
+            array_join(transform(col("lg"), g => lpad(g, 4, "0")), ""),
+            expr("repeat('0000', 8 - size(lg) - size(rg))"),
+            array_join(transform(col("rg"), g => lpad(g, 4, "0")), "")))
+            .as("ip6_hex"),
+          concat_ws("-", substring(col("h"), 1, 8),
+            substring(col("h"), 9, 4), substring(col("h"), 13, 4),
+            substring(col("h"), 17, 4), substring(col("h"), 21, 12))
+            .as("uuid"),
+          upper(col("h")).as("uuid_bin"),
+          upper(concat(substring(col("h"), 13, 4),
+            substring(col("h"), 9, 4), substring(col("h"), 1, 8),
+            substring(col("h"), 17, 16))).as("uuid_bin_swap"))
+    },
+
+    // Snapshot AS-OF read (reference: TiDB stale reads — `AS OF
+    // TIMESTAMP` / tidb_read_staleness): read version 1 of the
+    // versioned snapshot store. The store itself is built by the
+    // streaming CDC merge (one full-outer join per batch); the READ
+    // is the operator under test — it touches exactly one version
+    // directory, no change-log replay. The oracle recomputes the
+    // same state directly: latest change with seq ≤ version-1
+    // cutoff wins, else the base row survives.
+    Q("q_time_travel", Some("""
+      WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+      ch AS (
+        SELECT event_id % 800 AS k, value AS p, event_id AS seq
+        FROM events WHERE event_id <= (SELECT 2 * m // 3 FROM mx)),
+      l AS (SELECT k, arg_max(p, seq) AS p FROM ch GROUP BY k)
+      SELECT COALESCE(b.o_orderkey, l.k) AS o_orderkey,
+             CAST(COALESCE(l.p, b.o_totalprice) AS DOUBLE) AS o_totalprice
+      FROM (SELECT o_orderkey, o_totalprice FROM orders) b
+      FULL OUTER JOIN l ON b.o_orderkey = l.k
+    """)) { t =>
+      val spark = t.orders.sparkSession
+      spark.read.parquet(s"${timeTravelStore(t)}/version=1")
+    },
+  )
+}
