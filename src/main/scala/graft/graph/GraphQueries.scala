@@ -168,20 +168,30 @@ object GraphQueries {
     // `ALL` quantifier): every bounded simple path with its rendered
     // path string, not just shortest/top-k — the same enumeration
     // core as g_topk_paths minus the k cut, distance-to-target
-    // pruning intact (exact for full enumeration). The oracle is the
-    // identical recursive CTE without the LIMIT.
+    // pruning intact (exact for full enumeration). Full enumeration
+    // is only tractable on a bounded-degree pattern — on the raw
+    // derived graph the path count is deg^hops (hundreds of millions
+    // at sf0.1, where top-k survives only via its early exit) — so
+    // the MATCH pattern runs on a per-source degree-capped edge list
+    // (4 smallest dsts, deterministic): worst-case frontier 4^6,
+    // SF-invariant. The oracle applies the identical cap.
     Q("g_allpaths", Some(s"""
-      $edgeCte, p(node, path, len) AS (
+      $edgeCte, ec AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+          FROM e) z WHERE rn <= 4),
+      p(node, path, len) AS (
         SELECT CAST(0 AS BIGINT), '0', 0
         UNION ALL
-        SELECT e.dst, p.path || '->' || e.dst, p.len + 1
-        FROM p JOIN e ON e.src = p.node
-        WHERE p.len < 5 AND p.node <> 7
-          AND instr('->' || p.path || '->', '->' || e.dst || '->') = 0)
+        SELECT ec.dst, p.path || '->' || ec.dst, p.len + 1
+        FROM p JOIN ec ON ec.src = p.node
+        WHERE p.len < 6 AND p.node <> 7
+          AND instr('->' || p.path || '->', '->' || ec.dst || '->') = 0)
       SELECT CAST(len AS INT) AS len, path
       FROM p WHERE node = 7 ORDER BY len, path
     """)) { t =>
-      Graph.derived(t.orders).allPaths(0L, 7L, maxHops = 5)
+      Graph(cappedEdges(t, 4)).allPaths(0L, 7L, maxHops = 6)
     },
 
     // Weighted shortest distance ≤4 hops (weights = edge
@@ -298,6 +308,19 @@ object GraphQueries {
         .select(col("a"), col("b"), round(col("j"), 4).as("jac"))
     },
   )
+
+  /** Per-source degree-capped edge list (the `cap` smallest dsts,
+    * deterministic) — the bounded-degree pattern that makes full
+    * path enumeration tractable at any SF. One window over the
+    * (already-distinct) edge table; at 100 TB the edge table is
+    * pre-partitioned by src so the window is shuffle-free. */
+  def cappedEdges(t: graft.Tables, cap: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Graph.derived(t.orders).edges
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("src").orderBy("dst")))
+      .filter(col("rn") <= cap).drop("rn")
+  }
 
   /** All edge-adjacent vertex pairs scored by neighborhood Jaccard,
     * on sorted adjacency arrays + the codegen merge-walk kernel.

@@ -31,8 +31,8 @@ class Wave6Spec extends SparkSpecBase {
   test("all-paths' shortest prefix equals top-k on the same bound") {
     val all = q("g_allpaths").collect()
       .map(r => (r.getInt(0), r.getString(1)))
-    val topk = Graph.derived(t.orders)
-      .topKShortestPaths(0L, 7L, k = 3, maxHops = 5).collect()
+    val topk = Graph(graph.GraphQueries.cappedEdges(t, 4))
+      .topKShortestPaths(0L, 7L, k = 3, maxHops = 6).collect()
       .map(r => (r.getInt(0), r.getString(1)))
     assert(all.take(3).sameElements(topk))
     // Every enumerated path is simple and properly terminated.
