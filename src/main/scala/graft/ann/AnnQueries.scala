@@ -179,6 +179,64 @@ object AnnQueries {
         topk = 3, dedup = false)
     },
 
+    // SCALAR-quantization (SQ8) ANN — the third compression leg next
+    // to IVF (partitioning) and PQ (codebooks): each vector stores
+    // its (min, max) plus one uint8 code per dimension — 4× smaller
+    // than float32 — and probes score against the MIDPOINT
+    // reconstruction mn + (code+0.5)·(mx−mn)/256. Quantization is
+    // pure per-row arithmetic (no training), so unlike IVF/PQ the
+    // whole pipeline is engine-reproducible and HASH-ORACLED: DuckDB
+    // runs the identical clamp/floor/reconstruct/dot chain in the
+    // same association order. Map-side until the final top-k window;
+    // at 100 TB only the code table is scanned at query time.
+    Q("s_ann_sq8", Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM v),
+      r AS (SELECT vec_id,
+              list_transform(v, x -> mn + (LEAST(255, CAST(FLOOR(
+                (x - mn) * 256.0 / (mx - mn)) AS INT)) + 0.5)
+                * (mx - mn) / 256.0) AS rv
+            FROM s WHERE mx > mn),
+      q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+      pairs AS (
+        SELECT qid, vec_id, list_inner_product(qv, rv) AS d
+        FROM q, r WHERE vec_id <> qid)
+      SELECT qid, vec_id, ROUND(d, 4) AS adc FROM (
+        SELECT qid, vec_id, d,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(d, 8) DESC, vec_id) AS rn
+        FROM pairs) z
+      WHERE rn <= 5
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val stats = t.fan(t.embeddings)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("mn", array_min(col("v")))
+        .withColumn("mx", array_max(col("v")))
+        .filter(col("mx") > col("mn"))
+      // codes is the persisted form (uint8 per dim); reconstruction
+      // happens code-side so the float corpus never rejoins the scan.
+      val codes = stats.withColumn("codes",
+        transform(col("v"), x => least(lit(255),
+          floor((x - col("mn")) * 256.0 / (col("mx") - col("mn")))
+            .cast("int"))))
+      val recon = codes.select(col("vec_id"),
+        transform(col("codes"), cd =>
+          col("mn") + (cd.cast("double") + 0.5) *
+            (col("mx") - col("mn")) / 256.0).as("rv"))
+      val queries = t.embeddings.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qv"))
+      val w = Window.partitionBy("qid")
+        .orderBy(round(col("d"), 8).desc, col("vec_id"))
+      recon.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), dot(col("qv"), col("rv")).as("d"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), round(col("d"), 4).as("adc"))
+    },
+
     // LSH-bucketed ANN: 4 tables × 8 hyperplane bits; candidates are
     // same-bucket vectors, re-ranked by exact cosine, top-3 kept.
     // Hash-derived planes are engine-specific → rows-only; the spec
