@@ -85,7 +85,12 @@ object Bench {
     // in passes after the whole suite finishes, with a 30 s gap
     // before each later pass. An entry settles once two samples agree
     // within 25% — consistent cost is genuine (the in-query index
-    // builds legitimately run 3-4 s) and stops consuming retries.
+    // builds legitimately run 3-4 s) and stops consuming retries —
+    // but agreement alone is NOT enough above max(8 s, 10×median):
+    // two samples inside one multi-minute degraded window also agree
+    // (observed: a 1.9 s query settling at 14 s), and no legitimate
+    // query in this suite exceeds ~6 s, so readings above that bar
+    // keep re-measuring across all gapped passes.
     val med = {
       val s = firstPass.map(_._2).sorted
       if (s.isEmpty) 0.0 else s(s.length / 2)
@@ -101,8 +106,10 @@ object Bench {
       if (pass > 0) Thread.sleep(30000)
       for ((name, v) <- times.toSeq if outlier(v) && !settled(name)) {
         val again = measure(byName(name))
-        if (math.abs(again - v) <= 0.25 * math.min(again, v)) settled += name
-        times(name) = math.min(v, again)
+        val best = math.min(v, again)
+        if (math.abs(again - v) <= 0.25 * best &&
+            best <= math.max(8.0, 10 * med)) settled += name
+        times(name) = best
       }
       pass += 1
     }

@@ -22,6 +22,39 @@ class ScaleSpec extends SparkSpecBase {
     assert(plain.length > 0 && plain.sameElements(salted))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // The runtime-filter story at 100 TB: a selective dim predicate
+    // becomes a bloom filter evaluated INSIDE the fact scan stage, so
+    // non-matching fact rows die before the shuffle (the reference's
+    // analog is pushing the lookup side of IndexLookupJoin into the
+    // probe — executor/index_lookup_join.go). Thresholds are tuned
+    // down because the local fact side is far below the 10 GB
+    // default; at cluster scale the defaults fire on their own.
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = t.lineitem.select("l_orderkey", "l_quantity")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      // Filter semantics unchanged: same rows as the plain join.
+      assert(j.count() ==
+        t.lineitem.join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count())
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables sort-merge join without a shuffle") {
     for (tbl <- Seq("orders_bucketed", "customer_bucketed")) {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
