@@ -328,5 +328,46 @@ object TextQueries {
           col("s.bpe_tokens").as("bpe_tokens"),
           ceil(col("s.n_chars") / 4.0).cast("int").as("byte_est_tokens"))
     },
+
+    // Language-model quality score (the KenLM-filter analog every
+    // crawl pipeline runs): a char-bigram unigram-smoothed LM is
+    // trained on the corpus itself and every document is scored by
+    // its mean bigram log-probability; low scores = gibberish /
+    // boilerplate. Scale: training is ONE map-side-combined shuffle
+    // keyed by bigram (the LM table is ≤ |alphabet|² ≈ 1.3k rows —
+    // tiny at any corpus size); the table then BROADCASTS and the
+    // scoring pass is pure map-side — the per-doc join never
+    // shuffles documents. Add-one smoothing keeps the estimator
+    // defined for unseen bigrams.
+    Q("t_lm_score", Some("""
+      WITH n AS (SELECT doc_id,
+               TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS s
+             FROM documents),
+      bg AS (SELECT doc_id, SUBSTR(s, i, 2) AS b
+             FROM n, UNNEST(generate_series(1, LEN(s) - 1)) AS g(i)),
+      lm AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+      tot AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM lm)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+             ROUND(AVG(LN((lm.c + 1) / CAST(total + v AS DOUBLE))), 4) AS lp,
+             CAST(AVG(LN((lm.c + 1) / CAST(total + v AS DOUBLE))) > -7.0
+                  AS INT) AS keep_lm
+      FROM bg JOIN lm USING (b), tot
+      GROUP BY doc_id
+    """)) { t =>
+      val docs = t.documents
+        .select(col("doc_id"), TextFns.normalize(col("text")).as("s"))
+      val bg = t.fan(docs).select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))"))
+          .as("b"))
+      val lm = bg.groupBy("b").agg(count(lit(1)).as("c"))
+      val tot = lm.agg(sum("c").as("total"), count(lit(1)).as("v"))
+      val logp = log((col("c") + 1) / (col("total") + col("v")).cast("double"))
+      bg.join(broadcast(lm), "b").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bg"),
+          round(avg(logp), 4).as("lp"),
+          (avg(logp) > -7.0).cast("int").as("keep_lm"))
+    },
   )
 }
