@@ -42,7 +42,8 @@ object Bench {
       case Some(names) => Registry.all.filter(q => names.contains(q.name))
       case None => Registry.all.filter(q => Set("q_scan_filter",
         "q_agg_hash", "q_join_broadcast", "q_window_rank",
-        "s_ann_ivf_probe", "q_scan_partition", "d_dedup_incremental")
+        "s_ann_ivf_probe", "q_scan_partition", "d_dedup_incremental",
+        "q_time_travel")
         .contains(q.name))
     }
     warmup.foreach { q =>

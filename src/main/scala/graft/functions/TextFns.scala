@@ -25,8 +25,10 @@ object TextFns {
     * while DuckDB raises a BIGINT-overflow error — a latent
     * engine/oracle divergence at 100 TB id ranges. The split form
     * equals `((key & 0xFFFFFFFF) * M) mod 2^32` exactly for every
-    * non-negative key, and matches the old formula for keys < 2^32
-    * (so existing outputs are unchanged). */
+    * non-negative key, and matches the old formula wherever the old
+    * formula did not overflow (keys up to ~3.47e9) — in the narrow
+    * band (3.47e9, 2^32) the old form was already wrong (negative),
+    * so samples drawn there were never reproducible to begin with. */
   def knuthCoin(key: Column): Column = {
     val m = 2654435761L
     val hi = shiftright(key, 16).bitwiseAND(lit(65535L)) * m % 4294967296L

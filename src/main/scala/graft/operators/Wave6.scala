@@ -32,7 +32,6 @@ object Wave6 {
     * ONLY that version's directory — bounded, partition-pruned, no
     * log replay at read time. */
   def timeTravelStore(t: Tables): String = {
-    val spark = t.orders.sparkSession
     val fp = Formats.contentFingerprint(s"${t.dir}/events.parquet") +
       Formats.contentFingerprint(s"${t.dir}/orders.parquet")
     val dir = Formats.cacheDir(
@@ -129,12 +128,12 @@ object Wave6 {
                AS path_status,
              CAST(json_extract(doc, '$.nested.missing') IS NOT NULL AS INT)
                AS path_missing,
-             CASE WHEN json_extract_string(doc, '$.nested.status') = 'F'
-                    THEN '$.nested.status'
-                  WHEN json_extract_string(doc, '$.tags[0]') = 'F'
+             CASE WHEN json_extract_string(doc, '$.tags[0]') = 'F'
                     THEN '$.tags[0]'
                   WHEN json_extract_string(doc, '$.tags[1]') = 'F'
                     THEN '$.tags[1]'
+                  WHEN json_extract_string(doc, '$.nested.status') = 'F'
+                    THEN '$.nested.status'
              END AS search_f
       FROM d
     """)) { t =>
@@ -155,9 +154,11 @@ object Wave6 {
             .cast("int").as("has_item"),
           col("j.nested.status").isNotNull.cast("int").as("path_status"),
           lit(0).as("path_missing"),
-          when(col("j.nested.status") === "F", "$.nested.status")
-            .when(element_at(col("j.tags"), 1) === "F", "$.tags[0]")
+          // 'one' mode returns the FIRST match in document order —
+          // tags precede nested in the constructed doc.
+          when(element_at(col("j.tags"), 1) === "F", "$.tags[0]")
             .when(element_at(col("j.tags"), 2) === "F", "$.tags[1]")
+            .when(col("j.nested.status") === "F", "$.nested.status")
             .as("search_f"))
     },
 

@@ -356,9 +356,15 @@ object TextQueries {
     """)) { t =>
       val docs = t.documents
         .select(col("doc_id"), TextFns.normalize(col("text")).as("s"))
+      // Guarded like TextFns.charShingles: Spark's sequence(1, 0)
+      // COUNTS DOWN (default step -1), so an unguarded len-1 upper
+      // bound would emit phantom bigrams for ≤1-char docs where the
+      // oracle's generate_series is empty.
       val bg = t.fan(docs).select(col("doc_id"),
         explode(expr(
-          "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))"))
+          "CASE WHEN length(s) >= 2 THEN " +
+            "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2)) " +
+            "ELSE array() END"))
           .as("b"))
       val lm = bg.groupBy("b").agg(count(lit(1)).as("c"))
       val tot = lm.agg(sum("c").as("total"), count(lit(1)).as("v"))

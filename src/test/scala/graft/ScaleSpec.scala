@@ -45,8 +45,13 @@ class ScaleSpec extends SparkSpecBase {
       val plan = j.queryExecution.executedPlan.toString
       assert(plan.contains("might_contain"),
         s"no runtime bloom filter injected:\n$plan")
-      // Filter semantics unchanged: same rows as the plain join.
-      assert(j.count() ==
+      // Filter semantics unchanged: same rows as the plain join —
+      // with the runtime filter OFF for the reference, otherwise both
+      // sides get the identical injection and the check is vacuous.
+      val n = j.count()
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(n ==
         t.lineitem.join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
           col("l_orderkey") === col("o_orderkey")).count())
     } finally saved.foreach {
