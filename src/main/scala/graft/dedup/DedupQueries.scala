@@ -358,6 +358,85 @@ object DedupQueries {
             .as("realized_rate"))
     },
 
+    // Deterministic TRAIN/VAL/TEST split — the dataset-card step
+    // every training corpus needs: the same multiplicative-hash coin
+    // buckets each doc 80/10/10, so the assignment is reproducible
+    // across re-runs and engines (no RNG), leakage-free by
+    // construction (a doc_id can land in exactly one split), and
+    // map-side at any scale. The output fingerprints each
+    // (source, split) membership so the oracle checks the EXACT
+    // assignment, not just the counts.
+    Q("d_split", Some(s"""
+      WITH c AS (SELECT doc_id, source,
+                        ${TextFns.knuthCoinSql("doc_id")} AS coin
+                 FROM documents),
+      s AS (SELECT doc_id, source,
+              CASE WHEN coin < 0.8 * 4294967296 THEN 'train'
+                   WHEN coin < 0.9 * 4294967296 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM c)
+      SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n,
+             MD5(STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS member_fp
+      FROM s GROUP BY source, split
+    """)) { t =>
+      val coin = TextFns.knuthCoin(col("doc_id"))
+      t.documents
+        .select(col("doc_id"), col("source"), coin.as("coin"))
+        .withColumn("split",
+          when(col("coin") < 0.8 * 4294967296L, "train")
+            .when(col("coin") < 0.9 * 4294967296L, "val")
+            .otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"),
+          md5(array_join(transform(
+            array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",").cast("binary")).as("member_fp"))
+    },
+
+    // STRATIFIED exact-k sampling: exactly k docs per source, picked
+    // by the deterministic coin order (reproducible across runs and
+    // engines). The scale crux is the per-group top-k: a single
+    // window PARTITION BY source is one task per source at 100 TB
+    // (a crawl source can be billions of docs), so the engine runs
+    // the SALTED two-phase shape — phase 1 takes the top k inside
+    // each (source, salt) sub-partition, leaving ≤ k·|salts| rows
+    // per source, phase 2 takes the true top k from those. Result is
+    // provably identical to the single window (every global top-k
+    // row wins its own salt bucket); the oracle states the plain
+    // single-window form.
+    Q("d_stratified_k", Some(s"""
+      WITH c AS (SELECT doc_id, source,
+                        ${TextFns.knuthCoinSql("doc_id")} AS coin
+                 FROM documents),
+      r AS (SELECT doc_id, source,
+              ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY coin, doc_id) AS rn
+            FROM c)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             MD5(STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS sample_fp
+      FROM r WHERE rn <= 20 GROUP BY source
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 20
+      val coin = TextFns.knuthCoin(col("doc_id"))
+      val c = t.documents
+        .select(col("doc_id"), col("source"), coin.as("coin"))
+        .withColumn("salt", (col("doc_id") % 32).cast("int"))
+      val w1 = Window.partitionBy("source", "salt")
+        .orderBy(col("coin"), col("doc_id"))
+      val w2 = Window.partitionBy("source")
+        .orderBy(col("coin"), col("doc_id"))
+      c.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
+        .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          md5(array_join(transform(
+            array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",").cast("binary")).as("sample_fp"))
+    },
+
     // Cross-document LINE/paragraph dedup (the CCNet recipe): split
     // each document into fixed 10-word chunks (this corpus has no
     // newlines, so the chunker is positional; real text splits on
