@@ -318,5 +318,32 @@ object EventQueries {
           coalesce(col("n"), lit(0L)).as("n_events"),
           col("n").isNull.cast("int").as("is_gap"))
     },
+
+    // Z-SCORE anomaly flagging over the event stream (the monitoring
+    // staple: which readings sit far outside their user's own
+    // distribution). Per-user mean/stddev is one map-side-combined
+    // aggregation; the flagging pass joins the tiny per-user stats
+    // back (broadcast when measured-small) and is otherwise pure
+    // map-side — no per-user window task, so a hot user with
+    // billions of events costs nothing extra. Users with fewer than
+    // 5 events or zero variance are excluded (a z-score there is
+    // noise, and sd=0 divides by zero).
+    Q("e_zscore", Some("""
+      WITH s AS (SELECT user_id, AVG(value) AS mu,
+                        STDDEV_SAMP(value) AS sd, COUNT(*) AS n
+                 FROM events GROUP BY user_id)
+      SELECT e.event_id, e.user_id, ROUND((e.value - mu) / sd, 4) AS z
+      FROM events e JOIN s USING (user_id)
+      WHERE n >= 5 AND sd > 0 AND ABS((e.value - mu) / sd) > 2.5
+    """)) { t =>
+      val stats = t.events.groupBy("user_id")
+        .agg(avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sd"),
+          count(lit(1)).as("n"))
+      val z = (col("value") - col("mu")) / col("sd")
+      t.events.join(stats, "user_id")
+        .filter(col("n") >= 5 && col("sd") > 0 && abs(z) > 2.5)
+        .select(col("event_id"), col("user_id"), round(z, 4).as("z"))
+    },
   )
 }
