@@ -83,6 +83,77 @@ object Dml {
         .select("doc_id", "source", "row_id")
     },
 
+    // DELETE as a snapshot rewrite (reference: executor/delete.go —
+    // single-table predicate DELETE and the multi-table `DELETE t1
+    // FROM t1 JOIN t2` form). Both arms in one pass over lineitem:
+    // the predicate arm drops rows directly (a filter — fully pushed
+    // to the scan), the multi-table arm drops rows whose parent order
+    // is in a doomed-key set (an ANTI join on the key). At 100 TB the
+    // doomed set (a GDPR/TTL key list) is orders of magnitude smaller
+    // than the fact and broadcasts; survivors stream straight to the
+    // next snapshot, nothing is ever materialized driver-side.
+    Q("q_delete", Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem l
+      WHERE NOT (l_quantity < 3)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_orderkey = l.l_orderkey
+            AND o.o_orderstatus = 'F'
+            AND o.o_orderdate < TIMESTAMP '1997-01-01')
+    """)) { t =>
+      val doomed = t.orders
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"))
+      t.lineitem
+        .filter(!(col("l_quantity") < 3))
+        .join(doomed, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")
+    },
+
+    // UPDATE as a snapshot rewrite (reference: executor/update.go —
+    // single-table `UPDATE ... SET ... WHERE` and the multi-table
+    // `UPDATE t1 JOIN t2 SET` form). An update-only MERGE: no insert
+    // arm, every base row flows through exactly once with a
+    // conditional projection. The multi-table arm marks orders of
+    // customers in one nation (dim⋈dim derives the key set, then a
+    // LEFT join against the fact — the set is small and broadcasts);
+    // the predicate arm rewrites a column from the row's own fields.
+    // Same shape as q_upsert minus the anti-join append arm.
+    Q("q_update", Some("""
+      WITH g AS (
+        SELECT c_custkey FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7')
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_custkey IN (SELECT c_custkey FROM g)
+                  THEN 'G' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_custkey IN (SELECT c_custkey FROM g)
+                  THEN o_totalprice * 1.1 ELSE o_totalprice
+             END AS o_totalprice,
+             CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                  THEN '5-LOW' ELSE o_orderpriority
+             END AS o_orderpriority
+      FROM orders
+    """)) { t =>
+      val gcust = t.customer
+        .join(t.nation.filter(col("n_name") === "NATION_7"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), lit(1).as("hit"))
+      t.orders
+        .join(gcust, col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("hit") === 1, "G").otherwise(col("o_orderstatus"))
+            .as("o_orderstatus"),
+          when(col("hit") === 1, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          when(col("o_orderdate") < lit("1996-01-01").cast("timestamp"),
+            "5-LOW").otherwise(col("o_orderpriority"))
+            .as("o_orderpriority"))
+    },
+
     // Incremental MATERIALIZED-VIEW refresh: a persisted aggregate
     // over the historical slice is combined with a partial aggregate
     // of only the NEW slice — algebraic aggregates (count, sum) merge

