@@ -365,7 +365,11 @@ object DedupQueries {
     // construction (a doc_id can land in exactly one split), and
     // map-side at any scale. The output fingerprints each
     // (source, split) membership so the oracle checks the EXACT
-    // assignment, not just the counts.
+    // assignment, not just the counts. The fingerprint is the
+    // q_table_checksum fold — per-doc md5 top-60-bits BIT_XOR'd —
+    // which is commutative and map-side-combined: constant memory
+    // per group, no sorted id array ever materializes (a train
+    // split of one source is billions of ids at 100 TB).
     Q("d_split", Some(s"""
       WITH c AS (SELECT doc_id, source,
                         ${TextFns.knuthCoinSql("doc_id")} AS coin
@@ -376,8 +380,8 @@ object DedupQueries {
                    ELSE 'test' END AS split
             FROM c)
       SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n,
-             MD5(STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
-               AS member_fp
+             BIT_XOR(CAST(('0x' || substr(MD5(CAST(doc_id AS VARCHAR)),
+               1, 15)) AS BIGINT)) AS member_fp
       FROM s GROUP BY source, split
     """)) { t =>
       val coin = TextFns.knuthCoin(col("doc_id"))
@@ -387,11 +391,11 @@ object DedupQueries {
           when(col("coin") < 0.8 * 4294967296L, "train")
             .when(col("coin") < 0.9 * 4294967296L, "val")
             .otherwise("test"))
+        .withColumn("__h", conv(substring(
+          md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+          16, 10).cast("long"))
         .groupBy("source", "split")
-        .agg(count(lit(1)).as("n"),
-          md5(array_join(transform(
-            array_sort(collect_list(col("doc_id"))),
-            x => x.cast("string")), ",").cast("binary")).as("member_fp"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("member_fp"))
     },
 
     // STRATIFIED exact-k sampling: exactly k docs per source, picked
