@@ -106,19 +106,41 @@ object Wave6 {
     // relational columns and probes it with its own JSON machinery —
     // Spark parses once into a struct/array shape and probes with
     // codegen'd array/field ops; DuckDB uses json_contains /
-    // json_extract. JSON_SEARCH ('one' mode) returns the PATH of the
-    // first match in document order, exercised across three candidate
-    // locations.
+    // json_extract. JSON_SEARCH is exercised in BOTH modes: 'one'
+    // returns the PATH of the first match in document order across
+    // three candidate locations; 'all' returns every matching path
+    // as a JSON-rendered array (NULL when nothing matches, matching
+    // the reference's NULL-on-no-match). Path-existence probes run
+    // against the RAW document string with each engine's own JSON
+    // path machinery — including a genuinely absent key
+    // ($.nested.missing) and a row-varying one ($.opt[1] exists only
+    // where the opt array kept its second element), so the negative
+    // branch is actually executed, not constant-folded.
     Q("q_func_json_search", Some("""
       WITH d AS (
         SELECT o_orderkey,
                to_json(struct_pack(
                  k := o_orderkey % 50,
                  tags := [o_orderpriority, o_orderstatus],
+                 opt := CASE WHEN o_orderkey % 4 = 0
+                             THEN [o_orderkey % 50]
+                             ELSE [o_orderkey % 50, o_orderkey % 50 + 1]
+                        END,
                  nested := struct_pack(status := o_orderstatus,
                                        items := [o_orderkey % 7,
                                                  o_orderkey % 11]))) AS doc
-        FROM orders WHERE o_orderkey < 900)
+        FROM orders WHERE o_orderkey < 900),
+      m AS (
+        SELECT o_orderkey, doc,
+               list_filter(
+                 [CASE WHEN json_extract_string(doc, '$.tags[0]') = 'F'
+                       THEN '$.tags[0]' END,
+                  CASE WHEN json_extract_string(doc, '$.tags[1]') = 'F'
+                       THEN '$.tags[1]' END,
+                  CASE WHEN json_extract_string(doc, '$.nested.status') = 'F'
+                       THEN '$.nested.status' END],
+                 x -> x IS NOT NULL) AS hits
+        FROM d)
       SELECT o_orderkey,
              CAST(json_contains(doc->'tags', '"1-URGENT"') AS INT)
                AS has_urgent,
@@ -128,38 +150,47 @@ object Wave6 {
                AS path_status,
              CAST(json_extract(doc, '$.nested.missing') IS NOT NULL AS INT)
                AS path_missing,
-             CASE WHEN json_extract_string(doc, '$.tags[0]') = 'F'
-                    THEN '$.tags[0]'
-                  WHEN json_extract_string(doc, '$.tags[1]') = 'F'
-                    THEN '$.tags[1]'
-                  WHEN json_extract_string(doc, '$.nested.status') = 'F'
-                    THEN '$.nested.status'
-             END AS search_f
-      FROM d
+             CAST(json_extract(doc, '$.opt[1]') IS NOT NULL AS INT)
+               AS path_opt1,
+             hits[1] AS search_f,
+             CASE WHEN len(hits) > 0 THEN to_json(hits) END AS search_f_all
+      FROM m
     """)) { t =>
       val doc = to_json(struct(
         (col("o_orderkey") % 50).as("k"),
         array(col("o_orderpriority"), col("o_orderstatus")).as("tags"),
+        when(col("o_orderkey") % 4 === 0, array(col("o_orderkey") % 50))
+          .otherwise(array(col("o_orderkey") % 50,
+            col("o_orderkey") % 50 + 1)).as("opt"),
         struct(col("o_orderstatus").as("status"),
           array(col("o_orderkey") % 7, col("o_orderkey") % 11)
             .as("items")).as("nested")))
-      val schema = "struct<k:bigint,tags:array<string>," +
+      val schema = "struct<k:bigint,tags:array<string>,opt:array<bigint>," +
         "nested:struct<status:string,items:array<bigint>>>"
       t.orders.filter(col("o_orderkey") < 900)
-        .select(col("o_orderkey"), from_json(doc, lit(schema)).as("j"))
+        .select(col("o_orderkey"), doc.as("doc"),
+          from_json(doc, lit(schema)).as("j"))
+        .withColumn("hits", filter(array(
+          when(element_at(col("j.tags"), 1) === "F", "$.tags[0]"),
+          when(element_at(col("j.tags"), 2) === "F", "$.tags[1]"),
+          when(col("j.nested.status") === "F", "$.nested.status")),
+          x => x.isNotNull))
         .select(col("o_orderkey"),
           array_contains(col("j.tags"), "1-URGENT").cast("int")
             .as("has_urgent"),
           array_contains(col("j.nested.items"), lit(3L))
             .cast("int").as("has_item"),
-          col("j.nested.status").isNotNull.cast("int").as("path_status"),
-          lit(0).as("path_missing"),
+          get_json_object(col("doc"), "$.nested.status").isNotNull
+            .cast("int").as("path_status"),
+          get_json_object(col("doc"), "$.nested.missing").isNotNull
+            .cast("int").as("path_missing"),
+          get_json_object(col("doc"), "$.opt[1]").isNotNull
+            .cast("int").as("path_opt1"),
           // 'one' mode returns the FIRST match in document order —
           // tags precede nested in the constructed doc.
-          when(element_at(col("j.tags"), 1) === "F", "$.tags[0]")
-            .when(element_at(col("j.tags"), 2) === "F", "$.tags[1]")
-            .when(col("j.nested.status") === "F", "$.nested.status")
-            .as("search_f"))
+          try_element_at(col("hits"), lit(1)).as("search_f"),
+          when(size(col("hits")) > 0, to_json(col("hits")))
+            .as("search_f_all"))
     },
 
     // Network/UUID misc family (reference: expression/
