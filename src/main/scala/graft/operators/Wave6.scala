@@ -70,9 +70,16 @@ object Wave6 {
     // DuckDB has no charset converter, so the oracle derives the
     // latin1/UTF-16BE bytes from codepoints (all injected chars are
     // < 256 and BMP — exactly the regime where latin1 is defined).
+    // The GBK leg (reference: parser/charset/special_case_tables.go,
+    // builtin_convert_charset.go — GBK is a first-class charset for
+    // CJK crawl corpora) round-trips a CJK-injected twin string
+    // through the JVM's GBK codec; the oracle inlines the pinned
+    // two-byte GBK codes for the three injected hanzi (ASCII bytes
+    // are identical in GBK by construction).
     Q("q_func_charset", Some("""
       WITH b AS (
-        SELECT c_custkey, translate(c_name, 'aeo', 'äéö') AS s
+        SELECT c_custkey, translate(c_name, 'aeo', 'äéö') AS s,
+               translate(c_name, 'aeo', '中文数') AS s2
         FROM customer WHERE c_custkey < 300)
       SELECT c_custkey,
              hex(encode(s)) AS utf8_hex,
@@ -81,12 +88,24 @@ object Wave6 {
              array_to_string(list_transform(string_split(s, ''),
                c -> printf('%04X', unicode(c))), '') AS utf16_hex,
              CAST(octet_length(encode(s)) - length(s) AS INT) AS n_multibyte,
-             1 AS latin1_rt, 1 AS utf16_rt
+             1 AS latin1_rt, 1 AS utf16_rt,
+             array_to_string(list_transform(string_split(s2, ''),
+               c -> CASE c WHEN '中' THEN 'D6D0' WHEN '文' THEN 'CEC4'
+                           WHEN '数' THEN 'CAFD'
+                           ELSE printf('%02X', unicode(c)) END), '')
+               AS gbk_hex,
+             1 AS gbk_rt
       FROM b
     """)) { t =>
       val s = translate(col("c_name"), "aeo", "äéö")
+      val s2 = translate(col("c_name"), "aeo", "中文数")
+      // Spark 4 fences encode/decode to a unicode allow-list; GBK is
+      // a JVM charset behind the legacy flag (same use-site-conf
+      // pattern as Tables.events' nanosAsLong).
+      t.customer.sparkSession.conf
+        .set("spark.sql.legacy.javaCharsets", "true")
       t.customer.filter(col("c_custkey") < 300)
-        .select(col("c_custkey"), s.as("s"))
+        .select(col("c_custkey"), s.as("s"), s2.as("s2"))
         .select(col("c_custkey"),
           hex(encode(col("s"), "UTF-8")).as("utf8_hex"),
           hex(encode(col("s"), "ISO-8859-1")).as("latin1_hex"),
@@ -96,7 +115,10 @@ object Wave6 {
           (decode(encode(col("s"), "ISO-8859-1"), "ISO-8859-1") ===
             col("s")).cast("int").as("latin1_rt"),
           (decode(encode(col("s"), "UTF-16BE"), "UTF-16BE") ===
-            col("s")).cast("int").as("utf16_rt"))
+            col("s")).cast("int").as("utf16_rt"),
+          hex(encode(col("s2"), "GBK")).as("gbk_hex"),
+          (decode(encode(col("s2"), "GBK"), "GBK") === col("s2"))
+            .cast("int").as("gbk_rt"))
     },
 
     // DEEP JSON predicates (reference: expression/builtin_json.go
