@@ -37,10 +37,22 @@ object Wave6 {
     val dir = Formats.cacheDir(
       s"/tmp/graft_timetravel_${Formats.sanitize(t.dir)}", fp)
     if (!new java.io.File(s"$dir/_DONE").exists()) {
+      val spark = t.orders.sparkSession
+      import spark.implicits._
+      // Build into a builder-private temp dir renamed into place at
+      // the end: a crashed builder never leaves a half-written store
+      // behind the fingerprint key, and of two concurrent builders
+      // one atomic rename wins while the loser just discards.
+      val build = new java.io.File(
+        s"$dir.build-${ProcessHandle.current().pid()}")
       // O(1) driver scalar (like the graph convergence checks): the
-      // max change sequence fixes the batch cutoffs.
-      val maxSeq = t.events.agg(max("event_id")).head().getLong(0)
+      // max change sequence fixes the batch cutoffs. An empty events
+      // table (null max) means no change batches — every version is
+      // the base snapshot and the commit timestamps are epoch 0.
+      val maxRow = t.events.agg(max("event_id")).head()
+      val maxSeq = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       var snap = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+      val meta = Seq.newBuilder[(Int, Long, Long)]
       for (v <- 0 until Versions) {
         // batch 0 is seq [0, hi]; later batches (lo, hi].
         val lo = if (v == 0) -1L else v.toLong * maxSeq / Versions
@@ -51,9 +63,24 @@ object Wave6 {
             col("value").as("o_totalprice"), col("event_id").as("seq"))
         snap = graft.streaming.Streams.cdcApplyBatch(snap, batch)
           .localCheckpoint()
-        snap.write.mode("overwrite").parquet(s"$dir/version=$v")
+        snap.write.mode("overwrite").parquet(s"$build/version=$v")
+        // Version commit timestamp = ts high-water of everything
+        // applied so far — the snapshot's visibility point for
+        // AS-OF-TIMESTAMP resolution.
+        val tsRow = t.events.filter(col("event_id") <= hi)
+          .agg(max(unix_micros(col("ts")))).head()
+        meta += ((v, hi, if (tsRow.isNullAt(0)) 0L else tsRow.getLong(0)))
       }
-      new java.io.File(s"$dir/_DONE").createNewFile()
+      meta.result().toDF("version", "cutoff", "commit_ts_us")
+        .coalesce(1).write.mode("overwrite").parquet(s"$build/_meta")
+      new java.io.File(s"$build/_DONE").createNewFile()
+      if (!build.renameTo(new java.io.File(dir))) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(build)
+      }
     }
     dir
   }
@@ -339,6 +366,49 @@ object Wave6 {
     """)) { t =>
       val spark = t.orders.sparkSession
       spark.read.parquet(s"${timeTravelStore(t)}/version=1")
+    },
+
+    // Timestamp-addressed AS-OF read (reference: `AS OF TIMESTAMP` /
+    // tidb_read_staleness resolve a wall-clock time to the latest
+    // snapshot visible at that time). The store's _meta records each
+    // version's commit timestamp (ts high-water of the changes
+    // applied so far); resolution is max version with commit_ts ≤ T
+    // — two O(1) driver scalars over the tiny meta table — and the
+    // read then scans exactly that one version directory, same as
+    // the version-indexed path. T here is version 1's own commit
+    // time, so the oracle can restate the full resolution: pick the
+    // largest cutoff whose change-prefix ts high-water is ≤ the
+    // v=1 high-water, then recompute that snapshot from base+changes.
+    Q("q_time_travel_ts", Some("""
+      WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+      meta AS (
+        SELECT v, (v + 1) * (SELECT m FROM mx) // 3 AS cutoff
+        FROM (SELECT UNNEST([0, 1, 2]) AS v)),
+      meta2 AS (
+        SELECT v, cutoff,
+               (SELECT MAX(e.ts) FROM events e
+                WHERE e.event_id <= meta.cutoff) AS commit_ts
+        FROM meta),
+      pick AS (
+        SELECT MAX(cutoff) AS cutoff FROM meta2
+        WHERE commit_ts <= (SELECT commit_ts FROM meta2 WHERE v = 1)),
+      ch AS (
+        SELECT event_id % 800 AS k, value AS p, event_id AS seq
+        FROM events WHERE event_id <= (SELECT cutoff FROM pick)),
+      l AS (SELECT k, arg_max(p, seq) AS p FROM ch GROUP BY k)
+      SELECT COALESCE(b.o_orderkey, l.k) AS o_orderkey,
+             CAST(COALESCE(l.p, b.o_totalprice) AS DOUBLE) AS o_totalprice
+      FROM (SELECT o_orderkey, o_totalprice FROM orders) b
+      FULL OUTER JOIN l ON b.o_orderkey = l.k
+    """)) { t =>
+      val spark = t.orders.sparkSession
+      val dir = timeTravelStore(t)
+      val meta = spark.read.parquet(s"$dir/_meta")
+      val tAsOf = meta.filter(col("version") === 1)
+        .head().getAs[Long]("commit_ts_us")
+      val pick = meta.filter(col("commit_ts_us") <= tAsOf)
+        .agg(max("version")).head().getInt(0)
+      spark.read.parquet(s"$dir/version=$pick")
     },
   )
 }

@@ -34,6 +34,25 @@ class Wave7Spec extends SparkSpecBase {
     assert(rows.length.toLong < t.lineitem.count(), "something was deleted")
   }
 
+  test("timestamp as-of: _meta resolves T to one version dir, monotone commits") {
+    val dir = operators.Wave6.timeTravelStore(t)
+    val meta = spark.read.parquet(s"$dir/_meta").collect()
+      .map(r => (r.getAs[Int]("version"), r.getAs[Long]("cutoff"),
+        r.getAs[Long]("commit_ts_us"))).sortBy(_._1)
+    assert(meta.map(_._1).sameElements(Array(0, 1, 2)))
+    assert(meta.forall(_._3 > 0), "commit timestamps populated")
+    assert(meta.sliding(2).forall(p => p(0)._3 <= p(1)._3),
+      "commit timestamps are non-decreasing")
+    // Resolution: max version whose commit ts <= T (T = v1's commit).
+    val tAsOf = meta(1)._3
+    val expectV = meta.filter(_._3 <= tAsOf).map(_._1).max
+    val res = q("q_time_travel_ts").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vdir = spark.read.parquet(s"$dir/version=$expectV").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(res == vdir)
+  }
+
   test("update: both arms rewrite, row count and untouched rows preserved") {
     val updated = q("q_update")
     assert(updated.count() == t.orders.count(), "UPDATE never changes rowcount")
