@@ -119,8 +119,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // total_s duplicates the headline as the LAST key: the driver's
+    // capture has repeatedly kept only the tail of this line, losing
+    // the leading "value" — a trailing copy survives tail-truncation.
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","total_s":$total%.3f}"""
     // Belt and braces for the driver's parse: stdout line AND a file
     // copy (three rounds of BENCH_r0*.json came back parsed:null).
     // A failed write is LOUD — a silently-kept stale file from a
