@@ -22,6 +22,7 @@ object Registry {
     operators.Analytics.all,
     operators.Wave4.all,
     operators.Wave6.all,
+    operators.Wave7.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,

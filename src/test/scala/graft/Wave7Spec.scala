@@ -53,6 +53,24 @@ class Wave7Spec extends SparkSpecBase {
     assert(res == vdir)
   }
 
+  test("delimited export: dialect is on disk, round trip is lossless") {
+    val res = q("q_export_csv")
+    val sel = t.customer.filter(col("c_custkey") < 500)
+      .select(col("c_custkey"),
+        concat(col("c_name"), lit("|\"\nx")).as("payload"),
+        col("c_acctbal"))
+    assert(res.count() == sel.count())
+    assert(res.except(sel).count() == 0 && sel.except(res).count() == 0)
+    // The files really carry the dialect: pipe delimiter and an
+    // enclosed (quoted) payload with the raw line break inside.
+    val dir = new java.io.File(operators.Wave7.exportDir(t))
+    val part = dir.listFiles().filter(_.getName.startsWith("part-")).head
+    val text = new String(
+      java.nio.file.Files.readAllBytes(part.toPath), "UTF-8")
+    assert(text.startsWith("c_custkey|payload|c_acctbal"))
+    assert(text.contains("\"Customer#"), "payload field is enclosed")
+  }
+
   test("update: both arms rewrite, row count and untouched rows preserved") {
     val updated = q("q_update")
     assert(updated.count() == t.orders.count(), "UPDATE never changes rowcount")
