@@ -422,18 +422,14 @@ object DedupQueries {
                AS sample_fp
       FROM r WHERE rn <= 20 GROUP BY source
     """)) { t =>
-      import org.apache.spark.sql.expressions.Window
       val k = 20
       val coin = TextFns.knuthCoin(col("doc_id"))
       val c = t.documents
         .select(col("doc_id"), col("source"), coin.as("coin"))
-        .withColumn("salt", (col("doc_id") % 32).cast("int"))
-      val w1 = Window.partitionBy("source", "salt")
-        .orderBy(col("coin"), col("doc_id"))
-      val w2 = Window.partitionBy("source")
-        .orderBy(col("coin"), col("doc_id"))
-      c.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
-        .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+      graft.operators.TopKPerGroup.salted(c,
+          keys = Seq(col("source")),
+          order = Seq(col("coin"), col("doc_id")),
+          k = k, salt = (col("doc_id") % 32).cast("int"), rnCol = "rn")
         .groupBy("source")
         .agg(count(lit(1)).as("n_sampled"),
           md5(array_join(transform(

@@ -508,13 +508,13 @@ object TpchMore {
             FROM customer) t
       WHERE rn <= 5
     """)) { t =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      t.customer
+      TopKPerGroup.native(
+          t.customer.select("c_mktsegment", "c_custkey", "c_acctbal"),
+          keys = Seq(col("c_mktsegment")),
+          order = Seq(col("c_acctbal").desc, col("c_custkey")),
+          k = 5, rnCol = "rn")
         .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
-          row_number().over(w).as("rn"))
-        .filter(col("rn") <= 5)
+          col("rn"))
     },
 
     // Native recursive CTE (Spark 4 UnionLoopExec) — the declarative
