@@ -81,10 +81,32 @@ final case class Graph(edges: DataFrame) {
     levels.reduce(_ union _).filter(col("hops") >= minHops)
   }
 
+  /** Frontiers below this row count expand TWO BFS levels per job
+    * (see [[shortestDistances]]): small enough that recomputing the
+    * unmaterialized first level inside the second level's plan is
+    * cheaper than an extra driver round + checkpoint. */
+  private val TwoHopFrontierMax = 10000L
+
+  /** One BFS level: distinct unvisited neighbors of `frontier`,
+    * tagged `dist`. Alias-qualified join keys so the caller can chain
+    * two levels inside one lazy plan without ambiguous-attribute
+    * clashes against the shared edge table. */
+  private def bfsLevel(e: DataFrame, frontier: DataFrame,
+      visited: DataFrame, dist: Int): DataFrame =
+    frontier.select("node").as("f")
+      .join(e.as("ed"), expr("f.node = ed.src"))
+      .select(col("ed.dst").as("node")).distinct()
+      .join(visited.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), lit(dist).as("dist"))
+
   /** ANY SHORTEST analog (graph_shortest.go): minimal hop distance
     * from `source` to every node reachable within `maxHops`. Proper
     * BFS — each level anti-joins the visited set, so a node's first
-    * (= minimal) level wins and the frontier shrinks monotonically. */
+    * (= minimal) level wins and the frontier shrinks monotonically.
+    * While the frontier is measured-small, TWO levels expand inside
+    * one lazy plan/job (level d+2 derives from the anti-joined level
+    * d+1 exactly as two sequential rounds would — identical result),
+    * halving driver-loop rounds on long thin traversals. */
   def shortestDistances(source: Long, direction: String,
       maxHops: Int): DataFrame = {
     val e = oriented(direction).localCheckpoint()
@@ -92,19 +114,26 @@ final case class Graph(edges: DataFrame) {
       .select(lit(source).as("node"), lit(0).as("dist"))
       .localCheckpoint()
     var frontier = visited
+    var frontierN = 1L
     var hopN = 0
     var done = false
     while (hopN < maxHops && !done) {
-      hopN += 1
-      val next = frontier.join(e, frontier("node") === e("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .select(col("node"), lit(hopN).as("dist"))
-        .localCheckpoint()
+      val twoHop = hopN + 2 <= maxHops && frontierN <= TwoHopFrontierMax
+      val l1 = bfsLevel(e, frontier, visited, hopN + 1)
+      val next = (if (!twoHop) l1 else {
+        val l2 = bfsLevel(e, l1,
+          visited.select("node").union(l1.select("node")), hopN + 2)
+        l1.union(l2)
+      }).localCheckpoint()
+      hopN += (if (twoHop) 2 else 1)
       if (next.isEmpty) done = true
       else {
         visited = visited.union(next).localCheckpoint()
-        frontier = next
+        // Only the deepest level seeds the next expansion; if the
+        // second hop of a batch came back empty the loop is done.
+        frontier = next.filter(col("dist") === hopN)
+        frontierN = frontier.count()
+        done = frontierN == 0
       }
     }
     visited
@@ -123,20 +152,38 @@ final case class Graph(edges: DataFrame) {
       .select(lit(source).as("node"), lit(0).as("dist"),
         lit(1L).as("n_paths"))
       .localCheckpoint()
+    // One counting level: a node first reached at depth d has
+    // n_paths = Σ n_paths of its depth-(d-1) predecessors — which is
+    // exactly the (anti-joined) previous frontier, so chaining two
+    // levels lazily is the same recurrence as two sequential rounds.
+    def level(frontier: DataFrame, vis: DataFrame, dist: Int): DataFrame =
+      frontier.select("node", "n_paths").as("f")
+        .join(e.as("ed"), expr("f.node = ed.src"))
+        .groupBy(col("ed.dst")).agg(sum(col("f.n_paths")).as("n_paths"))
+        .join(vis.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .select(col("dst").as("node"), lit(dist).as("dist"),
+          col("n_paths"))
     var frontier = visited
+    var frontierN = 1L
     var hopN = 0
     var done = false
     while (hopN < maxHops && !done) {
-      hopN += 1
-      val next = frontier.join(e, frontier("node") === e("src"))
-        .groupBy(col("dst")).agg(sum(col("n_paths")).as("n_paths"))
-        .join(visited.select(col("node").as("dst")), Seq("dst"), "left_anti")
-        .select(col("dst").as("node"), lit(hopN).as("dist"), col("n_paths"))
-        .localCheckpoint()
+      // Same two-hop batching as shortestDistances: halve driver
+      // rounds while the frontier is measured-small.
+      val twoHop = hopN + 2 <= maxHops && frontierN <= TwoHopFrontierMax
+      val l1 = level(frontier, visited, hopN + 1)
+      val next = (if (!twoHop) l1 else {
+        val l2 = level(l1,
+          visited.select("node").union(l1.select("node")), hopN + 2)
+        l1.union(l2)
+      }).localCheckpoint()
+      hopN += (if (twoHop) 2 else 1)
       if (next.isEmpty) done = true
       else {
         visited = visited.union(next).localCheckpoint()
-        frontier = next
+        frontier = next.filter(col("dist") === hopN)
+        frontierN = frontier.count()
+        done = frontierN == 0
       }
     }
     visited
