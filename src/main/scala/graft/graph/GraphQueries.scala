@@ -292,11 +292,15 @@ object GraphQueries {
       pairs AS (SELECT u1.src AS a, u2.src AS b, COUNT(*) AS common
                 FROM u u1 JOIN u u2 ON u1.dst = u2.dst AND u1.src < u2.src
                 GROUP BY u1.src, u2.src),
+      -- deg <= 10000 mirrors the engine's hub guard (jaccardPairs
+      -- maxDeg): a no-op until a vertex exceeds the cap, at which
+      -- point BOTH engines exclude it and the entry stays hash-exact
+      -- at any SF.
       ep AS (SELECT p.a, p.b, p.common, da.deg AS dega, db.deg AS degb
              FROM pairs p
              JOIN u ON u.src = p.a AND u.dst = p.b
-             JOIN d da ON da.src = p.a
-             JOIN d db ON db.src = p.b)
+             JOIN d da ON da.src = p.a AND da.deg <= 10000
+             JOIN d db ON db.src = p.b AND db.deg <= 10000)
       SELECT a, b, ROUND(CAST(common AS DOUBLE) / (dega + degb - common), 4) AS jac
       FROM ep
       ORDER BY ROUND(CAST(common AS DOUBLE) / (dega + degb - common), 8) DESC, a, b
@@ -333,9 +337,11 @@ object GraphQueries {
     * the owner's own degree). The hub list is by construction tiny
     * (heavy tail), so the exclusion is a broadcast anti join before
     * any array is built. 10000 never binds on the derived order
-    * graph at test SFs (max degree ~hundreds) — the registry entry
-    * stays hash-exact — and GraphSpec pins capped == uncapped-then-
-    * filtered parity on a cap that does bind. */
+    * graph at test SFs (max degree ~hundreds), and the oracle
+    * mirrors the same deg<=10000 predicate, so the registry entry
+    * stays hash-exact even at an SF where the cap DOES bind;
+    * GraphSpec pins capped == uncapped-then-filtered parity on a
+    * cap that binds. */
   def jaccardPairs(t: graft.Tables,
       maxDeg: Long): org.apache.spark.sql.DataFrame = {
     val u = Graph.derived(t.orders).oriented("both")

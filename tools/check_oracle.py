@@ -68,6 +68,37 @@ def main(sf_dir, out_dir):
                   f"driver's pandas compare renders them float64")
             n_fail += 1
             continue
+        # Same class of silent-typing trap, next most likely case:
+        # `/` on DECIMAL returns DOUBLE in DuckDB while Spark keeps
+        # DECIMAL (and vice versa for unpinned money math) — pandas
+        # then renders "522.80" vs 522.8 and the driver's hash check
+        # fails on identical values. Fence: the engine/oracle column
+        # TYPE CLASSES must agree; decimal-vs-float gets the pointed
+        # message.
+        def tclass(ty):
+            s = str(ty).upper()
+            if "DECIMAL" in s:
+                return "decimal"
+            if s in ("FLOAT", "DOUBLE", "REAL"):
+                return "float"
+            if "INT" in s:
+                return "int"
+            return "other"
+        duck_t = {c.lower(): tclass(ty)
+                  for c, ty in zip(duck_rel.columns, duck_rel.types)}
+        spark_t = {c.lower(): tclass(ty)
+                   for c, ty in zip(spark_rel.columns, spark_rel.types)}
+        clash = [(c, spark_t[c], duck_t[c]) for c in sorted(duck_t)
+                 if c in spark_t and spark_t[c] != duck_t[c]]
+        if clash:
+            for c, st, dt in clash:
+                hint = (" — DECIMAL `/` yields DOUBLE in DuckDB; pin "
+                        "BOTH sides (CAST AS DOUBLE / Exact.dec2)"
+                        if {st, dt} == {"decimal", "float"} else "")
+            print(f"FAIL {name}: column type classes differ "
+                  f"{clash}{hint}")
+            n_fail += 1
+            continue
         a, b = rowset(spark_cols, spark_rows), rowset(duck_cols, duck_rows)
         if len(a) != len(b):
             print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
