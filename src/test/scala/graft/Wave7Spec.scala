@@ -71,6 +71,26 @@ class Wave7Spec extends SparkSpecBase {
     assert(text.contains("\"Customer#"), "payload field is enclosed")
   }
 
+  test("delimited import: enclosure, null-on-malformed, truncated lines") {
+    val rows = q("q_import_csv").collect()
+    assert(rows.length == t.customer.filter(col("c_custkey") < 600).count())
+    rows.foreach { r =>
+      val c = r.getAs[Long]("c_custkey")
+      assert(r.getAs[Long]("id") == c, "id field always parses")
+      val nm = r.getAs[String]("nm")
+      // Enclosed field: the embedded delimiter survives the parse.
+      if (c % 5 == 0) assert(nm.endsWith(";q") && !nm.startsWith("\""))
+      else assert(!nm.contains(";"))
+      if (c % 11 == 0 || c % 7 == 0) {
+        assert(r.isNullAt(r.fieldIndex("bal")), "malformed/short → NULL")
+        assert(r.getAs[Int]("bad") == 1)
+      } else {
+        assert(!r.isNullAt(r.fieldIndex("bal")))
+        assert(r.getAs[Int]("bad") == 0)
+      }
+    }
+  }
+
   test("update: both arms rewrite, row count and untouched rows preserved") {
     val updated = q("q_update")
     assert(updated.count() == t.orders.count(), "UPDATE never changes rowcount")
