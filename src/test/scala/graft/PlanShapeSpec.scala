@@ -44,6 +44,23 @@ class PlanShapeSpec extends SparkSpecBase {
       s"expected >=3 broadcast joins in:\n$p")
   }
 
+  test("q_delete broadcasts the doomed-key set into the anti join") {
+    val p = plan("q_delete")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"doomed set should broadcast-anti-join:\n$p")
+    // The predicate arm reaches the scan.
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"),
+      s"predicate arm not pushed:\n$p")
+  }
+
+  test("q_update broadcasts the derived update-key set") {
+    val p = plan("q_update")
+    assert(p.contains("BroadcastHashJoin"),
+      s"update key set should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "fact side must not sort for a dim-derived key set")
+  }
+
   test("q_agg_hash aggregates partially before the shuffle") {
     val p = plan("q_agg_hash")
     assert(p.contains("HashAggregate"),
