@@ -93,5 +93,59 @@ object Wave7 {
           col("j.nm").as("nm"), col("j.bal").as("bal"),
           col("j._bad").isNotNull.cast("int").as("bad"))
     },
+
+    // MySQL string/number rendering family, wave 2 (reference:
+    // expression/builtin_string.go FORMAT/QUOTE/INSERT/EXPORT_SET/
+    // MAKE_SET/ORD, builtin_math.go CONV/BIN/OCT): thousands-
+    // separated rendering, radix conversion with a round trip,
+    // bit-field rendering low-bit-first, and MySQL quoting. All pure
+    // codegen'd string/bit arithmetic — identical in both engines
+    // (DuckDB renders radix/grouping via fmt format specs).
+    Q("q_func_mysql2", Some("""
+      SELECT o_orderkey,
+             format('{:,}', o_orderkey * 1000 + 123) AS fmt_key,
+             upper(to_hex(o_orderkey)) AS conv_hex,
+             CAST(o_orderkey AS VARCHAR) AS conv_rt,
+             format('{:b}', o_orderkey) AS bin_val,
+             format('{:o}', o_orderkey) AS oct_val,
+             unicode(substr(o_orderpriority, 1, 1)) AS ord_val,
+             '''' || replace(o_orderpriority, '-', '\''') || '''' AS quote_val,
+             substr(o_orderpriority, 1, 2) || 'XY'
+               || substr(o_orderpriority, 5) AS ins_val,
+             array_to_string(list_transform(range(0, 8),
+               i -> CASE WHEN (o_orderkey >> i) & 1 = 1
+                         THEN 'Y' ELSE 'N' END), ',') AS export_set,
+             -- MAKE_SET(0, ...) is '' (MySQL), but DuckDB's
+             -- array_to_string(NULL-typed empty list) is NULL.
+             COALESCE(array_to_string(list_filter(list_transform(
+               range(0, 4),
+               i -> CASE WHEN (o_orderkey >> i) & 1 = 1
+                         THEN (['a', 'b', 'c', 'd'])[i + 1] END),
+               x -> x IS NOT NULL), ','), '') AS make_set
+      FROM orders WHERE o_orderkey < 400
+    """)) { t =>
+      t.orders.filter(col("o_orderkey") < 400)
+        .select(col("o_orderkey"),
+          format_number(col("o_orderkey") * 1000 + 123, 0).as("fmt_key"),
+          conv(col("o_orderkey").cast("string"), 10, 16).as("conv_hex"),
+          conv(conv(col("o_orderkey").cast("string"), 10, 16), 16, 10)
+            .as("conv_rt"),
+          bin(col("o_orderkey")).as("bin_val"),
+          conv(col("o_orderkey").cast("string"), 10, 8).as("oct_val"),
+          ascii(substring(col("o_orderpriority"), 1, 1)).as("ord_val"),
+          concat(lit("'"),
+            regexp_replace(col("o_orderpriority"), "-", "\\\\'"),
+            lit("'")).as("quote_val"),
+          overlay(col("o_orderpriority"), lit("XY"), lit(3), lit(2))
+            .as("ins_val"),
+          expr("""array_join(transform(sequence(0, 7),
+            i -> if((shiftright(o_orderkey, i) & 1) = 1, 'Y', 'N')),
+            ',')""").as("export_set"),
+          expr("""array_join(filter(transform(sequence(0, 3),
+            i -> if((shiftright(o_orderkey, i) & 1) = 1,
+                    element_at(array('a', 'b', 'c', 'd'), int(i + 1)),
+                    null)),
+            x -> x is not null), ',')""").as("make_set"))
+    },
   )
 }
