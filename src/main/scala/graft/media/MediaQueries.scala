@@ -107,6 +107,70 @@ object MediaQueries {
     """)) { t =>
       frameSample(t.fan(t.documents))
     },
+
+    // NEAR-DUP VIDEO detection by frame-fingerprint overlap — the
+    // multimodal twin of d_ngram_jaccard: two "videos" are near-dups
+    // when their sampled-frame fingerprint sets overlap (re-encodes,
+    // trims and container changes keep most frames; the stub decoder
+    // stands in for a real perceptual frame hash). Inverted index on
+    // frame_fp with a df<=1000 hot-frame prune (intros/black frames
+    // would otherwise pair half the corpus), pairs generated only
+    // inside a fingerprint's posting list — bounded by posting-list
+    // size, never corpus². One shared shuffle on frame_fp; set sizes
+    // join back on doc_id.
+    Q("m_media_dedup", Some("""
+      WITH m AS (
+        SELECT doc_id, HEX(ENCODE(text)) AS hx,
+               1 + CAST(FLOOR(OCTET_LENGTH(ENCODE(text)) / 64.0) AS INT)
+                 AS n_frames
+        FROM documents),
+      f AS (
+        SELECT doc_id, hx,
+               UNNEST(list_distinct(list_transform([0, 1, 2, 3],
+                 j -> CAST(FLOOR(j * (n_frames - 1) / 3.0) AS INT))))
+                 AS frame_idx
+        FROM m),
+      fr AS (
+        SELECT DISTINCT doc_id,
+               MD5(SUBSTR(hx, frame_idx * 128 + 1, 128)) AS frame_fp
+        FROM f),
+      keep AS (SELECT frame_fp FROM fr GROUP BY frame_fp
+               HAVING COUNT(*) <= 1000),
+      p AS (SELECT fr.doc_id, fr.frame_fp FROM fr JOIN keep USING (frame_fp)),
+      sz AS (SELECT doc_id, COUNT(*) AS nf FROM p GROUP BY doc_id),
+      pr AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                    CAST(COUNT(*) AS INT) AS common
+             FROM p x JOIN p y ON x.frame_fp = y.frame_fp
+                               AND x.doc_id < y.doc_id
+             GROUP BY x.doc_id, y.doc_id)
+      SELECT a, b, common,
+             ROUND(CAST(common AS DOUBLE)
+                   / (sa.nf + sb.nf - common), 4) AS jac
+      FROM pr
+      JOIN sz sa ON sa.doc_id = pr.a
+      JOIN sz sb ON sb.doc_id = pr.b
+      WHERE CAST(common AS DOUBLE) / (sa.nf + sb.nf - common) >= 0.5
+    """)) { t =>
+      val frames = frameSample(t.fan(t.documents))
+        .select(col("doc_id"), col("frame_fp")).distinct()
+      val keep = frames.groupBy("frame_fp")
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 1000)
+        .select("frame_fp")
+      val p = frames.join(keep, "frame_fp")
+      val sz = p.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      val pairs = p.as("x").join(p.as("y"), "frame_fp")
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).cast("int").as("common"))
+      val jac = col("common").cast("double") /
+        (col("na") + col("nb") - col("common"))
+      pairs
+        .join(sz.select(col("doc_id").as("a"), col("nf").as("na")), "a")
+        .join(sz.select(col("doc_id").as("b"), col("nf").as("nb")), "b")
+        .filter(jac >= 0.5)
+        .select(col("a"), col("b"), col("common"),
+          round(jac, 4).as("jac"))
+    },
   )
 
   /** ≤4 uniformly spaced 64-byte frames per document, fingerprinted

@@ -91,6 +91,26 @@ class Wave7Spec extends SparkSpecBase {
     }
   }
 
+  test("media dedup: reported overlaps equal recomputed frame-set jaccard") {
+    val pairs = q("m_media_dedup").collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Int]("common"), r.getAs[Double]("jac")))
+    assert(pairs.nonEmpty, "corpus has engineered near-dups")
+    // Independent recompute: per-doc sampled-frame fingerprint sets.
+    val frames = media.MediaQueries.frameSample(t.documents)
+      .select("doc_id", "frame_fp").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    pairs.foreach { case (a, b, common, jac) =>
+      assert(a < b)
+      val (fa, fb) = (frames(a), frames(b))
+      assert((fa & fb).size == common)
+      val expect = (fa & fb).size.toDouble / (fa | fb).size
+      assert(expect >= 0.5 && math.abs(jac - math.rint(expect * 1e4) / 1e4)
+        < 1e-9)
+    }
+  }
+
   test("update: both arms rewrite, row count and untouched rows preserved") {
     val updated = q("q_update")
     assert(updated.count() == t.orders.count(), "UPDATE never changes rowcount")
