@@ -251,5 +251,56 @@ object AnnQueries {
       rerankTopK(queries.join(corpus, Seq("tbl", "sig")), topk = 3,
         dedup = true)
     },
+
+    // Per-domain embedding centroids + drift — the dataset-card
+    // analytics a training-mix pipeline runs per source/domain: each
+    // label's mean vector, its norm, and its cosine against the
+    // global centroid (domain drift / outlier-domain detection). The
+    // centroid is computed WITHOUT collecting vectors: posexplode →
+    // (label, dim) partial sums with map-side combine — the shuffle
+    // carries |labels|·64 scalar cells regardless of corpus size —
+    // then ≤64-element arrays rebuild per label and the 1-row global
+    // centroid broadcasts. Dimension-wise sums round to 4dp so both
+    // engines' float summation order cannot surface.
+    Q("s_embed_centroid", Some("""
+      WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      x AS (SELECT label, UNNEST(v) AS val, UNNEST(range(64)) AS pos
+            FROM e),
+      cd AS (SELECT label, pos, AVG(val) AS a
+             FROM x GROUP BY label, pos),
+      cents AS (SELECT label, list(a ORDER BY pos) AS cv,
+                       (SELECT COUNT(*) FROM e e2
+                        WHERE e2.label = cd.label) AS n
+                FROM cd GROUP BY label),
+      g AS (SELECT list(a ORDER BY pos) AS gv FROM
+              (SELECT pos, AVG(val) AS a FROM x GROUP BY pos))
+      SELECT label, CAST(n AS BIGINT) AS n,
+             ROUND(sqrt(list_dot_product(cv, cv)), 4) AS centroid_norm,
+             ROUND(list_cosine_similarity(cv, gv), 4) AS cos_global
+      FROM cents, g
+    """)) { t =>
+      val e = t.embeddings.select(col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val x = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "val")))
+      def centroid(grouped: DataFrame, keys: Seq[String]) = {
+        val dims = grouped.groupBy((keys :+ "pos").map(col): _*)
+          .agg(sum("val").as("s"), count(lit(1)).as("n"))
+        dims.groupBy(keys.map(col): _*)
+          .agg(expr("transform(array_sort(collect_list(struct(pos, s / n as a))), p -> p.a)")
+            .as("cv"), max("n").as("n"))
+      }
+      val cents = centroid(x, Seq("label"))
+      val g = centroid(x.withColumn("g", lit(1)), Seq("g"))
+        .select(col("cv").as("gv"))
+      val dot = (a: String, b: String) =>
+        expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
+      cents.crossJoin(broadcast(g))
+        .select(col("label"), col("n"),
+          round(sqrt(dot("cv", "cv")), 4).as("centroid_norm"),
+          round(dot("cv", "gv") /
+            (sqrt(dot("cv", "cv")) * sqrt(dot("gv", "gv"))), 4)
+            .as("cos_global"))
+    },
   )
 }
