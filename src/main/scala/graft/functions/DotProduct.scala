@@ -102,6 +102,10 @@ object GraftFunctions {
           name, builder, "built-in")
     ensure("graft_dot", dotBuilder)
     ensure("graft_cms_estimate", cmsBuilder)
+    ensure("graft_compress",
+      exprs => ZlibCompress(Cast(exprs.head, org.apache.spark.sql.types.BinaryType)))
+    ensure("graft_uncompress",
+      exprs => ZlibUncompress(Cast(exprs.head, org.apache.spark.sql.types.BinaryType)))
     TextStats.register(spark)
     RepStats.register(spark)
   }

@@ -147,5 +147,40 @@ object Wave7 {
                     null)),
             x -> x is not null), ',')""").as("make_set"))
     },
+
+    // COMPRESS / UNCOMPRESS / UNCOMPRESSED_LENGTH + CRC32 (reference:
+    // expression/builtin_encryption.go, builtin_math.go CRC32) via
+    // the native Zlib expressions (MySQL blob layout: 4-byte LE
+    // uncompressed-length header + zlib stream). DuckDB has neither
+    // zlib nor crc32, so the oracle states the INVARIANTS the engine
+    // must genuinely compute per row: the round-tripped payload (the
+    // hash check proper — it equals the original only if deflate →
+    // header parse → inflate all work), the header's LE length
+    // matching the original length, compression actually shrinking a
+    // repetitive payload, and the standard CRC32 check vector.
+    Q("q_func_compress", Some("""
+      SELECT c_custkey,
+             CAST(octet_length(encode(repeat(c_name, 20))) AS INT)
+               AS orig_len,
+             repeat(c_name, 20) AS rt,
+             1 AS hdr_ok, 1 AS shrunk, 1 AS crc_vec
+      FROM customer WHERE c_custkey < 300
+    """)) { t =>
+      import org.apache.spark.sql.GraftSqlShim.{column => gcol, expr => gexpr}
+      val payload = encode(repeat(col("c_name"), 20), "UTF-8")
+      def comp = gcol(graft.functions.ZlibCompress(gexpr(payload)))
+      val h = hex(substring(comp, 1, 4))
+      val le = conv(concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("int")
+      t.customer.filter(col("c_custkey") < 300)
+        .select(col("c_custkey"),
+          length(payload).cast("int").as("orig_len"),
+          decode(gcol(graft.functions.ZlibUncompress(gexpr(comp))),
+            "UTF-8").as("rt"),
+          (le === length(payload).cast("int")).cast("int").as("hdr_ok"),
+          (length(comp) < length(payload)).cast("int").as("shrunk"),
+          (crc32(lit("123456789").cast("binary")) === 3421780262L)
+            .cast("int").as("crc_vec"))
+    },
   )
 }

@@ -111,6 +111,30 @@ class Wave7Spec extends SparkSpecBase {
     }
   }
 
+  test("zlib: mysql blob layout, corrupt input -> NULL, crc32 matches JVM") {
+    // Kernel edge cases.
+    assert(functions.Zlib.compress(Array.emptyByteArray).isEmpty)
+    assert(functions.Zlib.uncompress(Array.emptyByteArray).isEmpty)
+    assert(functions.Zlib.uncompress(Array[Byte](1, 2, 3)) == null)
+    assert(functions.Zlib.uncompress(
+      Array[Byte](10, 0, 0, 0, 1, 2, 3, 4)) == null, "bad zlib stream")
+    // SQL surface (registered functions) + per-row crc32 vs the JVM
+    // reference implementation.
+    functions.GraftFunctions.register(spark)
+    val rows = t.customer.limit(50)
+      .select(col("c_name"),
+        expr("decode(graft_uncompress(graft_compress(c_name)), 'UTF-8')")
+          .as("rt"),
+        crc32(encode(col("c_name"), "UTF-8")).as("crc"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(0), "round trip")
+      val c = new java.util.zip.CRC32()
+      c.update(r.getString(0).getBytes("UTF-8"))
+      assert(r.getLong(2) == c.getValue)
+    }
+  }
+
   test("update: both arms rewrite, row count and untouched rows preserved") {
     val updated = q("q_update")
     assert(updated.count() == t.orders.count(), "UPDATE never changes rowcount")
