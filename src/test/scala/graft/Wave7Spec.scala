@@ -135,6 +135,35 @@ class Wave7Spec extends SparkSpecBase {
     }
   }
 
+  test("time-travel store degrades to base-only snapshots on empty events") {
+    // A source dir whose events table has zero rows: the max-seq
+    // scalar is null and every version must equal the base snapshot
+    // (no NPE, no empty store).
+    val dir = "/tmp/graft_tt_empty_src"
+    val f = new java.io.File(dir)
+    if (!new java.io.File(s"$dir/orders.parquet").exists()) {
+      f.mkdirs()
+      t.orders.limit(50).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      // ts as raw nanos LONG — the layout Tables.events expects.
+      t.events.filter(lit(false))
+        .withColumn("ts", expr("unix_micros(ts) * 1000")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    val empt = Tables(spark, dir)
+    val store = operators.Wave6.timeTravelStore(empt)
+    val base = empt.orders.select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (v <- 0 until 3) {
+      val snap = spark.read.parquet(s"$store/version=$v").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(snap == base, s"version $v must equal base")
+    }
+    val meta = spark.read.parquet(s"$store/_meta").collect()
+    assert(meta.length == 3 &&
+      meta.forall(_.getAs[Long]("commit_ts_us") == 0L))
+  }
+
   test("update: both arms rewrite, row count and untouched rows preserved") {
     val updated = q("q_update")
     assert(updated.count() == t.orders.count(), "UPDATE never changes rowcount")
