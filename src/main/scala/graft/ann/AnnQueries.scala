@@ -22,6 +22,26 @@ object AnnQueries {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
 
+  /** (label, pos, val) exploded dims — the shared input of the
+    * centroid analytics. */
+  private def dimExploded(t: Tables): DataFrame =
+    t.embeddings
+      .select(col("label"), col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "val")))
+
+  /** Per-`keys` mean vector WITHOUT collecting vectors: map-combined
+    * (keys, dim) partial sums, then a ≤64-element array rebuild per
+    * key. */
+  private def centroid(x: DataFrame, keys: Seq[String]): DataFrame = {
+    val dims = x.groupBy((keys :+ "pos").map(col): _*)
+      .agg(sum("val").as("s"), count(lit(1)).as("n"))
+    dims.groupBy(keys.map(col): _*)
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, s / n as a))), p -> p.a)")
+        .as("cv"), max("n").as("n"))
+  }
+
   /** 4 LSH tables × 8-bit signatures from deterministic pseudo-random
     * hyperplanes: component (table p, plane q, dim j) = xxhash64(p,q,j)
     * scaled to [-1, 1]. Computed as posexplode → 32 codegen'd dot-
@@ -280,27 +300,57 @@ object AnnQueries {
              ROUND(list_cosine_similarity(cv, gv), 4) AS cos_global
       FROM cents, g
     """)) { t =>
-      val e = t.embeddings.select(col("label"),
-        col("embedding").cast("array<double>").as("v"))
-      val x = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "val")))
-      def centroid(grouped: DataFrame, keys: Seq[String]) = {
-        val dims = grouped.groupBy((keys :+ "pos").map(col): _*)
-          .agg(sum("val").as("s"), count(lit(1)).as("n"))
-        dims.groupBy(keys.map(col): _*)
-          .agg(expr("transform(array_sort(collect_list(struct(pos, s / n as a))), p -> p.a)")
-            .as("cv"), max("n").as("n"))
-      }
+      val x = dimExploded(t)
       val cents = centroid(x, Seq("label"))
       val g = centroid(x.withColumn("g", lit(1)), Seq("g"))
         .select(col("cv").as("gv"))
-      val dot = (a: String, b: String) =>
-        expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
       cents.crossJoin(broadcast(g))
         .select(col("label"), col("n"),
-          round(sqrt(dot("cv", "cv")), 4).as("centroid_norm"),
-          round(dot("cv", "gv") /
-            (sqrt(dot("cv", "cv")) * sqrt(dot("gv", "gv"))), 4)
+          round(sqrt(dot(col("cv"), col("cv"))), 4).as("centroid_norm"),
+          round(dot(col("cv"), col("gv")) /
+            (sqrt(dot(col("cv"), col("cv"))) * sqrt(dot(col("gv"), col("gv")))), 4)
             .as("cos_global"))
+    },
+
+    // Per-domain OUTLIER detection — the curation step after the
+    // centroid card: the 3 vectors per label LEAST similar to their
+    // label centroid (mislabeled / off-domain / garbage candidates
+    // in a training mix). The |labels|-row centroid table broadcasts,
+    // scoring is map-side, and the per-group top-k runs the salted
+    // two-phase TopKPerGroup shape — no one-task-per-label ceiling
+    // when a domain has billions of vectors.
+    Q("d_doc_outlier", Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      x AS (SELECT label, UNNEST(v) AS val, UNNEST(range(64)) AS pos
+            FROM e),
+      cd AS (SELECT label, pos, AVG(val) AS a FROM x GROUP BY label, pos),
+      cents AS (SELECT label, list(a ORDER BY pos) AS cv
+                FROM cd GROUP BY label),
+      s AS (SELECT e.vec_id, e.label,
+                   list_cosine_similarity(e.v, c.cv) AS cos
+            FROM e JOIN cents c USING (label)),
+      r AS (SELECT label, vec_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY label
+                                 ORDER BY ROUND(cos, 8), vec_id) AS rn
+            FROM s)
+      SELECT label, vec_id, ROUND(cos, 4) AS cos_c
+      FROM r WHERE rn <= 3
+    """)) { t =>
+      val e = t.embeddings.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = centroid(dimExploded(t), Seq("label"))
+        .select(col("label"), col("cv"))
+      val scored = e.join(broadcast(cents), "label")
+        .select(col("label"), col("vec_id"),
+          (dot(col("v"), col("cv")) /
+            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv")))))
+            .as("cos"))
+      graft.operators.TopKPerGroup.salted(scored,
+          keys = Seq(col("label")),
+          order = Seq(round(col("cos"), 8), col("vec_id")),
+          k = 3, salt = (col("vec_id") % 32).cast("int"), rnCol = "rn")
+        .select(col("label"), col("vec_id"), round(col("cos"), 4).as("cos_c"))
     },
   )
 }
