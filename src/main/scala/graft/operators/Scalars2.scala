@@ -183,7 +183,8 @@ object Scalars2 {
              xor(l_orderkey, l_linenumber) AS k_xor,
              l_linenumber << 4 AS k_shl,
              l_orderkey >> 3 AS k_shr,
-             ~l_orderkey AS k_not
+             ~l_orderkey AS k_not,
+             CAST(bit_count(l_orderkey) AS INT) AS k_pop
       FROM lineitem WHERE l_orderkey < 300
     """)) { t =>
       t.lineitem.filter(col("l_orderkey") < 300)
@@ -194,7 +195,8 @@ object Scalars2 {
             .as("k_xor"),
           shiftleft(col("l_linenumber"), 4).as("k_shl"),
           shiftright(col("l_orderkey"), 3).as("k_shr"),
-          expr("~l_orderkey").as("k_not"))
+          expr("~l_orderkey").as("k_not"),
+          bit_count(col("l_orderkey")).as("k_pop"))
     },
 
     // MySQL-family position/encoding functions (reference:

@@ -61,6 +61,25 @@ class PlanShapeSpec extends SparkSpecBase {
       "fact side must not sort for a dim-derived key set")
   }
 
+  test("m_media_dedup joins inside posting lists, never cartesian") {
+    val p = plan("m_media_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay keyed on frame_fp:\n$p")
+  }
+
+  test("s_embed_centroid partial-aggregates dims before the shuffle") {
+    val p = plan("s_embed_centroid")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected map-side partial dim sums:\n$p")
+  }
+
+  test("d_doc_outlier broadcasts the centroid table") {
+    val p = plan("d_doc_outlier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"label centroids must broadcast:\n$p")
+  }
+
   test("q_agg_hash aggregates partially before the shuffle") {
     val p = plan("q_agg_hash")
     assert(p.contains("HashAggregate"),
