@@ -308,18 +308,25 @@ final case class Graph(edges: DataFrame) {
       .distinct()
       .select(col("node"), col("node").as("component"))
       .localCheckpoint()
+    // One min-label propagation round; alias-qualified so two rounds
+    // can chain inside one lazy plan (the inner round's aggregation
+    // exchange is reused by Spark's ReuseExchange across its two
+    // consumers).
+    def round(l: DataFrame): DataFrame =
+      l.as("L").join(und.as("E"), expr("L.node = E.src"))
+        .select(col("E.dst").as("node"), col("L.component").as("component"))
+        .union(l)
+        .groupBy("node").agg(min(col("component")).as("component"))
     // Labels only ever decrease, so the label sum is a strictly
     // decreasing convergence measure — one cheap scalar aggregate per
-    // round instead of a join/except against the previous state.
+    // materialization instead of a join/except against the previous
+    // state. TWO rounds run per job/checkpoint (the same fixpoint is
+    // reached — propagation is monotone — with half the driver
+    // scheduling; the sum check just observes every second round).
     var prevSum = labels.agg(sum(col("component"))).head().getLong(0)
     var converged = false
     while (!converged) {
-      val fromNeighbors = labels
-        .join(und, labels("node") === und("src"))
-        .select(col("dst").as("node"), col("component"))
-      val next = labels.union(fromNeighbors)
-        .groupBy("node").agg(min(col("component")).as("component"))
-        .localCheckpoint()
+      val next = round(round(labels)).localCheckpoint()
       val nextSum = next.agg(sum(col("component"))).head().getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
