@@ -23,6 +23,7 @@ object Registry {
     operators.Wave4.all,
     operators.Wave6.all,
     operators.Wave7.all,
+    operators.Wave8.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,

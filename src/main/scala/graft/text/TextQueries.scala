@@ -311,6 +311,39 @@ object TextQueries {
             col("clean_query")))
     },
 
+    // Document chunking with overlap — the RAG / context-window prep
+    // step every training pipeline runs before embedding or packing:
+    // fixed 240-char windows on a 180-char stride (60-char overlap so
+    // no boundary sentence is lost), chunk offsets derivable from
+    // (doc_id, chunk_idx). Pure map-side sequence-explode + substring
+    // — scan → generate → project, zero shuffle at any corpus size;
+    // chunk count per doc is ceil(len/stride), so output scales
+    // linearly with corpus bytes, never quadratically. DuckDB states
+    // the identical window arithmetic via unnest(range(...)).
+    // (Guard len >= 1: Spark's `div` truncates toward zero while
+    // DuckDB's `//` floors, so an empty doc would diverge.)
+    Q("t_chunk", Some("""
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS chunk_idx,
+             substr(text, CAST(i * 180 + 1 AS BIGINT), 240) AS chunk_text,
+             CAST(length(substr(text, CAST(i * 180 + 1 AS BIGINT), 240))
+                  AS BIGINT) AS chunk_len
+      FROM (SELECT doc_id, text,
+                   unnest(range(0,
+                     CAST((length(text) - 1) // 180 AS BIGINT) + 1)) AS i
+            FROM documents WHERE length(text) >= 1)
+    """)) { t =>
+      t.documents.filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"),
+          explode(expr(
+            "sequence(bigint(0), (bigint(length(text)) - 1) div 180)"))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr("substring(text, int(chunk_idx * 180 + 1), 240)")
+            .as("chunk_text"))
+        .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+    },
+
     // Token counting: whitespace tokens + a BPE-ish regex
     // segmentation (letter runs / single digits / punctuation marks).
     Q("t_tokens", Some("""
