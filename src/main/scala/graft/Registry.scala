@@ -31,6 +31,7 @@ object Registry {
     dedup.DedupQueries.all,
     ann.AnnQueries.all,
     text.TextQueries.all,
+    text.RankQueries.all,
     media.MediaQueries.all,
     streaming.EventQueries.all,
   )

@@ -1,0 +1,182 @@
+package graft.text
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import graft.operators.TopKPerGroup
+import org.apache.spark.sql.functions._
+
+/** Corpus ranking / scoring suite for LLM data pipelines: TF-IDF
+  * keyword extraction, BM25 retrieval scoring, and model-based
+  * quality filtering (the fasttext-classifier analog as a pinned-
+  * weight logistic scorer).
+  *
+  * Shapes (reference for the IR math: Robertson & Zaragoza 2009, the
+  * BM25 probabilistic relevance framework; TF-IDF smoothing follows
+  * the ln((N+1)/(df+1))+1 convention):
+  *  - term stats are map-combined groupBys keyed on (doc,term)/term —
+  *    never a per-doc vocabulary array;
+  *  - query-side tables (BM25 terms, their dfs) are broadcast, so
+  *    scoring touches only docs containing a query term (the
+  *    inverted-index access path) and never shuffles the corpus;
+  *  - all libm-dependent outputs (LN/EXP) are ROUND(.,4)-pinned and
+  *    every rank is computed over the ROUNDED score with a total
+  *    tie-break, so engine and oracle order identically.
+  */
+object RankQueries {
+
+  /** DuckDB twin of [[TextFns.normalize]]. */
+  private val normSql =
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** Shared tokenization CTEs: per-(doc,term) counts + per-term df. */
+  private val toksSql = s"""
+      toks AS (
+        SELECT doc_id, t AS term
+        FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1)"""
+
+  val all: Seq[Q] = Seq(
+
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf · (ln((N+1)/(df+1)) + 1) — the dataset-card / topic-tagging
+    // primitive. Scale: tf and df are map-combined aggregates; the
+    // tf⋈df join is keyed on term (AQE broadcasts df when the vocab
+    // is small, co-partitioned shuffle otherwise — never a driver
+    // materialization of the vocabulary); top-3 per doc runs on the
+    // partial-limit window (InferWindowGroupLimit). Ranks use the
+    // rounded score with a term tie-break, so ordering is total.
+    Q("t_tfidf", Some(s"""
+      WITH $toksSql,
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+      SELECT doc_id, term, tf, df, score, CAST(rn AS INT) AS rn
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) AS rn
+            FROM (SELECT doc_id, term, tf, df,
+                    ROUND(tf * (LN(CAST(n + 1 AS DOUBLE) / (df + 1)) + 1.0),
+                          4) AS score
+                  FROM tf JOIN dfreq USING (term), n))
+      WHERE rn <= 3
+    """)) { t =>
+      val toks = t.fan(t.documents)
+        .select(col("doc_id"),
+          explode(split(TextFns.normalize(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = t.documents.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") *
+            (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1.0), 4))
+        .select("doc_id", "term", "tf", "df", "score")
+      TopKPerGroup.native(scored, Seq(col("doc_id")),
+        Seq(col("score").desc, col("term")), 3, "rn")
+    },
+
+    // BM25 retrieval: top-5 documents per query for a pinned query
+    // set (k1=1.2, b=0.75) — contamination screening and eval-set
+    // retrieval both reduce to this. Scale: the query×term table and
+    // its df row set are O(|queries|) and BROADCAST, so the only
+    // corpus-wide work is the tf build and the doc-length groupBy;
+    // scoring touches exactly the posting lists of the query terms
+    // (tf ⋈ broadcast(terms)) and the final agg is keyed on
+    // (query, doc). avgdl/N ride a 1-row broadcast.
+    Q("t_bm25", Some(s"""
+      WITH $toksSql,
+      dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl
+                FROM dl),
+      q(query_id, term) AS (VALUES (1, 'join'), (1, 'hash'), (2, 'scan'),
+                                   (2, 'filter'), (3, 'merge'), (3, 'order')),
+      contrib AS (
+        SELECT query_id, doc_id,
+               LN(1.0 + (CAST(n - df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5)) *
+               (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+               (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                 (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                   (CAST(dl AS DOUBLE) / avgdl))) AS c
+        FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+                JOIN dl USING (doc_id), stats)
+      SELECT query_id, doc_id, score, CAST(rn AS INT) AS rn
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id) AS rn
+            FROM (SELECT query_id, doc_id, ROUND(SUM(c), 4) AS score
+                  FROM contrib GROUP BY 1, 2))
+      WHERE rn <= 5
+    """)) { t =>
+      import t.spark.implicits._
+      val toks = t.fan(t.documents)
+        .select(col("doc_id"),
+          explode(split(TextFns.normalize(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+      val q = Seq((1, "join"), (1, "hash"), (2, "scan"), (2, "filter"),
+        (3, "merge"), (3, "order")).toDF("query_id", "term")
+      // query_id × term × df — O(|queries|) rows, broadcast below.
+      val qd = q.join(tf.groupBy("term").agg(count(lit(1)).as("df")), "term")
+      val idf = log(lit(1.0) + ((col("n") - col("df")).cast("double") + 0.5)
+        / (col("df").cast("double") + 0.5))
+      val c = idf * (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+      val scores = tf.join(broadcast(qd), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("c", c)
+        .groupBy("query_id", "doc_id").agg(round(sum("c"), 4).as("score"))
+      TopKPerGroup.native(scores, Seq(col("query_id")),
+        Seq(col("score").desc, col("doc_id")), 5, "rn")
+    },
+
+    // Model-based quality filtering: a logistic scorer with pinned
+    // weights over the t_quality feature family (token count, alpha
+    // ratio, stopword ratio) — the shape of every learned quality
+    // classifier (fasttext / KenLM-gated) once training is done:
+    // inference is a broadcast weight vector and a map-side dot +
+    // sigmoid. Pure scan→project, zero shuffle at any corpus size;
+    // keep decisions compare the ROUNDED score so engine and oracle
+    // agree bit-for-bit.
+    Q("t_quality_lr", Some("""
+      SELECT doc_id, n_tokens, score, CAST(score > 0.5 AS INT) AS keep
+      FROM (SELECT doc_id, n_tokens,
+              ROUND(1.0 / (1.0 + EXP(-(
+                CAST(0.08 AS DOUBLE) * (n_tokens - 56)
+                + CAST(8.0 AS DOUBLE) * (sr - CAST(0.06 AS DOUBLE))
+                + CAST(2.0 AS DOUBLE) * (ar - CAST(0.8 AS DOUBLE))))), 4)
+                AS score
+            FROM (SELECT doc_id,
+                    CAST(LEN(regexp_extract_all(text, '(\S+)', 1)) AS INT)
+                      AS n_tokens,
+                    CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g'))
+                         AS DOUBLE) / LENGTH(text) AS ar,
+                    CAST(LEN(regexp_extract_all(text,
+                           '(?i)\b(the|and|of|to|a|in)\b')) AS DOUBLE)
+                      / LEN(regexp_extract_all(text, '(\S+)', 1)) AS sr
+                  FROM documents
+                  WHERE LEN(regexp_extract_all(text, '(\S+)', 1)) > 0) f)
+    """)) { t =>
+      val feats = t.documents
+        .select(col("doc_id"), expr("text_stats(text)").as("s"),
+          size(regexp_extract_all(col("text"),
+            lit("(?i)\\b(the|and|of|to|a|in)\\b"), lit(0))).as("n_stop"))
+        .filter(col("s.n_tokens") > 0)
+        .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
+          (col("s.n_alpha").cast("double") / col("s.n_chars")).as("ar"),
+          (col("n_stop").cast("double") / col("s.n_tokens")).as("sr"))
+      val z = lit(0.08) * (col("n_tokens") - 56) +
+        lit(8.0) * (col("sr") - lit(0.06)) +
+        lit(2.0) * (col("ar") - lit(0.8))
+      feats
+        .select(col("doc_id"), col("n_tokens"),
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"))
+        .withColumn("keep", (col("score") > 0.5).cast("int"))
+    },
+  )
+}
