@@ -335,6 +335,39 @@ final case class Graph(edges: DataFrame) {
     labels
   }
 
+  /** k-core: the maximal subgraph where every vertex keeps at least k
+    * (distinct undirected) neighbors, by iterative peeling — drop
+    * all vertices below k, recompute degrees, repeat. The peel is
+    * bounded at `maxRounds` WITH an early fixpoint exit, so the
+    * operator's semantics are exactly reproducible by a bounded
+    * unrolled oracle (extra oracle rounds past the fixpoint are
+    * no-ops); callers pick maxRounds ≥ the convergence depth of
+    * their data (specs assert it). State per round is the surviving
+    * edge list: one map-combined degree agg + two co-partitioned
+    * semi-joins, |E|-bounded — the standard distributed peel, no
+    * driver-side data beyond the one convergence scalar. */
+  def kCore(k: Int, maxRounds: Int): DataFrame = {
+    var edges = oriented("both").localCheckpoint()
+    var prevN = edges.select("src").distinct().count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      val pruned = edges
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      val n = pruned.select("src").distinct().count()
+      converged = n == prevN
+      prevN = n
+      edges = pruned
+      rounds += 1
+    }
+    edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
+
   /** TOP-K SHORTEST path enumeration, ranked by (length, path) —
     * ast.GraphPathPatternTypeTopKShortestPath semantics.
     *

@@ -234,6 +234,17 @@ object GraphQueries {
       Graph.derived(t.orders).connectedComponents()
     },
 
+    // k-core decomposition (k=3) by iterative peel — community-core
+    // extraction over the derived graph. Both sides run the SAME
+    // bounded-8-round peel (the engine early-exits on fixpoint; the
+    // oracle's rounds past the fixpoint are no-ops), and the fixpoint
+    // is reached well inside the bound at every shipped SF (measured
+    // 6/0/0 rounds at sf0.001/0.01/0.1; GraphSpec recomputes the peel
+    // and asserts the depth), so the result IS the true 3-core.
+    Q("g_kcore", Some(kCoreOracle(3, 8))) { t =>
+      Graph.derived(t.orders).kCore(3, 8)
+    },
+
     // Triangle count (undirected): the oriented a<b<c wedge join —
     // each edge stored once in canonical order, so wedge generation
     // is bounded by the ordered degrees (the standard distributed
@@ -385,6 +396,38 @@ object GraphQueries {
 
   /** Unrolled PageRank oracle: chained CTEs r0..rN (recursive CTEs
     * cannot aggregate over the recursive term). */
+  /** Unrolled bounded peel: round i keeps vertices whose degree in
+    * the round-(i-1) subgraph is ≥ k, then restricts edges to kept
+    * endpoints — identical to the engine's loop; rounds past the
+    * fixpoint change nothing. Plain WITH, not the shared edgeCte:
+    * inside a WITH RECURSIVE list DuckDB gives the two-arm
+    * `a UNION b` of e0 recursive-accumulation semantics and the peel
+    * converges to the wrong fixpoint (verified: 123 vs 120 rows at
+    * sf0.001). Nothing here recurses, so RECURSIVE is droppable. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED throughout: each stage references its
+    // predecessor three times, so DuckDB's default CTE inlining
+    // re-evaluates e0 3^rounds times (minutes); materialization
+    // makes the whole unroll one linear pass (~0.1 s).
+    val stages = (1 to rounds).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1}
+             GROUP BY src HAVING COUNT(*) >= $k),
+      e$i AS MATERIALIZED (SELECT t.src, t.dst FROM e${i - 1} t
+              JOIN v$i a ON t.src = a.node
+              JOIN v$i b ON t.dst = b.node)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst
+        FROM orders),
+      e0 AS MATERIALIZED (
+        SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      $stages
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM e$rounds GROUP BY src
+    """
+  }
+
   private def pageRankOracle(iters: Int): String = {
     val stages = (1 to iters).map { i =>
       s"""r$i AS (

@@ -69,4 +69,27 @@ class GraphSpec extends SparkSpecBase {
     // The cap must actually have dropped something in this regime.
     assert(expected.size < uncapped.count())
   }
+
+  test("kcore: matches a reference peel; fixpoint within the 8-round bound") {
+    import org.apache.spark.sql.functions.col
+    val res = graph.Graph.derived(t.orders).kCore(3, 8).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap
+    // Reference peel over the same undirected distinct edge set.
+    val und = graph.Graph.derived(t.orders).oriented("both")
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = und.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    var nodes = adj.keySet
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val doomed = nodes.filter(v => adj(v).count(nodes.contains) < 3)
+      changed = doomed.nonEmpty
+      if (changed) { nodes = nodes -- doomed; rounds += 1 }
+    }
+    assert(rounds <= 8, s"fixpoint took $rounds rounds — raise the bound")
+    val expected = nodes.map(v => v -> adj(v).count(nodes.contains).toLong).toMap
+    assert(res == expected)
+    // Every survivor keeps >= k neighbors inside the core.
+    assert(res.values.forall(_ >= 3) && res.nonEmpty)
+  }
 }
