@@ -137,6 +137,32 @@ object Streams {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** LEFT OUTER variant of [[clickPurchaseJoin]]: purchases with no
+    * click in the preceding hour still emit, click columns null —
+    * the conversion-attribution shape ("purchases no click drove").
+    * In a live stream the null-padded row for purchase P is emitted
+    * only once the global watermark passes P (no matching click can
+    * arrive anymore), which is exactly the same eviction horizon
+    * that bounds the inner join's state — outer emission costs no
+    * extra state, it just turns eviction into output. */
+  def clickPurchaseOuterJoin(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    p.join(c, col("c_user") === col("p_user") &&
+      col("click_ts") <= col("purchase_ts") &&
+      col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("p_user"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   final case class SessionOut(user_id: Long, s_start: java.sql.Timestamp,
       n_events: Long)
 

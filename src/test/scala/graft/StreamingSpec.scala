@@ -99,6 +99,56 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER join: inner rows exact, outer rows " +
+      "watermark-proven") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = eventsDf.as[Event].collect().toSeq
+    val clicksIn = MemoryStream[Event]
+    val purchasesIn = MemoryStream[Event]
+    clicksIn.addData(rows.filter(_.event_type == "click"))
+    purchasesIn.addData(rows.filter(_.event_type == "purchase"))
+
+    val query = Streams
+      .clickPurchaseOuterJoin(clicksIn.toDF(), purchasesIn.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_outer_out").start()
+    try query.processAllAvailable() finally query.stop()
+
+    val out = spark.table("ss_outer_out").cache()
+    val clicks = eventsDf.filter(col("event_type") === "click")
+    val purchases = eventsDf.filter(col("event_type") === "purchase")
+    // Matched rows are exactly the batch inner join.
+    val streamedInner = out.filter(col("click_id").isNotNull)
+      .collect().map(_.toSeq).toSet
+    val batchInner = Streams.clickPurchaseJoin(clicks, purchases)
+      .collect().map(_.toSeq).toSet
+    assert(streamedInner == batchInner && streamedInner.nonEmpty)
+    // Null-padded rows: a subset of the batch-unmatched purchases,
+    // and complete for purchases safely behind the final watermark
+    // (min over both inputs of max ts - 1h delay; margin for the
+    // join window).
+    val batchOuterIds = Streams.clickPurchaseOuterJoin(clicks, purchases)
+      .filter(col("click_id").isNull)
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+    val streamedNull = out.filter(col("click_id").isNull).cache()
+    val streamedNullIds = streamedNull
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+    assert(streamedNull.count() == streamedNullIds.size)
+    assert(streamedNullIds.subsetOf(batchOuterIds))
+    val wm = math.min(
+      clicks.agg(max(col("ts"))).head().getTimestamp(0).getTime,
+      purchases.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    ) - 2L * 3600 * 1000 // 1h delay + 1h window margin
+    val mustEmit = Streams.clickPurchaseOuterJoin(clicks, purchases)
+      .filter(col("click_id").isNull &&
+        col("purchase_ts") < new java.sql.Timestamp(wm))
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+    assert(mustEmit.subsetOf(streamedNullIds),
+      "watermark-cleared unmatched purchases must be emitted")
+    assert(streamedNullIds.nonEmpty)
+  }
+
   test("transformWithState running totals equal the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
