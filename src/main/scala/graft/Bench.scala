@@ -55,13 +55,18 @@ object Bench {
         System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
       }
     }
+    // A crashed query records -1.0, NOT its elapsed time: a plan-time
+    // failure takes ~0.1 s and would otherwise read as a speedup (r6
+    // shipped exactly that — 21 crashed queries "ran" in 0.07 s each).
     def measure(q: Q): Double = {
       val t0 = System.nanoTime()
-      try q.run(t).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        q.run(t).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        -1.0
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val selected = Registry.all.filter(q => wanted.forall(_.contains(q.name)))
     val firstPass = selected.zipWithIndex.map { case (q, i) =>
@@ -93,7 +98,7 @@ object Bench {
     // query in this suite exceeds ~6 s, so readings above that bar
     // keep re-measuring across all gapped passes.
     val med = {
-      val s = firstPass.map(_._2).sorted
+      val s = firstPass.map(_._2).filter(_ >= 0).sorted
       if (s.isEmpty) 0.0 else s(s.length / 2)
     }
     val byName = selected.map(q => q.name -> q).toMap
@@ -118,12 +123,16 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // total sums only the queries that RAN; crashed entries are listed
+    // under "failed" so breakage can never masquerade as a faster total.
+    val total = results.map(_._2).filter(_ >= 0).sum
     // total_s duplicates the headline as the LAST key: the driver's
     // capture has repeatedly kept only the tail of this line, losing
     // the leading "value" — a trailing copy survives tail-truncation.
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","total_s":$total%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"total_s":$total%.3f}"""
     // Belt and braces for the driver's parse: stdout line AND a file
     // copy (three rounds of BENCH_r0*.json came back parsed:null).
     // A failed write is LOUD — a silently-kept stale file from a

@@ -25,14 +25,27 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame      = t("part")
   def orders: DataFrame    = t("orders")
   def lineitem: DataFrame  = t("lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects. Read nanos as raw INT64 (legacy conf) and rebuild the
-    * micro-precision TimestampType column — the generator emits
-    * microsecond-aligned values, so `div 1000` is lossless and the
-    * column matches what DuckDB sees. */
+  /** Engine-wide timestamp policy: every table's timestamp columns are
+    * session-UTC `TimestampType` at the reader boundary, regardless of
+    * how the file encodes them. The driver has shipped `events.ts` as
+    * parquet TIMESTAMP(NANOS) (which Spark's reader rejects outright)
+    * and later as TIMESTAMP(MICROS, isAdjustedToUTC=false) (which
+    * Spark reads as TIMESTAMP_NTZ) — so branch on the LOADED schema:
+    *  - LongType      → nanos read raw via the legacy conf; the
+    *                    generator is microsecond-aligned, so `div 1000`
+    *                    is a lossless rebuild;
+    *  - TIMESTAMP_NTZ → cast; under the UTC session zone this keeps
+    *                    the wall-clock micros DuckDB sees;
+    *  - TimestampType → already the policy type, pass through. */
   def events: DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -22,11 +22,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must leave a LOUD artifact, not just vanish
+    // from the output set (r6: 21 events queries silently disappeared
+    // from CORRECTNESS because their dirs were never written).
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +49,18 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written ({} when clean) so its PRESENCE proves the check
+    // ran and its contents make any breakage impossible to miss.
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    // Full attempted-id manifest: lets any downstream check detect a
+    // query that vanished from the output set entirely (dir never
+    // written, name absent from the correctness file) — the silent
+    // failure mode the r6 breakage hid behind.
+    val expected = SparkEntry.queries.keys.filter(keep).toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/_expected.json"),
+      expected.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -287,22 +287,25 @@ object DedupQueries {
     // Train/test CONTAMINATION check: which training documents share a
     // word 4-gram with the held-out set (source 'src19') — the
     // standard n-gram-overlap decontamination pass before an
-    // evaluation split ships. Scale: grams are generated map-side;
-    // the shuffle joins (gram, doc_id) pairs against the DISTINCT
-    // held-out gram set (at 100 TB you'd hash grams to 64-bit before
-    // the shuffle and broadcast the held-out side when it fits —
-    // strings kept here for oracle parity).
+    // evaluation split ships. Scale: grams are generated AND hashed
+    // map-side (md5 truncated to 128/8=16 hex chars — computable
+    // identically in both engines, so the oracle stays exact); only
+    // the 16-byte fingerprints cross the shuffle, mirroring the
+    // d_dedup_lines fix. COUNT(DISTINCT hash) == COUNT(DISTINCT gram)
+    // up to md5-collision odds (~2^-64 at this cardinality). At
+    // 100 TB the held-out fingerprint set additionally broadcasts
+    // when it fits.
     Q("d_contamination", Some("""
       WITH w AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws
                  FROM documents),
       g AS (SELECT doc_id, source,
-              UNNEST(list_transform(
+              substr(md5(UNNEST(list_transform(
                 generate_series(1, GREATEST(LEN(ws) - 3, 0)),
-                i -> ARRAY_TO_STRING(ws[i:i+3], ' '))) AS gram
+                i -> ARRAY_TO_STRING(ws[i:i+3], ' ')))), 1, 16) AS gh
             FROM w),
-      test_grams AS (SELECT DISTINCT gram FROM g WHERE source = 'src19')
-      SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_shared
-      FROM g JOIN test_grams USING (gram)
+      test_grams AS (SELECT DISTINCT gh FROM g WHERE source = 'src19')
+      SELECT g.doc_id, CAST(COUNT(DISTINCT g.gh) AS BIGINT) AS n_shared
+      FROM g JOIN test_grams USING (gh)
       WHERE g.source <> 'src19'
       GROUP BY g.doc_id
     """)) { t =>
@@ -313,12 +316,14 @@ object DedupQueries {
         .otherwise(array().cast("array<string>"))
       val g = t.fan(t.documents)
         .select(col("doc_id"), col("source"), explode(grams).as("gram"))
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("gram")), 1, 16).as("gh"))
       val testGrams = g.filter(col("source") === "src19")
-        .select("gram").distinct()
+        .select("gh").distinct()
       g.filter(col("source") =!= "src19")
-        .join(testGrams, "gram")
+        .join(testGrams, "gh")
         .groupBy("doc_id")
-        .agg(countDistinct(col("gram")).as("n_shared"))
+        .agg(countDistinct(col("gh")).as("n_shared"))
     },
 
     // Domain-MIXING sampler: per-source keep rates (the training-mix

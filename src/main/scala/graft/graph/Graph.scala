@@ -21,6 +21,29 @@ import org.apache.spark.sql.functions._
   */
 final case class Graph(edges: DataFrame) {
 
+  /** Lineage truncation for iterative loop state. `localCheckpoint()`
+    * keeps the blocks in executor memory — the right local[32] call,
+    * but on a cluster a lost executor drops blocks and forces a
+    * recompute of the WHOLE loop from scratch (lineage is gone, so
+    * Spark restarts from the source scan). Setting
+    * `spark.graft.graph.checkpointDir` (e.g. an HDFS/S3 path on a
+    * real cluster) switches every loop to reliable checkpointing to
+    * that directory: block loss then re-reads the checkpoint file
+    * instead of re-running the iterations. */
+  private implicit class Cp(df: DataFrame) {
+    def cp(): DataFrame = {
+      val ss = df.sparkSession
+      ss.conf.getOption("spark.graft.graph.checkpointDir") match {
+        case Some(dir) if dir.nonEmpty =>
+          if (ss.sparkContext.getCheckpointDir.isEmpty ||
+              !ss.sparkContext.getCheckpointDir.exists(_.contains(dir)))
+            ss.sparkContext.setCheckpointDir(dir)
+          df.checkpoint()
+        case _ => df.localCheckpoint()
+      }
+    }
+  }
+
   /** Edges usable for a traversal in `direction` (OUT, IN or BOTH —
     * ast.GraphEdgeDirection in the reference). */
   def oriented(direction: String): DataFrame = direction match {
@@ -44,7 +67,7 @@ final case class Graph(edges: DataFrame) {
     // paying per-round scheduling + empty-frontier actions. Each level
     // is distinct-bounded by |V|, so an exhausted frontier just flows
     // empty through the remaining stages for free.
-    val e = oriented(direction).localCheckpoint()
+    val e = oriented(direction).cp()
     val seed = sources.select(col("src").as("node")).distinct()
     var levels = List(seed)
     for (_ <- 1 to maxHops) {
@@ -66,7 +89,7 @@ final case class Graph(edges: DataFrame) {
     * on the unioned levels. */
   def reachLevels(sources: DataFrame, direction: String,
       minHops: Int, maxHops: Int): DataFrame = {
-    val e = oriented(direction).localCheckpoint()
+    val e = oriented(direction).cp()
     val seed = sources.select(col("src").as("node")).distinct()
     var levels = List(seed.select(col("node"), lit(0).as("hops")))
     for (d <- 1 to maxHops) {
@@ -109,10 +132,10 @@ final case class Graph(edges: DataFrame) {
     * halving driver-loop rounds on long thin traversals. */
   def shortestDistances(source: Long, direction: String,
       maxHops: Int): DataFrame = {
-    val e = oriented(direction).localCheckpoint()
+    val e = oriented(direction).cp()
     var visited = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0).as("dist"))
-      .localCheckpoint()
+      .cp()
     var frontier = visited
     var frontierN = 1L
     var hopN = 0
@@ -124,11 +147,11 @@ final case class Graph(edges: DataFrame) {
         val l2 = bfsLevel(e, l1,
           visited.select("node").union(l1.select("node")), hopN + 2)
         l1.union(l2)
-      }).localCheckpoint()
+      }).cp()
       hopN += (if (twoHop) 2 else 1)
       if (next.isEmpty) done = true
       else {
-        visited = visited.union(next).localCheckpoint()
+        visited = visited.union(next).cp()
         // Only the deepest level seeds the next expansion; if the
         // second hop of a batch came back empty the loop is done.
         frontier = next.filter(col("dist") === hopN)
@@ -147,11 +170,11 @@ final case class Graph(edges: DataFrame) {
     * stays fully distributed (groupBy dst + sum). */
   def shortestPathCounts(source: Long, direction: String,
       maxHops: Int): DataFrame = {
-    val e = oriented(direction).localCheckpoint()
+    val e = oriented(direction).cp()
     var visited = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0).as("dist"),
         lit(1L).as("n_paths"))
-      .localCheckpoint()
+      .cp()
     // One counting level: a node first reached at depth d has
     // n_paths = Σ n_paths of its depth-(d-1) predecessors — which is
     // exactly the (anti-joined) previous frontier, so chaining two
@@ -176,11 +199,11 @@ final case class Graph(edges: DataFrame) {
         val l2 = level(l1,
           visited.select("node").union(l1.select("node")), hopN + 2)
         l1.union(l2)
-      }).localCheckpoint()
+      }).cp()
       hopN += (if (twoHop) 2 else 1)
       if (next.isEmpty) done = true
       else {
-        visited = visited.union(next).localCheckpoint()
+        visited = visited.union(next).cp()
         frontier = next.filter(col("dist") === hopN)
         frontierN = frontier.count()
         done = frontierN == 0
@@ -202,10 +225,10 @@ final case class Graph(edges: DataFrame) {
     * `wedges` schema: src, dst, w (BIGINT weight). */
   def weightedShortest(wedges: DataFrame, source: Long,
       maxHops: Int): DataFrame = {
-    val we = wedges.localCheckpoint()
+    val we = wedges.cp()
     var dist = wedges.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("wdist"))
-      .localCheckpoint()
+      .cp()
     // Tentative distances only ever (a) add nodes or (b) decrease, so
     // the (row count, distance sum) pair is a strictly improving
     // convergence measure: once stable, every later round is a no-op
@@ -225,7 +248,7 @@ final case class Graph(edges: DataFrame) {
         .select(col("dst").as("node"), (col("wdist") + col("w")).as("wdist"))
       dist = dist.union(relaxed)
         .groupBy("node").agg(min(col("wdist")).as("wdist"))
-        .localCheckpoint()
+        .cp()
     }
     dist
   }
@@ -240,7 +263,7 @@ final case class Graph(edges: DataFrame) {
     val (edeg, nodes, init) = pageRankState()
     var ranks = init
     for (_ <- 1 to iters)
-      ranks = pageRankRound(edeg, nodes, ranks, damping).localCheckpoint()
+      ranks = pageRankRound(edeg, nodes, ranks, damping).cp()
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
@@ -264,18 +287,18 @@ final case class Graph(edges: DataFrame) {
     // 100 TB); without the hint AQE still broadcasts the rank side
     // while it is measured-small, and degrades gracefully to the
     // co-partitioned shuffle join when it isn't.
-    val e = oriented("out").localCheckpoint()
+    val e = oriented("out").cp()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .cp()
     val edeg = e.join(
         e.groupBy(col("src").as("d_node")).agg(count(lit(1)).as("deg")),
         col("src") === col("d_node"))
       .select(col("src"), col("dst"), col("deg"))
       .repartition(col("src"))
-      .localCheckpoint()
+      .cp()
     val init = nodes.select(col("node"), lit(1.0).as("rank"))
-      .localCheckpoint()
+      .cp()
     (edeg, nodes, init)
   }
 
@@ -303,11 +326,11 @@ final case class Graph(edges: DataFrame) {
     * (node, label) row per vertex — |V|-bounded like the BFS ops,
     * shuffled on node each round. */
   def connectedComponents(): DataFrame = {
-    val und = oriented("both").localCheckpoint()
+    val und = oriented("both").cp()
     var labels = und.select(col("src").as("node"))
       .distinct()
       .select(col("node"), col("node").as("component"))
-      .localCheckpoint()
+      .cp()
     // One min-label propagation round; alias-qualified so two rounds
     // can chain inside one lazy plan (the inner round's aggregation
     // exchange is reused by Spark's ReuseExchange across its two
@@ -326,7 +349,7 @@ final case class Graph(edges: DataFrame) {
     var prevSum = labels.agg(sum(col("component"))).head().getLong(0)
     var converged = false
     while (!converged) {
-      val next = round(round(labels)).localCheckpoint()
+      val next = round(round(labels)).cp()
       val nextSum = next.agg(sum(col("component"))).head().getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -347,7 +370,7 @@ final case class Graph(edges: DataFrame) {
     * semi-joins, |E|-bounded — the standard distributed peel, no
     * driver-side data beyond the one convergence scalar. */
   def kCore(k: Int, maxRounds: Int): DataFrame = {
-    var edges = oriented("both").localCheckpoint()
+    var edges = oriented("both").cp()
     var prevN = edges.select("src").distinct().count()
     var rounds = 0
     var converged = false
@@ -357,7 +380,7 @@ final case class Graph(edges: DataFrame) {
       val pruned = edges
         .join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .localCheckpoint()
+        .cp()
       val n = pruned.select("src").distinct().count()
       converged = n == prevN
       prevN = n
@@ -402,14 +425,14 @@ final case class Graph(edges: DataFrame) {
     * shortest-first because enumeration is level-synchronous). */
   private def boundedSimplePaths(source: Long, target: Long, maxHops: Int,
       stopAtK: Option[Int]): DataFrame = {
-    val e = oriented("out").localCheckpoint()
+    val e = oriented("out").cp()
     val distToTarget = shortestDistances(target, "in", maxHops)
       .select(col("node"), col("dist").as("d_to_t"))
     var paths = e.sparkSession.range(1)
       .select(lit(source).as("node"), array(lit(source)).as("path"),
         lit(0).as("len"))
-      .localCheckpoint()
-    var found = paths.filter(col("node") === target).localCheckpoint()
+      .cp()
+    var found = paths.filter(col("node") === target).cp()
     var hopN = 0
     while (hopN < maxHops && stopAtK.forall(found.count() < _) &&
         !paths.isEmpty) {
@@ -423,9 +446,9 @@ final case class Graph(edges: DataFrame) {
         .join(distToTarget, "node")
         .filter(col("len") + col("d_to_t") <= maxHops)
         .drop("d_to_t")
-        .localCheckpoint()
+        .cp()
       found = found.union(paths.filter(col("node") === target))
-        .localCheckpoint()
+        .cp()
     }
     found.select(col("len"), concat_ws("->", col("path")).as("path"))
       .orderBy(col("len"), col("path"))

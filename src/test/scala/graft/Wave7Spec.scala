@@ -141,7 +141,11 @@ class Wave7Spec extends SparkSpecBase {
     // (no NPE, no empty store).
     val dir = "/tmp/graft_tt_empty_src"
     val f = new java.io.File(dir)
-    if (!new java.io.File(s"$dir/orders.parquet").exists()) {
+    // Guard on BOTH files: a prior run that crashed between the two
+    // writes (r6's broken events reader did exactly that) must not
+    // leave a half-built fixture that poisons every later run.
+    if (!new java.io.File(s"$dir/orders.parquet").exists() ||
+        !new java.io.File(s"$dir/events.parquet").exists()) {
       f.mkdirs()
       t.orders.limit(50).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/orders.parquet")

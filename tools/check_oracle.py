@@ -35,6 +35,26 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Fence against silent disappearance (r6: 21 queries crashed at
+    # plan time, wrote no output dir, and simply vanished from the
+    # correctness file). Verify now writes _expected.json (every
+    # attempted id) and _failed.json (id -> exception); any expected
+    # id with no output dir is a loud FAIL here.
+    import os
+    try:
+        expected = json.load(open(f"{out_dir}/_expected.json"))
+    except FileNotFoundError:
+        expected = []
+    try:
+        failed_map = json.load(open(f"{out_dir}/_failed.json"))
+    except FileNotFoundError:
+        failed_map = {}
+    for name in sorted(expected):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            msg = failed_map.get(name, "no output dir and no exception "
+                                 "recorded")
+            print(f"FAIL {name}: MISSING from output set: {msg}")
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
         try:
             spark_rel = con.sql(
