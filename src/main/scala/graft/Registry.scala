@@ -24,6 +24,7 @@ object Registry {
     operators.Wave6.all,
     operators.Wave7.all,
     operators.Wave8.all,
+    operators.Wave9.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,

@@ -174,25 +174,33 @@ object Dml {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS revenue
       FROM orders GROUP BY o_orderpriority
-    """)) { t =>
-      val split = "1997-01-01"
-      def partial(df: org.apache.spark.sql.DataFrame) =
-        df.groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
-      val F = graft.sources.Formats
-      val mvDir = F.cacheDir(
-        s"/tmp/graft_mv_${F.sanitize(t.dir)}",
-        F.contentFingerprint(s"${t.dir}/orders.parquet"))
-      if (!new java.io.File(s"$mvDir/_SUCCESS").exists())
-        partial(t.orders.filter(col("o_orderdate") < split))
-          .write.mode("overwrite").parquet(mvDir)
-      val mv = t.orders.sparkSession.read.parquet(mvDir)
-      val delta = partial(t.orders.filter(col("o_orderdate") >= split))
-      mv.union(delta)
-        .groupBy("o_orderpriority")
-        .agg(sum(col("n_orders")).as("n_orders"),
-          sum(col("rev")).cast("double").as("revenue"))
-    },
+    """)) { t => mvMerged(t) },
   )
+
+  /** The incrementally-maintained MV behind q_mv_refresh: a lazily
+    * materialized base-partial snapshot (under /tmp, keyed by a
+    * content fingerprint of the source) merged with the post-split
+    * delta. Factored out so q_admin_check (operators/Wave9.scala) can
+    * cross-verify this DERIVED layout against its base table — the
+    * executor/admin.go index↔table consistency analog. */
+  def mvMerged(t: Tables): org.apache.spark.sql.DataFrame = {
+    val split = "1997-01-01"
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val F = graft.sources.Formats
+    val mvDir = F.cacheDir(
+      s"/tmp/graft_mv_${F.sanitize(t.dir)}",
+      F.contentFingerprint(s"${t.dir}/orders.parquet"))
+    if (!new java.io.File(s"$mvDir/_SUCCESS").exists())
+      partial(t.orders.filter(col("o_orderdate") < split))
+        .write.mode("overwrite").parquet(mvDir)
+    val mv = t.orders.sparkSession.read.parquet(mvDir)
+    val delta = partial(t.orders.filter(col("o_orderdate") >= split))
+    mv.union(delta)
+      .groupBy("o_orderpriority")
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("rev")).cast("double").as("revenue"))
+  }
 }

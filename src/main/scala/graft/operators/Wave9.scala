@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-7 capability wave: the remaining MySQL time builtins
+  * (STR_TO_DATE / TIMESTAMPADD family), the ADMIN CHECK TABLE analog
+  * over a derived layout, and the catalog/metadata surface
+  * (SHOW TABLES / DESCRIBE).
+  */
+object Wave9 {
+
+  val all: Seq[Q] = Seq(
+
+    // Time builtin wave 3 (reference: expression/builtin_time.go —
+    // STR_TO_DATE :218, TIMESTAMPADD/TIMESTAMPDIFF :209, SEC_TO_TIME/
+    // TO_SECONDS/FROM_DAYS :178-211/:862, MONTHNAME/DAYNAME :151-154,
+    // GET_FORMAT :165, PERIOD_ADD/PERIOD_DIFF :204-205). Format-parse
+    // round-trips and unit arithmetic, all expressed with engine-
+    // native codegen'd functions; the period/seconds families are
+    // pure integer arithmetic stated identically on both engines
+    // (Spark `div`, DuckDB `//` — integer division, never `/`).
+    // TIMESTAMPDIFF(MONTH) vs the 1995-01-01 anchor needs no
+    // day-of-month borrow (anchor day = 1), so the MySQL semantics
+    // reduce to 12*Δyear + Δmonth exactly. Map-side only.
+    Q("q_func_time3", Some("""
+      SELECT o_orderkey,
+             CAST(strptime(strftime(CAST(o_orderdate AS DATE), '%d/%m/%Y'), '%d/%m/%Y') AS DATE) AS parsed_date,
+             strptime(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') || ' 08:30:00', '%Y-%m-%d %H:%M:%S') AS parsed_ts,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS add_months3,
+             strptime(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') || ' 08:30:00', '%Y-%m-%d %H:%M:%S') + INTERVAL 90 MINUTE AS add_90min,
+             CAST((YEAR(o_orderdate) - 1995) * 12 + MONTH(o_orderdate) - 1 AS INT) AS mo_since,
+             CAST(EPOCH(CAST(o_orderdate AS DATE)) AS BIGINT) + 62167219200 AS secs_since_y0,
+             CAST(DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 719528 AS BIGINT) AS to_days_n,
+             CAST(DATE '1970-01-01' + CAST((DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 719528) - 719528 AS INT) AS DATE) AS from_days_rt,
+             lpad(CAST((o_orderkey * 7919 % 86400) // 3600 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(((o_orderkey * 7919 % 86400) % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST((o_orderkey * 7919 % 86400) % 60 AS VARCHAR), 2, '0') AS sec2time,
+             monthname(CAST(o_orderdate AS DATE)) AS mname,
+             dayname(CAST(o_orderdate AS DATE)) AS dname,
+             CAST(((YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 + 14) // 12) * 100
+                  + ((YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 + 14) % 12) + 1 AS INT) AS period_add14,
+             CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - (1995 * 12 + 1) AS INT) AS period_diff95,
+             CASE WHEN o_orderkey % 2 = 0 THEN '%Y-%m-%d' ELSE '%m.%d.%Y' END AS get_fmt
+      FROM orders WHERE o_orderkey < 500
+    """)) { t =>
+      val base = t.orders.filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"),
+          ((col("o_orderkey") * 7919) % 86400).as("s"))
+      val epoch0 = to_date(lit("1970-01-01"))
+      base.select(col("o_orderkey"),
+          to_date(date_format(col("d"), "dd/MM/yyyy"), "dd/MM/yyyy")
+            .as("parsed_date"),
+          to_timestamp(
+            concat(date_format(col("d"), "yyyy-MM-dd"), lit(" 08:30:00")),
+            "yyyy-MM-dd HH:mm:ss").as("parsed_ts"),
+          add_months(col("d"), 3).as("add_months3"),
+          ((year(col("d")) - 1995) * 12 + month(col("d")) - 1).cast("int")
+            .as("mo_since"),
+          (datediff(col("d"), epoch0).cast("long") * 86400L + 62167219200L)
+            .as("secs_since_y0"),
+          (datediff(col("d"), epoch0).cast("long") + 719528L).as("to_days_n"),
+          expr("concat(lpad(cast(s div 3600 as string), 2, '0'), ':', " +
+            "lpad(cast((s % 3600) div 60 as string), 2, '0'), ':', " +
+            "lpad(cast(s % 60 as string), 2, '0'))").as("sec2time"),
+          date_format(col("d"), "MMMM").as("mname"),
+          date_format(col("d"), "EEEE").as("dname"),
+          expr("cast(((year(d) * 12 + month(d) - 1 + 14) div 12) * 100 " +
+            "+ ((year(d) * 12 + month(d) - 1 + 14) % 12) + 1 as int)")
+            .as("period_add14"),
+          expr("cast(year(d) * 12 + month(d) - (1995 * 12 + 1) as int)")
+            .as("period_diff95"),
+          when(col("o_orderkey") % 2 === 0, "%Y-%m-%d").otherwise("%m.%d.%Y")
+            .as("get_fmt"))
+        .withColumn("add_90min",
+          col("parsed_ts") + expr("INTERVAL 90 MINUTES"))
+        .withColumn("from_days_rt",
+          date_add(epoch0, (col("to_days_n") - 719528L).cast("int")))
+    },
+
+    // ADMIN CHECK TABLE analog (reference: executor/admin.go
+    // CheckTableExec — cross-verifies an index against its base
+    // table). The repo's "index" here is q_mv_refresh's incrementally
+    // maintained MV; the check recomputes the same aggregate from the
+    // base table in one fresh pass and compares the two layouts
+    // per group key via null-safe checksum equality. Any divergent,
+    // missing, or extra key surfaces as consistent=false — which the
+    // oracle (consistent=TRUE everywhere) turns into a hash mismatch,
+    // i.e. corruption is driver-visible, not just spec-visible.
+    // Scale: both sides are |groups|-sized aggregates of one scan
+    // each; the compare is a tiny full-outer join on the group key.
+    Q("q_admin_check", Some("""
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             TRUE AS consistent
+      FROM orders GROUP BY o_orderpriority
+    """)) { t =>
+      val base = t.orders
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+      AdminCheck.check(base, Dml.mvMerged(t), Seq("o_orderpriority"))
+    },
+
+    // SHOW TABLES analog (reference: infoschema/tables.go — the
+    // information_schema.TABLES surface): every registered table with
+    // its column count and row count. Column counts come from the
+    // LOADED schemas, so a driver-side data regeneration that changes
+    // a schema shows up as a correctness diff, not a silent drift.
+    Q("q_catalog", Some("""
+      SELECT 'region' AS table_name, CAST(2 AS INT) AS n_cols, (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS n_rows
+      UNION ALL SELECT 'nation', 3, (SELECT COUNT(*) FROM nation)
+      UNION ALL SELECT 'customer', 5, (SELECT COUNT(*) FROM customer)
+      UNION ALL SELECT 'supplier', 4, (SELECT COUNT(*) FROM supplier)
+      UNION ALL SELECT 'part', 6, (SELECT COUNT(*) FROM part)
+      UNION ALL SELECT 'orders', 6, (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'lineitem', 11, (SELECT COUNT(*) FROM lineitem)
+      UNION ALL SELECT 'events', 6, (SELECT COUNT(*) FROM events)
+      UNION ALL SELECT 'documents', 5, (SELECT COUNT(*) FROM documents)
+      UNION ALL SELECT 'embeddings', 3, (SELECT COUNT(*) FROM embeddings)
+    """)) { t =>
+      Catalog.tables(t).map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(name).as("table_name"),
+            lit(df.columns.length).as("n_cols"), col("n_rows"))
+      }.reduce(_ union _)
+    },
+
+    // DESCRIBE analog (infoschema/tables.go information_schema.
+    // COLUMNS): one row per column of every registered table, typed
+    // with engine-neutral class names. The Spark side derives the
+    // rows from the LOADED schemas while the oracle pins the expected
+    // catalog as literals — so this entry doubles as the
+    // driver-enforced schema-policy assertion: if a data regeneration
+    // shifts a column's type (the r6 events nanos→NTZ break), this
+    // query goes red instead of 21 downstream queries crashing.
+    Q("q_describe", Some("""
+      SELECT * FROM (VALUES
+        ('region', 1, 'r_regionkey', 'int'), ('region', 2, 'r_name', 'string'),
+        ('nation', 1, 'n_nationkey', 'int'), ('nation', 2, 'n_name', 'string'),
+        ('nation', 3, 'n_regionkey', 'int'),
+        ('customer', 1, 'c_custkey', 'bigint'), ('customer', 2, 'c_name', 'string'),
+        ('customer', 3, 'c_nationkey', 'int'), ('customer', 4, 'c_acctbal', 'double'),
+        ('customer', 5, 'c_mktsegment', 'string'),
+        ('supplier', 1, 's_suppkey', 'bigint'), ('supplier', 2, 's_name', 'string'),
+        ('supplier', 3, 's_nationkey', 'int'), ('supplier', 4, 's_acctbal', 'double'),
+        ('part', 1, 'p_partkey', 'bigint'), ('part', 2, 'p_name', 'string'),
+        ('part', 3, 'p_brand', 'string'), ('part', 4, 'p_type', 'string'),
+        ('part', 5, 'p_size', 'int'), ('part', 6, 'p_retailprice', 'double'),
+        ('orders', 1, 'o_orderkey', 'bigint'), ('orders', 2, 'o_custkey', 'bigint'),
+        ('orders', 3, 'o_orderstatus', 'string'), ('orders', 4, 'o_totalprice', 'double'),
+        ('orders', 5, 'o_orderdate', 'timestamp'), ('orders', 6, 'o_orderpriority', 'string'),
+        ('lineitem', 1, 'l_orderkey', 'bigint'), ('lineitem', 2, 'l_partkey', 'bigint'),
+        ('lineitem', 3, 'l_suppkey', 'bigint'), ('lineitem', 4, 'l_linenumber', 'int'),
+        ('lineitem', 5, 'l_quantity', 'double'), ('lineitem', 6, 'l_extendedprice', 'double'),
+        ('lineitem', 7, 'l_discount', 'double'), ('lineitem', 8, 'l_tax', 'double'),
+        ('lineitem', 9, 'l_returnflag', 'string'), ('lineitem', 10, 'l_linestatus', 'string'),
+        ('lineitem', 11, 'l_shipdate', 'timestamp'),
+        ('events', 1, 'event_id', 'bigint'), ('events', 2, 'ts', 'timestamp'),
+        ('events', 3, 'user_id', 'bigint'), ('events', 4, 'event_type', 'string'),
+        ('events', 5, 'value', 'double'), ('events', 6, 'props', 'string'),
+        ('documents', 1, 'doc_id', 'bigint'), ('documents', 2, 'text', 'string'),
+        ('documents', 3, 'lang', 'string'), ('documents', 4, 'source', 'string'),
+        ('documents', 5, 'n_chars', 'bigint'),
+        ('embeddings', 1, 'vec_id', 'bigint'), ('embeddings', 2, 'embedding', 'array<float>'),
+        ('embeddings', 3, 'label', 'int')
+      ) AS v(table_name, ord, col_name, type_class)
+    """)) { t =>
+      import t.spark.implicits._
+      Catalog.tables(t).flatMap { case (name, df) =>
+        df.schema.fields.zipWithIndex.map { case (f, i) =>
+          (name, i + 1, f.name, Catalog.typeClass(f.dataType))
+        }
+      }.toDF("table_name", "ord", "col_name", "type_class")
+    },
+  )
+}
+
+/** Derived-layout consistency check (executor/admin.go analog),
+  * generic over (base, derived) pairs sharing a schema. */
+object AdminCheck {
+
+  /** Full-outer compare of `derived` against `base` on `keys`.
+    * Output: the key columns, the BASE data columns, and a
+    * `consistent` flag that is true iff the key exists on both sides
+    * with null-safe-equal values in every data column. */
+  def check(base: DataFrame, derived: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val dataCols = base.columns.filterNot(keys.contains).toSeq
+    val b = base.as("b")
+    val d = derived.as("d")
+    val joinCond = keys.map(k => col(s"b.$k") <=> col(s"d.$k"))
+      .reduce(_ && _)
+    val present = keys.map(k =>
+      col(s"b.$k").isNotNull && col(s"d.$k").isNotNull).reduce(_ && _)
+    val valuesEq = dataCols.map(c => col(s"b.$c") <=> col(s"d.$c"))
+      .reduce(_ && _)
+    b.join(d, joinCond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col(s"b.$k"), col(s"d.$k")).as(k)) ++
+        dataCols.map(c => col(s"b.$c").as(c)) :+
+        (present && valuesEq).as("consistent"): _*)
+  }
+}
+
+/** The Tables registry as a queryable catalog
+  * (infoschema/tables.go analog). */
+object Catalog {
+
+  /** Every registered table, in catalog order. */
+  def tables(t: Tables): Seq[(String, DataFrame)] = Seq(
+    "region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
+    "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,
+    "lineitem" -> t.lineitem, "events" -> t.events,
+    "documents" -> t.documents, "embeddings" -> t.embeddings)
+
+  /** Engine-neutral type-class names, shared by q_describe's two
+    * sides. TIMESTAMP and TIMESTAMP_NTZ both map to 'timestamp': the
+    * policy constraint is "a timestamp column is readable as a
+    * timestamp", not which tz flavor the file happened to encode. */
+  def typeClass(dt: DataType): String = dt match {
+    case LongType              => "bigint"
+    case IntegerType           => "int"
+    case DoubleType            => "double"
+    case FloatType             => "float"
+    case StringType            => "string"
+    case DateType              => "date"
+    case TimestampType         => "timestamp"
+    case TimestampNTZType      => "timestamp"
+    case BinaryType            => "binary"
+    case BooleanType           => "boolean"
+    case _: DecimalType        => "decimal"
+    case ArrayType(e, _)       => s"array<${typeClass(e)}>"
+    case other                 => other.simpleString
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class Wave9Spec extends SparkSpecBase {
+
+  private def q(name: String) =
+    Registry.all.find(_.name == name).get.run(t)
+
+  test("q_func_time3: parse round-trips and unit arithmetic") {
+    val rows = q("q_func_time3").collect()
+    assert(rows.length > 0)
+    val src = t.orders.filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date"))
+      .collect().map(r => r.getLong(0) -> r.getDate(1)).toMap
+    rows.foreach { r =>
+      val key = r.getAs[Long]("o_orderkey")
+      // STR_TO_DATE(DATE_FORMAT(d)) and FROM_DAYS(TO_DAYS(d)) are
+      // exact round trips.
+      assert(r.getAs[java.sql.Date]("parsed_date") == src(key))
+      assert(r.getAs[java.sql.Date]("from_days_rt") == src(key))
+      // SEC_TO_TIME output is a well-formed HH:MM:SS clock value.
+      val hms = r.getAs[String]("sec2time").split(":").map(_.toInt)
+      assert(hms.length == 3 && hms(0) < 24 && hms(1) < 60 && hms(2) < 60)
+      // PERIOD_ADD(p, 14) is 14 months ahead of p in period space.
+      val d = src(key).toLocalDate
+      val p14 = d.plusMonths(14)
+      assert(r.getAs[Int]("period_add14") ==
+        p14.getYear * 100 + p14.getMonthValue)
+      // TO_SECONDS is TO_DAYS in seconds (dates are midnight-aligned).
+      assert(r.getAs[Long]("secs_since_y0") ==
+        r.getAs[Long]("to_days_n") * 86400L)
+      // ADDTIME(+90min) lands 10:00:00 from the 08:30:00 anchor.
+      assert(r.getAs[java.sql.Timestamp]("add_90min").toString
+        .endsWith("10:00:00.0"))
+    }
+  }
+
+  test("admin check: clean derived layout is consistent everywhere") {
+    val rows = q("q_admin_check").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Boolean]("consistent")))
+  }
+
+  test("admin check: detects injected corruption, missing and extra keys") {
+    val base = t.orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+    // Corrupt one group's count, drop another group, add a phantom.
+    val corrupted = base
+      .withColumn("n_orders",
+        when(col("o_orderpriority") === "1-URGENT", col("n_orders") + 1)
+          .otherwise(col("n_orders")))
+      .filter(col("o_orderpriority") =!= "2-HIGH")
+      .union(base.limit(1).select(lit("9-PHANTOM"), lit(1L), lit(0.0)))
+    val res = operators.AdminCheck
+      .check(base, corrupted, Seq("o_orderpriority"))
+      .collect().map(r => r.getAs[String]("o_orderpriority") ->
+        r.getAs[Boolean]("consistent")).toMap
+    assert(!res("1-URGENT"), "divergent value must flag")
+    assert(!res("2-HIGH"), "missing derived key must flag")
+    assert(!res("9-PHANTOM"), "extra derived key must flag")
+    assert(res.count(_._2) == 3, "the untouched groups stay consistent")
+  }
+
+  test("catalog: every registered table listed with live schema width") {
+    val rows = q("q_catalog").collect()
+    assert(rows.length == 10)
+    val byName = rows.map(r => r.getAs[String]("table_name") ->
+      (r.getAs[Int]("n_cols"), r.getAs[Long]("n_rows"))).toMap
+    assert(byName("lineitem")._1 == 11)
+    assert(byName.values.forall(_._2 > 0), "every table non-empty")
+  }
+
+  test("describe: loaded schemas match the pinned engine-neutral catalog") {
+    val rows = q("q_describe").collect()
+    assert(rows.length == 51, "10 tables, 51 columns")
+    val m = rows.map(r => (r.getAs[String]("table_name"),
+      r.getAs[String]("col_name")) -> r.getAs[String]("type_class")).toMap
+    assert(m(("events", "ts")) == "timestamp")
+    assert(m(("embeddings", "embedding")) == "array<float>")
+    assert(m(("lineitem", "l_shipdate")) == "timestamp")
+  }
+
+  test("timestamp policy: events.ts is session-UTC TimestampType " +
+      "whatever the file encodes") {
+    // The reader contract that broke in r6: events.ts must come back
+    // as TimestampType (not NTZ, not raw long) from any of the
+    // encodings the driver has shipped.
+    assert(t.events.schema("ts").dataType == TimestampType)
+    // And from the raw-nanos layout (the r1-r5 encoding), rebuilt the
+    // same way — written as int64 then read through the same branch.
+    val dir = "/tmp/graft_w9_nanos_events"
+    if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").exists()) {
+      t.events.withColumn("ts", expr("unix_micros(ts) * 1000"))
+        .limit(100).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    val nano = Tables(spark, dir).events
+    assert(nano.schema("ts").dataType == TimestampType)
+    assert(nano.count() == 100)
+  }
+
+  test("graph loops: reliable checkpoint path matches localCheckpoint") {
+    val edges = t.events.select(
+      (col("user_id") % 97).as("src"), (col("event_id") % 97).as("dst"))
+      .limit(2000)
+    val local = graph.Graph(edges).connectedComponents()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.graph.checkpointDir",
+      "/tmp/graft_w9_ckpt")
+    try {
+      val reliable = graph.Graph(edges).connectedComponents()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local, "same components under both modes")
+    } finally spark.conf.unset("spark.graft.graph.checkpointDir")
+  }
+
+  test("explain surface: formatted plan renders for registry entries") {
+    val plan = tools.Explain.formatted("q_tpch_q3", t)
+    assert(plan.contains("Join") && plan.contains("Scan parquet"),
+      "plan shows joins over parquet scans")
+    assert(plan.contains("PushedFilters"),
+      "scan detail section present (pushdown visible)")
+    val simple = tools.Explain.plan("q_agg_hash", t, "simple")
+    assert(simple.contains("HashAggregate"))
+    intercept[IllegalArgumentException] {
+      tools.Explain.formatted("no_such_query", t)
+    }
+  }
+}
