@@ -544,5 +544,52 @@ object DedupQueries {
         .groupBy("fp")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_new"))
     },
+
+    // BLOOM-gated membership dedup — the ingest fast path in front of
+    // d_dedup_incremental's exact index. The base corpus' fingerprint
+    // SET is one row per doc, but its BLOOM FILTER is ~1.2 GB per 10^9
+    // docs at 1% fpp: built once, broadcast, probed map-side. A
+    // bloom-NEGATIVE probe (the vast majority of genuinely new docs)
+    // PROVES absence — no false negatives — so those rows never reach
+    // a join at all; only bloom-positive candidates (true dups + the
+    // fpp sliver) hit the exact join that clears false positives. The
+    // result is therefore EXACT — bit-identical to the plain left join
+    // the oracle states — while the joined volume drops from
+    // |incoming| to |dups| + fpp·|new|. Splits overlap (doc_id %2 vs
+    // %3 → %6 = true dups) so both probe outcomes are exercised; the
+    // spec additionally proves the no-false-negative invariant and
+    // result parity with the un-gated join.
+    Q("d_dedup_bloom", Some("""
+      WITH fp AS (SELECT doc_id, MD5(text) AS fp FROM documents),
+      base AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+      inc AS (SELECT doc_id, fp FROM fp WHERE doc_id % 3 = 0)
+      SELECT i.doc_id, (b.fp IS NOT NULL) AS is_dup
+      FROM inc i LEFT JOIN base b USING (fp)
+    """)) { t =>
+      val docs = t.documents
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      val baseSet = docs.filter(col("doc_id") % 2 === 0)
+        .select("fp").distinct()
+      val inc = t.fan(docs.filter(col("doc_id") % 3 === 0))
+      // Index build: the driver holds only the filter bytes (the
+      // index, not the data) — same legitimacy class as the IVF
+      // centroid build. Sizing is |base| at the test SFs; production
+      // passes the known corpus cardinality.
+      val bloom = baseSet.stat.bloomFilter("fp", 100000L, 0.01)
+      val bc = t.spark.sparkContext.broadcast(bloom)
+      // The probe is a UDF because Spark's codegen'd might_contain /
+      // bloom_filter_agg pair is runtime-filter-internal (not in the
+      // public registry); the UDF is map-side, allocation-free per
+      // row, and gates rows BEFORE any exchange — the non-codegen
+      // cost buys removing a shuffle, the right trade here.
+      val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
+      val probed = inc.withColumn("maybe", mightContain(col("fp")))
+      val pos = probed.filter(col("maybe"))
+        .join(baseSet.withColumn("hit", lit(1)), Seq("fp"), "left")
+        .select(col("doc_id"), col("hit").isNotNull.as("is_dup"))
+      val neg = probed.filter(!col("maybe"))
+        .select(col("doc_id"), lit(false).as("is_dup"))
+      pos.union(neg)
+    },
   )
 }

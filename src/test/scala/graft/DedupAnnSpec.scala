@@ -76,4 +76,44 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(hits * 2 >= ivf.length,
       s"IVF recall too low: $hits of ${ivf.length}")
   }
+
+  test("bloom dedup: exact parity with the un-gated join, " +
+      "no false negatives, both probe outcomes exercised") {
+    val res = q("d_dedup_bloom").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup")).toMap
+    // Ground truth: plain membership of the incoming fingerprints in
+    // the base set — what the oracle states.
+    val fp = t.documents.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("fp"))
+    val baseFps = fp.filter(col("doc_id") % 2 === 0)
+      .select("fp").collect().map(_.getString(0)).toSet
+    val truth = fp.filter(col("doc_id") % 3 === 0).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        baseFps(r.getAs[String]("fp"))).toMap
+    assert(res == truth, "bloom gating must not change the answer")
+    // The %6 overlap guarantees true dups AND true news both exist,
+    // so the bloom-negative fast path and the exact-join slow path
+    // were both taken.
+    assert(res.values.exists(identity) && res.values.exists(!_))
+  }
+
+  test("d_contamination: gram strings never cross an exchange") {
+    // The r6->r7 fix: 4-grams are hashed map-side and only the
+    // 16-char fingerprints shuffle. Assert on the static plan (AQE
+    // off so exchanges are visible pre-execution): no shuffle's
+    // output carries a raw `gram` attribute.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q("d_contamination").queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "the agg/join legs do shuffle")
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name.toLowerCase)
+        assert(!names.contains("gram"),
+          s"raw gram crossed an exchange: ${names.mkString(",")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
