@@ -179,7 +179,80 @@ object Wave9 {
         }
       }.toDF("table_name", "ord", "col_name", "type_class")
     },
+
+    // BACKUP / RESTORE (reference: executor/brie.go BRIE executors).
+    // BACKUP writes a consistent column snapshot once to a layout
+    // keyed by the source's content fingerprint, with a MANIFEST
+    // (row count + order-independent BIT_XOR row digest — the
+    // q_table_checksum fold) beside the data. RESTORE re-reads the
+    // backup, recomputes the digest and REFUSES a corrupt or
+    // truncated backup (throws — the spec proves it), else serves
+    // the restored rows. The oracle reads the ORIGINAL table, so the
+    // driver's hash compare IS the lossless round-trip proof.
+    // Scale: backup = one scan-write; manifest = map-combined
+    // commutative fold; restore verification = one backup scan.
+    Q("q_backup_restore", Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_price
+      FROM orders
+    """)) { t =>
+      val snapshot = t.orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        Exact.dec2(col("o_totalprice")).cast("double").as("o_price"))
+      val F = graft.sources.Formats
+      val bdir = F.cacheDir(
+        s"/tmp/graft_backup_${F.sanitize(t.dir)}",
+        F.contentFingerprint(s"${t.dir}/orders.parquet"))
+      if (!new java.io.File(s"$bdir/manifest/_SUCCESS").exists())
+        Backup.write(snapshot, bdir)
+      Backup.restore(t.spark, bdir)
+    },
   )
+}
+
+/** Consistent snapshot backup with verified restore
+  * (executor/brie.go analog). */
+object Backup {
+  import org.apache.spark.sql.SparkSession
+
+  /** Order-independent digest of a DataFrame: (row count, BIT_XOR of
+    * a per-row 60-bit md5 over all columns' string renderings). Both
+    * sides of the backup/restore compare are computed by Spark, so
+    * the string canonicalization only has to be self-consistent
+    * (concat_ws null-skipping included). Commutative fold →
+    * map-side combined, no sort, one scan. */
+  def digest(df: DataFrame): (Long, Long) = {
+    val rendered = df.columns.toSeq.map(c => col(c).cast("string"))
+    val r = df.select(
+        conv(substring(md5(concat_ws("|", rendered: _*).cast("binary")),
+          1, 15), 16, 10).cast("long").as("__h"))
+      .agg(count(lit(1)), expr("bit_xor(__h)")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** BACKUP: data + manifest; manifest lands last, so a crashed
+    * backup never looks complete. */
+  def write(df: DataFrame, dir: String): Unit = {
+    df.write.mode("overwrite").parquet(s"$dir/data")
+    val (n, x) = digest(df)
+    df.sparkSession.range(1)
+      .select(lit(n).as("n_rows"), lit(x).as("checksum"))
+      .write.mode("overwrite").parquet(s"$dir/manifest")
+  }
+
+  /** RESTORE with verification: a digest mismatch against the
+    * manifest throws — serving silently corrupt restored data is the
+    * one wrong answer a restore can give. */
+  def restore(spark: SparkSession, dir: String): DataFrame = {
+    val data = spark.read.parquet(s"$dir/data")
+    val m = spark.read.parquet(s"$dir/manifest").head()
+    val (n, x) = digest(data)
+    val (mn, mx) = (m.getAs[Long]("n_rows"), m.getAs[Long]("checksum"))
+    if (n != mn || x != mx)
+      throw new IllegalStateException(
+        s"backup at $dir is corrupt: manifest ($mn, $mx) vs data ($n, $x)")
+    data
+  }
 }
 
 /** Derived-layout consistency check (executor/admin.go analog),

@@ -118,6 +118,39 @@ class Wave9Spec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.graph.checkpointDir")
   }
 
+  test("backup/restore: restored rows equal the source snapshot") {
+    val restored = q("q_backup_restore")
+    assert(restored.count() == t.orders.count())
+    val src = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    restored.select("o_orderkey", "o_price").collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - src(r.getLong(0))) < 1e-9)
+    }
+  }
+
+  test("backup/restore: a tampered backup refuses to restore") {
+    val dir = "/tmp/graft_w9_backup_tamper"
+    val snap = t.orders.limit(100)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    operators.Backup.write(snap, dir)
+    // Clean restore works...
+    assert(operators.Backup.restore(spark, dir).count() == 100)
+    // ...then corrupt the data under the manifest's back: drop rows
+    // by rewriting the data dir with a subset.
+    snap.limit(90).write.mode("overwrite").parquet(s"$dir/data")
+    intercept[IllegalStateException] {
+      operators.Backup.restore(spark, dir).count()
+    }
+  }
+
+  test("trace: executed-plan metrics expose per-operator row counts") {
+    val nodes = tools.Trace.run("q_agg_hash", t)
+    assert(nodes.exists(n => n.name.contains("HashAggregate") &&
+      n.rowsOut.exists(_ > 0)), s"no counted HashAggregate in: " +
+      nodes.map(_.name).distinct.mkString(","))
+    assert(nodes.exists(_.name.contains("Scan")), "source scan visible")
+  }
+
   test("explain surface: formatted plan renders for registry entries") {
     val plan = tools.Explain.formatted("q_tpch_q3", t)
     assert(plan.contains("Join") && plan.contains("Scan parquet"),
