@@ -151,6 +151,22 @@ class Wave9Spec extends SparkSpecBase {
     assert(nodes.exists(_.name.contains("Scan")), "source scan visible")
   }
 
+  test("index advisor: TPC-H workload yields the expected layout advice") {
+    val workload = Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10",
+      "q_tpch_q12", "q_tpch_q14", "q_join_broadcast", "q_scan_filter")
+    val advice = tools.IndexAdvise.run(t, workload)
+      .map(s => (s.table, s.column) -> s).toMap
+    // l_shipdate is range-filtered across Q6/Q12/Q14 → partition/sort.
+    val ship = advice(("lineitem", "l_shipdate"))
+    assert(ship.rangeRefs >= 2 && ship.advice == "PARTITION_SORT", s"$ship")
+    // The orders-lineitem equi-join key dominates → bucket both sides.
+    val okey = advice(("lineitem", "l_orderkey"))
+    assert(okey.joinRefs >= 2 && okey.advice == "BUCKET", s"$okey")
+    // Every surfaced column maps to a real catalog table.
+    val tables = operators.Catalog.tables(t).map(_._1).toSet
+    assert(advice.keys.forall(k => tables(k._1)))
+  }
+
   test("explain surface: formatted plan renders for registry entries") {
     val plan = tools.Explain.formatted("q_tpch_q3", t)
     assert(plan.contains("Join") && plan.contains("Scan parquet"),
