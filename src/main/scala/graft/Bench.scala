@@ -112,10 +112,17 @@ object Bench {
       if (pass > 0) Thread.sleep(30000)
       for ((name, v) <- times.toSeq if outlier(v) && !settled(name)) {
         val again = measure(byName(name))
-        val best = math.min(v, again)
-        if (math.abs(again - v) <= 0.25 * best &&
-            best <= math.max(8.0, 10 * med)) settled += name
-        times(name) = best
+        // A crashed RETRY must not overwrite a valid first-pass
+        // measurement with the -1.0 sentinel (the query did run —
+        // marking it failed would understate the total through the
+        // very masking this sentinel exists to prevent).
+        if (again < 0) settled += name
+        else {
+          val best = math.min(v, again)
+          if (math.abs(again - v) <= 0.25 * best &&
+              best <= math.max(8.0, 10 * med)) settled += name
+          times(name) = best
+        }
       }
       pass += 1
     }

@@ -37,4 +37,10 @@ object Registry {
     streaming.EventQueries.all,
   )
   lazy val all: Seq[Q] = suites.flatten
+
+  /** Lookup-or-throw shared by the tools surface (Explain, Trace,
+    * IndexAdvise): an unknown name must throw, never degrade to an
+    * empty result. */
+  def byName(name: String): Q = all.find(_.name == name).getOrElse(
+    throw new IllegalArgumentException(s"unknown registry query: $name"))
 }

@@ -582,7 +582,10 @@ object DedupQueries {
       // public registry); the UDF is map-side, allocation-free per
       // row, and gates rows BEFORE any exchange — the non-codegen
       // cost buys removing a shuffle, the right trade here.
-      val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
+      // Null guard: a NULL fingerprint (null text) must flow through
+      // as is_dup=false like the oracle's join, not NPE in the probe.
+      val mightContain =
+        udf((fp: String) => fp != null && bc.value.mightContainString(fp))
       val probed = inc.withColumn("maybe", mightContain(col("fp")))
       val pos = probed.filter(col("maybe"))
         .join(baseSet.withColumn("hit", lit(1)), Seq("fp"), "left")

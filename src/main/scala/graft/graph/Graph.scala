@@ -27,18 +27,22 @@ final case class Graph(edges: DataFrame) {
     * recompute of the WHOLE loop from scratch (lineage is gone, so
     * Spark restarts from the source scan). Setting
     * `spark.graft.graph.checkpointDir` (e.g. an HDFS/S3 path on a
-    * real cluster) switches every loop to reliable checkpointing to
-    * that directory: block loss then re-reads the checkpoint file
-    * instead of re-running the iterations. */
+    * real cluster) switches every loop to a RELIABLE checkpoint:
+    * the state is written to that storage once and re-read, so block
+    * loss re-reads files instead of re-running iterations. The
+    * parquet round-trip is deliberate (not Dataset.checkpoint, whose
+    * unpersisted RDD checkpoint recomputes the plan a second time
+    * for the checkpoint job). Files are session-scoped artifacts
+    * under the configured dir — the caller deletes the dir after the
+    * job, like any Spark checkpoint location. */
   private implicit class Cp(df: DataFrame) {
     def cp(): DataFrame = {
       val ss = df.sparkSession
       ss.conf.getOption("spark.graft.graph.checkpointDir") match {
         case Some(dir) if dir.nonEmpty =>
-          if (ss.sparkContext.getCheckpointDir.isEmpty ||
-              !ss.sparkContext.getCheckpointDir.exists(_.contains(dir)))
-            ss.sparkContext.setCheckpointDir(dir)
-          df.checkpoint()
+          val p = s"${dir.stripSuffix("/")}/cp-${Graph.cpSeq.incrementAndGet()}"
+          df.write.mode("overwrite").parquet(p)
+          ss.read.parquet(p)
         case _ => df.localCheckpoint()
       }
     }
@@ -456,6 +460,10 @@ final case class Graph(edges: DataFrame) {
 }
 
 object Graph {
+  /** JVM-unique sequence for reliable-checkpoint paths — two Graph
+    * instances (or loop rounds) must never write the same cp dir. */
+  private[graph] val cpSeq = new java.util.concurrent.atomic.AtomicLong
+
   /** Deterministic derived graph over the driver tables (SURVEY §3):
     * no explicit edge table exists, so edges come from `orders` —
     * src = o_custkey mod 1000, dst = o_orderkey mod 1000 — giving a

@@ -21,10 +21,7 @@ object Explain {
 
   /** Any Spark explain mode: simple | extended | codegen | cost |
     * formatted (SQL EXPLAIN's FORMAT= analog). */
-  def plan(name: String, t: Tables, mode: String): String = {
-    val q = Registry.all.find(_.name == name).getOrElse(
-      throw new IllegalArgumentException(
-        s"unknown registry query: $name"))
-    q.run(t).queryExecution.explainString(ExplainMode.fromString(mode))
-  }
+  def plan(name: String, t: Tables, mode: String): String =
+    Registry.byName(name).run(t).queryExecution
+      .explainString(ExplainMode.fromString(mode))
 }

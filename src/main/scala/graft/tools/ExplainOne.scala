@@ -17,8 +17,8 @@ object ExplainOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t = graft.Tables(spark, dir)
-    val df = graft.Registry.all.find(_.name == name).get.run(t)
-    df.explain("formatted")
+    val df = graft.Registry.byName(name).run(t)
+    println(Explain.formatted(name, t))
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     println(f"ELAPSED ${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -23,8 +23,10 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
   * Advice: join-dominant → BUCKET (co-partitioned joins without a
   * shuffle); range-dominant → PARTITION_SORT (file pruning on
   * min-max); equality-only → CLUSTER; anything referenced → at least
-  * a stats hint. Plan analysis is driver-side metadata work, same
-  * legitimacy class as EXPLAIN.
+  * a stats hint. The plan WALK is driver-side metadata work, but
+  * obtaining a plan constructs the entry's DataFrame, which for a
+  * few entries eagerly builds /tmp layouts — hence the explicit
+  * workload parameter (see [[run]]).
   */
 object IndexAdvise {
 
@@ -37,14 +39,20 @@ object IndexAdvise {
       else "STATS_ONLY"
   }
 
-  /** Advise over the named registry entries (all entries when names
-    * is empty). Returns one row per referenced (table, column),
-    * most-referenced first. */
-  def run(t: Tables, names: Seq[String] = Nil): Seq[ColStats] = {
+  /** Advise over an EXPLICIT workload (registry entry names). The
+    * workload is deliberately not defaulted to the whole registry:
+    * constructing some entries eagerly runs real jobs and /tmp
+    * layout builds (MV, bloom, backup), so "advise everything" would
+    * be minutes of executor work, not metadata analysis — callers
+    * pick the queries whose layout question they are asking. Returns
+    * one row per referenced (table, column), most-referenced
+    * first. */
+  def run(t: Tables, names: Seq[String]): Seq[ColStats] = {
+    require(names.nonEmpty, "pass the workload's registry entry names")
     val colToTable: Map[String, String] = Catalog.tables(t).flatMap {
       case (tab, df) => df.schema.fieldNames.map(_.toLowerCase -> tab)
     }.toMap
-    val qs = Registry.all.filter(q => names.isEmpty || names.contains(q.name))
+    val qs = names.map(Registry.byName)
     val eq = collection.mutable.Map[String, Int]().withDefaultValue(0)
     val rg = collection.mutable.Map[String, Int]().withDefaultValue(0)
     val jn = collection.mutable.Map[String, Int]().withDefaultValue(0)
@@ -67,11 +75,15 @@ object IndexAdvise {
     }
     qs.foreach { q =>
       // A query that fails analysis contributes nothing rather than
-      // aborting the advisor — the workload survey should degrade,
-      // not die, on one broken entry.
+      // aborting the advisor — but LOUDLY, so skewed advice from a
+      // partially-surveyed workload is visible, not silent.
       val planOpt: Option[LogicalPlan] =
         try Some(q.run(t).queryExecution.analyzed)
-        catch { case scala.util.control.NonFatal(_) => None }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[advise] skipped ${q.name}: ${e.getMessage}")
+          None
+        }
       planOpt.toSeq.flatMap(p => p.collect { case n => n }).foreach {
         case Filter(cond, _) => scanPredicate(cond)
         case Join(_, _, _, Some(cond), _) =>
@@ -91,7 +103,7 @@ object IndexAdvise {
   }
 
   /** The advisor's output as a DataFrame, for ad-hoc inspection. */
-  def asDF(t: Tables, names: Seq[String] = Nil): DataFrame = {
+  def asDF(t: Tables, names: Seq[String]): DataFrame = {
     import t.spark.implicits._
     run(t, names).map(s =>
       (s.table, s.column, s.eqRefs, s.rangeRefs, s.joinRefs, s.advice))

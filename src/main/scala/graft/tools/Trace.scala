@@ -19,10 +19,7 @@ object Trace {
   final case class Node(name: String, rowsOut: Option[Long])
 
   def run(name: String, t: Tables): Seq[Node] = {
-    val q = Registry.all.find(_.name == name).getOrElse(
-      throw new IllegalArgumentException(
-        s"unknown registry query: $name"))
-    val df = q.run(t)
+    val df = Registry.byName(name).run(t)
     // Drive THIS DataFrame's own physical plan (toRdd), not a sink
     // write: df.write wraps the query in a separate write-command
     // QueryExecution, which would leave df.queryExecution's metrics

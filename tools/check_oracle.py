@@ -38,8 +38,12 @@ def main(sf_dir, out_dir):
     # Fence against silent disappearance (r6: 21 queries crashed at
     # plan time, wrote no output dir, and simply vanished from the
     # correctness file). Verify now writes _expected.json (every
-    # attempted id) and _failed.json (id -> exception); any expected
-    # id with no output dir is a loud FAIL here.
+    # attempted id) and _failed.json (id -> exception).
+    # Any name in _failed.json FAILS unconditionally — even when a
+    # stale dir from a previous run into the same outDir survives, a
+    # crashed query must never PASS against old parquet. Expected ids
+    # with no dir and no recorded exception also FAIL. Names failed
+    # here are skipped by the oracle loop so one defect counts once.
     import os
     try:
         expected = json.load(open(f"{out_dir}/_expected.json"))
@@ -49,13 +53,21 @@ def main(sf_dir, out_dir):
         failed_map = json.load(open(f"{out_dir}/_failed.json"))
     except FileNotFoundError:
         failed_map = {}
-    for name in sorted(expected):
-        if not os.path.isdir(f"{out_dir}/{name}"):
-            msg = failed_map.get(name, "no output dir and no exception "
-                                 "recorded")
-            print(f"FAIL {name}: MISSING from output set: {msg}")
+    fenced = set()
+    for name in sorted(set(expected) | set(failed_map)):
+        if name in failed_map:
+            print(f"FAIL {name}: query crashed in Verify: "
+                  f"{failed_map[name]}")
+            fenced.add(name)
+            n_fail += 1
+        elif not os.path.isdir(f"{out_dir}/{name}"):
+            print(f"FAIL {name}: MISSING from output set "
+                  f"(no dir, no recorded exception)")
+            fenced.add(name)
             n_fail += 1
     for name, sql in sorted(oracle.items()):
+        if name in fenced:
+            continue
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
