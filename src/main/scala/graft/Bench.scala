@@ -105,7 +105,12 @@ object Bench {
     val times = scala.collection.mutable.LinkedHashMap(
       firstPass.map { case (q, t1) => q.name -> t1 }: _*)
     val settled = scala.collection.mutable.Set[String]()
-    def outlier(v: Double) = v > math.max(3.0, 3 * med)
+    // Floor at 2.0 s: this box's stall windows routinely inflate
+    // sub-second map-side queries into the 2-3 s band (observed:
+    // d_mix_sample 2.95 s full-suite vs 0.33 s isolated), which the
+    // old 3.0 s floor never re-measured. Legit 2-3 s queries settle
+    // after one agreeing retry, so the extra passes are one-time.
+    def outlier(v: Double) = v > math.max(2.0, 3 * med)
     var pass = 0
     while (pass < 3 &&
         times.exists { case (n, v) => outlier(v) && !settled(n) }) {
