@@ -143,6 +143,23 @@ class Wave9Spec extends SparkSpecBase {
     }
   }
 
+  test("backup digest: order-independent, content-sensitive") {
+    val snap = t.orders.limit(200).select(col("o_orderkey"),
+      col("o_orderstatus"))
+    val base = operators.Backup.digest(snap)
+    // The BIT_XOR fold must be invariant under physical row order /
+    // partitioning — that's what makes it a valid cross-layout
+    // consistency check.
+    assert(operators.Backup.digest(snap.repartition(7)) == base)
+    assert(operators.Backup.digest(
+      snap.orderBy(col("o_orderkey").desc)) == base)
+    // ...and any single-row change must move it.
+    val tampered = snap.withColumn("o_orderstatus",
+      when(col("o_orderkey") === snap.limit(1).collect()(0).getLong(0),
+        lit("X")).otherwise(col("o_orderstatus")))
+    assert(operators.Backup.digest(tampered) != base)
+  }
+
   test("trace: executed-plan metrics expose per-operator row counts") {
     val nodes = tools.Trace.run("q_agg_hash", t)
     assert(nodes.exists(n => n.name.contains("HashAggregate") &&
