@@ -43,7 +43,7 @@ object Bench {
       case None => Registry.all.filter(q => Set("q_scan_filter",
         "q_agg_hash", "q_join_broadcast", "q_window_rank",
         "s_ann_ivf_probe", "q_scan_partition", "d_dedup_incremental",
-        "q_time_travel")
+        "q_time_travel", "q_backup_restore", "q_mv_refresh")
         .contains(q.name))
     }
     warmup.foreach { q =>

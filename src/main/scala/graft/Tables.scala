@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions.{col, expr}
   * pruning and partition pruning.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  // The engine's timestamp policy (NTZ files cast to session-UTC
+  // TimestampType) and every oracle's date/time rendering assume a
+  // UTC session. A non-UTC session would silently shift events.ts by
+  // the zone offset — wrong-but-plausible results with no error —
+  // so refuse it loudly here instead.
+  require(
+    spark.conf.get("spark.sql.session.timeZone", "") == "UTC",
+    "graft.Tables requires spark.sql.session.timeZone=UTC " +
+      "(timestamp policy + oracle parity depend on it)")
   functions.GraftFunctions.register(spark)
 
   private def t(name: String): DataFrame =

@@ -573,9 +573,13 @@ object DedupQueries {
       val inc = t.fan(docs.filter(col("doc_id") % 3 === 0))
       // Index build: the driver holds only the filter bytes (the
       // index, not the data) — same legitimacy class as the IVF
-      // centroid build. Sizing is |base| at the test SFs; production
-      // passes the known corpus cardinality.
-      val bloom = baseSet.stat.bloomFilter("fp", 100000L, 0.01)
+      // centroid build. Capacity comes from a count of the actual
+      // base set (one cheap job): a hardcoded guess that the corpus
+      // outgrows would saturate the filter, push fpp toward 1, and
+      // silently degenerate the gate into the un-gated join plus a
+      // useless broadcast.
+      val bloom = baseSet.stat.bloomFilter("fp",
+        math.max(baseSet.count(), 1000L), 0.01)
       val bc = t.spark.sparkContext.broadcast(bloom)
       // The probe is a UDF because Spark's codegen'd might_contain /
       // bloom_filter_agg pair is runtime-filter-internal (not in the

@@ -216,13 +216,14 @@ object Backup {
   import org.apache.spark.sql.SparkSession
 
   /** Order-independent digest of a DataFrame: (row count, BIT_XOR of
-    * a per-row 60-bit md5 over all columns' string renderings). Both
-    * sides of the backup/restore compare are computed by Spark, so
-    * the string canonicalization only has to be self-consistent
-    * (concat_ws null-skipping included). Commutative fold →
+    * a per-row 60-bit md5 over all columns' string renderings). NULL
+    * renders as a sentinel token concat_ws can't skip — otherwise
+    * ("a", NULL) and (NULL, "a") collide and a corruption that moves
+    * a value across a NULL column would verify. Commutative fold →
     * map-side combined, no sort, one scan. */
   def digest(df: DataFrame): (Long, Long) = {
-    val rendered = df.columns.toSeq.map(c => col(c).cast("string"))
+    val rendered = df.columns.toSeq.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000NULL")))
     val r = df.select(
         conv(substring(md5(concat_ws("|", rendered: _*).cast("binary")),
           1, 15), 16, 10).cast("long").as("__h"))
@@ -231,10 +232,15 @@ object Backup {
   }
 
   /** BACKUP: data + manifest; manifest lands last, so a crashed
-    * backup never looks complete. */
+    * backup never looks complete. The manifest digests the parquet
+    * JUST WRITTEN, not a re-evaluation of the source plan — a source
+    * whose row set can differ across evaluations (sampling, a table
+    * mutated between jobs) must never yield a manifest describing
+    * data that was never written (every restore would then refuse an
+    * intact backup). Also saves a second full source scan. */
   def write(df: DataFrame, dir: String): Unit = {
     df.write.mode("overwrite").parquet(s"$dir/data")
-    val (n, x) = digest(df)
+    val (n, x) = digest(df.sparkSession.read.parquet(s"$dir/data"))
     df.sparkSession.range(1)
       .select(lit(n).as("n_rows"), lit(x).as("checksum"))
       .write.mode("overwrite").parquet(s"$dir/manifest")
@@ -266,12 +272,15 @@ object AdminCheck {
   def check(base: DataFrame, derived: DataFrame,
       keys: Seq[String]): DataFrame = {
     val dataCols = base.columns.filterNot(keys.contains).toSeq
-    val b = base.as("b")
-    val d = derived.as("d")
+    // Presence is tracked by always-non-null marker columns, NOT by
+    // key nullability: the join matches NULL group keys via <=>, and
+    // a correctly-matching NULL-keyed group must not raise a false
+    // corruption alarm.
+    val b = base.withColumn("__b", lit(1)).as("b")
+    val d = derived.withColumn("__d", lit(1)).as("d")
     val joinCond = keys.map(k => col(s"b.$k") <=> col(s"d.$k"))
       .reduce(_ && _)
-    val present = keys.map(k =>
-      col(s"b.$k").isNotNull && col(s"d.$k").isNotNull).reduce(_ && _)
+    val present = col("b.__b").isNotNull && col("d.__d").isNotNull
     val valuesEq = dataCols.map(c => col(s"b.$c") <=> col(s"d.$c"))
       .reduce(_ && _)
     b.join(d, joinCond, "full_outer")

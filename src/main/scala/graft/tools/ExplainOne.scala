@@ -17,8 +17,12 @@ object ExplainOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t = graft.Tables(spark, dir)
+    // Build the entry ONCE: constructing some entries runs eager
+    // jobs (/tmp layout builds), and the printed plan must be the
+    // plan of the DataFrame actually timed below.
     val df = graft.Registry.byName(name).run(t)
-    println(Explain.formatted(name, t))
+    println(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     println(f"ELAPSED ${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -5,12 +5,15 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
 /** EXPLAIN ANALYZE / TRACE analog (reference: executor/trace.go +
-  * adapter.go runtime stats): execute a registry entry through the
-  * noop sink and report per-operator runtime metrics from the FINAL
-  * adaptive plan — the plan AQE actually ran, not the static estimate
-  * Explain shows. The walk descends through AdaptiveSparkPlanExec and
-  * materialized query stages, so exchange-bounded subtrees aren't
-  * invisible the way a naive children-walk leaves them. */
+  * adapter.go runtime stats): execute a registry entry via its OWN
+  * QueryExecution (toRdd) and report per-operator runtime metrics
+  * from the FINAL adaptive plan — the plan AQE actually ran, not the
+  * static estimate Explain shows. Never "simplify" this to a sink
+  * write: df.write wraps the query in a separate write-command
+  * QueryExecution and leaves the traced plan's metrics empty. The
+  * walk descends through AdaptiveSparkPlanExec and materialized
+  * query stages, so exchange-bounded subtrees aren't invisible the
+  * way a naive children-walk leaves them. */
 object Trace {
 
   /** One executed operator: node name + its numOutputRows metric
