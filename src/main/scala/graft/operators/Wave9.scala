@@ -180,6 +180,64 @@ object Wave9 {
       }.toDF("table_name", "ord", "col_name", "type_class")
     },
 
+    // Nested-JSON EXPORT/IMPORT (reference: executor/select_into.go +
+    // load_data.go, JSON leg; types/json round-tripping). CSV covers
+    // the delimited flat case (Wave7) — the JSON-specific semantics
+    // are STRUCTURE: a struct and an array survive the text round
+    // trip and land back as typed columns under an explicit read
+    // schema. The engine genuinely writes and re-reads JSON lines;
+    // the oracle states the flattened expected values straight from
+    // the source, so the driver compare proves the round trip
+    // lossless. Doubles use Spark's round-trippable shortest
+    // rendering. Scale: both legs are parallel scans/writes, no
+    // shuffle.
+    Q("q_export_json", Some("""
+      SELECT c_custkey, c_name AS name, c_acctbal AS bal,
+             CAST(c_nationkey AS BIGINT) AS tag0,
+             c_custkey % 7 AS tag1
+      FROM customer WHERE c_custkey < 500
+    """)) { t =>
+      val dir =
+        s"/tmp/graft_json_${graft.sources.Formats.sanitize(t.dir)}"
+      t.customer.filter(col("c_custkey") < 500)
+        .select(col("c_custkey"),
+          struct(col("c_name").as("name"), col("c_acctbal").as("bal"))
+            .as("info"),
+          array(col("c_nationkey").cast("long"), col("c_custkey") % 7)
+            .as("tags"))
+        .write.mode("overwrite").json(dir)
+      t.spark.read
+        .schema("c_custkey bigint, " +
+          "info struct<name:string,bal:double>, tags array<bigint>")
+        .json(dir)
+        .select(col("c_custkey"), col("info.name").as("name"),
+          col("info.bal").as("bal"), col("tags")(0).as("tag0"),
+          col("tags")(1).as("tag1"))
+    },
+
+    // Columnar ORC round trip (reference analog: TiFlash's columnar
+    // store as the second storage engine beside row-oriented TiKV —
+    // here parquet is the primary columnar format and ORC the
+    // alternate, exercised as an engine capability: write a typed
+    // selection including DATE, read it back, serve it). Oracle
+    // states the source values → driver hash equality proves the
+    // format conversion lossless.
+    Q("q_format_orc", Some("""
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_orderdate AS DATE) AS o_date,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_price
+      FROM orders WHERE o_orderkey < 5000
+    """)) { t =>
+      val dir =
+        s"/tmp/graft_orc_${graft.sources.Formats.sanitize(t.dir)}"
+      t.orders.filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate").cast("date").as("o_date"),
+          Exact.dec2(col("o_totalprice")).cast("double").as("o_price"))
+        .write.mode("overwrite").orc(dir)
+      t.spark.read.orc(dir)
+    },
+
     // BACKUP / RESTORE (reference: executor/brie.go BRIE executors).
     // BACKUP writes a consistent column snapshot once to a layout
     // keyed by the source's content fingerprint, with a MANIFEST
