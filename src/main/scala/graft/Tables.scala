@@ -17,11 +17,19 @@ final case class Tables(spark: SparkSession, dir: String) {
   // TimestampType) and every oracle's date/time rendering assume a
   // UTC session. A non-UTC session would silently shift events.ts by
   // the zone offset — wrong-but-plausible results with no error —
-  // so refuse it loudly here instead.
-  require(
-    spark.conf.get("spark.sql.session.timeZone", "") == "UTC",
-    "graft.Tables requires spark.sql.session.timeZone=UTC " +
-      "(timestamp policy + oracle parity depend on it)")
+  // so refuse it loudly here instead. Any spelling of zero-offset
+  // passes ("UTC", "Etc/UTC", "GMT", "+00:00" — the driver's own
+  // session may carry the JVM default, Etc/UTC on this image).
+  {
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    val rules = java.time.ZoneId.of(tz,
+      java.time.ZoneId.SHORT_IDS).getRules
+    require(rules.isFixedOffset &&
+      rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
+      s"graft.Tables requires a UTC session timezone, got '$tz' " +
+        "(timestamp policy + oracle parity depend on it)")
+  }
   functions.GraftFunctions.register(spark)
 
   private def t(name: String): DataFrame =

@@ -103,6 +103,19 @@ class Wave9Spec extends SparkSpecBase {
     assert(nano.count() == 100)
   }
 
+  test("tables accept any zero-offset session zone, refuse shifted ones") {
+    // The driver smoke-checks SparkEntry.entry with ITS OWN session,
+    // which may carry the JVM default zone id (Etc/UTC on this
+    // image) — any zero-offset spelling must pass; a genuinely
+    // shifted zone must throw, not silently move timestamps.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+    assert(Tables(s2, t.dir).region.count() > 0)
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    intercept[IllegalArgumentException] { Tables(s2, t.dir) }
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("graph loops: reliable checkpoint path matches localCheckpoint") {
     val edges = t.events.select(
       (col("user_id") % 97).as("src"), (col("event_id") % 97).as("dst"))
