@@ -65,6 +65,25 @@ class Wave9Spec extends SparkSpecBase {
     assert(res.count(_._2) == 3, "the untouched groups stay consistent")
   }
 
+  test("admin check: a matching NULL group key is consistent, not an alarm") {
+    import t.spark.implicits._
+    val base = Seq((Option("a"), 1L), (Option.empty[String], 2L))
+      .toDF("k", "v")
+    val derived = Seq((Option("a"), 1L), (Option.empty[String], 2L))
+      .toDF("k", "v")
+    val res = operators.AdminCheck.check(base, derived, Seq("k"))
+      .collect()
+    assert(res.length == 2 && res.forall(_.getAs[Boolean]("consistent")),
+      "identical sides must be consistent even on the NULL key")
+    // And a NULL-keyed divergence still flags.
+    val bad = Seq((Option("a"), 1L), (Option.empty[String], 9L))
+      .toDF("k", "v")
+    val res2 = operators.AdminCheck.check(base, bad, Seq("k"))
+      .collect().map(r => Option(r.getAs[String]("k")) ->
+        r.getAs[Boolean]("consistent")).toMap
+    assert(res2(Some("a")) && !res2(None))
+  }
+
   test("catalog: every registered table listed with live schema width") {
     val rows = q("q_catalog").collect()
     assert(rows.length == 10)
