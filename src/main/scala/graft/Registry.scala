@@ -25,6 +25,7 @@ object Registry {
     operators.Wave7.all,
     operators.Wave8.all,
     operators.Wave9.all,
+    operators.Wave10.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Wave10Spec extends SparkSpecBase {
+
+  private def q(name: String) =
+    Registry.all.find(_.name == name).get.run(t)
+
+  test("q_func_math2: identities and null-safe equality semantics") {
+    val rows = q("q_func_math2").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // acos/asin land in their principal ranges.
+      assert(r.getAs[Double]("v_acos") >= 0 &&
+        r.getAs[Double]("v_acos") <= math.Pi + 1e-9)
+      val as = r.getAs[Double]("v_asin")
+      assert(as >= -math.Pi / 2 - 1e-9 && as <= math.Pi / 2 + 1e-9)
+      assert(r.getAs[Double]("v_pi") == 3.141593)
+      // TRUNCATE(x,2) never moves away from zero and drops <1 cent.
+      val tr = r.getAs[Double]("v_trunc2")
+      assert(math.abs(tr * 100 - math.rint(tr * 100)) < 1e-6)
+    }
+    // v_nulleq covers all three truth branches: equal (1), one-side
+    // NULL (0), both NULL (1). qty=25 → both NULL; qty=30 → left NULL
+    // only; others equal.
+    val byQty = t.lineitem.filter(col("l_orderkey") < 400)
+      .select(col("l_quantity")).distinct().collect().map(_.getDouble(0))
+    assert(byQty.contains(25.0) && byQty.contains(30.0))
+    val flags = q("q_func_math2").select("v_nulleq").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(flags == Set(0, 1))
+  }
+
+  test("q_agg_bitmap: bitmap counts equal exact COUNT(DISTINCT)") {
+    val got = q("q_agg_bitmap").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("n_parts_all"))).toMap
+    val exact = t.lineitem.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n")).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n")).toMap
+    val all = t.lineitem.select(countDistinct("l_partkey")).head.getLong(0)
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (f, (n, nAll)) =>
+      assert(n == exact(f)); assert(nAll == all)
+    }
+  }
+
+  test("q_func_json5: every doc shape classifies and validates correctly") {
+    val rows = q("q_func_json5").collect()
+    assert(rows.length == 600)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      (id % 5) match {
+        case 0 =>
+          assert(r.getAs[Int]("is_valid") == 1)
+          assert(r.getAs[String]("jtype") == "object")
+          assert(r.getAs[Int]("contains_pos") == 1)
+          assert(r.getAs[Int]("contains_neg") == 0)
+        case 1 => assert(r.getAs[String]("jtype") == "array")
+        case 2 =>
+          assert(r.getAs[String]("jtype") == "string")
+          // JSON_UNQUOTE inverts the quoting of the raw doc.
+          assert("\"" + r.getAs[String]("unquoted") + "\"" ==
+            r.getAs[String]("doc"))
+        case 3 => assert(r.getAs[String]("jtype") == "integer")
+        case _ =>
+          assert(r.getAs[Int]("is_valid") == 0)
+          assert(r.getAs[String]("jtype") == null)
+      }
+      // JSON_QUOTE output is itself valid JSON that re-parses to the
+      // original string (escape-correct round trip incl. " and \n).
+      val quoted = r.getAs[String]("quoted")
+      assert(quoted.startsWith("\"") && quoted.endsWith("\""))
+      assert(quoted.contains("\\\"q\\n"))
+    }
+  }
+
+  test("q_keyset_page: keyset page equals the OFFSET page it replaces") {
+    val keyset = q("q_keyset_page").collect()
+      .map(r => (r.getAs[Long]("o_orderkey")))
+    val offset = t.orders
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .limit(60).collect().map(_.getAs[Long]("o_orderkey")).drop(40).take(20)
+    assert(keyset.toSeq == offset.toSeq)
+  }
+
+  test("q_func_info: cursor-state scalars are live values, not pins") {
+    val r = q("q_func_info").head()
+    assert(r.getAs[Long]("found_rows") ==
+      t.customer.filter(col("c_acctbal") > 1000).count())
+    assert(r.getAs[Long]("row_count_n") ==
+      t.lineitem.filter(col("l_discount") > 0.05).count())
+    assert(r.getAs[Long]("last_insert_id") ==
+      t.orders.agg(max("o_orderkey")).head.getLong(0) + 1)
+    val rows = q("q_func_info").collect()
+    assert(rows.length == 25)
+    rows.foreach(x =>
+      assert(x.getAs[Long]("anyv") == x.getAs[Int]("c_nationkey") * 10L))
+  }
+}
