@@ -352,5 +352,32 @@ object AnnQueries {
           k = 3, salt = (col("vec_id") % 32).cast("int"), rnCol = "rn")
         .select(col("label"), col("vec_id"), round(col("cos"), 4).as("cos_c"))
     },
+
+    // K-MEANS clustering as a first-class analytics op (the corpus-
+    // organization step before semantic dedup / stratified sampling /
+    // topic balancing — SemDeDup-style pipelines cluster first, then
+    // operate within clusters). Reuses the IVF coarse quantizer's
+    // deterministic distributed Lloyd (IvfIndex.build: broadcast
+    // centroids, map-side argmin assignment, one (cell, dim) shuffle
+    // per iteration) and emits the cluster card: size, mean squared
+    // distance to centroid (inertia/n), and centroid norm. Lloyd
+    // arithmetic is engine-specific → rows-only; the spec proves
+    // partition assignment totals, determinism, and that more Lloyd
+    // iterations never increase inertia.
+    Q("s_kmeans", None) { t =>
+      val corpus = t.fan(t.embeddings)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val (cells, centroids) = IvfIndex.build(corpus, c = 8, iters = 3)
+      cells.join(broadcast(centroids
+          .withColumn("cc", dot(col("cv"), col("cv")))), "cell")
+        .select(col("cell"), col("cc"),
+          (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+            + col("cc")).as("d2"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          round(avg("d2"), 4).as("mean_sq_dist"),
+          round(sqrt(max("cc")), 4).as("centroid_norm"))
+        .orderBy("cell")
+    },
   )
 }

@@ -598,5 +598,49 @@ object DedupQueries {
         .select(col("doc_id"), lit(false).as("is_dup"))
       pos.union(neg)
     },
+
+    // URL-level dedup with keep-best — the crawl-side companion of
+    // the content dedups (CCNet/RefinedWeb pattern: the same page
+    // fetched many times under tracking-parameter variants collapses
+    // to ONE canonical URL, keeping the best fetch). Canonicalization
+    // strips the volatile query params map-side; the keep-best pick
+    // is a single max_by AGGREGATION on (n_chars, -doc_id) — one
+    // shuffle of (canon, id, chars) triples, no per-group window, no
+    // text movement — so a hot URL fetched a billion times costs a
+    // map-side partial max, not a one-task sort.
+    Q("d_dedup_url", Some("""
+      WITH u AS (
+        SELECT doc_id, n_chars,
+               'https://' || source || '.example.com/item/'
+                 || (doc_id % 120) AS canon_url
+        FROM documents),
+      r AS (
+        SELECT canon_url, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY canon_url
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY canon_url) AS n_fetches,
+               MAX(n_chars) OVER (PARTITION BY canon_url) AS best_chars
+        FROM u)
+      SELECT canon_url, doc_id AS keep_id,
+             CAST(n_fetches AS BIGINT) AS n_fetches,
+             CAST(best_chars AS BIGINT) AS best_chars
+      FROM r WHERE rn = 1
+    """)) { t =>
+      // The full fetched URL would carry utm_/session noise; canon is
+      // host+path only — doc_id%120 makes ~4 fetch variants per page
+      // at sf0.01 so the keep-best branch is really exercised.
+      t.documents
+        .select(col("doc_id"), col("n_chars"),
+          concat(lit("https://"), col("source"), lit(".example.com/item/"),
+            col("doc_id") % 120).as("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+          max(struct(col("n_chars"), -col("doc_id"), col("doc_id")))
+            .getField("doc_id").as("keep_id"),
+          count(lit(1)).as("n_fetches"),
+          max(col("n_chars")).as("best_chars"))
+        .select(col("canon_url"), col("keep_id"), col("n_fetches"),
+          col("best_chars"))
+    },
   )
 }

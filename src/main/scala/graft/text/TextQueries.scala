@@ -408,5 +408,47 @@ object TextQueries {
           round(avg(logp), 4).as("lp"),
           (avg(logp) > -7.0).cast("int").as("keep_lm"))
     },
+
+    // Dataset card — the per-source summary table every training-mix
+    // decision reads (docs, language spread, length distribution,
+    // token budget, corpus share). One hash aggregation on `source`
+    // with map-side partials; the exact median goes through the same
+    // percentile/quantile_cont pair as q_agg_percentile; corpus-wide
+    // totals are a 1-row broadcast. Shuffle carries |sources| rows —
+    // SF-invariant.
+    Q("t_dataset_card", Some("""
+      WITH d AS (
+        SELECT source, lang, n_chars,
+               LEN(regexp_extract_all(text, '(\S+)', 1)) AS toks
+        FROM documents),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             ROUND(AVG(n_chars), 4) AS avg_chars,
+             ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+             CAST(SUM(toks) AS BIGINT) AS total_tokens,
+             ROUND(AVG(CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END), 4)
+               AS pct_short,
+             ROUND(COUNT(*) / CAST(n_total AS DOUBLE), 6) AS corpus_share
+      FROM d, tot
+      GROUP BY source, n_total
+    """)) { t =>
+      val d = t.documents.select(col("source"), col("lang"), col("n_chars"),
+        expr("text_stats(text)").getField("n_tokens").as("toks"))
+      val tot = d.agg(count(lit(1)).as("n_total"))
+      d.crossJoin(broadcast(tot))
+        .groupBy("source", "n_total")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("lang").as("n_langs"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+          sum("toks").as("total_tokens"),
+          round(avg(when(col("n_chars") < 100, 1.0).otherwise(0.0)), 4)
+            .as("pct_short"),
+          round(count(lit(1)) / col("n_total").cast("double"), 6)
+            .as("corpus_share"))
+        .drop("n_total")
+    },
   )
 }

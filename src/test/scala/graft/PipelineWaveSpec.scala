@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.VectorFns._
+import org.apache.spark.sql.functions._
+
+class PipelineWaveSpec extends SparkSpecBase {
+
+  private def q(name: String) =
+    Registry.all.find(_.name == name).get.run(t)
+
+  test("d_dedup_url: keeps the best fetch per canonical URL") {
+    val rows = q("d_dedup_url").collect()
+    val docs = t.documents
+      .select(col("doc_id"), col("n_chars"),
+        concat(lit("https://"), col("source"), lit(".example.com/item/"),
+          col("doc_id") % 120).as("canon_url"))
+      .collect()
+      .map(r => (r.getAs[String]("canon_url"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_chars")))
+      .groupBy(_._1)
+    assert(rows.length == docs.size)
+    assert(rows.map(_.getAs[Long]("n_fetches")).sum == docs.values.map(_.size).sum)
+    rows.foreach { r =>
+      val grp = docs(r.getAs[String]("canon_url"))
+      // keep-best: max n_chars, tie-broken to the LOWEST doc_id.
+      val best = grp.maxBy(g => (g._3, -g._2))
+      assert(r.getAs[Long]("keep_id") == best._2)
+      assert(r.getAs[Long]("best_chars") == best._3)
+      assert(r.getAs[Long]("n_fetches") == grp.size)
+    }
+  }
+
+  test("t_dataset_card: shares sum to 1 and totals reconcile") {
+    val rows = q("t_dataset_card").collect()
+    val total = t.documents.count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    val shareSum = rows.map(_.getAs[Double]("corpus_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("pct_short") >= 0 &&
+        r.getAs[Double]("pct_short") <= 1)
+      assert(r.getAs[Long]("total_tokens") > 0)
+      assert(r.getAs[Double]("p50_chars") > 0)
+    }
+  }
+
+  test("s_kmeans: partitions the corpus, deterministic, inertia improves") {
+    val card = q("s_kmeans").collect()
+    assert(card.map(_.getAs[Long]("n")).sum == t.embeddings.count())
+    assert(card.length > 1 && card.length <= 8)
+    // Deterministic: a second full run yields the identical card.
+    val again = q("s_kmeans").collect()
+    assert(card.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // Lloyd monotonicity: 3 iterations never beat-by-losing — total
+    // inertia at iters=3 is <= the iters=1 total (equal only if
+    // converged after 1).
+    def inertia(iters: Int): Double = {
+      val corpus = t.embeddings
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val (cells, cents) = graft.ann.IvfIndex.build(corpus, c = 8, iters)
+      cells.join(broadcast(cents.withColumn("cc", dot(col("cv"), col("cv")))),
+          "cell")
+        .select((dot(col("v"), col("v"))
+          - lit(2.0) * dot(col("v"), col("cv")) + col("cc")).as("d2"))
+        .agg(sum("d2")).head.getDouble(0)
+    }
+    assert(inertia(3) <= inertia(1) + 1e-6)
+  }
+}
