@@ -256,5 +256,89 @@ object Wave10 {
         .limit(20)
         .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
     },
+
+    // PREPARE / EXECUTE (reference: executor/prepared.go + the plan
+    // cache): ONE parameterized template, bound twice with different
+    // parameter sets — Spark's native parameterized SQL (named
+    // markers), so the text is parsed once per execution against an
+    // identical plan shape and the parameters stay typed data, never
+    // string-spliced (the injection-safety property PREPARE exists
+    // for). The oracle states the two executions with the literals
+    // inlined.
+    Q("q_prepare", Some("""
+      SELECT CAST(1 AS INT) AS exec_id, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+        AND o_totalprice > 150000
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 2, o_orderpriority, CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND o_totalprice > 50000
+      GROUP BY o_orderpriority
+    """)) { t =>
+      t.orders.createOrReplaceTempView("orders")
+      val template = """
+        SELECT CAST(:exec_id AS INT) AS exec_id, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        WHERE o_orderdate >= CAST(:d1 AS TIMESTAMP)
+          AND o_orderdate < CAST(:d2 AS TIMESTAMP)
+          AND o_totalprice > :minp
+        GROUP BY o_orderpriority"""
+      def execute(id: Int, d1: String, d2: String, minp: Int) =
+        t.spark.sql(template, Map(
+          "exec_id" -> id, "d1" -> d1, "d2" -> d2, "minp" -> minp))
+      execute(1, "1995-01-01", "1996-01-01", 150000)
+        .unionAll(execute(2, "1996-01-01", "1997-01-01", 50000))
+    },
+
+    // SPLIT TABLE BY — range-region split (reference: executor/
+    // split.go SplitTableRegionExec; the Spark twin of computing
+    // RangePartitioner boundaries). Boundaries are the exact octile
+    // keys of the table; every row then map-side classifies into its
+    // region (count of boundaries strictly below the key) against the
+    // broadcast 7-element boundary array. At 100 TB the quantile pass
+    // runs on a sample/sketch, but the CONTRACT — balanced contiguous
+    // key ranges, stated per region as (n_rows, min, max) — is what
+    // this entry pins. Both engines interpolate quantiles with the
+    // same lo + (hi-lo)·frac arithmetic.
+    Q("q_split_region", Some("""
+      WITH b AS (
+        SELECT list_transform(
+                 quantile_cont(o_orderkey,
+                   [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+                 q -> CAST(FLOOR(q) AS BIGINT)) AS bs
+        FROM orders),
+      a AS (SELECT o_orderkey,
+                   len(list_filter(bs, x -> x < o_orderkey)) AS region_id
+            FROM orders, b)
+      SELECT CAST(region_id AS INT) AS region_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM a GROUP BY region_id
+    """)) { t =>
+      val bs = t.orders.agg(expr(
+        "transform(percentile(o_orderkey, " +
+          "array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D)), " +
+          "q -> cast(floor(q) as bigint))").as("bs"))
+      t.orders.crossJoin(broadcast(bs))
+        .select(col("o_orderkey"),
+          expr("size(filter(bs, x -> x < o_orderkey))").cast("int")
+            .as("region_id"))
+        .groupBy("region_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+    },
   )
 }

@@ -85,6 +85,39 @@ class Wave10Spec extends SparkSpecBase {
     assert(keyset.toSeq == offset.toSeq)
   }
 
+  test("q_prepare: bound executions equal their literal-inlined twins") {
+    val rows = q("q_prepare").collect()
+    val lit1 = t.orders
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp") &&
+        col("o_totalprice") > 150000)
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got1 = rows.filter(_.getAs[Int]("exec_id") == 1)
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("n")).toMap
+    assert(got1 == lit1)
+    // Two distinct parameter sets really produce distinct results.
+    val got2 = rows.filter(_.getAs[Int]("exec_id") == 2)
+    assert(got2.nonEmpty && got2.map(_.getAs[Long]("n")).sum !=
+      got1.values.sum)
+  }
+
+  test("q_split_region: contiguous, balanced, complete key ranges") {
+    val regions = q("q_split_region").collect()
+      .map(r => (r.getAs[Int]("region_id"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))
+      .sortBy(_._1)
+    assert(regions.map(_._1).toSeq == (0 until 8))
+    assert(regions.map(_._2).sum == t.orders.count())
+    // Contiguous: each region's min is after the previous region's max.
+    regions.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 > a._4)
+    }
+    // Balanced: octile split keeps every region within 2% of ideal.
+    val ideal = t.orders.count() / 8.0
+    regions.foreach(r => assert(math.abs(r._2 - ideal) / ideal < 0.02))
+  }
+
   test("q_func_info: cursor-state scalars are live values, not pins") {
     val r = q("q_func_info").head()
     assert(r.getAs[Long]("found_rows") ==
