@@ -340,5 +340,36 @@ object Wave10 {
           min("o_orderkey").as("min_key"),
           max("o_orderkey").as("max_key"))
     },
+
+    // Schema evolution — ALTER TABLE ADD COLUMN ... DEFAULT, the
+    // lakehouse way (reference: ddl/column.go — adding a column
+    // backfills nothing; old rows answer with the default). The
+    // engine actually writes two parquet generations (v1 without the
+    // column, v2 with it), reads them back as ONE table via
+    // mergeSchema, and resolves pre-evolution rows to the declared
+    // default with coalesce — at 100 TB this is exactly why ADD
+    // COLUMN is O(1): no rewrite, the default materializes at read
+    // time inside the scan. The oracle states the expected merged
+    // contract straight from the source.
+    Q("q_schema_evolution", Some("""
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey < 300 THEN 'LEGACY'
+                  ELSE o_orderpriority END AS priority,
+             CAST(o_orderkey >= 300 AS INT) AS post_evolution
+      FROM orders WHERE o_orderkey < 600
+    """)) { t =>
+      val dir = s"/tmp/graft_evo_${graft.sources.Formats.sanitize(t.dir)}"
+      t.orders.filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/gen=1")
+      t.orders.filter(col("o_orderkey") >= 300 && col("o_orderkey") < 600)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$dir/gen=2")
+      t.spark.read.option("mergeSchema", "true").parquet(dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          coalesce(col("o_orderpriority"), lit("LEGACY")).as("priority"),
+          col("o_orderpriority").isNotNull.cast("int").as("post_evolution"))
+    },
   )
 }

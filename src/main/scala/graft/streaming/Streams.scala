@@ -302,6 +302,24 @@ object Streams {
     }
   }
 
+  /** Stream-static enrichment — the dimension-join every event
+    * pipeline runs (reference analog: the TP stream joining a
+    * dim table snapshot). The static side is re-resolved per
+    * micro-batch (so a slowly-changing dimension picks up updates
+    * between batches) and BROADCAST: the stream side never
+    * shuffles, stays stateless, and needs no watermark — append
+    * mode, unbounded keys, O(batch) work per batch at any scale.
+    * Unknown keys keep flowing with an explicit UNKNOWN segment
+    * (left join), not silently dropped. */
+  def enriched(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(
+        broadcast(users.select(col("c_custkey").as("user_id"),
+          col("c_mktsegment"))),
+        Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+
   /** One CDC change record: a keyed upsert with a sequence number
     * (the change-stream position — later wins). */
   final case class Change(o_orderkey: Long, o_totalprice: Double, seq: Long)

@@ -75,6 +75,31 @@ class StreamingSpec extends SparkSpecBase {
       .select("event_type", "user_id").distinct().count())
   }
 
+  test("stream-static broadcast enrich equals the batch join, keeps unknowns") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(eventsDf.as[Event].collect().toSeq)
+
+    val query = Streams.enriched(input.toDF(), t.customer)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try query.processAllAvailable() finally query.stop()
+
+    val streamed = spark.table("enrich_out").collect().map(_.toSeq).toSet
+    val batch = Streams.enriched(eventsDf, t.customer)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // Left-join semantics: events whose user has no dim row survive
+    // with the explicit UNKNOWN segment.
+    val known = t.customer.select("c_custkey").as[Long].collect().toSet
+    val unknowns = spark.table("enrich_out")
+      .filter(col("segment") === "UNKNOWN").select("user_id")
+      .as[Long].collect()
+    assert(unknowns.forall(u => !known.contains(u)))
+    assert(spark.table("enrich_out").count() == eventsDf.count())
+  }
+
   test("stream-stream interval join equals the batch join") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

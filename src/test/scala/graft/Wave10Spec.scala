@@ -118,6 +118,21 @@ class Wave10Spec extends SparkSpecBase {
     regions.foreach(r => assert(math.abs(r._2 - ideal) / ideal < 0.02))
   }
 
+  test("q_schema_evolution: pre-evolution rows answer with the default") {
+    val rows = q("q_schema_evolution").collect()
+    assert(rows.length ==
+      t.orders.filter(col("o_orderkey") < 600).count())
+    rows.foreach { r =>
+      if (r.getAs[Long]("o_orderkey") < 300) {
+        assert(r.getAs[String]("priority") == "LEGACY")
+        assert(r.getAs[Int]("post_evolution") == 0)
+      } else {
+        assert(r.getAs[String]("priority") != "LEGACY")
+        assert(r.getAs[Int]("post_evolution") == 1)
+      }
+    }
+  }
+
   test("q_func_info: cursor-state scalars are live values, not pins") {
     val r = q("q_func_info").head()
     assert(r.getAs[Long]("found_rows") ==
