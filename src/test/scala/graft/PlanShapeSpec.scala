@@ -217,4 +217,40 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("Window") || p.contains("WindowGroupLimit"),
       s"expected rank-based rewrite in:\n$p")
   }
+
+  test("q_keyset_page fuses ORDER+LIMIT and pushes the cursor predicate") {
+    val p = plan("q_keyset_page")
+    // The page itself must be a TopK, not a global sort.
+    assert(p.contains("TakeOrderedAndProject"),
+      s"keyset page not fused into TopN:\n$p")
+    // The 1-row cursor reaches the fact side by broadcast.
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"cursor not broadcast:\n$p")
+  }
+
+  test("q_agg_bitmap keeps map-side partial bitmap aggregation") {
+    val p = plan("q_agg_bitmap")
+    // Two-phase hash aggregation on the bitmap agg: partial_ on the
+    // map side before the exchange (the re-aggregatable property the
+    // entry exists for).
+    assert(p.contains("partial_bitmap_construct_agg") ||
+      p.contains("partial_first") || p.contains("HashAggregate"),
+      s"no partial aggregation in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "bitmap rollup must not sort-merge")
+  }
+
+  test("q_split_region classifies map-side against broadcast boundaries") {
+    val p = plan("q_split_region")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"boundary array must broadcast, not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"region assignment must stay map-side:\n$p")
+  }
+
+  test("t_dataset_card aggregates with map-side partials, one shuffle") {
+    val p = plan("t_dataset_card")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"dataset card should shuffle at most twice (distinct+group):\n$p")
+  }
 }
