@@ -135,6 +135,112 @@ object RankQueries {
         Seq(col("score").desc, col("doc_id")), 5, "rn")
     },
 
+    // HYBRID retrieval — reciprocal-rank fusion of the lexical
+    // (BM25) and semantic (embedding-cosine) rankers, the standard
+    // two-tower serving recipe (RRF: Cormack et al. 2009,
+    // score = Σ 1/(60+rank)). Each leg produces its top-20 CANDIDATE
+    // list independently — BM25 touches only the query terms'
+    // posting lists (broadcast query side, as t_bm25), the vector
+    // leg is a broadcast-1-row query against the embedding scan —
+    // then the two ≤20-row lists full-outer join and fuse. At 100 TB
+    // the fusion joins two k-row lists, not two corpora; ranks are
+    // computed AFTER each leg's TopN cut, so the only windows run
+    // over ≤20 rows. Both rank orders are total (rounded score +
+    // doc_id tie-break) so engine and oracle fuse identically.
+    Q("s_hybrid_rrf", Some(s"""
+      WITH $toksSql,
+      dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl
+                FROM dl),
+      q(term) AS (VALUES ('join'), ('hash')),
+      contrib AS (
+        SELECT doc_id,
+               LN(1.0 + (CAST(n - df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5)) *
+               (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+               (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                 (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                   (CAST(dl AS DOUBLE) / avgdl))) AS c
+        FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+                JOIN dl USING (doc_id), stats),
+      bm AS (SELECT doc_id, ROUND(SUM(c), 4) AS bscore
+             FROM contrib GROUP BY 1),
+      bt AS (SELECT * FROM (
+               SELECT doc_id, ROW_NUMBER() OVER
+                        (ORDER BY bscore DESC, doc_id) AS r_text
+               FROM bm) WHERE r_text <= 20),
+      qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id = 0),
+      vs AS (SELECT d.doc_id,
+                    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv)
+                      AS cos
+             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id, qv),
+      vt AS (SELECT * FROM (
+               SELECT doc_id, ROW_NUMBER() OVER
+                        (ORDER BY ROUND(cos, 8) DESC, doc_id) AS r_vec
+               FROM vs) WHERE r_vec <= 20),
+      f AS (SELECT COALESCE(bt.doc_id, vt.doc_id) AS doc_id,
+                   bt.r_text, vt.r_vec,
+                   ROUND(COALESCE(1.0 / (60 + bt.r_text), 0)
+                       + COALESCE(1.0 / (60 + vt.r_vec), 0), 6) AS rrf
+            FROM bt FULL JOIN vt ON bt.doc_id = vt.doc_id)
+      SELECT doc_id, CAST(r_text AS INT) AS r_text,
+             CAST(r_vec AS INT) AS r_vec, rrf, CAST(rn AS INT) AS rn
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+            FROM f)
+      WHERE rn <= 10
+    """)) { t =>
+      import t.spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = t.fan(t.documents)
+        .select(col("doc_id"),
+          explode(split(TextFns.normalize(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+      val q = Seq("join", "hash").toDF("term")
+      val qd = q.join(tf.groupBy("term").agg(count(lit(1)).as("df")), "term")
+      val idf = log(lit(1.0) + ((col("n") - col("df")).cast("double") + 0.5)
+        / (col("df").cast("double") + 0.5))
+      val c = idf * (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+      val bm = tf.join(broadcast(qd), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("c", c)
+        .groupBy("doc_id").agg(round(sum("c"), 4).as("bscore"))
+      // TopN cut FIRST (TakeOrderedAndProject), then rank the ≤20
+      // survivors — the window never sees more than k rows.
+      val bt = bm.orderBy(col("bscore").desc, col("doc_id")).limit(20)
+        .withColumn("r_text", row_number().over(
+          Window.orderBy(col("bscore").desc, col("doc_id"))))
+        .select("doc_id", "r_text")
+      val qvRow = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      val vs = t.documents.select("doc_id")
+        .join(t.embeddings.select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v")), "doc_id")
+        .crossJoin(broadcast(qvRow))
+        .select(col("doc_id"),
+          (graft.functions.VectorFns.dot(col("v"), col("qv")) /
+            (sqrt(graft.functions.VectorFns.dot(col("v"), col("v"))) *
+             sqrt(graft.functions.VectorFns.dot(col("qv"), col("qv")))))
+            .as("cos"))
+      val vt = vs.orderBy(round(col("cos"), 8).desc, col("doc_id")).limit(20)
+        .withColumn("r_vec", row_number().over(
+          Window.orderBy(round(col("cos"), 8).desc, col("doc_id"))))
+        .select("doc_id", "r_vec")
+      val fused = bt.join(vt, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_text"), col("r_vec"),
+          round(coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6)
+            .as("rrf"))
+      fused.orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id"))))
+    },
+
     // Model-based quality filtering: a logistic scorer with pinned
     // weights over the t_quality feature family (token count, alpha
     // ratio, stopword ratio) — the shape of every learned quality

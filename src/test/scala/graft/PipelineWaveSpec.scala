@@ -44,6 +44,33 @@ class PipelineWaveSpec extends SparkSpecBase {
     }
   }
 
+  test("s_hybrid_rrf: fuses both legs with the RRF formula") {
+    val rows = q("s_hybrid_rrf").collect()
+    assert(rows.length == 10)
+    var last = Double.MaxValue
+    rows.sortBy(_.getAs[Int]("rn")).foreach { r =>
+      val rt = Option(r.getAs[Any]("r_text")).map(_.asInstanceOf[Int])
+      val rv = Option(r.getAs[Any]("r_vec")).map(_.asInstanceOf[Int])
+      // At least one leg ranked every fused row, and the rrf value is
+      // exactly the sum of the legs' reciprocal ranks.
+      assert(rt.nonEmpty || rv.nonEmpty)
+      val expect = rt.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-6)
+      assert(r.getAs[Double]("rrf") <= last + 1e-12)
+      last = r.getAs[Double]("rrf")
+    }
+    // A doc ranked top in BOTH legs beats any single-leg doc: the
+    // max possible single-leg rrf is 1/61 < 1/61 + 1/80.
+    val both = rows.filter(r => r.getAs[Any]("r_text") != null &&
+      r.getAs[Any]("r_vec") != null)
+    val single = rows.filter(r => r.getAs[Any]("r_text") == null ||
+      r.getAs[Any]("r_vec") == null)
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_.getAs[Double]("rrf")).max >
+        single.map(_.getAs[Double]("rrf")).min)
+  }
+
   test("s_kmeans: partitions the corpus, deterministic, inertia improves") {
     val card = q("s_kmeans").collect()
     assert(card.map(_.getAs[Long]("n")).sum == t.embeddings.count())
