@@ -642,5 +642,87 @@ object DedupQueries {
         .select(col("canon_url"), col("keep_id"), col("n_fetches"),
           col("best_chars"))
     },
+
+    // FUZZY entity-resolution join (record-linkage dedup of titles /
+    // names — the edit-distance companion of the n-gram Jaccard
+    // near-dup): candidate pairs are generated ONLY inside prefix
+    // blocks (first 8 normalized chars), then scored with
+    // levenshtein — the classic blocking→compare shape. Candidates
+    // are bounded by block sizes, never corpus²; at 100 TB hot
+    // blocks get the same df-cap treatment as the posting-list
+    // dedups. levenshtein is the identical DP edit distance on both
+    // engines, so the whole pipeline hash-oracles.
+    Q("d_fuzzy_join", Some("""
+      WITH t AS (
+        SELECT doc_id,
+               SUBSTR(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 24) AS title
+        FROM documents),
+      g AS (SELECT SUBSTR(title, 1, 8) AS bk FROM t
+            GROUP BY 1 HAVING COUNT(*) <= 200)
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(levenshtein(a.title, b.title) AS INT) AS lev
+      FROM t a
+      JOIN t b ON SUBSTR(a.title, 1, 8) = SUBSTR(b.title, 1, 8)
+              AND a.doc_id < b.doc_id
+      JOIN g ON g.bk = SUBSTR(a.title, 1, 8)
+      WHERE levenshtein(a.title, b.title) <= 8
+    """)) { t =>
+      val titles = t.fan(t.documents)
+        .select(col("doc_id"),
+          substring(graft.functions.TextFns.normalize(col("text")), 1, 24)
+            .as("title"))
+        .withColumn("bk", substring(col("title"), 1, 8))
+      val okBlocks = titles.groupBy("bk").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= 200).select("bk")
+      val a = titles.join(okBlocks, "bk")
+        .select(col("bk"), col("doc_id").as("id1"), col("title").as("t1"))
+      val b = titles
+        .select(col("bk"), col("doc_id").as("id2"), col("title").as("t2"))
+      a.join(b, Seq("bk"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("lev", levenshtein(col("t1"), col("t2")))
+        .filter(col("lev") <= 8)
+        .select(col("id1"), col("id2"), col("lev"))
+    },
+
+    // SEMANTIC dedup, cluster-scoped (the SemDeDup recipe: k-means
+    // the corpus first, then threshold cosine pairs ONLY inside each
+    // cluster — at 100 TB the pair space is Σ|cell|², not corpus²,
+    // and cells parallelize independently). Clustering reuses the
+    // deterministic IVF Lloyd build; pair scoring inside a cell is
+    // the same precomputed-norm single-dot form as d_dedup_embed.
+    // Lloyd arithmetic is engine-specific → rows-only; the spec
+    // proves soundness (every pair truly ≥ τ, co-clustered) and
+    // measures recall against the exact all-pairs entry.
+    Q("d_dedup_semantic", None) { t =>
+      import graft.functions.VectorFns
+      val corpus = t.fan(t.embeddings)
+        .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
+      val (_, centroids) = graft.ann.IvfIndex.build(corpus, c = 16, iters = 2)
+      // SOFT assignment (2 nearest cells per vector): a near-dup pair
+      // split by a hard cell boundary still co-occurs in one of the
+      // probed cells — the multi-probe recall trick at 2× state cost.
+      // Pairs co-occurring in both shared cells dedup via groupBy.
+      val probed = graft.ann.IvfIndex.probes(
+        corpus.select(col("vec_id").as("qid"), col("v").as("qv")),
+        centroids, nprobe = 2)
+      val withNorm = probed
+        .select(col("cell"), col("qid").as("vec_id"), col("qv").as("v"))
+        .withColumn("nrm", VectorFns.norm(col("v")))
+      val l = withNorm.select(col("cell"), col("vec_id").as("id1"),
+        col("v").as("vl"), col("nrm").as("nl"))
+      val r = withNorm.select(col("cell"), col("vec_id").as("id2"),
+        col("v").as("vr"), col("nrm").as("nr"))
+      l.join(r, Seq("cell"))
+        .filter(col("id1") < col("id2"))
+        .select(col("cell"), col("id1"), col("id2"),
+          VectorFns.cosinePre(col("vl"), col("vr"), col("nl"), col("nr"))
+            .as("c"))
+        .filter(round(col("c"), 8) >= 0.4)
+        .groupBy("id1", "id2")
+        .agg(min("cell").as("cell"), round(max("c"), 4).as("cos"))
+        .select(col("cell"), col("id1"), col("id2"), col("cos"))
+    },
   )
 }

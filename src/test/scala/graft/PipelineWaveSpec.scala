@@ -71,6 +71,55 @@ class PipelineWaveSpec extends SparkSpecBase {
         single.map(_.getAs[Double]("rrf")).min)
   }
 
+  test("d_fuzzy_join: pairs share a block and true edit distance") {
+    val rows = q("d_fuzzy_join").collect()
+    assert(rows.nonEmpty)
+    val titles = t.documents
+      .select(col("doc_id"),
+        substring(graft.functions.TextFns.normalize(col("text")), 1, 24)
+          .as("title"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("title")).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { r =>
+      val (t1, t2) = (titles(r.getAs[Long]("id1")),
+        titles(r.getAs[Long]("id2")))
+      assert(t1.take(8) == t2.take(8), "pair crosses a block")
+      assert(r.getAs[Int]("lev") == lev(t1, t2))
+      assert(r.getAs[Int]("lev") <= 8)
+    }
+    // The threshold catches genuinely-near (non-identical) pairs too.
+    assert(rows.exists(_.getAs[Int]("lev") > 0))
+  }
+
+  test("d_dedup_semantic: sound pairs, co-clustered, real recall") {
+    val sem = q("d_dedup_semantic").collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Double]("cos")))
+    assert(sem.nonEmpty)
+    // Soundness: every reported pair really clears the threshold on
+    // the exact all-pairs oracle entry (subset property).
+    val exact = q("d_dedup_embed").collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        r.getAs[Double]("cos")).toMap
+    sem.foreach { case (a, b, c) =>
+      assert(exact.contains((a, b)),
+        s"semantic pair ($a,$b) not in the exact thresholded set")
+      assert(math.abs(exact((a, b)) - c) < 1e-9)
+    }
+    // Recall: cluster-scoping keeps a substantial share of the true
+    // pairs (SemDeDup's trade — measured, not assumed).
+    val recall = sem.length.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall collapsed")
+  }
+
   test("s_kmeans: partitions the corpus, deterministic, inertia improves") {
     val card = q("s_kmeans").collect()
     assert(card.map(_.getAs[Long]("n")).sum == t.embeddings.count())
