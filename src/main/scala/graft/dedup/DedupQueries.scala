@@ -707,20 +707,32 @@ object DedupQueries {
       val probed = graft.ann.IvfIndex.probes(
         corpus.select(col("vec_id").as("qid"), col("v").as("qv")),
         centroids, nprobe = 2)
+      // Pair join keyed on `cell` alone has only C distinct keys — C
+      // tasks do all the scoring. Sub-block each cell (d_dedup_embed's
+      // triangular scheme, per cell): join key (cell, pj) spreads the
+      // same pair set over C·B keys with every pair generated exactly
+      // once.
+      val B = 8
       val withNorm = probed
         .select(col("cell"), col("qid").as("vec_id"), col("qv").as("v"))
         .withColumn("nrm", VectorFns.norm(col("v")))
-      val l = withNorm.select(col("cell"), col("vec_id").as("id1"),
-        col("v").as("vl"), col("nrm").as("nl"))
+        .withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
+      val l = withNorm
+        .withColumn("pj", explode(sequence(col("blk"), lit(B - 1))))
+        .select(col("cell"), col("vec_id").as("id1"), col("v").as("vl"),
+          col("nrm").as("nl"), col("blk").as("bl"), col("pj"))
       val r = withNorm.select(col("cell"), col("vec_id").as("id2"),
-        col("v").as("vr"), col("nrm").as("nr"))
-      l.join(r, Seq("cell"))
-        .filter(col("id1") < col("id2"))
-        .select(col("cell"), col("id1"), col("id2"),
+        col("v").as("vr"), col("nrm").as("nr"), col("blk").as("br"))
+      l.join(r, l("cell") === r("cell") && col("pj") === col("br") &&
+          (col("bl") < col("br") || col("id1") < col("id2")))
+        .filter(col("id1") =!= col("id2"))
+        .select(l("cell"),
+          least(col("id1"), col("id2")).as("a"),
+          greatest(col("id1"), col("id2")).as("b"),
           VectorFns.cosinePre(col("vl"), col("vr"), col("nl"), col("nr"))
             .as("c"))
         .filter(round(col("c"), 8) >= 0.4)
-        .groupBy("id1", "id2")
+        .groupBy(col("a").as("id1"), col("b").as("id2"))
         .agg(min("cell").as("cell"), round(max("c"), 4).as("cos"))
         .select(col("cell"), col("id1"), col("id2"), col("cos"))
     },

@@ -196,7 +196,15 @@ object RankQueries {
         .select(col("doc_id"),
           explode(split(TextFns.normalize(col("text")), " ")).as("term"))
         .filter(col("term") =!= "")
+      // The tf table feeds FOUR branches (dl, stats, df, scoring) and
+      // Spark re-tokenizes the corpus per branch (no common-subplan
+      // reuse across joins — measured 5 scans, 10 s at sf0.1).
+      // Materialize it once: at 100 TB this is the persisted inverted
+      // index every serving stack builds anyway; locally a
+      // localCheckpoint (one job, lineage cut) drops the entry to one
+      // tokenize pass.
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
       val q = Seq("join", "hash").toDF("term")
