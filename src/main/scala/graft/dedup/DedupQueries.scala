@@ -681,8 +681,13 @@ object DedupQueries {
         .select(col("bk"), col("doc_id").as("id2"), col("title").as("t2"))
       a.join(b, Seq("bk"))
         .filter(col("id1") < col("id2"))
-        .withColumn("lev", levenshtein(col("t1"), col("t2")))
-        .filter(col("lev") <= 8)
+        // Threshold-bounded edit distance: the banded DP aborts as
+        // soon as a row of the matrix exceeds the bound (returns -1)
+        // — O(k·n) per pair instead of O(n²), the form that matters
+        // when blocks are large. -1 (= "beyond bound") must be
+        // filtered explicitly; it would pass a naive <= 8.
+        .withColumn("lev", levenshtein(col("t1"), col("t2"), 8))
+        .filter(col("lev") >= 0)
         .select(col("id1"), col("id2"), col("lev"))
     },
 

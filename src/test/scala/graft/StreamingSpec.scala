@@ -75,6 +75,35 @@ class StreamingSpec extends SparkSpecBase {
       .select("event_type", "user_id").distinct().count())
   }
 
+  test("Trigger.AvailableNow drains the backlog then terminates itself") {
+    // The batch catch-up contract (nightly backfill over a streaming
+    // pipeline): process EVERYTHING available at start, checkpoint,
+    // and exit without an external stop() — late-arriving data waits
+    // for the next scheduled run instead of keeping a cluster up.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val rows = eventsDf.as[Event].collect().toSeq
+    input.addData(rows)
+
+    val query = Streams.windowed(input.toDF())
+      .writeStream.outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("avail_out").start()
+    // Self-terminates once the backlog is drained — no stop() call.
+    assert(query.awaitTermination(120000),
+      "AvailableNow query did not terminate on its own")
+
+    val streamed = spark.table("avail_out").collect().map(_.toSeq).toSet
+    val batch = Streams.windowed(eventsDf).collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // Data arriving AFTER termination stays unprocessed (next run's
+    // work) — the table still holds exactly the drained backlog.
+    input.addData(rows.take(10))
+    Thread.sleep(500)
+    assert(spark.table("avail_out").collect().map(_.toSeq).toSet == batch)
+  }
+
   test("stream-static broadcast enrich equals the batch join, keeps unknowns") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
