@@ -108,6 +108,38 @@ final case class Graph(edges: DataFrame) {
     levels.reduce(_ union _).filter(col("hops") >= minHops)
   }
 
+  /** Multi-source closeness centrality: per root, the count of nodes
+    * reachable within `maxHops`, the sum of their BFS distances, and
+    * closeness = n_reached / sum_dist. ONE tagged lazy level chain
+    * serves every root simultaneously (level k = distinct
+    * (root, neighbor) pairs of level k-1 — the [[reachLevels]] shape
+    * with a root tag), so adding roots widens the frontier rows
+    * instead of multiplying BFS loops; MIN(hops) over the unioned
+    * levels recovers exact BFS distances without a visited-set
+    * anti-join. State is bounded by roots·|V| per level. */
+  def closeness(roots: Seq[Long], direction: String,
+      maxHops: Int): DataFrame = {
+    val e = oriented(direction).cp()
+    val ss = e.sparkSession
+    import ss.implicits._
+    val seed = roots.toDF("root")
+      .select(col("root"), col("root").as("node"), lit(0).as("hops"))
+    var levels = List(seed)
+    for (d <- 1 to maxHops) {
+      val f = levels.head.select("root", "node")
+      levels ::= f.join(e, f("node") === e("src"))
+        .select(col("root"), col("dst").as("node")).distinct()
+        .select(col("root"), col("node"), lit(d).as("hops"))
+    }
+    levels.reduce(_ union _)
+      .groupBy("root", "node").agg(min("hops").as("md"))
+      .groupBy("root")
+      .agg((count(lit(1)) - 1).as("n_reached"),
+        sum("md").as("sum_dist"),
+        round((count(lit(1)) - 1) /
+          nullif(sum("md"), lit(0)).cast("double"), 6).as("closeness"))
+  }
+
   /** Frontiers below this row count expand TWO BFS levels per job
     * (see [[shortestDistances]]): small enough that recomputing the
     * unmaterialized first level inside the second level's plan is

@@ -105,6 +105,31 @@ object GraphQueries {
       Graph.derived(t.orders).shortestPathCounts(0L, "out", maxHops = 4)
     },
 
+    // CLOSENESS centrality from pinned roots (the MATCH-family
+    // centrality analytics a graph extension serves; reference
+    // traversal core: executor/graph.go + graph_shortest.go). One
+    // tagged multi-root BFS level chain — roots widen frontier ROWS,
+    // not loop count — with MIN(hops) recovering exact distances.
+    // Oracle mirrors g_shortest's blessed UNION-distinct walk CTE
+    // with a root column.
+    Q("g_closeness", Some(s"""
+      $edgeCte, s(root) AS (
+        SELECT CAST(v AS BIGINT) FROM (VALUES (0), (7), (13)) t(v)),
+      w(root, node, d) AS (
+        SELECT root, root, 0 FROM s
+        UNION
+        SELECT w.root, e.dst, w.d + 1
+        FROM w JOIN e ON e.src = w.node WHERE w.d < 5),
+      m AS (SELECT root, node, MIN(d) AS md FROM w GROUP BY root, node)
+      SELECT root, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+             CAST(SUM(md) AS BIGINT) AS sum_dist,
+             ROUND((COUNT(*) - 1)
+                   / CAST(NULLIF(SUM(md), 0) AS DOUBLE), 6) AS closeness
+      FROM m GROUP BY root
+    """)) { t =>
+      Graph.derived(t.orders).closeness(Seq(0L, 7L, 13L), "out", maxHops = 5)
+    },
+
     // Edge-property predicate (GraphVariableSpec.Where on the edge
     // table): multiplicity-weighted edges, keep weight >= 2.
     Q("g_edges_filtered", Some("""

@@ -92,4 +92,25 @@ class GraphSpec extends SparkSpecBase {
     // Every survivor keeps >= k neighbors inside the core.
     assert(res.values.forall(_ >= 3) && res.nonEmpty)
   }
+
+  test("closeness: tagged multi-root chain equals per-root BFS") {
+    import org.apache.spark.sql.functions._
+    val g = graph.Graph.derived(t.orders)
+    val rows = Registry.all.find(_.name == "g_closeness").get.run(t)
+      .collect()
+      .map(r => r.getAs[Long]("root") ->
+        (r.getAs[Long]("n_reached"), r.getAs[Long]("sum_dist"),
+          r.getAs[Double]("closeness"))).toMap
+    assert(rows.keySet == Set(0L, 7L, 13L))
+    for (root <- Seq(0L, 7L, 13L)) {
+      val dists = g.shortestDistances(root, "out", maxHops = 5)
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Int]("dist"))
+      val n = dists.length - 1 // excluding the root itself
+      val sumD = dists.map(_._2.toLong).sum
+      val (gn, gs, gc) = rows(root)
+      assert(gn == n, s"root $root reach $gn vs BFS $n")
+      assert(gs == sumD)
+      assert(math.abs(gc - n.toDouble / sumD) < 1e-5)
+    }
+  }
 }
