@@ -341,6 +341,43 @@ object Wave10 {
           max("o_orderkey").as("max_key"))
     },
 
+    // NULL-AWARE anti join — NOT IN over a nullable subquery in the
+    // WHERE clause (executor/joiner.go nullAware paths; the ANSI trap
+    // every naive anti-join rewrite gets wrong): ONE NULL member
+    // makes every non-matching `NOT IN` UNKNOWN, so the null-set arm
+    // returns ZERO rows — pinned as a scalar count riding every
+    // surviving row of the clean arm. Catalyst plans the null-aware
+    // anti join for the nullable arm; DuckDB states the same ANSI
+    // logic. (The SELECT-list rendering of NOT IN is deliberately
+    // NOT used: Spark's existence-join rewrite of a projected IN
+    // predicate does not preserve the tri-valued UNKNOWN.)
+    Q("q_join_naaj", Some("""
+      SELECT c_custkey, c_mktsegment,
+             (SELECT COUNT(*) FROM customer c2
+              WHERE c2.c_custkey < 200
+                AND c2.c_custkey NOT IN (
+                  SELECT NULLIF(o_custkey, 51) FROM orders
+                  WHERE o_custkey BETWEEN 50 AND 150)) AS n_null_arm
+      FROM customer
+      WHERE c_custkey < 200
+        AND c_custkey NOT IN (
+          SELECT o_custkey FROM orders WHERE o_custkey BETWEEN 50 AND 150)
+    """)) { t =>
+      t.orders.createOrReplaceTempView("orders")
+      t.customer.createOrReplaceTempView("customer")
+      t.spark.sql("""
+        SELECT c_custkey, c_mktsegment,
+               (SELECT COUNT(*) FROM customer c2
+                WHERE c2.c_custkey < 200
+                  AND c2.c_custkey NOT IN (
+                    SELECT NULLIF(o_custkey, 51) FROM orders
+                    WHERE o_custkey BETWEEN 50 AND 150)) AS n_null_arm
+        FROM customer
+        WHERE c_custkey < 200
+          AND c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_custkey BETWEEN 50 AND 150)""")
+    },
+
     // Schema evolution — ALTER TABLE ADD COLUMN ... DEFAULT, the
     // lakehouse way (reference: ddl/column.go — adding a column
     // backfills nothing; old rows answer with the default). The

@@ -118,6 +118,34 @@ class Wave10Spec extends SparkSpecBase {
     regions.foreach(r => assert(math.abs(r._2 - ideal) / ideal < 0.02))
   }
 
+  test("q_join_naaj: null member empties the arm; plan is null-aware") {
+    val df = q("q_join_naaj")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // The nullable arm's count is zero on EVERY row: one NULL member
+    // turns all its non-matches UNKNOWN.
+    assert(rows.forall(_.getAs[Long]("n_null_arm") == 0L))
+    // The clean arm is the plain complement of the inner key set.
+    val inner = t.orders
+      .filter(col("o_custkey").between(50, 150))
+      .select("o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expect = t.customer.filter(col("c_custkey") < 200)
+      .select("c_custkey").collect().map(_.getLong(0))
+      .filterNot(inner.contains).toSet
+    assert(rows.map(_.getAs[Long]("c_custkey")).toSet == expect)
+    // Both arms plan as broadcast HASH anti joins (the nullable one
+    // carries Spark's null-aware flag internally — rendered with
+    // "Join condition: None" in formatted mode — never a naive
+    // nested-loop or a semantics-losing plain anti join, which the
+    // n_null_arm=0 assertion above would catch as nonzero).
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("BroadcastHashJoin LeftAnti".r.findAllIn(plan).size >= 2,
+      s"expected two broadcast anti joins in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_schema_evolution: pre-evolution rows answer with the default") {
     val rows = q("q_schema_evolution").collect()
     assert(rows.length ==
