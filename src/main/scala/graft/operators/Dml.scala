@@ -113,6 +113,29 @@ object Dml {
           "l_extendedprice")
     },
 
+    // DELETE ... ORDER BY ... LIMIT — the reference's bounded delete
+    // (executor/delete.go + the TiDB LIMIT-on-DML extension): retire
+    // exactly the N oldest rows under a total order. The doomed set
+    // is a TakeOrderedAndProject of KEYS ONLY (N rows — broadcasts at
+    // any fact size) anti-joined against the base; the fact is never
+    // sorted. This is the TTL/retention primitive: "purge the oldest
+    // 100" without a full-table ORDER BY.
+    Q("q_delete_limit", Some("""
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders
+      WHERE o_orderkey NOT IN (
+        SELECT o_orderkey FROM orders
+        ORDER BY o_orderdate, o_orderkey LIMIT 100)
+    """)) { t =>
+      val doomed = t.orders
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey").as("k"))
+      t.orders
+        .join(broadcast(doomed), col("o_orderkey") === col("k"), "left_anti")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    },
+
     // UPDATE as a snapshot rewrite (reference: executor/update.go —
     // single-table `UPDATE ... SET ... WHERE` and the multi-table
     // `UPDATE t1 JOIN t2 SET` form). An update-only MERGE: no insert

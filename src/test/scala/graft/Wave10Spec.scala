@@ -161,6 +161,18 @@ class Wave10Spec extends SparkSpecBase {
     }
   }
 
+  test("q_delete_limit: exactly the 100 oldest rows are gone") {
+    val survivors = q("q_delete_limit").collect()
+      .map(_.getAs[Long]("o_orderkey")).toSet
+    val all = t.orders.select("o_orderkey").collect()
+      .map(_.getLong(0)).toSet
+    assert(survivors.size == all.size - 100)
+    val oldest = t.orders
+      .orderBy(col("o_orderdate"), col("o_orderkey")).limit(100)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert((all -- survivors) == oldest)
+  }
+
   test("q_func_info: cursor-state scalars are live values, not pins") {
     val r = q("q_func_info").head()
     assert(r.getAs[Long]("found_rows") ==
