@@ -345,5 +345,64 @@ object EventQueries {
         .filter(col("n") >= 5 && col("sd") > 0 && abs(z) > 2.5)
         .select(col("event_id"), col("user_id"), round(z, 4).as("z"))
     },
+
+    // ROBUST anomaly flagging via median/MAD — e_zscore's outlier-
+    // resistant twin (mean/stddev are themselves dragged by the very
+    // outliers being hunted; median absolute deviation is not). Two
+    // per-user aggregation passes (median, then deviation median) —
+    // each a map-combined groupBy; the |users|-row stats tables ride
+    // AQE-broadcast joins back onto the stream. Exact interpolated
+    // medians on both engines (percentile / quantile_cont).
+    Q("e_mad", Some("""
+      WITH med AS (SELECT user_id, quantile_cont(value, 0.5) AS med,
+                          COUNT(*) AS n
+                   FROM events GROUP BY user_id),
+      mad AS (SELECT e.user_id,
+                     quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+              FROM events e JOIN med m USING (user_id)
+              GROUP BY e.user_id)
+      SELECT e.event_id, e.user_id,
+             ROUND(e.value, 4) AS value_r,
+             ROUND(m.med, 4) AS med_r, ROUND(d.mad, 4) AS mad_r
+      FROM events e JOIN med m USING (user_id) JOIN mad d USING (user_id)
+      WHERE m.n >= 5 AND ABS(e.value - m.med) > 3 * d.mad
+    """)) { t =>
+      val med = t.events.groupBy("user_id")
+        .agg(expr("percentile(value, 0.5)").as("med"),
+          count(lit(1)).as("n"))
+      val mad = t.events.join(med, "user_id")
+        .groupBy("user_id")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      t.events.join(med, "user_id").join(mad, "user_id")
+        .filter(col("n") >= 5 &&
+          abs(col("value") - col("med")) > lit(3) * col("mad"))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value_r"),
+          round(col("med"), 4).as("med_r"),
+          round(col("mad"), 4).as("mad_r"))
+    },
+
+    // Per-window top-k — the live-dashboard staple (top event types
+    // each hour). Counts shuffle once on (window, type) with map-side
+    // partials; the per-window rank runs the shared TopKPerGroup
+    // native shape (WindowGroupLimit cuts below the rank shuffle).
+    Q("e_window_topk", Some("""
+      WITH c AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT w_start, event_type, n, CAST(rn AS INT) AS rn
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY w_start
+                        ORDER BY n DESC, event_type) AS rn
+            FROM c)
+      WHERE rn <= 2
+    """)) { t =>
+      val c = t.events
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.TopKPerGroup.native(c, Seq(col("w_start")),
+        Seq(col("n").desc, col("event_type")), 2, "rn")
+    },
   )
 }

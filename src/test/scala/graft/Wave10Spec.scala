@@ -173,6 +173,45 @@ class Wave10Spec extends SparkSpecBase {
     assert((all -- survivors) == oldest)
   }
 
+  test("e_mad: flagged events really exceed 3 MADs from their median") {
+    val rows = q("e_mad").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("value_r") - r.getAs[Double]("med_r"))
+        > 3 * r.getAs[Double]("mad_r") - 1e-3)
+    }
+    // Spot-recompute one user end-to-end.
+    val u = rows.head.getAs[Long]("user_id")
+    val vals = t.events.filter(col("user_id") === u)
+      .select("value").collect().map(_.getDouble(0)).sorted
+    def medOf(a: Array[Double]): Double = {
+      val n = a.length
+      if (n % 2 == 1) a(n / 2) else (a(n / 2 - 1) + a(n / 2)) / 2
+    }
+    val med = medOf(vals)
+    val mad = medOf(vals.map(v => math.abs(v - med)).sorted)
+    val expect = vals.count(v => math.abs(v - med) > 3 * mad)
+    assert(rows.count(_.getAs[Long]("user_id") == u) == expect)
+  }
+
+  test("e_window_topk: top-2 event types per hour, counts exact") {
+    val rows = q("e_window_topk").collect()
+    assert(rows.nonEmpty)
+    val byW = rows.groupBy(_.getAs[java.sql.Timestamp]("w_start"))
+    byW.values.foreach(g => assert(g.length <= 2))
+    val counts = t.events
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("w"),
+        col("event_type")).count()
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("w"),
+        r.getAs[String]("event_type")) -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == counts(
+        (r.getAs[java.sql.Timestamp]("w_start"),
+          r.getAs[String]("event_type"))))
+    }
+  }
+
   test("q_func_info: cursor-state scalars are live values, not pins") {
     val r = q("q_func_info").head()
     assert(r.getAs[Long]("found_rows") ==
