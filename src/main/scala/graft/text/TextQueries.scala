@@ -409,6 +409,55 @@ object TextQueries {
           (avg(logp) > -7.0).cast("int").as("keep_lm"))
     },
 
+    // Code-vs-prose detection — the curation gate for code-data
+    // mixes (separate code from natural language before routing to
+    // different cleaning/tokenization paths). Pure map-side signal
+    // extraction: code-symbol density ({}();=<>), keyword hits, and
+    // the combined flag. The corpus is synthetic prose, so every 7th
+    // doc gets a deterministic code-like payload appended — both
+    // branches of the detector really fire, and both engines build
+    // the identical input.
+    Q("t_code_detect", Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN
+                 text || ' function f(x) { if (x > 0) { return x * 2; }'
+                      || ' var y = []; } // end'
+                 ELSE text END AS t2
+        FROM documents)
+      SELECT doc_id,
+             CAST(LENGTH(t2) - LENGTH(REGEXP_REPLACE(t2, '[{}();=<>\[\]]', '', 'g')) AS INT) AS n_sym,
+             ROUND((LENGTH(t2) - LENGTH(REGEXP_REPLACE(t2, '[{}();=<>\[\]]', '', 'g')))
+                   / CAST(LENGTH(t2) AS DOUBLE), 6) AS sym_ratio,
+             CAST(LEN(regexp_extract_all(t2, '\b(function|return|var|def|class|import)\b', 1)) AS INT) AS kw_hits,
+             CAST(LEN(regexp_extract_all(t2, '\b(function|return|var|def|class|import)\b', 1)) >= 2
+                  OR ROUND((LENGTH(t2) - LENGTH(REGEXP_REPLACE(t2, '[{}();=<>\[\]]', '', 'g')))
+                     / CAST(LENGTH(t2) AS DOUBLE), 6) > 0.02 AS INT) AS is_code
+      FROM d
+    """)) { t =>
+      val t2 = when(col("doc_id") % 7 === 0,
+        concat(col("text"),
+          lit(" function f(x) { if (x > 0) { return x * 2; }" +
+            " var y = []; } // end")))
+        .otherwise(col("text"))
+      val symRe = "[{}();=<>\\[\\]]"
+      // Doubled once for Scala, once more for the Spark SQL string
+      // literal inside expr() — the SQL parser consumes one level.
+      val kwRe = "\\\\b(function|return|var|def|class|import)\\\\b"
+      t.documents.select(col("doc_id"), t2.as("t2"))
+        .select(col("doc_id"),
+          (length(col("t2")) - length(regexp_replace(col("t2"), symRe, "")))
+            .cast("int").as("n_sym"),
+          round((length(col("t2")) -
+              length(regexp_replace(col("t2"), symRe, ""))) /
+            length(col("t2")).cast("double"), 6).as("sym_ratio"),
+          expr(s"size(regexp_extract_all(t2, '$kwRe', 1))").cast("int")
+            .as("kw_hits"))
+        .withColumn("is_code",
+          (col("kw_hits") >= 2 || col("sym_ratio") > 0.02).cast("int"))
+        .select("doc_id", "n_sym", "sym_ratio", "kw_hits", "is_code")
+    },
+
     // Dataset card — the per-source summary table every training-mix
     // decision reads (docs, language spread, length distribution,
     // token budget, corpus share). One hash aggregation on `source`

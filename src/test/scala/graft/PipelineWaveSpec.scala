@@ -120,6 +120,21 @@ class PipelineWaveSpec extends SparkSpecBase {
     assert(recall >= 0.3, s"recall $recall collapsed")
   }
 
+  test("t_code_detect: injected code docs flag, plain prose does not") {
+    val rows = q("t_code_detect").collect()
+    assert(rows.length == t.documents.count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 7 == 0) {
+        // The injected payload carries braces + >=2 keywords.
+        assert(r.getAs[Int]("is_code") == 1, s"code doc $id not flagged")
+        assert(r.getAs[Int]("kw_hits") >= 2)
+      }
+    }
+    // The detector discriminates: not everything is code.
+    assert(rows.exists(_.getAs[Int]("is_code") == 0))
+  }
+
   test("s_kmeans: partitions the corpus, deterministic, inertia improves") {
     val card = q("s_kmeans").collect()
     assert(card.map(_.getAs[Long]("n")).sum == t.embeddings.count())
