@@ -353,6 +353,44 @@ object AnnQueries {
         .select(col("label"), col("vec_id"), round(col("cos"), 4).as("cos_c"))
     },
 
+    // FILTERED vector search — ANN under a metadata predicate (the
+    // serving-side staple: "nearest neighbors WITHIN label L" /
+    // tenant / language). Pre-filtering beats post-filtering when the
+    // predicate is selective: the corpus scan applies the label
+    // filter FIRST (pushed to parquet), so the pair scoring touches
+    // only the qualifying slice — at 100 TB with a partitioned/
+    // bucketed label layout that's partition pruning, not a scan.
+    // Exact within the filtered slice → hash-oracled.
+    Q("s_ann_filtered", Some("""
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE label IN (2, 3)),
+      pairs AS (
+        SELECT qid, vec_id, label,
+               list_cosine_similarity(qv, v) AS cos
+        FROM q, c WHERE vec_id <> qid)
+      SELECT qid, vec_id, CAST(label AS INT) AS label,
+             ROUND(cos, 4) AS cos FROM (
+        SELECT qid, vec_id, label, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(cos, 8) DESC, vec_id) AS rn
+        FROM pairs) t
+      WHERE rn <= 5
+    """)) { t =>
+      val corpus = t.fan(t.embeddings.filter(col("label").isin(2, 3)))
+        .select(col("vec_id"), col("label").cast("int").as("label"),
+          toDouble(col("embedding")).as("v"))
+        .withColumn("nv", norm(col("v")))
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qv"))
+        .withColumn("nq", norm(col("qv")))
+      rerankTopK(corpus.crossJoin(broadcast(queries)), topk = 5,
+          dedup = false)
+        .join(corpus.select("vec_id", "label"), "vec_id")
+        .select("qid", "vec_id", "label", "cos")
+    },
+
     // K-MEANS clustering as a first-class analytics op (the corpus-
     // organization step before semantic dedup / stratified sampling /
     // topic balancing — SemDeDup-style pipelines cluster first, then

@@ -643,6 +643,34 @@ object DedupQueries {
           col("best_chars"))
     },
 
+    // Duplication-rate card — the dedup REPORT a curation run ends
+    // with (per source: docs, distinct contents, duplicate share —
+    // the number a data card publishes and a mix rebalancer reads).
+    // Two map-combined aggregations on 16-byte fingerprints: text
+    // never crosses an exchange, shuffle carries (source, fp) then
+    // |sources| rows.
+    Q("d_dup_stats", Some("""
+      WITH fp AS (SELECT source, MD5(text) AS fp FROM documents),
+      g AS (SELECT source, fp, COUNT(*) AS c FROM fp GROUP BY 1, 2)
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dups,
+             ROUND((SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE), 6)
+               AS dup_share
+      FROM g GROUP BY source
+    """)) { t =>
+      t.documents
+        .select(col("source"), md5(col("text").cast("binary")).as("fp"))
+        .groupBy("source", "fp").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          (sum("c") - count(lit(1))).as("n_dups"),
+          round((sum("c") - count(lit(1))) / sum("c").cast("double"), 6)
+            .as("dup_share"))
+    },
+
     // FUZZY entity-resolution join (record-linkage dedup of titles /
     // names — the edit-distance companion of the n-gram Jaccard
     // near-dup): candidate pairs are generated ONLY inside prefix

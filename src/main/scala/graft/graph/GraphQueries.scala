@@ -105,6 +105,23 @@ object GraphQueries {
       Graph.derived(t.orders).shortestPathCounts(0L, "out", maxHops = 4)
     },
 
+    // Degree DISTRIBUTION — the graph summary card (how many
+    // vertices have out-degree d; the first diagnostic of any graph
+    // workload: skew, hubs, scale-free shape). Two map-combined
+    // aggregations; shuffle carries |V| then |distinct degrees| rows.
+    Q("g_degree_dist", Some(s"""
+      $edgeCte, d AS (
+        SELECT src, COUNT(*) AS deg FROM e GROUP BY src)
+      SELECT CAST(deg AS INT) AS out_deg,
+             CAST(COUNT(*) AS BIGINT) AS n_vertices
+      FROM d GROUP BY deg
+    """)) { t =>
+      Graph.derived(t.orders).oriented("out")
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg").cast("int").as("out_deg"))
+        .agg(count(lit(1)).as("n_vertices"))
+    },
+
     // CLOSENESS centrality from pinned roots (the MATCH-family
     // centrality analytics a graph extension serves; reference
     // traversal core: executor/graph.go + graph_shortest.go). One

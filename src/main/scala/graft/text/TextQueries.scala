@@ -409,6 +409,37 @@ object TextQueries {
           (avg(logp) > -7.0).cast("int").as("keep_lm"))
     },
 
+    // Corpus n-gram frequency table — the vocabulary/statistics
+    // artifact every tokenizer build and contamination screen starts
+    // from (top word bigrams corpus-wide). Map-side bigram explode →
+    // ONE map-combined count shuffle (the bigram is the key, text
+    // never moves) → global top-20 via TakeOrdered. At 100 TB the
+    // count table is the artifact; the top-k cut is free.
+    Q("t_ngram_freq", Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+                 LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')
+               AS ws
+        FROM documents),
+      bg AS (
+        SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+        FROM w, UNNEST(generate_series(1, LEN(ws) - 1)) AS g(i))
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bg GROUP BY bigram
+      ORDER BY n DESC, bigram LIMIT 20
+    """)) { t =>
+      val ws = split(TextFns.normalize(col("text")), " ")
+      t.fan(t.documents)
+        .select(col("doc_id"), ws.as("ws"))
+        .select(explode(expr(
+          "CASE WHEN size(ws) >= 2 THEN transform(" +
+            "sequence(1, size(ws) - 1), " +
+            "i -> concat(ws[i - 1], ' ', ws[i])) " +
+            "ELSE array() END")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20)
+    },
+
     // Code-vs-prose detection — the curation gate for code-data
     // mixes (separate code from natural language before routing to
     // different cleaning/tokenization paths). Pure map-side signal

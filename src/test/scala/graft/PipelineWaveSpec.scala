@@ -135,6 +135,76 @@ class PipelineWaveSpec extends SparkSpecBase {
     assert(rows.exists(_.getAs[Int]("is_code") == 0))
   }
 
+  test("s_ann_filtered: neighbors all satisfy the predicate, exact in-slice") {
+    val rows = q("s_ann_filtered").collect()
+    assert(rows.length == 25) // 5 queries × top-5
+    assert(rows.forall(r => Set(2, 3).contains(r.getAs[Int]("label"))))
+    // Exactness within the slice: the top-1 for query 0 beats every
+    // other in-slice candidate (spot-check against a recompute).
+    val e = t.embeddings.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("label"), r.getAs[Seq[Float]]("embedding").toArray))
+      .toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qv = e(0L)._2
+    val best = e.filter { case (id, (l, _)) => id != 0L && (l == 2 || l == 3) }
+      .map { case (id, (_, v)) => id -> cos(qv, v) }
+      .maxBy { case (id, c) => (math.rint(c * 1e8) / 1e8, -id) }
+    assert(rows.filter(_.getAs[Long]("qid") == 0L)
+      .map(_.getAs[Long]("vec_id")).contains(best._1))
+  }
+
+  test("d_dup_stats: per-source rates reconcile with raw fingerprints") {
+    val rows = q("d_dup_stats").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == t.documents.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dups") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_distinct"))
+      assert(r.getAs[Double]("dup_share") >= 0 &&
+        r.getAs[Double]("dup_share") < 1)
+    }
+    val src = rows.head.getAs[String]("source")
+    val docs = t.documents.filter(col("source") === src)
+    assert(rows.find(_.getAs[String]("source") == src).get
+      .getAs[Long]("n_distinct") ==
+      docs.select(md5(col("text").cast("binary"))).distinct().count())
+  }
+
+  test("t_ngram_freq: top bigram count matches a recount") {
+    val rows = q("t_ngram_freq").collect()
+    assert(rows.length == 20)
+    val top = rows.maxBy(_.getAs[Long]("n"))
+    val Array(w1, w2) = top.getAs[String]("bigram").split(" ")
+    val recount = t.documents
+      .select(split(graft.functions.TextFns.normalize(col("text")), " ")
+        .as("ws"))
+      .collect().map { r =>
+        val ws = r.getSeq[String](0)
+        ws.sliding(2).count(p => p.length == 2 && p(0) == w1 && p(1) == w2)
+      }.sum
+    assert(top.getAs[Long]("n") == recount)
+    // Descending, total order.
+    val ns = rows.sortBy(_.getAs[String]("bigram")).map(_.getAs[Long]("n"))
+    assert(rows.map(_.getAs[Long]("n")).max == ns.max)
+  }
+
+  test("g_degree_dist: distribution reconciles with the edge list") {
+    val rows = q("g_degree_dist").collect()
+    val e = graph.Graph.derived(t.orders).oriented("out")
+    assert(rows.map(r =>
+      r.getAs[Int]("out_deg").toLong * r.getAs[Long]("n_vertices")).sum ==
+      e.count())
+    assert(rows.map(_.getAs[Long]("n_vertices")).sum ==
+      e.select("src").distinct().count())
+  }
+
   test("s_kmeans: partitions the corpus, deterministic, inertia improves") {
     val card = q("s_kmeans").collect()
     assert(card.map(_.getAs[Long]("n")).sum == t.embeddings.count())
