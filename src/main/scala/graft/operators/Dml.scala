@@ -113,6 +113,64 @@ object Dml {
           "l_extendedprice")
     },
 
+    // Full MERGE INTO — all three arms in one pass (WHEN MATCHED
+    // UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT; the
+    // lakehouse superset of q_upsert's update+insert and q_delete's
+    // delete). ONE co-partitioned full-outer join of snapshot ×
+    // staged batch, then a conditional projection routes every row:
+    // matched+D drops, matched+U takes the update, unmatched-source
+    // inserts, everything else passes through. The staged batch is
+    // tiny vs the fact (AQE broadcasts it); the fact flows exactly
+    // once, no per-arm re-scan. The oracle states the same routing
+    // declaratively.
+    Q("q_merge_into", Some("""
+      WITH stage AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS act,
+               CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(1.1 AS DECIMAL(2,1)), 2) AS DECIMAL(18,2))
+                    AS DOUBLE) AS new_price
+        FROM orders WHERE o_orderkey % 97 = 0 OR o_orderkey % 7 = 0
+        UNION ALL
+        SELECT (SELECT MAX(o_orderkey) FROM orders) + s AS k, 'I',
+               CAST(1000 + s AS DOUBLE)
+        FROM UNNEST(generate_series(1, 50)) AS t(s))
+      SELECT COALESCE(o.o_orderkey, st.k) AS o_orderkey,
+             CAST(CASE WHEN st.act IN ('U', 'I') THEN st.new_price
+                       ELSE o.o_totalprice END AS DOUBLE) AS o_totalprice,
+             CASE WHEN st.act = 'U' THEN 'updated'
+                  WHEN st.act = 'I' THEN 'inserted'
+                  ELSE 'kept' END AS merge_action
+      FROM orders o FULL JOIN stage st ON o.o_orderkey = st.k
+      WHERE st.act IS NULL OR st.act <> 'D'
+    """)) { t =>
+      val base = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+      val maxK = t.orders.agg(max("o_orderkey").as("mx"))
+      val changes = t.orders
+        .filter(col("o_orderkey") % 97 === 0 || col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 97 === 0, "D").otherwise("U").as("act"),
+          // Decimal-exact price bump (double ROUND(x*1.1) is
+          // half-way-unstable across engines — see Exact.scala).
+          expr("cast(cast(round(cast(o_totalprice as decimal(18,2)) " +
+            "* cast(1.1 as decimal(2,1)), 2) as decimal(18,2)) as double)")
+            .as("new_price"))
+      val inserts = t.spark.range(1, 51)
+        .crossJoin(broadcast(maxK))
+        .select((col("mx") + col("id")).as("k"), lit("I").as("act"),
+          (lit(1000.0) + col("id")).as("new_price"))
+      val staged = changes.union(inserts)
+      base.join(staged, col("o_orderkey") === col("k"), "full_outer")
+        .filter(col("act").isNull || col("act") =!= "D")
+        .select(coalesce(col("o_orderkey"), col("k")).as("o_orderkey"),
+          when(col("act") === "U" || col("act") === "I", col("new_price"))
+            .otherwise(col("o_totalprice")).cast("double")
+            .as("o_totalprice"),
+          when(col("act") === "U", "updated")
+            .when(col("act") === "I", "inserted")
+            .otherwise("kept").as("merge_action"))
+    },
+
     // DELETE ... ORDER BY ... LIMIT — the reference's bounded delete
     // (executor/delete.go + the TiDB LIMIT-on-DML extension): retire
     // exactly the N oldest rows under a total order. The doomed set

@@ -161,6 +161,25 @@ class Wave10Spec extends SparkSpecBase {
     }
   }
 
+  test("q_merge_into: all three arms route correctly in one pass") {
+    val rows = q("q_merge_into").collect()
+    val byAction = rows.groupBy(_.getAs[String]("merge_action"))
+      .map { case (k, v) => k -> v.length }
+    val nOrders = t.orders.count()
+    val nDel = t.orders.filter(col("o_orderkey") % 97 === 0).count()
+    val nUpd = t.orders.filter(col("o_orderkey") % 7 === 0 &&
+      col("o_orderkey") % 97 =!= 0).count()
+    assert(byAction("inserted") == 50)
+    assert(byAction("updated") == nUpd)
+    assert(byAction("kept") == nOrders - nDel - nUpd)
+    // Deleted keys are truly gone from the surviving base rows.
+    assert(rows.filter(_.getAs[String]("merge_action") != "inserted")
+      .forall(_.getAs[Long]("o_orderkey") % 97 != 0))
+    val mx = t.orders.agg(max("o_orderkey")).head.getLong(0)
+    assert(rows.filter(_.getAs[String]("merge_action") == "inserted")
+      .forall(_.getAs[Long]("o_orderkey") > mx))
+  }
+
   test("q_delete_limit: exactly the 100 oldest rows are gone") {
     val survivors = q("q_delete_limit").collect()
       .map(_.getAs[Long]("o_orderkey")).toSet
