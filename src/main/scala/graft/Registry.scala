@@ -26,6 +26,7 @@ object Registry {
     operators.Wave8.all,
     operators.Wave9.all,
     operators.Wave10.all,
+    operators.Wave11.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,

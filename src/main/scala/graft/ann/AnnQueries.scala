@@ -417,5 +417,89 @@ object AnnQueries {
           round(sqrt(max("cc")), 4).as("centroid_norm"))
         .orderBy("cell")
     },
+
+    // RANGE (radius) search — top-k's fixed-threshold sibling: ALL
+    // corpus vectors with cosine ≥ τ of each query, the shape behind
+    // "find every near-duplicate of this document" and recall-set
+    // construction. Same no-shuffle scan as s_ann_brute (queries
+    // broadcast, corpus streamed once, per-row filter — no window at
+    // all, so it's strictly cheaper than top-k); at 100 TB the
+    // LSH/IVF buckets in this file prune the scan the same way. The
+    // threshold compares on round(c, 8) on BOTH engines so a pair
+    // sitting within float-noise of τ cannot flip membership.
+    Q("s_ann_range", Some("""
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 5),
+      pairs AS (
+        SELECT qid, vec_id,
+               list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) AS c
+        FROM q, embeddings WHERE vec_id <> qid)
+      SELECT qid, vec_id, ROUND(c, 4) AS cos
+      FROM pairs WHERE ROUND(c, 8) >= 0.25
+    """)) { t =>
+      val corpus = vecs(t)
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qv"))
+        .withColumn("nq", norm(col("qv")))
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("c"))
+        .filter(round(col("c"), 8) >= 0.25)
+        .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))
+    },
+
+    // MAX-INNER-PRODUCT search (MIPS) — retrieval's other metric:
+    // recommendation and reranking models score by raw dot product,
+    // where a vector's own magnitude matters (cosine deliberately
+    // erases it). Same broadcast-queries × one-corpus-scan shape as
+    // s_ann_brute; at scale the standard norm-augmentation reduction
+    // maps MIPS onto the cosine LSH/IVF buckets in this file. Ranking
+    // key round(dot, 8) + vec_id, same float-noise fence as the
+    // cosine entries.
+    Q("s_ann_dot", Some("""
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      pairs AS (
+        SELECT qid, vec_id,
+               list_dot_product(qv, CAST(embedding AS DOUBLE[])) AS d
+        FROM q, embeddings WHERE vec_id <> qid)
+      SELECT qid, vec_id, ROUND(d, 4) AS dp FROM (
+        SELECT qid, vec_id, d,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(d, 8) DESC, vec_id) AS rn
+        FROM pairs) t
+      WHERE rn <= 5
+    """)) { t =>
+      val corpus = t.fan(t.embeddings)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val queries = t.embeddings.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qv"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+        .orderBy(round(col("d"), 8).desc, col("vec_id"))
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), dot(col("qv"), col("v")).as("d"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), round(col("d"), 4).as("dp"))
+    },
+
+    // PCA scores along the corpus's top principal component — the
+    // embedding-quality staple (outlier axes, anisotropy checks,
+    // whitening prep). Distributed covariance WITHOUT collecting
+    // vectors: each vector contributes its centered outer product via
+    // a self-join of its exploded dims — map-side-combined into at
+    // most 64×65/2 (i,j) cells no matter the corpus size (the same
+    // (key, dim)-cell trick as s_embed_centroid, one dim wider). The
+    // 2080-cell matrix collects to the driver (O(1), like the graph
+    // loops' convergence scalars) for 50 power-iteration steps on a
+    // 64-vector; scores = broadcast pc1 · centered v, one map-side
+    // pass. Sign fixed by the first nonzero component. Engine-
+    // specific float reduction order → rows-only; the spec pins the
+    // known principal axis on constructed data and the eigenvalue
+    // dominance on the corpus.
+    Q("s_embed_pca", None) { t =>
+      Pca.scores(t)
+    },
   )
 }

@@ -769,5 +769,56 @@ object DedupQueries {
         .agg(min("cell").as("cell"), round(max("c"), 4).as("cos"))
         .select(col("cell"), col("id1"), col("id2"), col("cos"))
     },
+
+    // EXACT repeated-substring detection by content-defined anchors
+    // (winnowing) — the substring-granular sibling of d_dedup_lines,
+    // after the suffix-array exact-substring dedup of the dedup
+    // literature, re-expressed shuffle-friendly. Every 24-char gram
+    // is hashed IN-ROW (one HOF over the doc, no per-position rows
+    // in any exchange); a gram is an ANCHOR iff its own hash starts
+    // with hex '0' — content-defined, so the same substring anchors
+    // at the same relative offsets in every doc that contains it,
+    // regardless of alignment (the fix for why strided shingles miss
+    // cross-doc repeats). Only the ~1/16 anchor fingerprints (16-byte
+    // md5, identical on both engines) ever shuffle; the dup test is
+    // one groupBy(fp) distinct-doc count. Output: per doc, how many
+    // of its anchors also occur verbatim elsewhere — the span-level
+    // duplication profile driving trim/drop decisions.
+    Q("d_substring_dup", Some("""
+      WITH pos AS (
+        SELECT doc_id,
+               unnest(generate_series(1, length(text) - 23)) AS p,
+               text
+        FROM documents WHERE length(text) >= 24),
+      a AS (SELECT doc_id, md5(substr(text, p, 24)) AS fp
+            FROM pos WHERE substr(md5(substr(text, p, 24)), 1, 1) = '0'),
+      d AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM a GROUP BY fp)
+      SELECT a.doc_id, COUNT(*) AS n_anchors,
+             COUNT(*) FILTER (d.nd >= 2) AS dup_anchors
+      FROM a JOIN d USING (fp) GROUP BY a.doc_id
+    """)) { t =>
+      val anchors = winnowAnchors(t.fan(t.documents))
+      val dupFp = anchors.groupBy("fp")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      anchors.join(dupFp, "fp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_anchors"),
+          count(when(col("nd") >= 2, lit(1))).as("dup_anchors"))
+    },
   )
+
+  /** Content-defined 24-gram anchors of `docs(doc_id, text)`: every
+    * position's gram is md5'd in-row; grams whose hash starts with
+    * hex '0' are the anchors (≈1/16 of positions, offset-invariant).
+    * docs shorter than the gram are excluded on BOTH engines —
+    * Spark's sequence(1, 0) is a DESCENDING two-element sequence,
+    * not empty like DuckDB's generate_series. */
+  def winnowAnchors(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(length(col("text")) >= 24)
+      .select(col("doc_id"), explode(expr(
+        """filter(
+             transform(sequence(1, length(text) - 23),
+                       p -> md5(substring(text, p, 24))),
+             h -> substring(h, 1, 1) = '0')""")).as("fp"))
 }

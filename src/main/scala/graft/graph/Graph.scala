@@ -394,6 +394,125 @@ final case class Graph(edges: DataFrame) {
     labels
   }
 
+  /** Community detection by synchronous label propagation (LPA), the
+    * bounded-iteration workhorse for community structure where CC is
+    * too coarse (CC merges everything touching; LPA keeps densely-
+    * linked clusters apart). Fully deterministic: every round, each
+    * vertex adopts its neighbors' most frequent label, ties broken by
+    * the smallest label — an argmin over (-count, label), so the same
+    * graph always yields the same communities (classic LPA's random
+    * tie-breaks would be un-oracle-able). Fixed `iters` rounds, no
+    * convergence test — synchronous LPA can 2-cycle on bipartite-ish
+    * structures, so a bounded unrolled run IS the semantics (and what
+    * the unrolled SQL oracle reproduces). Scale: per round, one
+    * (node, lbl) count with map-side partials (key space bounded by
+    * Σdeg) and one per-node min_by agg — state is |V| rows, nothing
+    * wider than an edge shuffles, hub vertices are safe because label
+    * counts combine map-side before the exchange. */
+  def labelPropagation(iters: Int): DataFrame = {
+    val und = oriented("both").cp()
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      labels = und.as("E").join(labels.as("L"), expr("E.dst = L.node"))
+        .groupBy(col("E.src").as("node"), col("L.lbl").as("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(expr("min_by(lbl, struct(-cnt, lbl))").as("lbl"))
+        .cp()
+    }
+    labels
+  }
+
+  /** Strongly connected components of the DIRECTED graph — CC's
+    * direction-aware sibling (a cycle is an SCC; a DAG is all
+    * singletons). Distributed trim + forward/backward min-label
+    * coloring, the FW-BW/coloring family of the distributed-SCC
+    * literature re-expressed as DataFrame loops:
+    *
+    *  1. TRIM: a node with no in-edge or no out-edge in the live
+    *     subgraph can't sit on a cycle → singleton SCC; peel to
+    *     fixpoint (each round = one degree agg + two semi-joins,
+    *     |E|-bounded like kCore's peel).
+    *  2. COLOR: propagate the min node id FORWARD along edges to a
+    *     fixpoint (directed twin of connectedComponents' loop), and
+    *     BACKWARD along reversed edges. F(v) = min over ancestors
+    *     ∪ {v}, B(v) = min over descendants ∪ {v}.
+    *  3. EXTRACT: F(v) = B(v) = c means c reaches v AND v reaches c
+    *     → SCC(c) found (all of SCC(c) satisfies it, since members
+    *     share ancestor and descendant sets). The SCC of the
+    *     globally-smallest live node always extracts, so every
+    *     round removes ≥ 1 SCC — termination is guaranteed, and on
+    *     the dense derived graphs the giant SCC falls in round one.
+    *
+    * State is one (node, label) row per live vertex; every loop body
+    * is map-combined aggs + co-partitioned joins, nothing wider than
+    * an edge shuffles, and the only driver-side values are the
+    * convergence scalars — same contract as the other graph loops.
+    * Deterministic (min is order-free) → exactly reproducible by the
+    * transitive-closure oracle. */
+  def stronglyConnectedComponents(): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var live = edges.select("src", "dst").distinct().cp()
+    var result: DataFrame = Seq.empty[(Long, Long)].toDF("node", "scc")
+    var nodes = live.select(col("src").as("node"))
+      .union(live.select(col("dst").as("node"))).distinct().cp()
+    var nLive = nodes.count()
+    while (nLive > 0) {
+      // 1. trim to fixpoint
+      var trimming = true
+      while (trimming && nLive > 0) {
+        val both = live.select(col("src").as("node")).distinct()
+          .intersect(live.select(col("dst").as("node")).distinct())
+        val keep = nodes.join(both, Seq("node"), "left_semi").cp()
+        val nKeep = keep.count()
+        if (nKeep == nLive) trimming = false
+        else {
+          result = result.union(nodes.join(both, Seq("node"), "left_anti")
+            .select(col("node"), col("node").as("scc")))
+          nodes = keep
+          live = live
+            .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .cp()
+          nLive = nKeep
+        }
+      }
+      if (nLive > 0) {
+        // 2. min-label coloring, both directions
+        def minReach(e: DataFrame): DataFrame = {
+          var lbl = nodes.select(col("node"), col("node").as("m"))
+          var prevSum = lbl.agg(sum("m")).head().getLong(0)
+          var done = false
+          while (!done) {
+            val next = lbl.as("L").join(e.as("E"), expr("L.node = E.src"))
+              .select(col("E.dst").as("node"), col("L.m").as("m"))
+              .union(lbl)
+              .groupBy("node").agg(min("m").as("m")).cp()
+            val s = next.agg(sum("m")).head().getLong(0)
+            done = s == prevSum; prevSum = s; lbl = next
+          }
+          lbl
+        }
+        val f = minReach(live)
+        val b = minReach(live.select(col("dst").as("src"),
+          col("src").as("dst")))
+        val found = f.join(b.withColumnRenamed("m", "mb"), "node")
+          .filter(col("m") === col("mb"))
+          .select(col("node"), col("m").as("scc")).cp()
+        result = result.union(found)
+        nodes = nodes.join(found.select("node"), Seq("node"), "left_anti").cp()
+        live = live
+          .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .cp()
+        nLive = nodes.count()
+      }
+    }
+    result
+  }
+
   /** k-core: the maximal subgraph where every vertex keeps at least k
     * (distinct undirected) neighbors, by iterative peeling — drop
     * all vertices below k, recompute degrees, repeat. The peel is

@@ -364,6 +364,41 @@ object GraphQueries {
         .limit(20)
         .select(col("a"), col("b"), round(col("j"), 4).as("jac"))
     },
+
+    // Strongly connected components — the directed-cycle structure
+    // (tigraph MATCH over directed edges implies users ask "what's
+    // mutually reachable"). Engine: distributed trim + FW-BW min-
+    // coloring (Graph.stronglyConnectedComponents has the loop
+    // invariants). Oracle: the definition itself — transitive
+    // closure, then scc(v) = min over {v} ∪ {u : v→+u ∧ u→+v} —
+    // tractable because the derived graph's node space is mod-1000.
+    Q("g_scc", Some(s"""
+      $edgeCte,
+      r(a, b) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b),
+      nodes AS (SELECT DISTINCT src AS node FROM (
+        SELECT src FROM e UNION ALL SELECT dst AS src FROM e) z),
+      mutual AS (SELECT x.a AS v, x.b AS u
+                 FROM r x JOIN r y ON x.a = y.b AND x.b = y.a)
+      SELECT n.node,
+             CAST(LEAST(n.node, COALESCE(MIN(m.u), n.node)) AS BIGINT)
+               AS scc
+      FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+      GROUP BY n.node
+    """)) { t =>
+      Graph.derived(t.orders).stronglyConnectedComponents()
+    },
+
+    // Community detection by deterministic synchronous LPA (4 rounds;
+    // Graph.labelPropagation has the tie-break + scale rationale).
+    // The oracle unrolls the same four argmin-over-(-count,label)
+    // rounds and compares the FULL per-vertex assignment (|V| rows —
+    // mod-1000 node ids keep it tiny at any SF).
+    Q("g_lpa", Some(lpaOracle(4))) { t =>
+      Graph.derived(t.orders).labelPropagation(iters = 4)
+    },
   )
 
   /** Per-source degree-capped edge list (the `cap` smallest dsts,
@@ -467,6 +502,36 @@ object GraphQueries {
       $stages
       SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
       FROM e$rounds GROUP BY src
+    """
+  }
+
+  /** Unrolled synchronous-LPA oracle: round i adopts each vertex's
+    * most frequent round-(i-1) neighbor label, smallest label on
+    * ties (ROW_NUMBER over cnt DESC, lbl — the SQL spelling of the
+    * engine's min_by(lbl, struct(-cnt, lbl))). Plain WITH +
+    * MATERIALIZED like kCoreOracle: nothing recurses, and each
+    * stage must evaluate exactly once. */
+  private def lpaOracle(iters: Int): String = {
+    val stages = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (
+        SELECT node, lbl FROM (
+          SELECT c.node, c.lbl,
+                 ROW_NUMBER() OVER (PARTITION BY c.node
+                                    ORDER BY c.cnt DESC, c.lbl) AS rn
+          FROM (SELECT u.src AS node, p.lbl, COUNT(*) AS cnt
+                FROM u JOIN l${i - 1} p ON p.node = u.dst
+                GROUP BY u.src, p.lbl) c) t
+        WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst
+        FROM orders),
+      u AS MATERIALIZED (
+        SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM u),
+      $stages
+      SELECT node, lbl FROM l$iters
     """
   }
 

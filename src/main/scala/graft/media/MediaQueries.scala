@@ -171,6 +171,50 @@ object MediaQueries {
         .select(col("a"), col("b"), col("common"),
           round(jac, 4).as("jac"))
     },
+
+    // MEDIA QUALITY GATE — the metadata-driven keep/drop filter every
+    // multimodal curation pipeline runs right after decode (too-small
+    // images, degenerate aspect ratios, trivial/runaway durations).
+    // Works purely on the decoded-metadata columns (the stub
+    // arithmetic, declaratively mirrored), so on a cluster it is a
+    // map-side projection over the decode output with the SAME gate
+    // expressions — no shuffle, and the first-failing-rule reason
+    // uses one CASE chain that codegen folds into the scan. Emits
+    // every doc with its verdict (not just survivors): the reject
+    // histogram is the curation dashboard's first chart.
+    Q("m_media_quality", Some("""
+      WITH m AS (
+        SELECT doc_id, n_bytes,
+               64 + n_bytes % 512 AS width,
+               64 + (n_bytes * 7) % 512 AS height,
+               1 + CAST(FLOOR(n_bytes / 1000.0) AS INT) AS n_frames
+        FROM (SELECT doc_id,
+                     CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes
+              FROM documents) t)
+      SELECT doc_id, width, height, n_frames,
+             CASE WHEN width < 128 OR height < 128 THEN 'too_small'
+                  WHEN width > 4.0 * height OR height > 4.0 * width
+                       THEN 'bad_aspect'
+                  WHEN n_bytes < 120 THEN 'too_short'
+                  ELSE 'ok' END AS verdict
+      FROM m
+    """)) { t =>
+      val nBytes = length(encode(col("text"), "UTF-8")).cast("int")
+      t.documents
+        .select(col("doc_id"), nBytes.as("n_bytes"))
+        .select(col("doc_id"),
+          (lit(64) + col("n_bytes") % 512).as("width"),
+          (lit(64) + (col("n_bytes") * 7) % 512).as("height"),
+          (lit(1) + floor(col("n_bytes") / 1000.0).cast("int"))
+            .as("n_frames"),
+          col("n_bytes"))
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          when(col("width") < 128 || col("height") < 128, "too_small")
+            .when(col("width") > lit(4.0) * col("height") ||
+              col("height") > lit(4.0) * col("width"), "bad_aspect")
+            .when(col("n_bytes") < 120, "too_short")
+            .otherwise("ok").as("verdict"))
+    },
   )
 
   /** ≤4 uniformly spaced 64-byte frames per document, fingerprinted

@@ -404,5 +404,64 @@ object EventQueries {
       graft.operators.TopKPerGroup.native(c, Seq(col("w_start")),
         Seq(col("n").desc, col("event_type")), 2, "rn")
     },
+
+    // SLIDING (hopping) windows — the overlapping twin of
+    // e_window_agg's tumbling windows: a 24 h window advancing every
+    // 6 h, so each event lands in exactly 4 windows (the moving-
+    // average shape dashboards ask for). Spark's window(ts, len,
+    // slide) materializes the window memberships map-side — the
+    // shuffle carries (window, type) aggregates, never 4× the events
+    // — and the same plan is the streaming windowed-agg under a
+    // watermark. The oracle expands the 4 memberships explicitly:
+    // starts = time_bucket(6h) − k·6h, k ∈ 0..3.
+    Q("e_window_slide", Some("""
+      SELECT CAST(time_bucket(INTERVAL '6 hours', ts)
+                  - k.k * INTERVAL '6 hours' AS TIMESTAMP) AS w_start,
+             event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sv
+      FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+      GROUP BY 1, 2
+    """)) { t =>
+      t.events
+        .groupBy(window(col("ts"), "1 day", "6 hours")
+          .getField("start").as("w_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+    },
+
+    // OHLC downsampling — the canonical time-series compaction (one
+    // candle per series per day: open/high/low/close/volume). A raw
+    // 100 TB event firehose becomes a dashboard-sized table in ONE
+    // map-side-combined aggregation: min_by/max_by carry (value,
+    // order-key) pairs through the partial aggregates, so open/close
+    // need no window, no sort, no second pass — the shuffle moves one
+    // row per (day, type) per map task, never per event. Ties on ts
+    // are broken by event_id via struct ordering so the candle is
+    // deterministic under any row order (DuckDB mirrors with a
+    // composite ROW_NUMBER). Turnover rounded: a float sum's last
+    // bits depend on reduction order.
+    Q("e_ohlc", Some("""
+      WITH r AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 day', ts), event_type
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 day', ts), event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events)
+      SELECT CAST(day AS TIMESTAMP) AS w_start, event_type,
+             MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+             MAX(value) AS high, MIN(value) AS low,
+             MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+             COUNT(*) AS volume, ROUND(SUM(value), 4) AS turnover
+      FROM r GROUP BY 1, 2
+    """)) { t =>
+      t.events
+        .groupBy(window(col("ts"), "1 day").getField("start").as("w_start"),
+          col("event_type"))
+        .agg(
+          expr("min_by(value, struct(ts, event_id))").as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          expr("max_by(value, struct(ts, event_id))").as("close"),
+          count(lit(1)).as("volume"),
+          round(sum(col("value")), 4).as("turnover"))
+    },
   )
 }

@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Session-3 wave: JSON_TABLE round trip, OHLC candles, LPA
+  * communities, winnowed substring dup, media quality gate, ANN
+  * radius search, PCA scores. */
+class Wave11Spec extends SparkSpecBase {
+
+  private def q(name: String) =
+    Registry.all.find(_.name == name).get.run(t)
+
+  test("q_json_table: nest→shred round trip reproduces the rows in order") {
+    val got = q("q_json_table").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("ord")) ->
+        (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+          r.getAs[Double]("value"))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val want = t.events.filter(col("user_id") < 40)
+      .withColumn("ord", row_number().over(w)).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("ord")) ->
+        (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+          r.getAs[Double]("value"))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("e_ohlc: candle invariants and windowed open/close parity") {
+    val rows = q("e_ohlc").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h); assert(l <= c && c <= h)
+      assert(r.getAs[Long]("volume") > 0)
+    }
+    // open/close agree with the explicit first/last-row formulation.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(date_trunc("day", col("ts")), col("event_type"))
+      .orderBy("ts", "event_id")
+    val first = t.events
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(date_trunc("day", col("ts")).as("w_start"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    rows.foreach { r =>
+      val k = (r.getTimestamp(0), r.getString(1))
+      assert(math.abs(first(k) - r.getAs[Double]("open")) < 1e-9)
+    }
+  }
+
+  test("g_lpa: deterministic, |V|-complete, and splits a barbell") {
+    val a = q("g_lpa").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = q("g_lpa").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    val nV = graph.Graph.derived(t.orders).oriented("both")
+      .select("src").distinct().count()
+    assert(a.size == nV)
+    // Two triangles bridged by one edge: LPA keeps them as two
+    // communities (CC would merge them).
+    import spark.implicits._
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L)).toDF("src", "dst")
+    val lbl = graph.Graph(e).labelPropagation(iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(lbl(0L), lbl(1L)) == Set(0L))
+    assert(lbl(11L) == lbl(12L))
+    assert(lbl(0L) != lbl(11L))
+  }
+
+  test("d_substring_dup: anchors bound dups; identical docs fully flagged") {
+    val rows = q("d_substring_dup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_anchors") <= r.getAs[Long]("n_anchors"))
+    }
+    // Offset invariance — the property strided shingles lack: doc B
+    // embeds doc A's text at an arbitrary byte offset, and every one
+    // of A's anchors must reappear among B's (content-defined anchor
+    // positions don't care about alignment).
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val docs = Seq((1L, base), (2L, "XYZ! unrelated prefix 0123 " + base))
+      .toDF("doc_id", "text")
+    val byId = dedup.DedupQueries.winnowAnchors(docs).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) =>
+        k -> v.map(_.getString(1)).toSet }
+    assert(byId(1L).nonEmpty)
+    assert(byId(1L).subsetOf(byId(2L)))
+  }
+
+  test("m_media_quality: verdict matches recomputed metadata gates") {
+    val rows = q("m_media_quality").collect()
+    assert(rows.length == t.documents.count())
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val v = r.getAs[String]("verdict")
+      if (w < 128 || h < 128) assert(v == "too_small")
+      else if (w > 4.0 * h || h > 4.0 * w) assert(v == "bad_aspect")
+      else assert(v == "ok" || v == "too_short")
+    }
+    assert(rows.map(_.getAs[String]("verdict")).toSet.contains("ok"))
+  }
+
+  test("s_ann_range: threshold respected; brute top-k hits above τ appear") {
+    val range = q("s_ann_range").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cos")).toMap
+    range.values.foreach(c => assert(c >= 0.2499))
+    val brute = q("s_ann_brute").collect().filter(_.getAs[Long]("qid") < 5)
+    brute.filter(_.getAs[Double]("cos") >= 0.2501).foreach { r =>
+      assert(range.contains(
+        (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))))
+    }
+  }
+
+  test("g_scc: known cycles, chains, and self-loops decompose exactly") {
+    import spark.implicits._
+    // cycle {1,2,3} → chain → cycle {10,11}; 20 feeds in; 30 self-loops.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L), (10L, 11L),
+      (11L, 10L), (20L, 1L), (30L, 30L)).toDF("src", "dst")
+    val scc = graph.Graph(e).stronglyConnectedComponents().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 30L -> 30L))
+    // Registry entry: every node labeled, labels are member minima.
+    val real = q("g_scc").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byScc = real.groupBy(_._2)
+    byScc.foreach { case (s, members) =>
+      assert(members.map(_._1).min == s)
+    }
+    val nV = graph.Graph.derived(t.orders).oriented("both")
+      .select("src").distinct().count()
+    assert(real.length == nV)
+  }
+
+  test("e_window_slide: every event lands in exactly 4 hop windows") {
+    val rows = q("e_window_slide").collect()
+    val totalN = rows.map(_.getAs[Long]("n")).sum
+    assert(totalN == 4 * t.events.count())
+    // starts align to the 6 h hop grid
+    rows.foreach { r =>
+      val ms = r.getTimestamp(0).getTime
+      assert(ms % (6L * 3600 * 1000) == 0)
+    }
+  }
+
+  test("s_ann_dot: matches a hand-computed MIPS top-5 for one query") {
+    val got = q("s_ann_dot").collect()
+      .filter(_.getAs[Long]("qid") == 0L)
+      .sortBy(-_.getAs[Double]("dp"))
+      .map(r => r.getAs[Long]("vec_id"))
+    val all = t.embeddings.collect().map(r =>
+      r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toArray).toMap
+    val qv = all(0L)
+    val want = (all - 0L).view.map { case (id, v) =>
+      id -> v.zip(qv).map { case (a, b) => a * b }.sum
+    }.toSeq
+      .sortBy { case (id, d) =>
+        (-BigDecimal(d).setScale(8, BigDecimal.RoundingMode.HALF_UP), id) }
+      .take(5).map(_._1)
+    assert(got.toSeq == want)
+  }
+
+  test("s_embed_pca: recovers a planted axis and is deterministic") {
+    import spark.implicits._
+    // 40 vectors along (1,2,0,0)/√5 with small deterministic jitter.
+    val axis = Array(1.0, 2.0, 0.0, 0.0).map(_ / math.sqrt(5))
+    val data = (0 until 40).map { i =>
+      val a = (i % 21) - 10.0
+      val jit = Array(0.01 * (i % 3 - 1), 0.0, 0.02 * (i % 5 - 2), 0.0)
+      axis.zip(jit).map { case (x, j) => a * x + j }.toSeq
+    }.toDF("v")
+    val (_, pc1) = ann.Pca.principal(data, d = 4)
+    val cosAlign = pc1.zip(axis).map { case (a, b) => a * b }.sum
+    assert(math.abs(cosAlign) > 0.999)
+    val s1 = q("s_embed_pca").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s2 = q("s_embed_pca").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s1 == s2)
+    assert(s1.size == t.embeddings.count())
+    // pc1 maximizes variance: its score spread beats raw axis 0.
+    def variance(xs: Iterable[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val axis0 = t.embeddings
+      .select(col("embedding").getItem(0).cast("double")).collect()
+      .map(_.getDouble(0))
+    assert(variance(s1.values) >= variance(axis0.toSeq) - 1e-9)
+  }
+}
