@@ -411,16 +411,19 @@ final case class Graph(edges: DataFrame) {
     * counts combine map-side before the exchange. */
   def labelPropagation(iters: Int): DataFrame = {
     val und = oriented("both").cp()
-    var labels = und.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to iters) {
-      labels = und.as("E").join(labels.as("L"), expr("E.dst = L.node"))
+    def round(l: DataFrame): DataFrame =
+      und.as("E").join(l.as("L"), expr("E.dst = L.node"))
         .groupBy(col("E.src").as("node"), col("L.lbl").as("lbl"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy("node")
         .agg(expr("min_by(lbl, struct(-cnt, lbl))").as("lbl"))
-        .cp()
-    }
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    // TWO synchronous rounds chain per checkpoint/job (same labels,
+    // half the scheduling — the connectedComponents trick).
+    var i = 0
+    while (i + 2 <= iters) { labels = round(round(labels)).cp(); i += 2 }
+    if (i < iters) labels = round(labels).cp()
     labels
   }
 
@@ -482,14 +485,19 @@ final case class Graph(edges: DataFrame) {
       if (nLive > 0) {
         // 2. min-label coloring, both directions
         def minReach(e: DataFrame): DataFrame = {
+          def round(l: DataFrame): DataFrame =
+            l.as("L").join(e.as("E"), expr("L.node = E.src"))
+              .select(col("E.dst").as("node"), col("L.m").as("m"))
+              .union(l)
+              .groupBy("node").agg(min("m").as("m"))
           var lbl = nodes.select(col("node"), col("node").as("m"))
           var prevSum = lbl.agg(sum("m")).head().getLong(0)
           var done = false
+          // Two rounds per job: min-propagation is monotone, so the
+          // fixpoint (and the sum test observing every second round)
+          // is unchanged — half the driver scheduling.
           while (!done) {
-            val next = lbl.as("L").join(e.as("E"), expr("L.node = E.src"))
-              .select(col("E.dst").as("node"), col("L.m").as("m"))
-              .union(lbl)
-              .groupBy("node").agg(min("m").as("m")).cp()
+            val next = round(round(lbl)).cp()
             val s = next.agg(sum("m")).head().getLong(0)
             done = s == prevSum; prevSum = s; lbl = next
           }

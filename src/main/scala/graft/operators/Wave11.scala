@@ -50,5 +50,30 @@ object Wave11 {
           col("col.event_type").as("event_type"),
           col("col.value").as("value"))
     },
+
+    // MODE aggregate — most frequent value per group (aggfuncs
+    // family; MySQL users emulate it with the same count+rank). Two
+    // map-combined aggregations: (group, value) counts, then a
+    // per-group argmin over (-count, value) — the smallest-value
+    // tie-break makes the answer deterministic on both engines, and
+    // a hot group costs map-side partials, never a window sort over
+    // raw rows.
+    Q("q_agg_mode", Some("""
+      WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+                 FROM events GROUP BY user_id, event_type)
+      SELECT user_id, event_type AS mode_type, cnt AS mode_n FROM (
+        SELECT user_id, event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cnt DESC, event_type) AS rn
+        FROM c) t
+      WHERE rn = 1
+    """)) { t =>
+      t.events.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(expr("min_by(event_type, struct(-cnt, event_type))")
+          .as("mode_type"),
+          expr("min_by(cnt, struct(-cnt, event_type))").as("mode_n"))
+    },
   )
 }

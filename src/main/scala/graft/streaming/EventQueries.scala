@@ -405,6 +405,70 @@ object EventQueries {
         Seq(col("n").desc, col("event_type")), 2, "rn")
     },
 
+    // DAU + cumulative reach — the growth-dashboard pair: per day,
+    // distinct active users, NEW users, and the running total of
+    // users ever seen. Cumulative distinct is NOT a running
+    // COUNT(DISTINCT) window (unbounded state): each user collapses
+    // to one first-seen day via a map-combined MIN, daily news are a
+    // second map-combined count, and the running sum is a window over
+    // |days| rows — at 100 TB the stateful part stays one row per
+    // user, the window sees a dashboard-sized table.
+    Q("e_dau_cume", Some("""
+      WITH act AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                          AS day, user_id FROM events),
+      dau AS (SELECT day, COUNT(*) AS dau FROM act GROUP BY day),
+      fs AS (SELECT user_id, MIN(day) AS day FROM act GROUP BY user_id),
+      nu AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY day)
+      SELECT dau.day, dau.dau, COALESCE(nu.new_users, 0) AS new_users,
+             CAST(SUM(COALESCE(nu.new_users, 0))
+                  OVER (ORDER BY dau.day) AS BIGINT) AS cume_users
+      FROM dau LEFT JOIN nu ON nu.day = dau.day
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val act = t.events
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+      val nu = act.groupBy("user_id").agg(min(col("day")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      dau.join(nu, Seq("day"), "left")
+        .select(col("day"), col("dau"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cume_users",
+          sum(col("new_users")).over(Window.orderBy("day")))
+    },
+
+    // INTER-ARRIVAL gap profile — per user: how often, how bursty
+    // (mean/max gap between consecutive events). One key-local LAG
+    // window per user (same shuffle family as sessionization: sort
+    // within user, never global), then a map-combined agg; users with
+    // a single event have no gap and drop out, mirrored exactly by
+    // the oracle's NULL-lag arithmetic.
+    Q("e_gaps", Some("""
+      WITH g AS (
+        SELECT user_id,
+               date_diff('second',
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS gap_s
+        FROM events)
+      SELECT user_id, CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+             ROUND(AVG(gap_s), 4) AS avg_gap_s,
+             CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+      FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t.events
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) -
+            unix_timestamp(lag(col("ts"), 1).over(w)))
+        .filter(col("gap_s").isNotNull)
+        .groupBy("user_id")
+        .agg(count(col("gap_s")).as("n_gaps"),
+          round(avg(col("gap_s")), 4).as("avg_gap_s"),
+          max(col("gap_s")).as("max_gap_s"))
+    },
+
     // SLIDING (hopping) windows — the overlapping twin of
     // e_window_agg's tumbling windows: a 24 h window advancing every
     // 6 h, so each event lands in exactly 4 windows (the moving-

@@ -32,6 +32,17 @@ object Streams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** Sliding (hopping) windows shared by batch and streaming — the
+    * e_window_slide plan under a stream: each event lands in 4
+    * overlapping 24 h windows on a 6 h hop, state evicted by the
+    * watermark like any windowed agg. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day", "6 hours")
+        .getField("start").as("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
   /** Native session windows (30-minute gap), shared by batch and
     * streaming: under a stream this runs Spark's stateful
     * SessionWindow merge with watermark-driven eviction — the same

@@ -530,5 +530,85 @@ object TextQueries {
             .as("corpus_share"))
         .drop("n_total")
     },
+
+    // BOILERPLATE detection (CCNet): a 10-word chunk that recurs in
+    // ≥3 DISTINCT docs of the same source is boilerplate (nav bars,
+    // footers, license headers — crawl text's biggest quality drag).
+    // Same in-row chunking as d_dedup_lines; the shuffle key is
+    // (source, 128-bit chunk hash) so chunk text never crosses an
+    // exchange, df counts combine map-side, and the per-doc profile
+    // is one more map-combined agg. Per doc: chunk count, boilerplate
+    // chunks, ratio — the trim decision input.
+    Q("t_boilerplate", Some("""
+      WITH w AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws
+                 FROM documents),
+      c AS (SELECT doc_id, source,
+              ARRAY_TO_STRING(ws[(i-1)*10+1:i*10], ' ') AS chunk
+            FROM w, UNNEST(generate_series(1,
+              CAST(CEIL(LEN(ws)/10.0) AS INT))) AS t(i)),
+      df AS (SELECT source, chunk, COUNT(DISTINCT doc_id) AS nd
+             FROM c GROUP BY source, chunk)
+      SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN df.nd >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler,
+             ROUND(SUM(CASE WHEN df.nd >= 3 THEN 1.0 ELSE 0 END)
+                   / COUNT(*), 4) AS boiler_ratio
+      FROM c JOIN df ON df.source = c.source AND df.chunk = c.chunk
+      GROUP BY c.doc_id
+    """)) { t =>
+      val ws = split(col("text"), " ")
+      val chunkArr = when(size(ws) >= 1,
+        transform(sequence(lit(1), ceil(size(ws) / 10.0).cast("int")),
+          i => concat_ws(" ", slice(ws, (i - 1) * 10 + 1, lit(10)))))
+        .otherwise(array().cast("array<string>"))
+      val hashed = t.fan(t.documents)
+        .select(col("doc_id"), col("source"), explode(chunkArr).as("chunk"))
+        .select(col("doc_id"), col("source"),
+          xxhash64(col("chunk")).as("h1"),
+          xxhash64(lit(20260814L), col("chunk")).as("h2"))
+      val df = hashed.groupBy("source", "h1", "h2")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      hashed.join(df, Seq("source", "h1", "h2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 3, 1L).otherwise(0L)).as("n_boiler"),
+          round(sum(when(col("nd") >= 3, 1.0).otherwise(0.0)) /
+            count(lit(1)), 4).as("boiler_ratio"))
+    },
+
+    // MARKUP STRIPPING — the html-to-text cleaning pass at the top of
+    // every crawl pipeline. The corpus is plain text, so a
+    // deterministic markup wrapper (every 3rd doc gains <p>/<b> tags
+    // and an &amp; entity) makes both branches of the stripper fire
+    // and keeps the entry oracle-exact; the strip chain itself —
+    // tag regex removal, entity decode, whitespace collapse — is the
+    // real operator and is pure map-side codegen'd regexp work, zero
+    // shuffle at any corpus size.
+    Q("t_html_clean", Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN '<p class="x"><b>intro</b>  ' || text
+                         || ' &amp; <br/>tail</p>'
+                    ELSE text END AS markup
+        FROM documents)
+      SELECT doc_id,
+             TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+               markup, '<[^>]*>', '', 'g'), '&amp;', '&', 'g'),
+               ' +', ' ', 'g')) AS clean,
+             CAST(doc_id % 3 = 0 AS INT) AS had_markup
+      FROM raw
+    """)) { t =>
+      val markup = when(col("doc_id") % 3 === 0,
+        concat(lit("<p class=\"x\"><b>intro</b>  "), col("text"),
+          lit(" &amp; <br/>tail</p>"))).otherwise(col("text"))
+      t.documents
+        .select(col("doc_id"), markup.as("markup"))
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(regexp_replace(
+            col("markup"), "<[^>]*>", ""), "&amp;", "&"),
+            " +", " ")).as("clean"),
+          (col("doc_id") % 3 === 0).cast("int").as("had_markup"))
+    },
   )
 }

@@ -33,6 +33,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming sliding-window agg equals batch; 4 windows per event") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(eventsDf.as[Event].collect().toSeq)
+
+    val query = Streams.sliding(
+        input.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out").start()
+    try query.processAllAvailable() finally query.stop()
+
+    val streamed = spark.table("slide_out").collect().map(_.toSeq).toSet
+    val batch = Streams.sliding(eventsDf).collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // every event contributes to exactly 4 hop windows
+    val totalN = spark.table("slide_out")
+      .agg(sum("n")).head().getLong(0)
+    assert(totalN == 4 * eventsDf.count())
+  }
+
   test("streaming session_window agg equals the batch session query") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

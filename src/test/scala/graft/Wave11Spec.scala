@@ -167,6 +167,83 @@ class Wave11Spec extends SparkSpecBase {
     assert(got.toSeq == want)
   }
 
+  test("t_boilerplate: ratios consistent; repeated chunks flagged") {
+    val rows = q("t_boilerplate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, b) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_boiler"))
+      assert(b <= n && n > 0)
+      assert(math.abs(r.getAs[Double]("boiler_ratio") -
+        BigDecimal(b.toDouble / n).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("t_html_clean: markup fully stripped, non-markup docs intact") {
+    val byId = q("t_html_clean").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean"), r.getAs[Int]("had_markup"))).toMap
+    val texts = t.documents.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    byId.foreach { case (id, (clean, had)) =>
+      assert(!clean.contains("<") && !clean.contains(">"))
+      assert(!clean.contains("&amp;"))
+      assert(had == (if (id % 3 == 0) 1 else 0))
+      if (had == 1) {
+        assert(clean.startsWith("intro "))
+        assert(clean.endsWith("& tail"))
+      } else {
+        assert(clean ==
+          texts(id).replaceAll(" +", " ").trim)
+      }
+    }
+  }
+
+  test("e_dau_cume: cumulative reach reconciles with distinct users") {
+    val rows = q("e_dau_cume").collect().sortBy(_.getTimestamp(0).getTime)
+    val totalUsers = t.events.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("new_users")).sum == totalUsers)
+    assert(rows.last.getAs[Long]("cume_users") == totalUsers)
+    var prev = 0L
+    rows.foreach { r =>
+      val c = r.getAs[Long]("cume_users")
+      assert(c >= prev); prev = c
+      assert(r.getAs[Long]("dau") <= c)
+      assert(r.getAs[Long]("new_users") <= r.getAs[Long]("dau"))
+    }
+  }
+
+  test("e_gaps: per-user gap counts and bounds") {
+    val gaps = q("e_gaps").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Double]("avg_gap_s"),
+          r.getAs[Long]("max_gap_s"))).toMap
+    val counts = t.events.groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    counts.foreach { case (u, n) =>
+      if (n >= 2) {
+        val (g, avg, mx) = gaps(u)
+        assert(g == n - 1)
+        assert(mx >= avg - 1e-9)
+        assert(avg >= 0)
+      } else assert(!gaps.contains(u))
+    }
+  }
+
+  test("q_agg_mode: argmin tie-break equals a recomputed mode") {
+    val got = q("q_agg_mode").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("mode_type"), r.getAs[Long]("mode_n"))).toMap
+    val counts = t.events.groupBy("user_id", "event_type").count().collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    counts.foreach { case (u, rows) =>
+      val best = rows.map(r =>
+        (r.getAs[String]("event_type"), r.getAs[Long]("count")))
+        .minBy { case (ty, n) => (-n, ty) }
+      assert(got(u) == best)
+    }
+  }
+
   test("s_embed_pca: recovers a planted axis and is deterministic") {
     import spark.implicits._
     // 40 vectors along (1,2,0,0)/√5 with small deterministic jitter.
