@@ -394,6 +394,43 @@ final case class Graph(edges: DataFrame) {
     labels
   }
 
+  /** Deterministic random walks (DeepWalk/node2vec corpus sampling —
+    * graph-structure training data). The "random" neighbor choice at
+    * step i of walk w is index md5(w:i) mod degree into the SORTED
+    * neighbor array, so both engines (and any two runs) materialize
+    * the IDENTICAL walk corpus — the t_shuffle/d_split hash-coin
+    * principle applied to graph sampling. Scale: the adjacency build
+    * is one groupBy(src) (arrays bounded by real degree; hubs get the
+    * same salting/cap treatment as g_jaccard at 100 TB), and each
+    * step is one co-partitioned join of |walks| state rows against
+    * adjacency — state carries (walk, cur, path), never the
+    * neighborhood. Dead ends retire the walk (kept, shorter path),
+    * matching the oracle's stay-in-place CASE arithmetic. */
+  def randomWalks(maxStart: Long, perStart: Int, steps: Int): DataFrame = {
+    val adj = oriented("out").groupBy("src")
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs")).cp()
+    val starts = adj.select("src").filter(col("src") < maxStart)
+    var state = starts
+      .select(col("src"), explode(sequence(lit(0), lit(perStart - 1)))
+        .as("w"))
+      .select((col("src") * 10 + col("w")).as("walk_id"),
+        col("src").as("start"), col("src").as("cur"),
+        col("src").cast("string").as("path"))
+    var finished = state.limit(0)
+    for (i <- 1 to steps) {
+      val idx = expr(s"conv(substr(md5(concat(cast(walk_id as string), ':', '$i')), 1, 8), 16, 10)")
+        .cast("long") % size(col("nbrs"))
+      val joined = state.join(adj, state("cur") === adj("src"), "left")
+      finished = finished.union(joined.filter(col("nbrs").isNull)
+        .select(col("walk_id"), col("start"), col("cur"), col("path")))
+      val nxt = element_at(col("nbrs"), (idx + 1).cast("int"))
+      state = joined.filter(col("nbrs").isNotNull)
+        .select(col("walk_id"), col("start"), nxt.as("cur"),
+          concat(col("path"), lit("->"), nxt.cast("string")).as("path"))
+    }
+    finished.union(state)
+  }
+
   /** Community detection by synchronous label propagation (LPA), the
     * bounded-iteration workhorse for community structure where CC is
     * too coarse (CC merges everything touching; LPA keeps densely-

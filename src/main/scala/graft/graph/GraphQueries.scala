@@ -391,6 +391,18 @@ object GraphQueries {
       Graph.derived(t.orders).stronglyConnectedComponents()
     },
 
+    // Deterministic random-walk corpus (DeepWalk/node2vec sampling —
+    // the graph-structure training-data generator). 2 walks × 4
+    // steps from each start node; neighbor choice = md5(walk:step)
+    // mod degree into the sorted adjacency, identical on both
+    // engines (Graph.randomWalks has the scale rationale). The
+    // oracle unrolls the 4 steps with the same CASE stay-in-place
+    // dead-end arithmetic.
+    Q("g_walks", Some(walksOracle(15, 2, 4))) { t =>
+      Graph.derived(t.orders).randomWalks(maxStart = 15, perStart = 2,
+        steps = 4)
+    },
+
     // Community detection by deterministic synchronous LPA (4 rounds;
     // Graph.labelPropagation has the tie-break + scale rationale).
     // The oracle unrolls the same four argmin-over-(-count,label)
@@ -502,6 +514,42 @@ object GraphQueries {
       $stages
       SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
       FROM e$rounds GROUP BY src
+    """
+  }
+
+  /** Unrolled random-walk oracle: step i moves every live walk to
+    * nbrs[1 + md5(walk:i)-prefix mod deg] of the SORTED adjacency —
+    * the identical hash arithmetic the engine runs — and a dead-end
+    * walk stays in place (CASE), matching the engine's retirement. */
+  private def walksOracle(maxStart: Long, perStart: Int,
+      steps: Int): String = {
+    val stages = (1 to steps).map { i =>
+      s"""s$i AS MATERIALIZED (
+        SELECT walk_id, start,
+               CASE WHEN a.nbrs IS NULL THEN s.cur
+                    ELSE a.nbrs[1 + CAST(('0x' ||
+                      substr(md5(walk_id || ':' || $i), 1, 8)) AS BIGINT)
+                      % len(a.nbrs)] END AS cur,
+               CASE WHEN a.nbrs IS NULL THEN s.path
+                    ELSE s.path || '->' || a.nbrs[1 + CAST(('0x' ||
+                      substr(md5(walk_id || ':' || $i), 1, 8)) AS BIGINT)
+                      % len(a.nbrs)] END AS path
+        FROM s${i - 1} s LEFT JOIN adj a ON a.src = s.cur)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst
+        FROM orders),
+      adj AS MATERIALIZED (
+        SELECT src, list_sort(list(DISTINCT dst)) AS nbrs
+        FROM e GROUP BY src),
+      s0 AS (
+        SELECT s.src * 10 + w.w AS walk_id, s.src AS start,
+               s.src AS cur, CAST(s.src AS VARCHAR) AS path
+        FROM (SELECT DISTINCT src FROM e WHERE src < $maxStart) s,
+             (SELECT unnest(generate_series(0, ${perStart - 1})) AS w) w),
+      $stages
+      SELECT walk_id, start, cur, path FROM s$steps
     """
   }
 

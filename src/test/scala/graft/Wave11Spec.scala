@@ -244,6 +244,30 @@ class Wave11Spec extends SparkSpecBase {
     }
   }
 
+  test("g_walks: paths follow real edges, deterministic, dead ends retire") {
+    val runs = (1 to 2).map(_ => q("g_walks").collect()
+      .map(r => r.getAs[Long]("walk_id") -> r.getAs[String]("path")).toMap)
+    assert(runs(0) == runs(1) && runs(0).nonEmpty)
+    val edges = graph.Graph.derived(t.orders).oriented("out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    runs(0).values.foreach { p =>
+      val hops = p.split("->").map(_.toLong)
+      assert(hops.length <= 5)
+      hops.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(edges.contains((pair(0), pair(1))))
+      }
+    }
+    // chain 1→2→3→4→5 forces the unique walk; 7→8 dead-ends early.
+    import spark.implicits._
+    val g = graph.Graph(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (7L, 8L)).toDF("src", "dst"))
+    val walks = g.randomWalks(maxStart = 10, perStart = 1, steps = 4)
+      .collect().map(r => r.getAs[Long]("walk_id") ->
+        r.getAs[String]("path")).toMap
+    assert(walks(10L) == "1->2->3->4->5")
+    assert(walks(70L) == "7->8")
+  }
+
   test("s_embed_pca: recovers a planted axis and is deterministic") {
     import spark.implicits._
     // 40 vectors along (1,2,0,0)/√5 with small deterministic jitter.
