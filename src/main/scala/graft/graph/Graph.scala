@@ -394,6 +394,67 @@ final case class Graph(edges: DataFrame) {
     labels
   }
 
+  /** Bounded-depth Brandes dependency scores from pinned roots — the
+    * betweenness-centrality core (who sits on the shortest paths).
+    * Forward: one TAGGED multi-root BFS (the g_closeness trick —
+    * roots widen frontier rows, not loop count) accumulating σ =
+    * shortest-path counts per (root, node), visited-pruned, ≤
+    * maxDepth levels. Backward: Brandes' level-by-level dependency
+    * accumulation δ(v) = Σ_{w ∈ succ(v), dist(w)=dist(v)+1}
+    * σ(v)/σ(w) · (1+δ(w)) — maxDepth more co-partitioned joins.
+    * Bounded depth IS the operator's semantics (exactly what the
+    * unrolled oracle states; levels past the diameter are empty and
+    * free). State is one row per (root, visited node) — |roots|·|V|
+    * bound, same contract as the other tagged loops; the σ and δ
+    * aggregations are both map-combined. Rooted sampling is also how
+    * betweenness is actually estimated at scale (exact all-pairs
+    * Brandes is O(V·E) — the sampled estimator IS the production
+    * algorithm). */
+  def dependencyScores(roots: Seq[Long], maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = oriented("out").cp()
+    var frontier = roots.toDF("root")
+      .select(col("root"), col("root").as("node"), lit(1L).as("sigma"))
+      .cp()
+    var visited = frontier.select("root", "node").cp()
+    var levels = Vector(frontier)
+    for (_ <- 1 to maxDepth) {
+      val nxt = frontier.as("F").join(e.as("E"), expr("F.node = E.src"))
+        .select(col("F.root").as("root"), col("E.dst").as("node"),
+          col("F.sigma").as("sigma"))
+        .join(visited, Seq("root", "node"), "left_anti")
+        .groupBy("root", "node").agg(sum("sigma").as("sigma"))
+        .cp()
+      levels :+= nxt
+      visited = visited.union(nxt.select("root", "node")).cp()
+      frontier = nxt
+    }
+    var above = levels(maxDepth)
+      .select(col("root"), col("node"), col("sigma"),
+        lit(0.0).as("delta"))
+    var acc: DataFrame = null
+    for (d <- (maxDepth - 1) to 0 by -1) {
+      val scored = levels(d).as("F")
+        .join(e.as("E"), expr("F.node = E.src"), "left")
+        .join(above.as("B"),
+          expr("B.root = F.root AND B.node = E.dst"), "left")
+        .groupBy(col("F.root").as("root"), col("F.node").as("node"),
+          col("F.sigma").as("sigma"))
+        .agg(coalesce(sum(col("F.sigma") * (lit(1.0) + col("B.delta"))
+          / col("B.sigma")), lit(0.0)).as("delta"))
+        .cp()
+      if (d >= 1) acc = if (acc == null) scored else acc.union(scored)
+      above = scored
+    }
+    // Level-0 rows are the roots themselves (Brandes excludes the
+    // source); interior appearances of OTHER roots stay counted.
+    acc.groupBy("node")
+      .agg(sum("delta").as("d"))
+      .filter(col("d") > 0)
+      .select(col("node"), round(col("d"), 4).as("betw"))
+  }
+
   /** Deterministic random walks (DeepWalk/node2vec corpus sampling —
     * graph-structure training data). The "random" neighbor choice at
     * step i of walk w is index md5(w:i) mod degree into the SORTED

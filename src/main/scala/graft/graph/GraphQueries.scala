@@ -391,6 +391,17 @@ object GraphQueries {
       Graph.derived(t.orders).stronglyConnectedComponents()
     },
 
+    // Rooted betweenness (Brandes dependency scores from 3 pinned
+    // roots, depth ≤ 4) — who sits on the shortest paths; the rooted
+    // sample IS the production estimator at scale (exact Brandes is
+    // O(V·E)). Graph.dependencyScores has the two-phase tagged-BFS
+    // design; the oracle unrolls forward σ stages with visited
+    // exclusion and the backward δ accumulation verbatim.
+    Q("g_betweenness", Some(betweennessOracle(Seq(0L, 1L, 2L), 4))) { t =>
+      Graph.derived(t.orders).dependencyScores(Seq(0L, 1L, 2L),
+        maxDepth = 4)
+    },
+
     // Deterministic random-walk corpus (DeepWalk/node2vec sampling —
     // the graph-structure training-data generator). 2 walks × 4
     // steps from each start node; neighbor choice = md5(walk:step)
@@ -514,6 +525,55 @@ object GraphQueries {
       $stages
       SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
       FROM e$rounds GROUP BY src
+    """
+  }
+
+  /** Unrolled rooted-Brandes oracle. Forward stage d: σ sums over
+    * level-(d-1) predecessors, visited-set exclusion per root.
+    * Backward stage d: δ(v) = Σ σv(1+δw)/σw over level-(d+1)
+    * successors (LEFT joins so childless nodes keep δ=0). Roots'
+    * own level-0 rows are excluded from the final sum (Brandes
+    * excludes the source). */
+  private def betweennessOracle(roots: Seq[Long], depth: Int): String = {
+    val rootVals = roots.map(r => s"($r)").mkString(", ")
+    val fwd = (1 to depth).map { d =>
+      s"""f$d AS MATERIALIZED (
+        SELECT f.root, e.dst AS node, SUM(f.sigma) AS sigma
+        FROM f${d - 1} f JOIN e ON e.src = f.node
+        WHERE NOT EXISTS (SELECT 1 FROM v${d - 1} v
+                          WHERE v.root = f.root AND v.node = e.dst)
+        GROUP BY f.root, e.dst),
+      v$d AS MATERIALIZED (
+        SELECT root, node FROM v${d - 1}
+        UNION ALL SELECT root, node FROM f$d)"""
+    }.mkString(",\n      ")
+    val bwd = ((depth - 1) to 0 by -1).map { d =>
+      s"""b$d AS MATERIALIZED (
+        SELECT f.root, f.node, f.sigma,
+               COALESCE(SUM(f.sigma * (1 + b.delta) / b.sigma), 0)
+                 AS delta
+        FROM f$d f
+        LEFT JOIN e ON e.src = f.node
+        LEFT JOIN b${d + 1} b ON b.root = f.root AND b.node = e.dst
+        GROUP BY f.root, f.node, f.sigma)"""
+    }.mkString(",\n      ")
+    val accUnion = (1 until depth)
+      .map(d => s"SELECT root, node, delta FROM b$d")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst
+        FROM orders),
+      f0 AS (SELECT r.root, r.root AS node, CAST(1 AS BIGINT) AS sigma
+             FROM (VALUES $rootVals) r(root)),
+      v0 AS (SELECT root, node FROM f0),
+      $fwd,
+      b$depth AS (SELECT root, node, sigma, CAST(0 AS DOUBLE) AS delta
+                  FROM f$depth),
+      $bwd
+      SELECT node, ROUND(SUM(delta), 4) AS betw
+      FROM ($accUnion) u
+      GROUP BY node HAVING SUM(delta) > 0
     """
   }
 

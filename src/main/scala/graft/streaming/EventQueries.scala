@@ -438,6 +438,36 @@ object EventQueries {
           sum(col("new_users")).over(Window.orderBy("day")))
     },
 
+    // EVENT-TRANSITION matrix (first-order Markov chain over the
+    // journey: P(next type | type) — the funnel-discovery/session-
+    // model staple). One key-local LAG per user (sessionize's shuffle
+    // family) emits (from, to) pairs; counts and row-normalized
+    // probabilities are two map-combined aggregations over a
+    // |types|² table — nothing user-sized survives the first window.
+    Q("e_markov", Some("""
+      WITH p AS (
+        SELECT event_type AS t_to,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS t_from
+        FROM events),
+      c AS (SELECT t_from, t_to, COUNT(*) AS n FROM p
+            WHERE t_from IS NOT NULL GROUP BY t_from, t_to)
+      SELECT t_from, t_to, n,
+             ROUND(n / SUM(n) OVER (PARTITION BY t_from), 4) AS prob
+      FROM c
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = t.events
+        .select(col("event_type").as("t_to"),
+          lag(col("event_type"), 1).over(w).as("t_from"))
+        .filter(col("t_from").isNotNull)
+        .groupBy("t_from", "t_to").agg(count(lit(1)).as("n"))
+      pairs.withColumn("prob",
+        round(col("n") / sum(col("n"))
+          .over(Window.partitionBy("t_from")), 4))
+    },
+
     // INTER-ARRIVAL gap profile — per user: how often, how bursty
     // (mean/max gap between consecutive events). One key-local LAG
     // window per user (same shuffle family as sessionization: sort

@@ -268,6 +268,41 @@ class Wave11Spec extends SparkSpecBase {
     assert(walks(70L) == "7->8")
   }
 
+  test("g_betweenness: hand-computed chain and diamond dependencies") {
+    import spark.implicits._
+    // chain 1→2→3→4: δ(2)=2, δ(3)=1 from root 1
+    val chain = graph.Graph(Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst"))
+    val c = chain.dependencyScores(Seq(1L), maxDepth = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(c == Map(2L -> 2.0, 3L -> 1.0))
+    // diamond 1→{2,3}→4: two shortest paths split the dependency
+    val diamond = graph.Graph(Seq((1L, 2L), (1L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("src", "dst"))
+    val d = diamond.dependencyScores(Seq(1L), maxDepth = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d == Map(2L -> 0.5, 3L -> 0.5))
+    // registry entry: deterministic and strictly positive
+    val a = q("g_betweenness").collect().map(r =>
+      r.getLong(0) -> r.getDouble(1)).toMap
+    val b = q("g_betweenness").collect().map(r =>
+      r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b && a.nonEmpty)
+    assert(a.values.forall(_ > 0))
+  }
+
+  test("e_markov: rows normalize per source state; pair count reconciles") {
+    val rows = q("e_markov").collect()
+    val byFrom = rows.groupBy(_.getAs[String]("t_from"))
+    byFrom.foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("prob")).sum - 1.0) < 1e-3)
+    }
+    val totalPairs = rows.map(_.getAs[Long]("n")).sum
+    val perUser = t.events.groupBy("user_id").count().collect()
+      .map(r => math.max(0L, r.getAs[Long]("count") - 1)).sum
+    assert(totalPairs == perUser)
+  }
+
   test("s_embed_pca: recovers a planted axis and is deterministic") {
     import spark.implicits._
     // 40 vectors along (1,2,0,0)/√5 with small deterministic jitter.
