@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training — the tokenizer-construction
+  * step of a training-data pipeline (the merge table IS the
+  * tokenizer artifact).
+  *
+  * Scale design: BPE trains on the (word, freq) VOCABULARY, not the
+  * corpus — the corpus is touched exactly once (one map-combined
+  * word count), after which every iteration runs over distinct words
+  * only (heavy-tailed: a bounded vocab even at 100 TB of text). Per
+  * merge step: one map-combined adjacent-pair count weighted by word
+  * freq, ONE driver-side row (the argmax pair — same O(1) contract
+  * as the graph loops' convergence scalars), and a map-side
+  * left-to-right merge rewrite of the symbol arrays (a single
+  * HOF aggregate, no shuffle). Ties break lexicographically so the
+  * merge table is deterministic on any cluster.
+  */
+object Bpe {
+
+  /** Left-to-right single-pass merge of adjacent (a, b) into ab —
+    * the classic BPE apply, as one higher-order aggregate over the
+    * symbol array (consumed elements are skipped via carried state). */
+  private def applyMerge(syms: Column, a: String, b: String): Column = {
+    val merged = a + b
+    aggregate(
+      sequence(lit(1), size(syms)),
+      struct(array().cast("array<string>").as("acc"),
+        lit(false).as("skip")),
+      (st, i) => {
+        val cur = element_at(syms, i)
+        // try_: the lookahead runs past the array end on the last
+        // element, which ANSI element_at turns into a runtime error.
+        val nxt = try_element_at(syms, i + 1)
+        val isPair = !st.getField("skip") && cur === lit(a) &&
+          nxt.isNotNull && nxt === lit(b)
+        struct(
+          when(st.getField("skip"), st.getField("acc"))
+            .when(isPair, concat(st.getField("acc"), array(lit(merged))))
+            .otherwise(concat(st.getField("acc"), array(cur))).as("acc"),
+          when(st.getField("skip"), lit(false)).otherwise(isPair)
+            .as("skip"))
+      },
+      st => st.getField("acc"))
+  }
+
+  /** Train `k` merges over `docs(text)`; returns (step, left, right,
+    * pair_n) — the ranked merge table. */
+  def trainMerges(docs: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("freq"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var step = 1
+    while (step <= k) {
+      // size >= 2: a single-symbol word has no pairs, and Spark's
+      // sequence(1, 0) is a DESCENDING two-element sequence whose
+      // indices blow up ANSI element_at.
+      val best = vocab.filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+               i -> struct(element_at(syms, i) AS a,
+                           element_at(syms, i + 1) AS b))"""))
+          .as("p"), col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) { step = k + 1 }
+      else {
+        val r = best.head
+        val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+        out += ((step, a, b, n))
+        vocab = vocab
+          .withColumn("syms", applyMerge(col("syms"), a, b))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+}

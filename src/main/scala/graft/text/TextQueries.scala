@@ -610,5 +610,19 @@ object TextQueries {
             " +", " ")).as("clean"),
           (col("doc_id") % 3 === 0).cast("int").as("had_markup"))
     },
+
+    // BPE MERGE TRAINING — the tokenizer-construction artifact (the
+    // ranked merge table). Trains on the distinct-word vocabulary,
+    // never the corpus (Bpe.trainMerges has the scale contract: one
+    // corpus pass, then vocab-sized iterations with an O(1) driver
+    // argmax per merge). Merge arithmetic is engine-specific
+    // (iterative rewrite) → rows-only; the spec pins the classic
+    // low/lowest merge sequence and tie-break order.
+    Q("t_bpe_train", None) { t =>
+      val spark = t.spark
+      import spark.implicits._
+      Bpe.trainMerges(t.fan(t.documents), k = 6)
+        .toDF("step", "left", "right", "pair_n")
+    },
   )
 }

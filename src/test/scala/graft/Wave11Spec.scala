@@ -303,6 +303,18 @@ class Wave11Spec extends SparkSpecBase {
     assert(totalPairs == perUser)
   }
 
+  test("t_bpe_train: classic low/lowest merge order with lexicographic ties") {
+    import spark.implicits._
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lowest"))
+      .mkString(" ")
+    val merges = text.Bpe.trainMerges(Seq(corpus).toDF("text"), 3)
+    assert(merges == Seq((1, "l", "o", 7L), (2, "lo", "w", 7L),
+      (3, "e", "s", 2L)))
+    val rows = q("t_bpe_train").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    assert(rows.map(_.getAs[Long]("pair_n")).forall(_ > 0))
+  }
+
   test("s_embed_pca: recovers a planted axis and is deterministic") {
     import spark.implicits._
     // 40 vectors along (1,2,0,0)/√5 with small deterministic jitter.
