@@ -75,5 +75,76 @@ object Wave11 {
           .as("mode_type"),
           expr("min_by(cnt, struct(-cnt, event_type))").as("mode_n"))
     },
+
+    // COMPACTION — the OPTIMIZE/small-files rewrite every warehouse
+    // runs nightly (streaming ingest and fine partitioning leave
+    // thousands of tiny files; scan cost is per-file, not per-byte).
+    // Stage a deliberately over-split copy (32 files), compact to 2
+    // via a repartition rewrite, and SERVE FROM THE COMPACTED LAYOUT
+    // — the oracle reads the source table, so the hash compare is
+    // the lossless-rewrite proof, and the spec asserts the file-count
+    // collapse. At 100 TB this is the same plan per partition-dir
+    // (compact within partitions, maxRecordsPerFile sizing).
+    Q("q_compact", Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             CAST(l_extendedprice AS DOUBLE) AS price
+      FROM lineitem WHERE l_orderkey < 3000
+    """)) { t =>
+      val spark = t.spark
+      val sel = t.lineitem.filter(col("l_orderkey") < 3000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice").cast("double").as("price"))
+      val base = s"/tmp/graft_compact_${graft.sources.Formats.sanitize(t.dir)}"
+      sel.repartition(32).write.mode("overwrite").parquet(s"$base/small")
+      spark.read.parquet(s"$base/small")
+        .repartition(2)
+        .write.mode("overwrite").parquet(s"$base/compacted")
+      spark.read.parquet(s"$base/compacted")
+    },
+
+    // SNAPSHOT DIFF — the CDC READ leg (change.go / the CDC-feed
+    // shape): diff two table versions into INSERT/UPDATE/DELETE
+    // change rows. ONE co-partitioned full-outer join on the key;
+    // the change type is a null-pattern CASE, value deltas are
+    // decimal-exact. Versions are derived deterministically from the
+    // base table (v1 = keys not ≡0 mod 7 with original price; v2 =
+    // keys not ≡0 mod 11 with every ≡0-mod-5 price bumped) so both
+    // engines state the identical diff.
+    Q("q_snapshot_diff", Some("""
+      WITH v1 AS (SELECT o_orderkey AS k,
+                         CAST(o_totalprice AS DECIMAL(18,2)) AS val
+                  FROM orders WHERE o_orderkey % 7 <> 0),
+      v2 AS (SELECT o_orderkey AS k,
+                    CAST(o_totalprice AS DECIMAL(18,2))
+                      + CASE WHEN o_orderkey % 5 = 0
+                             THEN CAST(1.50 AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END AS val
+             FROM orders WHERE o_orderkey % 11 <> 0)
+      SELECT COALESCE(v1.k, v2.k) AS k,
+             CASE WHEN v1.k IS NULL THEN 'INSERT'
+                  WHEN v2.k IS NULL THEN 'DELETE'
+                  ELSE 'UPDATE' END AS op,
+             CAST(v1.val AS DOUBLE) AS old_val,
+             CAST(v2.val AS DOUBLE) AS new_val
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+      WHERE v1.k IS NULL OR v2.k IS NULL OR v1.val <> v2.val
+    """)) { t =>
+      val base = t.orders.select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("val"))
+      val v1 = base.filter(col("k") % 7 =!= 0)
+      val v2 = base.filter(col("k") % 11 =!= 0)
+        .select(col("k"), (col("val") +
+          when(col("k") % 5 === 0, lit(BigDecimal("1.50")))
+            .otherwise(lit(BigDecimal(0)))).as("val"))
+      v1.as("a").join(v2.as("b"), expr("a.k = b.k"), "full_outer")
+        .filter(col("a.k").isNull || col("b.k").isNull ||
+          col("a.val") =!= col("b.val"))
+        .select(coalesce(col("a.k"), col("b.k")).as("k"),
+          when(col("a.k").isNull, "INSERT")
+            .when(col("b.k").isNull, "DELETE")
+            .otherwise("UPDATE").as("op"),
+          col("a.val").cast("double").as("old_val"),
+          col("b.val").cast("double").as("new_val"))
+    },
   )
 }

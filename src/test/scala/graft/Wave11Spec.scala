@@ -315,6 +315,38 @@ class Wave11Spec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("pair_n")).forall(_ > 0))
   }
 
+  test("q_compact: file count collapses, content survives") {
+    val rows = q("q_compact")
+    assert(rows.count() ==
+      t.lineitem.filter(col("l_orderkey") < 3000).count())
+    val base = s"/tmp/graft_compact_${sources.Formats.sanitize(t.dir)}"
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/small") == 32)
+    assert(parquetFiles(s"$base/compacted") == 2)
+  }
+
+  test("q_snapshot_diff: every op class appears and routes correctly") {
+    val rows = q("q_snapshot_diff").collect()
+    val byOp = rows.groupBy(_.getAs[String]("op"))
+    assert(byOp.keySet == Set("INSERT", "UPDATE", "DELETE"))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      r.getAs[String]("op") match {
+        case "INSERT" => // in v2 only: dropped from v1 by the mod-7 cut
+          assert(k % 7 == 0 && k % 11 != 0)
+          assert(r.isNullAt(r.fieldIndex("old_val")))
+        case "DELETE" =>
+          assert(k % 11 == 0 && k % 7 != 0)
+          assert(r.isNullAt(r.fieldIndex("new_val")))
+        case "UPDATE" =>
+          assert(k % 5 == 0 && k % 7 != 0 && k % 11 != 0)
+          assert(math.abs(r.getAs[Double]("new_val") -
+            r.getAs[Double]("old_val") - 1.5) < 1e-9)
+      }
+    }
+  }
+
   test("s_embed_pca: recovers a planted axis and is deterministic") {
     import spark.implicits._
     // 40 vectors along (1,2,0,0)/√5 with small deterministic jitter.
