@@ -391,6 +391,45 @@ object GraphQueries {
       Graph.derived(t.orders).stronglyConnectedComponents()
     },
 
+    // BIPARTITE PROJECTION — co-purchase ("also-bought") pairs: the
+    // customer×part bipartite graph projected onto customers who
+    // share ≥2 distinct parts. The recsys co-occurrence primitive,
+    // built like every bounded pair op in this repo: distinct
+    // (customer, part) edges, a hot-part df≤200 prune BEFORE pairing
+    // (a part bought by everyone would pair half the corpus), pairs
+    // generated only inside a part's posting list — work is
+    // Σ df(part)², never customers². One shared shuffle on partkey.
+    Q("g_copurchase", Some("""
+      WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      keep AS (SELECT p FROM cp GROUP BY p HAVING COUNT(*) <= 200),
+      k AS (SELECT cp.c, cp.p FROM cp JOIN keep USING (p))
+      SELECT c1, c2, common FROM (
+        SELECT a.c AS c1, b.c AS c2, CAST(COUNT(*) AS BIGINT) AS common
+        FROM k a JOIN k b ON a.p = b.p AND a.c < b.c
+        GROUP BY a.c, b.c HAVING COUNT(*) >= 2) z
+      ORDER BY common DESC, c1, c2 LIMIT 50
+    """)) { t =>
+      val cp = t.orders.select(col("o_orderkey"), col("o_custkey").as("c"))
+        .join(t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey").as("p")), "o_orderkey")
+        .select("c", "p").distinct()
+      val keep = cp.groupBy("p").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 200).select("p")
+      val k = cp.join(keep, "p")
+      k.as("a").join(k.as("b"),
+          expr("a.p = b.p AND a.c < b.c"))
+        .groupBy(col("a.c").as("c1"), col("b.c").as("c2"))
+        .agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 2)
+        // deterministic global top-50 (TakeOrdered — no full sort):
+        // the served "also-bought" list stays dashboard-sized at any
+        // SF while the pair machinery above does the real work
+        .orderBy(col("common").desc, col("c1"), col("c2"))
+        .limit(50)
+    },
+
     // Rooted betweenness (Brandes dependency scores from 3 pinned
     // roots, depth ≤ 4) — who sits on the shortest paths; the rooted
     // sample IS the production estimator at scale (exact Brandes is

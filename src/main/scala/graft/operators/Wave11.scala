@@ -102,6 +102,53 @@ object Wave11 {
       spark.read.parquet(s"$base/compacted")
     },
 
+    // SCD2 POINT-IN-TIME join — the slowly-changing-dimension
+    // warehouse staple: facts join the dimension version that was
+    // valid WHEN THE FACT HAPPENED (as-of semantics on a versioned
+    // dim). The dim history is derived deterministically (v1 until
+    // 1995-06-30, v2 after, segment upgraded for ≡0 mod 4 keys) so
+    // both engines state identical versions. The join keys on
+    // custkey with the validity range as a residual predicate —
+    // Catalyst plans a HASH join (equality key) with the range as a
+    // post-join filter, never a range-only nested loop; versions per
+    // key are O(few), so fact rows fan out by ~1 before the filter.
+    Q("q_scd2_join", Some("""
+      WITH dim AS (
+        SELECT c_custkey, c_mktsegment AS seg,
+               DATE '1992-01-01' AS vfrom, DATE '1995-06-30' AS vto
+        FROM customer
+        UNION ALL
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 4 = 0 THEN 'UPGRADED'
+                    ELSE c_mktsegment END AS seg,
+               DATE '1995-07-01', DATE '9999-12-31'
+        FROM customer)
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, dim.seg,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders JOIN dim
+        ON orders.o_custkey = dim.c_custkey
+       AND orders.o_orderdate BETWEEN dim.vfrom AND dim.vto
+      GROUP BY 1, 2
+    """)) { t =>
+      val c = t.customer
+      val v1 = c.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        lit("1992-01-01").cast("date").as("vfrom"),
+        lit("1995-06-30").cast("date").as("vto"))
+      val v2 = c.select(col("c_custkey"),
+        when(col("c_custkey") % 4 === 0, "UPGRADED")
+          .otherwise(col("c_mktsegment")).as("seg"),
+        lit("1995-07-01").cast("date").as("vfrom"),
+        lit("9999-12-31").cast("date").as("vto"))
+      val dim = v1.union(v2)
+      t.orders.join(dim, col("o_custkey") === col("c_custkey") &&
+          col("o_orderdate").between(col("vfrom"), col("vto")))
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"), col("seg"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.sum2(col("o_totalprice")).as("revenue"))
+    },
+
     // SNAPSHOT DIFF — the CDC READ leg (change.go / the CDC-feed
     // shape): diff two table versions into INSERT/UPDATE/DELETE
     // change rows. ONE co-partitioned full-outer join on the key;

@@ -347,6 +347,40 @@ class Wave11Spec extends SparkSpecBase {
     }
   }
 
+  test("q_scd2_join: every order matches exactly one dim version") {
+    val joined = q("q_scd2_join").collect()
+    assert(joined.map(_.getAs[Long]("n_orders")).sum == t.orders.count())
+    // upgraded segment only exists from the v2 validity window on
+    joined.filter(_.getAs[String]("seg") == "UPGRADED").foreach { r =>
+      assert(r.getAs[Int]("yr") >= 1995)
+    }
+    assert(joined.exists(_.getAs[String]("seg") == "UPGRADED"))
+  }
+
+  test("g_copurchase: pairs ordered, bounded, and share real parts") {
+    val rows = q("g_copurchase").collect()
+    assert(rows.length <= 50 && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c1") < r.getAs[Long]("c2"))
+      assert(r.getAs[Long]("common") >= 2)
+    }
+    val commons = rows.map(_.getAs[Long]("common"))
+    assert(commons.sameElements(commons.sortBy(-_)))
+    // spot-check the top pair really shares that many distinct parts
+    val top = rows.head
+    val cp = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+        col("l_partkey")), "o_orderkey")
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+    val sets = cp.filter(col("o_custkey").isin(
+        top.getAs[Long]("c1"), top.getAs[Long]("c2"))).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) =>
+        k -> v.map(_.getLong(1)).toSet }
+    val shared = sets(top.getAs[Long]("c1"))
+      .intersect(sets(top.getAs[Long]("c2")))
+    assert(shared.size >= top.getAs[Long]("common"))
+  }
+
   test("s_embed_pca: recovers a planted axis and is deterministic") {
     import spark.implicits._
     // 40 vectors along (1,2,0,0)/√5 with small deterministic jitter.
