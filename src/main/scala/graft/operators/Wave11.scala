@@ -102,6 +102,39 @@ object Wave11 {
       spark.read.parquet(s"$base/compacted")
     },
 
+    // MIXED-FORMAT UNION — one logical table spanning parquet + ORC
+    // + CSV generations (every format migration lives through this:
+    // old partitions in the old format, new in the new, queries see
+    // ONE table). Three deterministic key slices staged in three
+    // formats, read back with explicit schemas and unioned; the
+    // oracle reads the source table, so hash equality proves the
+    // union loses nothing and each format leg round-trips its slice.
+    // Per-leg pruning/pushdown still applies at scale (each leg is a
+    // plain format scan under the union).
+    Q("q_format_union", Some("""
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer
+    """)) { t =>
+      val spark = t.spark
+      val sel = t.customer.select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal").cast("double").as("bal"))
+      val base =
+        s"/tmp/graft_mixfmt_${graft.sources.Formats.sanitize(t.dir)}"
+      sel.filter(col("c_custkey") % 3 === 0)
+        .write.mode("overwrite").parquet(s"$base/parquet")
+      sel.filter(col("c_custkey") % 3 === 1)
+        .write.mode("overwrite").orc(s"$base/orc")
+      sel.filter(col("c_custkey") % 3 === 2)
+        .write.mode("overwrite").option("header", "true")
+        .csv(s"$base/csv")
+      val schema = "c_custkey bigint, c_name string, c_nationkey bigint, bal double"
+      spark.read.parquet(s"$base/parquet")
+        .unionByName(spark.read.orc(s"$base/orc"))
+        .unionByName(spark.read.schema(schema)
+          .option("header", "true").csv(s"$base/csv"))
+    },
+
     // SCD2 POINT-IN-TIME join — the slowly-changing-dimension
     // warehouse staple: facts join the dimension version that was
     // valid WHEN THE FACT HAPPENED (as-of semantics on a versioned

@@ -438,6 +438,23 @@ object EventQueries {
           sum(col("new_users")).over(Window.orderBy("day")))
     },
 
+    // ACTIVITY HEATMAP — the hour-of-day × day-of-week matrix every
+    // events dashboard opens with. One map-combined aggregation over
+    // a ≤168-cell key space; extraction arithmetic pinned to the
+    // same Sunday-based 0-6 dow on both engines.
+    Q("e_heatmap", Some("""
+      SELECT CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+             COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+      FROM events GROUP BY 1, 2
+    """)) { t =>
+      t.events
+        .groupBy((dayofweek(col("ts")) - 1).cast("int").as("dow"),
+          hour(col("ts")).cast("int").as("hod"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4)
+          .as("avg_value"))
+    },
+
     // EVENT-TRANSITION matrix (first-order Markov chain over the
     // journey: P(next type | type) — the funnel-discovery/session-
     // model staple). One key-local LAG per user (sessionize's shuffle

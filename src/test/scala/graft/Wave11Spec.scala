@@ -381,6 +381,26 @@ class Wave11Spec extends SparkSpecBase {
     assert(shared.size >= top.getAs[Long]("common"))
   }
 
+  test("e_heatmap: cell bounds and total reconciliation") {
+    val rows = q("e_heatmap").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("dow") >= 0 && r.getAs[Int]("dow") <= 6)
+      assert(r.getAs[Int]("hod") >= 0 && r.getAs[Int]("hod") <= 23)
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum == t.events.count())
+  }
+
+  test("q_format_union: three format legs reassemble the whole table") {
+    val rows = q("q_format_union").collect()
+    assert(rows.length == t.customer.count())
+    assert(rows.map(_.getAs[Long]("c_custkey")).distinct.length ==
+      rows.length)
+    val base = s"/tmp/graft_mixfmt_${sources.Formats.sanitize(t.dir)}"
+    Seq("parquet", "orc", "csv").foreach { f =>
+      assert(new java.io.File(s"$base/$f").exists())
+    }
+  }
+
   test("s_embed_pca: recovers a planted axis and is deterministic") {
     import spark.implicits._
     // 40 vectors along (1,2,0,0)/√5 with small deterministic jitter.
