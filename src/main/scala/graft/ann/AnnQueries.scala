@@ -484,6 +484,36 @@ object AnnQueries {
         .select(col("qid"), col("vec_id"), round(col("d"), 4).as("dp"))
     },
 
+    // MMR DIVERSITY RERANK — maximal marginal relevance (Carbonell-
+    // Goldstein): greedily pick k results trading relevance against
+    // similarity to what's already picked (the dedup-at-serving-time
+    // fix for near-identical top hits). Greedy is inherently
+    // sequential in k — but ONLY in k: each of the k−1 rounds is one
+    // co-partitioned join of remaining candidates against the picked
+    // set (≤ step rows per query) + a map-combined max-sim agg + a
+    // TopKPerGroup rank-1 cut, all queries advancing in parallel.
+    // Candidate pools are top-8 per query, so per-round state is
+    // bounded; scores compare on round(·,8) so the greedy choice
+    // can't flip on float noise. Greedy trace is engine-specific →
+    // rows-only; the spec pins rank-1 = pure-relevance top-1 and a
+    // constructed near-dup demotion.
+    Q("s_ann_mmr", None) { t =>
+      val corpus = vecs(t)
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qv"))
+        .withColumn("nq", norm(col("qv")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+        .orderBy(round(col("rel"), 8).desc, col("vec_id"))
+      val cands = corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("rel"),
+          col("v"), col("nv"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
+        .drop("rn")
+      mmrSelect(cands, k = 4, lam = 0.7)
+    },
+
     // PCA scores along the corpus's top principal component — the
     // embedding-quality staple (outlier axes, anisotropy checks,
     // whitening prep). Distributed covariance WITHOUT collecting
@@ -502,4 +532,41 @@ object AnnQueries {
       Pca.scores(t)
     },
   )
+
+  /** Greedy MMR over per-query candidate pools. `cands` columns:
+    * (qid, vec_id, rel, v, nv). Round r: score = λ·rel − (1−λ)·
+    * max sim to the picked set, rank-1 per query wins (round(·,8) +
+    * vec_id tie-break). Output: (qid, rank, vec_id, rel). */
+  def mmrSelect(cands: DataFrame, k: Int, lam: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy("qid")
+      .orderBy(round(col("rel"), 8).desc, col("vec_id"))
+    var selected = cands.withColumn("rank", row_number().over(w1))
+      .filter(col("rank") === 1)
+      .localCheckpoint()
+    for (step <- 2 to k) {
+      val sel = selected.select(col("qid"), col("v").as("sv"),
+        col("nv").as("snv"))
+      val rem = cands.join(selected.select("qid", "vec_id"),
+        Seq("qid", "vec_id"), "left_anti")
+      val scored = rem.join(sel, "qid")
+        .select(col("qid"), col("vec_id"), col("rel"), col("v"),
+          col("nv"),
+          cosinePre(col("v"), col("sv"), col("nv"), col("snv")).as("sim"))
+        .groupBy("qid", "vec_id")
+        .agg(first("rel").as("rel"), first("v").as("v"),
+          first("nv").as("nv"), max("sim").as("msim"))
+        .withColumn("score",
+          lit(lam) * col("rel") - lit(1 - lam) * col("msim"))
+      val wS = Window.partitionBy("qid")
+        .orderBy(round(col("score"), 8).desc, col("vec_id"))
+      val pick = scored.withColumn("rn", row_number().over(wS))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), col("rel"), col("v"),
+          col("nv"), lit(step).as("rank"))
+      selected = selected.union(pick).localCheckpoint()
+    }
+    selected.select(col("qid"), col("rank"), col("vec_id"),
+      round(col("rel"), 4).as("rel"))
+  }
 }

@@ -53,7 +53,7 @@ object DedupQueries {
           .reduce(_ + _).as("simhash"))
   }
 
-  val all: Seq[Q] = Seq(
+  lazy val all: Seq[Q] = Seq(
 
     // Exact dedup: group by content hash, keep the smallest id.
     // Shuffles (md5, doc_id) only.
@@ -805,7 +805,59 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_anchors"),
           count(when(col("nd") >= 2, lit(1))).as("dup_anchors"))
     },
-  )
+  ) :+ spanContam
+
+  /** Span-level decontamination — d_contamination's surgical sibling:
+    * instead of a per-doc hit COUNT, emit the merged WORD-SPAN ranges
+    * that overlap the held-out set, so the pipeline can TRIM the
+    * contaminated spans and keep the rest of the document (the
+    * modern decontamination recipe). Hit positions come from the
+    * same hashed-4-gram join; consecutive positions merge into
+    * spans via gaps-and-islands (pos − row_number is constant within
+    * a run) — the window is per-doc over HIT positions only (tiny),
+    * and everything else is the map-combined gram machinery. */
+  val spanContam: Q = Q("t_span_contam", Some("""
+      WITH w AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws
+                 FROM documents),
+      g AS (SELECT doc_id, source, i AS pos,
+              substr(md5(ARRAY_TO_STRING(ws[i:i+3], ' ')), 1, 16) AS gh
+            FROM w, UNNEST(generate_series(1,
+              GREATEST(LEN(ws) - 3, 0))) AS t(i)),
+      test AS (SELECT DISTINCT gh FROM g WHERE source = 'src19'),
+      hits AS (SELECT g.doc_id, g.pos FROM g JOIN test USING (gh)
+               WHERE g.source <> 'src19'),
+      isl AS (SELECT doc_id, pos,
+                     pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS grp
+              FROM hits)
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) + 3 AS BIGINT) AS span_end,
+             CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM isl GROUP BY doc_id, grp
+    """)) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val words = split(col("text"), " ")
+    val grams = when(size(words) >= 4,
+      transform(sequence(lit(1), size(words) - 3),
+        i => substring(md5(concat_ws(" ", slice(words, i, lit(4)))), 1, 16)))
+      .otherwise(array().cast("array<string>"))
+    val g = t.fan(t.documents)
+      .select(col("doc_id"), col("source"),
+        posexplode(grams).as(Seq("pos0", "gh")))
+      .select(col("doc_id"), col("source"),
+        (col("pos0") + 1).cast("long").as("pos"), col("gh"))
+    val testGrams = g.filter(col("source") === "src19")
+      .select("gh").distinct()
+    val hits = g.filter(col("source") =!= "src19")
+      .join(testGrams, "gh").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + 3).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("grp")
+  }
 
   /** Content-defined 24-gram anchors of `docs(doc_id, text)`: every
     * position's gram is md5'd in-row; grams whose hash starts with

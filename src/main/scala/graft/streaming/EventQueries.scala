@@ -438,6 +438,39 @@ object EventQueries {
           sum(col("new_users")).over(Window.orderBy("day")))
     },
 
+    // ACTIVITY STREAKS — longest run of consecutive active days per
+    // user (retention/engagement's favorite number), the classic
+    // gaps-and-islands: distinct active days → island id = day −
+    // row_number·1day (constant within a consecutive run), then two
+    // map-combined aggs. The window is key-local per user over
+    // DISTINCT DAYS (≤ span/86400 rows per user, not events) — a
+    // billion-event user costs the distinct, not the sort.
+    Q("e_streaks", Some("""
+      WITH d AS (SELECT DISTINCT user_id,
+                        CAST(date_trunc('day', ts) AS DATE) AS day
+                 FROM events),
+      isl AS (SELECT user_id, day,
+                     day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY day) AS INT) AS grp
+              FROM d),
+      runs AS (SELECT user_id, grp, COUNT(*) AS len FROM isl
+               GROUP BY user_id, grp)
+      SELECT user_id, CAST(MAX(len) AS BIGINT) AS best_streak,
+             CAST(COUNT(*) AS BIGINT) AS n_runs
+      FROM runs GROUP BY user_id
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val d = t.events
+        .select(col("user_id"), date_trunc("day", col("ts"))
+          .cast("date").as("day")).distinct()
+      val runs = d
+        .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      runs.groupBy("user_id")
+        .agg(max("len").as("best_streak"), count(lit(1)).as("n_runs"))
+    },
+
     // ACTIVITY HEATMAP — the hour-of-day × day-of-week matrix every
     // events dashboard opens with. One map-combined aggregation over
     // a ≤168-cell key space; extraction arithmetic pinned to the

@@ -401,6 +401,75 @@ class Wave11Spec extends SparkSpecBase {
     }
   }
 
+  test("e_streaks: streaks match a Scala recomputation") {
+    val got = q("e_streaks").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("best_streak"), r.getAs[Long]("n_runs"))).toMap
+    val days = t.events
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date"))
+      .distinct().collect()
+      .map(r => r.getAs[Long](0) -> r.getAs[java.sql.Date](1).toLocalDate)
+      .groupBy(_._1)
+    days.foreach { case (u, pairs) =>
+      val ds = pairs.map(_._2.toEpochDay).toSeq.sorted
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cur = 1L
+      for (i <- 1 until ds.length) {
+        if (ds(i) == ds(i - 1) + 1) cur += 1
+        else { runs += cur; cur = 1 }
+      }
+      runs += cur
+      assert(got(u) == (runs.max, runs.length.toLong))
+    }
+  }
+
+  test("t_span_contam: spans are maximal runs with exact gram counts") {
+    val rows = q("t_span_contam").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val spans = rs.map(r => (r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_grams")))
+        .sortBy(_._1)
+      spans.foreach { case (s, e, n) =>
+        assert(e == s + n + 2) // n consecutive 4-grams cover s..s+n+2
+      }
+      // maximal: a gap of ≥1 position between consecutive spans
+      spans.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1)._1 > w(0)._2 - 3 + 1)
+      }
+    }
+  }
+
+  test("s_ann_mmr: rank-1 is the relevance top-1; near-dups demoted") {
+    val mmr = q("s_ann_mmr").collect()
+    val byQ = mmr.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4))
+    }
+    val brute = q("s_ann_brute").collect()
+      .filter(_.getAs[Long]("qid") < 5)
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (k, v) => k -> v.minBy(r =>
+        (-BigDecimal(r.getAs[Double]("cos")).setScale(8,
+          BigDecimal.RoundingMode.HALF_UP), r.getAs[Long]("vec_id")))
+        .getAs[Long]("vec_id") }
+    byQ.foreach { case (qid, rs) =>
+      val r1 = rs.find(_.getAs[Int]("rank") == 1).get
+      assert(r1.getAs[Long]("vec_id") == brute(qid))
+    }
+    // constructed demotion: c2 duplicates c1's direction, c3 is
+    // orthogonal with lower relevance — MMR ranks c3 ahead of c2.
+    import spark.implicits._
+    val cands = Seq(
+      (0L, 1L, 0.99, Seq(1.0, 0.0), 1.0),
+      (0L, 2L, 0.90, Seq(1.0, 0.0), 1.0),
+      (0L, 3L, 0.50, Seq(0.0, 1.0), 1.0))
+      .toDF("qid", "vec_id", "rel", "v", "nv")
+    val picked = ann.AnnQueries.mmrSelect(cands, k = 3, lam = 0.7)
+      .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id"))
+    assert(picked.toSeq == Seq(1L, 3L, 2L))
+  }
+
   test("s_embed_pca: recovers a planted axis and is deterministic") {
     import spark.implicits._
     // 40 vectors along (1,2,0,0)/√5 with small deterministic jitter.
