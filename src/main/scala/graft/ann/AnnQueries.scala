@@ -537,8 +537,12 @@ object AnnQueries {
     * (qid, vec_id, rel, v, nv). Round r: score = λ·rel − (1−λ)·
     * max sim to the picked set, rank-1 per query wins (round(·,8) +
     * vec_id tie-break). Output: (qid, rank, vec_id, rel). */
-  def mmrSelect(cands: DataFrame, k: Int, lam: Double): DataFrame = {
+  def mmrSelect(cands0: DataFrame, k: Int, lam: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The pool is re-read by every greedy round (anti-join + rescore)
+    // — materialize it once instead of re-running the candidate scan
+    // k times.
+    val cands = cands0.localCheckpoint()
     val w1 = Window.partitionBy("qid")
       .orderBy(round(col("rel"), 8).desc, col("vec_id"))
     var selected = cands.withColumn("rank", row_number().over(w1))
