@@ -805,7 +805,7 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_anchors"),
           count(when(col("nd") >= 2, lit(1))).as("dup_anchors"))
     },
-  ) :+ spanContam
+  ) :+ spanContam :+ mixPlan
 
   /** Span-level decontamination — d_contamination's surgical sibling:
     * instead of a per-doc hit COUNT, emit the merged WORD-SPAN ranges
@@ -857,6 +857,49 @@ object DedupQueries {
         (max("pos") + 3).as("span_end"),
         count(lit(1)).as("n_grams"))
       .drop("grp")
+  }
+
+  /** Training-mix PLANNING — the arithmetic between t_dataset_card
+    * (what we have) and d_mix_sample (what we execute): given pinned
+    * per-source target weights and a token budget of half the
+    * corpus, emit each source's sampling rate and planned token
+    * count. One map-combined token count per source + a 1-row total
+    * broadcast; rates >1 mean epoch repeats, exposed rather than
+    * clamped. All arithmetic on ROUND(·,6) shares so the plan is
+    * engine-exact. */
+  val mixPlan: Q = Q("d_mix_plan", Some("""
+      WITH tok AS (
+        SELECT source, CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+               AS tokens
+        FROM documents GROUP BY source),
+      w AS (SELECT source, tokens,
+                   CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                        THEN 2.0 ELSE 1.0 END AS wt
+            FROM tok),
+      tot AS (SELECT SUM(tokens) AS t_all, SUM(wt) AS w_all FROM w)
+      SELECT source, tokens,
+             ROUND(tokens / t_all, 6) AS share_now,
+             ROUND(wt / w_all, 6) AS share_target,
+             ROUND((0.5 * t_all * wt / w_all) / tokens, 6) AS rate,
+             CAST(FLOOR(0.5 * t_all * wt / w_all) AS BIGINT)
+               AS planned_tokens
+      FROM w, tot
+    """)) { t =>
+    val tok = t.documents
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).as("tokens"))
+    val w = tok.withColumn("wt",
+      when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 2.0)
+        .otherwise(1.0))
+    val tot = w.agg(sum("tokens").as("t_all"), sum("wt").as("w_all"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        round(col("tokens") / col("t_all"), 6).as("share_now"),
+        round(col("wt") / col("w_all"), 6).as("share_target"),
+        round((lit(0.5) * col("t_all") * col("wt") / col("w_all"))
+          / col("tokens"), 6).as("rate"),
+        floor(lit(0.5) * col("t_all") * col("wt") / col("w_all"))
+          .cast("long").as("planned_tokens"))
   }
 
   /** Content-defined 24-gram anchors of `docs(doc_id, text)`: every

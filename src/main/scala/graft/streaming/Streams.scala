@@ -43,6 +43,19 @@ object Streams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** OHLC candles shared by batch and streaming — e_ohlc's plan
+    * under a stream: min_by/max_by partials carry (value, order-key)
+    * through the stateful agg, so live candles need no sort or
+    * window either. */
+  def ohlc(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").getField("start").as("w_start"),
+        col("event_type"))
+      .agg(expr("min_by(value, struct(ts, event_id))").as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        expr("max_by(value, struct(ts, event_id))").as("close"),
+        count(lit(1)).as("volume"))
+
   /** Native session windows (30-minute gap), shared by batch and
     * streaming: under a stream this runs Spark's stateful
     * SessionWindow merge with watermark-driven eviction — the same

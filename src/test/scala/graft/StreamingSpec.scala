@@ -54,6 +54,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(totalN == 4 * eventsDf.count())
   }
 
+  test("streaming OHLC candles equal batch candles") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(eventsDf.as[Event].collect().toSeq)
+
+    val query = Streams.ohlc(
+        input.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc_out").start()
+    try query.processAllAvailable() finally query.stop()
+
+    val streamed = spark.table("ohlc_out").collect().map(_.toSeq).toSet
+    val batch = Streams.ohlc(eventsDf).collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming session_window agg equals the batch session query") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -470,6 +470,22 @@ class Wave11Spec extends SparkSpecBase {
     assert(picked.toSeq == Seq(1L, 3L, 2L))
   }
 
+  test("d_mix_plan: shares normalize, budget reconciles to half the corpus") {
+    val rows = q("d_mix_plan").collect()
+    assert(math.abs(rows.map(_.getAs[Double]("share_now")).sum - 1.0)
+      < 1e-3)
+    assert(math.abs(rows.map(_.getAs[Double]("share_target")).sum - 1.0)
+      < 1e-3)
+    val total = rows.map(_.getAs[Long]("tokens")).sum
+    val planned = rows.map(_.getAs[Long]("planned_tokens")).sum
+    assert(math.abs(planned - 0.5 * total) < rows.length + 1.0)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rate") * r.getAs[Long]("tokens")
+        - r.getAs[Long]("planned_tokens")) <
+        0.01 * r.getAs[Long]("tokens") + 2)
+    }
+  }
+
   test("s_embed_pca: recovers a planted axis and is deterministic") {
     import spark.implicits._
     // 40 vectors along (1,2,0,0)/√5 with small deterministic jitter.
