@@ -441,6 +441,36 @@ object GraphQueries {
         maxDepth = 4)
     },
 
+    // MODULARITY of the LPA partition — the number that says whether
+    // detected communities are real structure or noise (Q > 0 means
+    // denser-than-random inside communities). Per community c over
+    // the symmetric edge set: contribution = w2_c/2m − (d_c/2m)².
+    // Three map-combined aggregations on top of the labels (within-
+    // edge count joins labels to BOTH endpoints on the one edge
+    // shuffle); |labels|-sized output. Oracle restates the unrolled
+    // LPA stages plus the same arithmetic.
+    Q("g_modularity", Some(modularityOracle(4))) { t =>
+      val und = Graph.derived(t.orders).oriented("both").localCheckpoint()
+      val lab = Graph.derived(t.orders).labelPropagation(iters = 4)
+      val m2 = und.agg(count(lit(1)).as("m2"))
+      val within = und
+        .join(lab.select(col("node").as("src"), col("lbl").as("la")), "src")
+        .join(lab.select(col("node").as("dst"), col("lbl").as("lb")), "dst")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("w2"))
+      val degs = und
+        .join(lab.select(col("node").as("src"), col("lbl")), "src")
+        .groupBy("lbl")
+        .agg(count(lit(1)).as("d"), countDistinct(col("src")).as("sz"))
+      degs.join(within, Seq("lbl"), "left").crossJoin(broadcast(m2))
+        .select(col("lbl"), col("sz"),
+          coalesce(col("w2"), lit(0L)).as("w2"),
+          col("d").as("deg_sum"),
+          round(coalesce(col("w2"), lit(0L)) / (lit(1.0) * col("m2"))
+            - (col("d") / (lit(1.0) * col("m2")))
+              * (col("d") / (lit(1.0) * col("m2"))), 6).as("contrib"))
+    },
+
     // Deterministic random-walk corpus (DeepWalk/node2vec sampling —
     // the graph-structure training-data generator). 2 walks × 4
     // steps from each start node; neighbor choice = md5(walk:step)
@@ -658,7 +688,9 @@ object GraphQueries {
     * engine's min_by(lbl, struct(-cnt, lbl))). Plain WITH +
     * MATERIALIZED like kCoreOracle: nothing recurses, and each
     * stage must evaluate exactly once. */
-  private def lpaOracle(iters: Int): String = {
+  /** Shared WITH-list prefix: undirected edges + `iters` unrolled
+    * synchronous-LPA stages ending at l`iters`. */
+  private def lpaCtePrefix(iters: Int): String = {
     val stages = (1 to iters).map { i =>
       s"""l$i AS MATERIALIZED (
         SELECT node, lbl FROM (
@@ -677,10 +709,39 @@ object GraphQueries {
       u AS MATERIALIZED (
         SELECT src, dst FROM e UNION SELECT dst, src FROM e),
       l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM u),
-      $stages
+      $stages"""
+  }
+
+  private def lpaOracle(iters: Int): String =
+    s"""${lpaCtePrefix(iters)}
       SELECT node, lbl FROM l$iters
     """
-  }
+
+  /** Modularity of the LPA partition, stated over the same unrolled
+    * stages: per community c over the symmetric edge set (2m rows),
+    * contribution = w2_c/2m − (d_c/2m)² with w2_c = directed-both
+    * within-edges and d_c = degree mass. */
+  private def modularityOracle(iters: Int): String =
+    s"""${lpaCtePrefix(iters)},
+      lab AS (SELECT node, lbl FROM l$iters),
+      m2 AS (SELECT COUNT(*) AS m2 FROM u),
+      within AS (
+        SELECT a.lbl, COUNT(*) AS w2
+        FROM u JOIN lab a ON a.node = u.src
+               JOIN lab b ON b.node = u.dst AND b.lbl = a.lbl
+        GROUP BY a.lbl),
+      degs AS (
+        SELECT lab.lbl, COUNT(*) AS d, COUNT(DISTINCT u.src) AS sz
+        FROM u JOIN lab ON lab.node = u.src
+        GROUP BY lab.lbl)
+      SELECT degs.lbl, CAST(sz AS BIGINT) AS sz,
+             CAST(COALESCE(w2, 0) AS BIGINT) AS w2,
+             CAST(d AS BIGINT) AS deg_sum,
+             ROUND(COALESCE(w2, 0) / (1.0 * m2.m2)
+                   - (d / (1.0 * m2.m2)) * (d / (1.0 * m2.m2)), 6)
+               AS contrib
+      FROM degs LEFT JOIN within ON within.lbl = degs.lbl, m2
+    """
 
   private def pageRankOracle(iters: Int): String = {
     val stages = (1 to iters).map { i =>

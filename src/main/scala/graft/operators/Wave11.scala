@@ -135,6 +135,49 @@ object Wave11 {
           .option("header", "true").csv(s"$base/csv"))
     },
 
+    // DYNAMIC PARTITION OVERWRITE — the idempotent backfill write
+    // (re-run yesterday's batch: ONLY the partitions present in the
+    // batch are replaced; untouched history survives). Stages a
+    // year-partitioned copy, overwrites 1994 with corrected rows
+    // under partitionOverwriteMode=dynamic, serves the result; the
+    // oracle states base-minus-1994 ∪ corrected-1994, so the hash
+    // compare proves surgical replacement. The same write is how a
+    // 100 TB fact table takes daily corrections without rewriting
+    // the table (partition dirs = the unit of idempotency).
+    Q("q_dynamic_overwrite", Some("""
+      SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS yr,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE YEAR(o_orderdate) <> 1994
+      UNION ALL
+      SELECT o_orderkey, 1994 AS yr,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  + CAST(0.07 AS DECIMAL(18,2)) AS DOUBLE) AS price
+      FROM orders WHERE YEAR(o_orderdate) = 1994
+    """)) { t =>
+      val spark = t.spark
+      val base =
+        s"/tmp/graft_dynover_${graft.sources.Formats.sanitize(t.dir)}"
+      val sel = t.orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      sel.write.mode("overwrite").partitionBy("yr").parquet(base)
+      val corrected = sel.filter(col("yr") === 1994)
+        .withColumn("price", col("price") + lit(BigDecimal("0.07")))
+      val prev = spark.conf
+        .getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try corrected.write.mode("overwrite").partitionBy("yr").parquet(base)
+      finally prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf
+          .unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.read.parquet(base)
+        .select(col("o_orderkey"), col("yr"),
+          col("price").cast("double").as("price"))
+    },
+
     // SCD2 POINT-IN-TIME join — the slowly-changing-dimension
     // warehouse staple: facts join the dimension version that was
     // valid WHEN THE FACT HAPPENED (as-of semantics on a versioned

@@ -611,6 +611,43 @@ object TextQueries {
           (col("doc_id") % 3 === 0).cast("int").as("had_markup"))
     },
 
+    // READABILITY scoring (Flesch reading ease, vowel-group syllable
+    // heuristic) — the classic text-difficulty signal filters add
+    // next to quality/LM scores. Pure map-side: three regex counts
+    // per doc folded into one codegen'd projection, no shuffle at
+    // any corpus size. The score compares on ROUND(·,4) and both
+    // engines run the identical [aeiouy]+ / [.!?]+ extractions.
+    Q("t_readability", Some("""
+      WITH f AS (
+        SELECT doc_id,
+               LEN(STRING_SPLIT(text, ' ')) AS words,
+               GREATEST(LEN(regexp_extract_all(text, '[.!?]+')), 1)
+                 AS sents,
+               LEN(regexp_extract_all(LOWER(text), '[aeiouy]+')) AS syll
+        FROM documents)
+      SELECT doc_id, CAST(words AS BIGINT) AS words,
+             CAST(sents AS BIGINT) AS sents,
+             CAST(syll AS BIGINT) AS syll,
+             ROUND(206.835 - 1.015 * (words / (1.0 * sents))
+                   - 84.6 * (syll / (1.0 * words)), 4) AS flesch
+      FROM f WHERE words >= 1
+    """)) { t =>
+      t.documents
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("words"),
+          greatest(size(expr(
+            "regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+            .cast("long").as("sents"),
+          size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+            .cast("long").as("syll"))
+        .filter(col("words") >= 1)
+        .select(col("doc_id"), col("words"), col("sents"), col("syll"),
+          round(lit(206.835)
+            - lit(1.015) * (col("words") / (lit(1.0) * col("sents")))
+            - lit(84.6) * (col("syll") / (lit(1.0) * col("words"))), 4)
+            .as("flesch"))
+    },
+
     // BPE MERGE TRAINING — the tokenizer-construction artifact (the
     // ranked merge table). Trains on the distinct-word vocabulary,
     // never the corpus (Bpe.trainMerges has the scale contract: one

@@ -486,6 +486,54 @@ class Wave11Spec extends SparkSpecBase {
     }
   }
 
+  test("q_dynamic_overwrite: only the 1994 partition was replaced") {
+    val got = q("q_dynamic_overwrite").collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        (r.getAs[Int]("yr"), r.getAs[Double]("price"))).toMap
+    val base = t.orders
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"),
+        col("o_totalprice").cast("double").as("p"))
+      .collect().map(r => r.getAs[Long]("o_orderkey") ->
+        (r.getAs[Int]("yr"), r.getAs[Double]("p"))).toMap
+    assert(got.size == base.size)
+    base.foreach { case (k, (yr, price)) =>
+      val (gyr, gprice) = got(k)
+      assert(gyr == yr)
+      val want = if (yr == 1994) price + 0.07 else price
+      assert(math.abs(gprice - want) < 1e-6)
+    }
+  }
+
+  test("g_modularity: sizes partition the graph, Q is sane and positive") {
+    val rows = q("g_modularity").collect()
+    val nV = graph.Graph.derived(t.orders).oriented("both")
+      .select("src").distinct().count()
+    assert(rows.map(_.getAs[Long]("sz")).sum == nV)
+    val qTotal = rows.map(_.getAs[Double]("contrib")).sum
+    assert(qTotal >= -0.5 && qTotal <= 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("w2") <= r.getAs[Long]("deg_sum"))
+    }
+  }
+
+  test("t_readability: formula matches a Scala recomputation") {
+    val got = q("t_readability").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    t.documents.limit(8).collect().foreach { d =>
+      val text = d.getAs[String]("text")
+      val words = text.split(" ", -1).length.toLong
+      val sents = math.max("[.!?]+".r.findAllIn(text).length, 1).toLong
+      val syll = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
+      val r = got(d.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("words") == words)
+      assert(r.getAs[Long]("sents") == sents)
+      assert(r.getAs[Long]("syll") == syll)
+      val flesch = 206.835 - 1.015 * (words.toDouble / sents) -
+        84.6 * (syll.toDouble / words)
+      assert(math.abs(r.getAs[Double]("flesch") - flesch) < 1e-3)
+    }
+  }
+
   test("s_embed_pca: recovers a planted axis and is deterministic") {
     import spark.implicits._
     // 40 vectors along (1,2,0,0)/√5 with small deterministic jitter.
