@@ -46,6 +46,46 @@ object Bpe {
       st => st.getField("acc"))
   }
 
+  /** Per-JVM memo of trained merge tables keyed by (data dir, k) —
+    * training is deterministic, so t_bpe_apply reuses t_bpe_train's
+    * table instead of re-running the merge loop when both run in one
+    * session (bench/verify do). */
+  private val memo = new scala.collection.concurrent.TrieMap[
+    (String, Int), Seq[(Int, String, String, Long)]]
+  def mergesFor(t: graft.Tables, k: Int): Seq[(Int, String, String, Long)] =
+    memo.getOrElseUpdate((t.dir, k),
+      trainMerges(t.fan(t.documents), k))
+
+  /** Tokenize with a trained merge table: per DISTINCT word, chars →
+    * the merge sequence applied in training order (map-side HOF
+    * chain over the vocabulary, never the corpus); per-doc token
+    * counts come from joining the (word → n_tokens) table back to
+    * the doc word counts — the corpus-side work is one word-count
+    * shuffle, identical to training's. */
+  def tokenCounts(docs: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val docWords = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val vocab = docWords.select("w").distinct()
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    val tokenized = merges.foldLeft(vocab) { case (v, (_, a, b, _)) =>
+      v.withColumn("syms", applyMerge(col("syms"), a, b))
+    }.select(col("w"), size(col("syms")).as("n_tok"),
+      length(col("w")).as("n_chr"))
+    docWords.join(tokenized, "w")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * col("n_chr")).as("n_chars"),
+        sum(col("cnt") * col("n_tok")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        round(col("n_chars") / (lit(1.0) * col("n_bpe_tokens")), 4)
+          .as("compression"))
+  }
+
   /** Train `k` merges over `docs(text)`; returns (step, left, right,
     * pair_n) — the ranked merge table. */
   def trainMerges(docs: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {

@@ -658,8 +658,19 @@ object TextQueries {
     Q("t_bpe_train", None) { t =>
       val spark = t.spark
       import spark.implicits._
-      Bpe.trainMerges(t.fan(t.documents), k = 6)
-        .toDF("step", "left", "right", "pair_n")
+      Bpe.mergesFor(t, k = 6).toDF("step", "left", "right", "pair_n")
+    },
+
+    // BPE TOKENIZATION — apply the trained merge table and report
+    // per-doc token counts + compression (chars per BPE token): the
+    // number that prices a corpus in training FLOPs. Merges apply to
+    // the DISTINCT-word vocabulary (map-side HOF chain), then one
+    // join back to per-doc word counts — corpus text crosses one
+    // word-count shuffle total. Rows-only (merge arithmetic is
+    // engine-specific); the spec pins exact token counts on the
+    // classic corpus.
+    Q("t_bpe_apply", None) { t =>
+      Bpe.tokenCounts(t.fan(t.documents), Bpe.mergesFor(t, k = 6))
     },
   )
 }

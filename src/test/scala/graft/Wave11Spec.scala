@@ -313,6 +313,22 @@ class Wave11Spec extends SparkSpecBase {
     val rows = q("t_bpe_train").collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
     assert(rows.map(_.getAs[Long]("pair_n")).forall(_ > 0))
+    // apply the 3 trained merges: low → [low] (1 token), lowest →
+    // [low, es, t] (3 tokens); doc of 5 lows + 2 lowests → 11 tokens.
+    val counts = text.Bpe.tokenCounts(
+      Seq((1L, corpus)).toDF("doc_id", "text"), merges).collect()
+    assert(counts.length == 1)
+    val r = counts.head
+    assert(r.getAs[Long]("n_words") == 7)
+    assert(r.getAs[Long]("n_chars") == 5 * 3 + 2 * 6)
+    assert(r.getAs[Long]("n_bpe_tokens") == 5 * 1 + 2 * 3)
+    // registry entry: compression ≥ 1 (a token is ≥ 1 char)
+    val reg = q("t_bpe_apply").collect()
+    assert(reg.nonEmpty)
+    reg.foreach { row =>
+      assert(row.getAs[Double]("compression") >= 1.0)
+      assert(row.getAs[Long]("n_bpe_tokens") <= row.getAs[Long]("n_chars"))
+    }
   }
 
   test("q_compact: file count collapses, content survives") {
