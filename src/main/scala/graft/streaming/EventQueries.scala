@@ -576,8 +576,11 @@ object EventQueries {
     // 100 TB event firehose becomes a dashboard-sized table in ONE
     // map-side-combined aggregation: min_by/max_by carry (value,
     // order-key) pairs through the partial aggregates, so open/close
-    // need no window, no sort, no second pass — the shuffle moves one
-    // row per (day, type) per map task, never per event. Ties on ts
+    // need no window and no second pass — the shuffle moves one row
+    // per (day, type) per map task, never per event (struct-ordered
+    // min_by plans as SortAggregate, so partitions sort on the tiny
+    // grouping key — plan-asserted: one exchange, partials below it).
+    // Ties on ts
     // are broken by event_id via struct ordering so the candle is
     // deterministic under any row order (DuckDB mirrors with a
     // composite ROW_NUMBER). Turnover rounded: a float sum's last

@@ -253,4 +253,55 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       s"dataset card should shuffle at most twice (distinct+group):\n$p")
   }
+
+  test("e_ohlc is one map-combined aggregation — no window, one shuffle") {
+    val p = plan("e_ohlc")
+    assert(!p.contains("Window"), s"candles must not window:\n$p")
+    assert(p.contains("partial_min_by"),
+      s"min_by must partial-aggregate before the exchange:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"candles need exactly one shuffle:\n$p")
+  }
+
+  test("t_readability and m_media_quality stay shuffle-free") {
+    Seq("t_readability", "m_media_quality").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Exchange"), s"$n should be map-side only:\n$p")
+    }
+  }
+
+  test("q_scd2_join plans an equi-join with the range as residual") {
+    val p = plan("q_scd2_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"SCD2 must plan a hash/merge equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"validity range must stay residual, not the join driver:\n$p")
+  }
+
+  test("g_copurchase pairs only inside posting lists (no cartesian)") {
+    val p = plan("g_copurchase")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join must key on the part:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-50 should fuse, not sort:\n$p")
+  }
+
+  test("s_ann_range scans once with a broadcast query side, no shuffle") {
+    val p = plan("s_ann_range")
+    assert(p.contains("BroadcastExchange"),
+      s"query set must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"radius search needs no shuffle:\n$p")
+  }
+
+  test("d_substring_dup shuffles fingerprints, not document text") {
+    val p = plan("d_substring_dup")
+    // the exchanges hash on the 32-hex md5 fingerprint / doc id —
+    // never on a raw text column
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text"),
+        s"text crossed an exchange: $l"))
+  }
 }
