@@ -438,6 +438,78 @@ object EventQueries {
           sum(col("new_users")).over(Window.orderBy("day")))
     },
 
+    // SEQUENCE PATTERN MATCHING (MATCH_RECOGNIZE / CEP): count, per
+    // user, occurrences of view → click → purchase with NO error in
+    // between — negation is what separates this from e_funnel's
+    // ordered-min times. The journey collapses to one key-local
+    // ordered initial-letter string (types have distinct initials),
+    // and the pattern is a lazy regex ('v[^e]*?c[^e]*?p' — lazy so
+    // RE2 and Java regex agree on the non-overlapping match set).
+    // Per-user state = activity length, the same bound a streaming
+    // CEP keeps in flatMapGroupsWithState; at 100 TB the sort is
+    // key-local, the regex map-side.
+    Q("e_pattern", Some("""
+      WITH s AS (
+        SELECT user_id,
+               STRING_AGG(SUBSTR(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id)
+      SELECT user_id,
+             CAST(LEN(regexp_extract_all(seq, 'v[^e]*?c[^e]*?p'))
+                  AS BIGINT) AS n_matches,
+             CAST(LEN(seq) AS BIGINT) AS seq_len
+      FROM s
+    """)) { t =>
+      val seq = array_join(expr(
+        """transform(
+             array_sort(collect_list(struct(ts, event_id,
+               substring(event_type, 1, 1) AS ini))),
+             x -> x.ini)"""), "")
+      t.events.groupBy("user_id")
+        .agg(seq.as("seq"))
+        .select(col("user_id"),
+          size(expr("regexp_extract_all(seq, 'v[^e]*?c[^e]*?p', 0)"))
+            .cast("long").as("n_matches"),
+          length(col("seq")).cast("long").as("seq_len"))
+    },
+
+    // TIME-WEIGHTED AVERAGE (TWAP) — the irregular-sampling average
+    // (a value that held for an hour must outweigh one that held a
+    // second; the plain AVG of sensor/price readings is wrong).
+    // Each reading holds until the next one: one key-local LEAD per
+    // (user, day), then a map-combined weighted agg. Readings with
+    // no successor in-day carry no weight, identically on both
+    // engines via the NULL-lead arithmetic.
+    Q("e_twap", Some("""
+      WITH g AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               value,
+               date_diff('microsecond', ts,
+                 LEAD(ts) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts, event_id)) / 1e6 AS w
+        FROM events)
+      SELECT user_id, day,
+             ROUND(SUM(value * w) / SUM(w), 4) AS twap,
+             CAST(COUNT(w) AS BIGINT) AS n_intervals
+      FROM g WHERE w IS NOT NULL
+      GROUP BY user_id, day HAVING SUM(w) > 0
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val day = date_trunc("day", col("ts"))
+      val w = Window.partitionBy(col("user_id"), day)
+        .orderBy("ts", "event_id")
+      t.events
+        .select(col("user_id"), day.as("day"), col("value"),
+          ((unix_micros(lead(col("ts"), 1).over(w)) -
+            unix_micros(col("ts"))) / 1e6).as("w"))
+        .filter(col("w").isNotNull)
+        .groupBy("user_id", "day")
+        .agg(round(sum(col("value") * col("w")) / sum(col("w")), 4)
+          .as("twap"), count(col("w")).as("n_intervals"),
+          sum(col("w")).as("tw"))
+        .filter(col("tw") > 0).drop("tw")
+    },
+
     // ACTIVITY STREAKS — longest run of consecutive active days per
     // user (retention/engagement's favorite number), the classic
     // gaps-and-islands: distinct active days → island id = day −

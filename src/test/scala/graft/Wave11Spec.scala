@@ -550,6 +550,44 @@ class Wave11Spec extends SparkSpecBase {
     }
   }
 
+  test("e_pattern: regex matches a Scala recomputation per user") {
+    val got = q("e_pattern").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_matches"), r.getAs[Long]("seq_len"))).toMap
+    val seqs = t.events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rows) =>
+        u -> rows.sortBy(r => (r.getAs[java.sql.Timestamp]("ts").getTime,
+          r.getAs[Long]("event_id"))).map(_.getAs[String]("ini")).mkString
+      }
+    seqs.foreach { case (u, s) =>
+      val n = "v[^e]*?c[^e]*?p".r.findAllIn(s).length.toLong
+      assert(got(u) == (n, s.length.toLong))
+    }
+    assert(got.values.exists(_._1 > 0))
+  }
+
+  test("e_twap: weighted mean sits inside the day's value range") {
+    val rows = q("e_twap").collect()
+    assert(rows.nonEmpty)
+    val ranges = t.events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("day")) ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("day"))
+      val (lo, hi) = ranges(k)
+      val tw = r.getAs[Double]("twap")
+      assert(tw >= lo - 1e-6 && tw <= hi + 1e-6)
+    }
+  }
+
   test("s_embed_pca: recovers a planted axis and is deterministic") {
     import spark.implicits._
     // 40 vectors along (1,2,0,0)/√5 with small deterministic jitter.
