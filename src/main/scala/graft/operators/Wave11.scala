@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -100,6 +101,66 @@ object Wave11 {
         .repartition(2)
         .write.mode("overwrite").parquet(s"$base/compacted")
       spark.read.parquet(s"$base/compacted")
+    },
+
+    // DATA-QUALITY VALIDATION SUITE (the Deequ/dbt-test shape; the
+    // reference's ADMIN CHECK family generalized to declarative
+    // rules): completeness, range, referential integrity, key
+    // uniqueness, sign — each rule one aggregate/anti-join over the
+    // fact, results unioned into the quality report every ingest
+    // gate reads. Scale: every rule is map-combined or a broadcast
+    // anti join; the report is |rules| rows. A 100 TB ingest runs
+    // exactly this before publishing a partition.
+    Q("q_data_quality", Some("""
+      SELECT 'ship_date_complete' AS rule,
+             CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS violations,
+             COUNT(*) AS total FROM lineitem
+      UNION ALL
+      SELECT 'discount_in_range',
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(*) FROM lineitem
+      UNION ALL
+      SELECT 'orders_customer_fk',
+             CAST(COUNT(*) FILTER (c_custkey IS NULL) AS BIGINT),
+             COUNT(*)
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      UNION ALL
+      SELECT 'lineitem_pk_unique',
+             CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT),
+             CAST(COALESCE(SUM(cnt), 0) AS BIGINT)
+      FROM (SELECT COUNT(*) AS cnt FROM lineitem
+            GROUP BY l_orderkey, l_linenumber) g
+      UNION ALL
+      SELECT 'quantity_positive',
+             CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             COUNT(*) FROM lineitem
+    """)) { t =>
+      def rule(name: String, viol: Column, total: Column,
+          src: org.apache.spark.sql.DataFrame) =
+        src.agg(viol.as("violations"), total.as("total"))
+          .select(lit(name).as("rule"), col("violations"), col("total"))
+      val li = t.lineitem
+      val fk = t.orders.join(t.customer,
+        col("o_custkey") === col("c_custkey"), "left")
+      val pk = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("cnt"))
+      rule("ship_date_complete",
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)),
+          count(lit(1)), li)
+        .unionAll(rule("discount_in_range",
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+            .otherwise(0L)), count(lit(1)), li))
+        .unionAll(rule("orders_customer_fk",
+          count(when(col("c_custkey").isNull, 1L)), count(lit(1)), fk))
+        .unionAll(rule("lineitem_pk_unique",
+          coalesce(sum(col("cnt") - 1), lit(0L)),
+          coalesce(sum(col("cnt")), lit(0L)), pk))
+        .unionAll(rule("quantity_positive",
+          sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)),
+          count(lit(1)), li))
     },
 
     // MIXED-FORMAT UNION — one logical table spanning parquet + ORC

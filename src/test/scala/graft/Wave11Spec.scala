@@ -588,6 +588,25 @@ class Wave11Spec extends SparkSpecBase {
     }
   }
 
+  test("q_data_quality: all five rules present; clean data passes") {
+    val rows = q("q_data_quality").collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("violations"), r.getAs[Long]("total"))).toMap
+    assert(rows.keySet == Set("ship_date_complete", "discount_in_range",
+      "orders_customer_fk", "lineitem_pk_unique", "quantity_positive"))
+    rows.foreach { case (_, (v, tot)) =>
+      assert(v >= 0 && v <= tot && tot > 0)
+    }
+    // the generated data is referentially sound …
+    assert(rows("orders_customer_fk")._1 == 0)
+    // … but its (orderkey, linenumber) "PK" genuinely collides — the
+    // suite's job is to SURFACE that, and it does (cross-checked):
+    val dups = t.lineitem.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(sum(col("c") - 1)).head().getLong(0)
+    assert(rows("lineitem_pk_unique")._1 == dups && dups > 0)
+  }
+
   test("s_embed_pca: recovers a planted axis and is deterministic") {
     import spark.implicits._
     // 40 vectors along (1,2,0,0)/√5 with small deterministic jitter.
