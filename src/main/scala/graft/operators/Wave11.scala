@@ -103,6 +103,31 @@ object Wave11 {
       spark.read.parquet(s"$base/compacted")
     },
 
+    // DYNAMIC PIVOT — q_pivot with the spread columns DISCOVERED at
+    // runtime (the real-world shape: nobody hardcodes the category
+    // list). Two phases: one tiny distinct scan collects the value
+    // set to the driver (O(|categories|), the same contract as the
+    // graph loops' scalars), then the standard pivot runs with the
+    // explicit list — which also keeps Spark's pivot OFF its own
+    // hidden collect path and the plan a single map-combined
+    // aggregate. The oracle states the discovered columns literally.
+    Q("q_pivot_dynamic", Some("""
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+      FROM events GROUP BY user_id
+    """)) { t =>
+      val cats = t.events.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted
+      t.events.groupBy("user_id")
+        .pivot("event_type", cats.toSeq)
+        .agg(count(lit(1)))
+        .na.fill(0L, cats.toSeq)
+    },
+
     // DATA-QUALITY VALIDATION SUITE (the Deequ/dbt-test shape; the
     // reference's ADMIN CHECK family generalized to declarative
     // rules): completeness, range, referential integrity, key

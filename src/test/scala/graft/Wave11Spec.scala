@@ -607,6 +607,17 @@ class Wave11Spec extends SparkSpecBase {
     assert(rows("lineitem_pk_unique")._1 == dups && dups > 0)
   }
 
+  test("q_pivot_dynamic: discovered columns complete, totals reconcile") {
+    val df = q("q_pivot_dynamic")
+    val types = t.events.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(df.columns.toSeq == "user_id" +: types.toSeq)
+    val rows = df.collect()
+    assert(rows.length == t.events.select("user_id").distinct().count())
+    val total = rows.map(r => types.map(c => r.getAs[Long](c)).sum).sum
+    assert(total == t.events.count())
+  }
+
   test("s_embed_pca: recovers a planted axis and is deterministic") {
     import spark.implicits._
     // 40 vectors along (1,2,0,0)/√5 with small deterministic jitter.
