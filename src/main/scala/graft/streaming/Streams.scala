@@ -190,6 +190,44 @@ object Streams {
   final case class SessionOut(user_id: Long, s_start: java.sql.Timestamp,
       n_events: Long)
 
+  /** CEP pattern state: automaton stage (0 = idle, 1 = saw view,
+    * 2 = saw view..click) + completed-match count. */
+  final case class CepState(stage: Int, count: Long)
+
+  /** Streaming CEP — e_pattern's automaton twin: per user, count
+    * view→click→purchase sequences with no error between, as a
+    * stateful automaton in flatMapGroupsWithState (the earliest-
+    * match automaton computes exactly the batch entry's lazy-regex
+    * non-overlapping count). Events are sorted by event time INSIDE
+    * each micro-batch; cross-batch correctness holds when batches
+    * arrive in event-time order (the spec drives a time-split feed)
+    * — a production job buffers by watermark before the automaton,
+    * exactly like the session emitter below. One tiny state object
+    * per user, sharded by key. */
+  def cepMatches(events: Dataset[Event]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id).flatMapGroupsWithState[
+        CepState, (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (user: Long, it: Iterator[Event], state: GroupState[CepState]) =>
+        val st0 = state.getOption.getOrElse(CepState(0, 0L))
+        var stage = st0.stage
+        var count = st0.count
+        it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          e.event_type.charAt(0) match {
+            case 'e' => stage = 0
+            case 'v' if stage == 0 => stage = 1
+            case 'c' if stage == 1 => stage = 2
+            case 'p' if stage == 2 => count += 1; stage = 0
+            case _ => ()
+          }
+        }
+        state.update(CepState(stage, count))
+        Iterator((user, count))
+    }
+  }
+
   /** Session EMISSION via flatMapGroupsWithState: closed sessions are
     * emitted as rows (not just counted) — one output row per
     * completed 30-min-gap session, state = the single open session

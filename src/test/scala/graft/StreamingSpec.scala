@@ -54,6 +54,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(totalN == 4 * eventsDf.count())
   }
 
+  test("streaming CEP automaton equals the batch lazy-regex counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = eventsDf.as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    // two event-time-ordered micro-batches: state must carry across
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val input = MemoryStream[Event]
+    val query = Streams.cepMatches(input.toDS())
+      .toDF("user_id", "n_matches")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cep_out").start()
+    try {
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+    } finally query.stop()
+    // counts are monotone: the final value per user is the max
+    val streamed = spark.table("cep_out")
+      .groupBy("user_id").agg(max("n_matches").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Registry.all.find(_.name == "e_pattern").get.run(t)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Long]("n_matches")).toMap
+    assert(streamed == batch)
+    assert(batch.values.exists(_ > 0))
+  }
+
   test("streaming OHLC candles equal batch candles") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
