@@ -417,7 +417,9 @@ final case class Graph(edges: DataFrame) {
     var frontier = roots.toDF("root")
       .select(col("root"), col("root").as("node"), lit(1L).as("sigma"))
       .cp()
-    var visited = frontier.select("root", "node").cp()
+    // visited is a union chain over already-cp'd level outputs —
+    // shallow, no checkpoint of its own needed.
+    var visited = frontier.select("root", "node")
     var levels = Vector(frontier)
     for (_ <- 1 to maxDepth) {
       val nxt = frontier.as("F").join(e.as("E"), expr("F.node = E.src"))
@@ -427,9 +429,12 @@ final case class Graph(edges: DataFrame) {
         .groupBy("root", "node").agg(sum("sigma").as("sigma"))
         .cp()
       levels :+= nxt
-      visited = visited.union(nxt.select("root", "node")).cp()
+      visited = visited.union(nxt.select("root", "node"))
       frontier = nxt
     }
+    // Backward stages chain LAZILY (≤ maxDepth joins over cp'd level
+    // frames) — one job materializes the whole accumulation instead
+    // of maxDepth driver-synced checkpoints.
     var above = levels(maxDepth)
       .select(col("root"), col("node"), col("sigma"),
         lit(0.0).as("delta"))
@@ -443,7 +448,6 @@ final case class Graph(edges: DataFrame) {
           col("F.sigma").as("sigma"))
         .agg(coalesce(sum(col("F.sigma") * (lit(1.0) + col("B.delta"))
           / col("B.sigma")), lit(0.0)).as("delta"))
-        .cp()
       if (d >= 1) acc = if (acc == null) scored else acc.union(scored)
       above = scored
     }
