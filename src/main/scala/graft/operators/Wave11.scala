@@ -103,6 +103,42 @@ object Wave11 {
       spark.read.parquet(s"$base/compacted")
     },
 
+    // HIGHER-MOMENT aggregates — skewness + excess kurtosis per
+    // group (the distribution-shape card beside q_agg_stats'
+    // mean/stddev: is value heavy-tailed? asymmetric?). Engines
+    // disagree on bias corrections (Spark is population-form, DuckDB
+    // sample-form), so BOTH sides state the raw-power-sum arithmetic
+    // explicitly — μk from E[x^k], one map-combined aggregation, and
+    // the spec pins the explicit form against Spark's own builtins.
+    Q("q_agg_moments", Some("""
+      WITH s AS (SELECT event_type, COUNT(*) AS n, AVG(value) AS m,
+                        AVG(value*value) AS m2r,
+                        AVG(value*value*value) AS m3r,
+                        AVG(value*value*value*value) AS m4r
+                 FROM events GROUP BY event_type)
+      SELECT event_type, n,
+             ROUND((m3r - 3*m*m2r + 2*m*m*m)
+                   / POWER(m2r - m*m, 1.5), 4) AS skew,
+             ROUND((m4r - 4*m*m3r + 6*m*m*m2r - 3*POWER(m, 4))
+                   / POWER(m2r - m*m, 2) - 3, 4) AS kurt
+      FROM s
+    """)) { t =>
+      val v = col("value")
+      val s = t.events.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), avg(v).as("m"),
+          avg(v * v).as("m2r"), avg(v * v * v).as("m3r"),
+          avg(v * v * v * v).as("m4r"))
+      val mu2 = col("m2r") - col("m") * col("m")
+      val mu3 = col("m3r") - lit(3) * col("m") * col("m2r") +
+        lit(2) * col("m") * col("m") * col("m")
+      val mu4 = col("m4r") - lit(4) * col("m") * col("m3r") +
+        lit(6) * col("m") * col("m") * col("m2r") -
+        lit(3) * pow(col("m"), 4)
+      s.select(col("event_type"), col("n"),
+        round(mu3 / pow(mu2, 1.5), 4).as("skew"),
+        round(mu4 / pow(mu2, 2) - 3, 4).as("kurt"))
+    },
+
     // DYNAMIC PIVOT — q_pivot with the spread columns DISCOVERED at
     // runtime (the real-world shape: nobody hardcodes the category
     // list). Two phases: one tiny distinct scan collects the value

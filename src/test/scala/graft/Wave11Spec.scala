@@ -618,6 +618,24 @@ class Wave11Spec extends SparkSpecBase {
     assert(total == t.events.count())
   }
 
+  test("q_agg_moments: explicit power-sum form equals Spark's builtins") {
+    val got = q("q_agg_moments").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("skew"), r.getAs[Double]("kurt"))).toMap
+    val builtin = t.events.groupBy("event_type")
+      .agg(round(skewness(col("value")), 4).as("sk"),
+        round(kurtosis(col("value")), 4).as("ku"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("sk"), r.getAs[Double]("ku"))).toMap
+    got.foreach { case (k, (sk, ku)) =>
+      // power-sum arithmetic loses a few low bits vs the one-pass
+      // central-moment builtins — 4dp values agree within 1e-3
+      assert(math.abs(sk - builtin(k)._1) < 1e-3)
+      assert(math.abs(ku - builtin(k)._2) < 1e-3)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("s_embed_pca: recovers a planted axis and is deterministic") {
     import spark.implicits._
     // 40 vectors along (1,2,0,0)/√5 with small deterministic jitter.
