@@ -395,7 +395,10 @@ final case class Graph(edges: DataFrame) {
   }
 
   /** Bounded-depth Brandes dependency scores from pinned roots — the
-    * betweenness-centrality core (who sits on the shortest paths).
+    * betweenness-centrality core (who sits on the shortest paths;
+    * shortest-path machinery per the reference's
+    * graph_shortest.go:141,192 — computeShortest/computeShortestAll —
+    * with Brandes' accumulation on top).
     * Forward: one TAGGED multi-root BFS (the g_closeness trick —
     * roots widen frontier rows, not loop count) accumulating σ =
     * shortest-path counts per (root, node), visited-pruned, ≤
@@ -531,7 +534,10 @@ final case class Graph(edges: DataFrame) {
 
   /** Strongly connected components of the DIRECTED graph — CC's
     * direction-aware sibling (a cycle is an SCC; a DAG is all
-    * singletons). Distributed trim + forward/backward min-label
+    * singletons; the mutual-reachability question implied by the
+    * reference's directed MATCH surface — edge directions
+    * executor/graph.go:444-453, traversal core graph_shortest.go).
+    * Distributed trim + forward/backward min-label
     * coloring, the FW-BW/coloring family of the distributed-SCC
     * literature re-expressed as DataFrame loops:
     *

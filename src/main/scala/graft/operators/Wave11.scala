@@ -5,15 +5,19 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Round-7 capability wave 3 (session 3): JSON document shredding
-  * (the JSON_TABLE relational bridge / jsonl ingest path).
+/** Round-7 capability wave 3 (session 3): JSON_TABLE shredding, MODE
+  * and higher-moment aggregates, small-files compaction, CDC snapshot
+  * diff, SCD2 point-in-time join, mixed-format union, dynamic
+  * partition overwrite, dynamic pivot, and the declarative
+  * data-quality suite.
   */
 object Wave11 {
 
   val all: Seq[Q] = Seq(
 
     // JSON_TABLE — the JSON→relational bridge (reference JSON path
-    // machinery: expression/builtin_json.go; MySQL-family JSON_TABLE
+    // machinery: expression/builtin_json.go:168 ParseJSONPathExpr;
+    // MySQL-family JSON_TABLE
     // semantics: one row per array element, path-projected columns,
     // FOR ORDINALITY position). This is also the jsonl ingest shape
     // every training-data pipeline starts from: a document that
@@ -53,7 +57,8 @@ object Wave11 {
     },
 
     // MODE aggregate — most frequent value per group (aggfuncs
-    // family; MySQL users emulate it with the same count+rank). Two
+    // family: executor/aggfuncs/builder.go:391 builds maxMin-style
+    // extremes; MySQL users emulate MODE with the same count+rank). Two
     // map-combined aggregations: (group, value) counts, then a
     // per-group argmin over (-count, value) — the smallest-value
     // tie-break makes the answer deterministic on both engines, and
@@ -105,7 +110,9 @@ object Wave11 {
 
     // HIGHER-MOMENT aggregates — skewness + excess kurtosis per
     // group (the distribution-shape card beside q_agg_stats'
-    // mean/stddev: is value heavy-tailed? asymmetric?). Engines
+    // mean/stddev — reference variance family:
+    // executor/aggfuncs/builder.go:593-595 varPop/stddevSamp — the
+    // 3rd/4th moments complete it: is value heavy-tailed?). Engines
     // disagree on bias corrections (Spark is population-form, DuckDB
     // sample-form), so BOTH sides state the raw-power-sum arithmetic
     // explicitly — μk from E[x^k], one map-combined aggregation, and
@@ -347,8 +354,9 @@ object Wave11 {
           Exact.sum2(col("o_totalprice")).as("revenue"))
     },
 
-    // SNAPSHOT DIFF — the CDC READ leg (change.go / the CDC-feed
-    // shape): diff two table versions into INSERT/UPDATE/DELETE
+    // SNAPSHOT DIFF — the CDC READ leg (executor/change.go:29
+    // ChangeExec feed shape): diff two table versions into
+    // INSERT/UPDATE/DELETE
     // change rows. ONE co-partitioned full-outer join on the key;
     // the change type is a null-pattern CASE, value deltas are
     // decimal-exact. Versions are derived deterministically from the
