@@ -438,6 +438,34 @@ object EventQueries {
           sum(col("new_users")).over(Window.orderBy("day")))
     },
 
+    // TIME-TO-CONVERT — the product metric behind every funnel: per
+    // user, seconds from the FIRST view to the first purchase AFTER
+    // it. Two map-combined MIN aggregations (the e_funnel family) +
+    // one co-partitioned join; the after-the-view constraint rides
+    // the purchase MIN's filter, so no per-user ordering pass exists
+    // at any scale. Second-floor arithmetic shared with e_gaps.
+    Q("e_ttc", Some("""
+      WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+                 WHERE event_type = 'view' GROUP BY user_id),
+      p AS (SELECT e.user_id, MIN(e.ts) AS tp
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > v.tv
+            GROUP BY e.user_id)
+      SELECT v.user_id,
+             CAST(date_diff('second', v.tv, p.tp) AS BIGINT) AS ttc_s
+      FROM v JOIN p ON p.user_id = v.user_id
+    """)) { t =>
+      val v = t.events.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("tv"))
+      val p = t.events.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("tv"))
+        .groupBy("user_id").agg(min(col("ts")).as("tp"))
+      v.join(p, "user_id")
+        .select(col("user_id"),
+          (unix_timestamp(col("tp")) - unix_timestamp(col("tv")))
+            .as("ttc_s"))
+    },
+
     // SEQUENCE PATTERN MATCHING (MATCH_RECOGNIZE / CEP): count, per
     // user, occurrences of view → click → purchase with NO error in
     // between — negation is what separates this from e_funnel's

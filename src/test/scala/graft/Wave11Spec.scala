@@ -636,6 +636,28 @@ class Wave11Spec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("e_ttc: conversions are after the first view, recomputed") {
+    val got = q("e_ttc").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("ttc_s")).toMap
+    assert(got.values.forall(_ >= 0))
+    val events = t.events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    def floorSec(us: Long): Long = Math.floorDiv(us, 1000000L)
+    events.foreach { case (u, rows) =>
+      val views = rows.filter(_.getString(1) == "view").map(_.getLong(2))
+      if (views.nonEmpty) {
+        val tv = views.min
+        val ps = rows.filter(r => r.getString(1) == "purchase" &&
+          r.getLong(2) > tv).map(_.getLong(2))
+        if (ps.nonEmpty)
+          assert(got(u) == floorSec(ps.min) - floorSec(tv))
+        else assert(!got.contains(u))
+      } else assert(!got.contains(u))
+    }
+  }
+
   test("s_embed_pca: recovers a planted axis and is deterministic") {
     import spark.implicits._
     // 40 vectors along (1,2,0,0)/√5 with small deterministic jitter.
