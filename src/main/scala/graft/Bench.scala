@@ -132,6 +132,19 @@ object Bench {
       pass += 1
     }
     val results = times.toSeq
+    // Round-over-round comparability for the tail: any entry whose
+    // IN-SUITE first pass exceeded 2.5 s reports both numbers —
+    // in_suite (the contended first-pass sample) and isolated (the
+    // best gapped re-measure, i.e. what the entry costs without a
+    // neighbor-stall window) — so box noise stops polluting
+    // cross-round perf comparisons. The headline per-query value
+    // stays the min, as before.
+    val firstByName = firstPass.map { case (q, v) => q.name -> v }.toMap
+    val tail = results.collect {
+      case (k, v) if firstByName(k) > 2.5 && firstByName(k) >= 0 =>
+        "\"" + k + "\":{\"in_suite\":" + f"${firstByName(k)}%.3f" +
+          ",\"isolated\":" + f"$v%.3f" + "}"
+    }.mkString("{", ",", "}")
     val qs = results
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -144,7 +157,7 @@ object Bench {
     // capture has repeatedly kept only the tail of this line, losing
     // the leading "value" — a trailing copy survives tail-truncation.
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"total_s":$total%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"tail":$tail,"total_s":$total%.3f}"""
     // Belt and braces for the driver's parse: stdout line AND a file
     // copy (three rounds of BENCH_r0*.json came back parsed:null).
     // A failed write is LOUD — a silently-kept stale file from a

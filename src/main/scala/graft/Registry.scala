@@ -27,6 +27,7 @@ object Registry {
     operators.Wave9.all,
     operators.Wave10.all,
     operators.Wave11.all,
+    operators.Wave12.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,

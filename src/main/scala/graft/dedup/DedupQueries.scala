@@ -578,19 +578,25 @@ object DedupQueries {
       // outgrows would saturate the filter, push fpp toward 1, and
       // silently degenerate the gate into the un-gated join plus a
       // useless broadcast.
-      val bloom = baseSet.stat.bloomFilter("fp",
-        math.max(baseSet.count(), 1000L), 0.01)
-      val bc = t.spark.sparkContext.broadcast(bloom)
-      // The probe is a UDF because Spark's codegen'd might_contain /
-      // bloom_filter_agg pair is runtime-filter-internal (not in the
-      // public registry); the UDF is map-side, allocation-free per
-      // row, and gates rows BEFORE any exchange — the non-codegen
-      // cost buys removing a shuffle, the right trade here.
-      // Null guard: a NULL fingerprint (null text) must flow through
-      // as is_dup=false like the oracle's join, not NPE in the probe.
-      val mightContain =
-        udf((fp: String) => fp != null && bc.value.mightContainString(fp))
-      val probed = inc.withColumn("maybe", mightContain(col("fp")))
+      val estItems = math.max(baseSet.count(), 1000L)
+      val numBits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(estItems, 0.01)
+      // Build with Spark's native BloomFilterAggregate (exposed as
+      // graft_bloom_agg — see GraftFunctions), probe with the
+      // codegen'd BloomFilterMightContain: the whole gate stays
+      // inside whole-stage codegen, no Scala UDF in the plan. The
+      // serialized filter bytes live as a broadcast-sized Literal —
+      // the index, not the data, same legitimacy class as the IVF
+      // centroid build. Null guard: xxhash64(NULL) is the seed, a
+      // real probe key; a bloom-positive NULL fingerprint then fails
+      // the exact fp equi-join (NULL matches nothing), so NULL text
+      // flows through as is_dup=false exactly like the oracle's join.
+      val filterBytes = baseSet
+        .agg(call_function("graft_bloom_agg", col("fp"),
+          lit(estItems), lit(numBits)).as("f"))
+        .head.getAs[Array[Byte]]("f")
+      val probed = inc.withColumn("maybe",
+        call_function("graft_bloom_contains", lit(filterBytes), col("fp")))
       val pos = probed.filter(col("maybe"))
         .join(baseSet.withColumn("hit", lit(1)), Seq("fp"), "left")
         .select(col("doc_id"), col("hit").isNotNull.as("is_dup"))

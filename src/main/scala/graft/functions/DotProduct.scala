@@ -102,6 +102,29 @@ object GraftFunctions {
           name, builder, "built-in")
     ensure("graft_dot", dotBuilder)
     ensure("graft_cms_estimate", cmsBuilder)
+    // Spark's codegen'd bloom pair (BloomFilterAggregate /
+    // BloomFilterMightContain) is runtime-filter-internal — not in
+    // the public registry — so expose it under graft names instead of
+    // probing through a Scala UDF. Values are hashed with XxHash64 on
+    // BOTH sides (exactly what InjectRuntimeFilter does), so the
+    // build and probe agree on the key domain; the filter argument to
+    // the probe must be a constant/scalar-subquery per the
+    // expression's own type check, which the collect-the-index-bytes
+    // pattern satisfies with a Literal.
+    ensure("graft_bloom_agg", exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(
+            Seq(exprs.head)),
+          exprs(1), exprs(2)))
+    ensure("graft_bloom_contains", exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs.head,
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(exprs(1)))))
+    ensure("graft_json_depth", exprs => JsonDepth(exprs.head))
+    ensure("graft_json_pretty", exprs => JsonPretty(exprs.head))
+    ensure("graft_json_minify", exprs => JsonMinify(exprs.head))
     ensure("graft_compress",
       exprs => ZlibCompress(Cast(exprs.head, org.apache.spark.sql.types.BinaryType)))
     ensure("graft_uncompress",

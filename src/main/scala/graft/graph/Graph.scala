@@ -414,6 +414,13 @@ final case class Graph(edges: DataFrame) {
     * Brandes is O(V·E) — the sampled estimator IS the production
     * algorithm). */
   def dependencyScores(roots: Seq[Long], maxDepth: Int): DataFrame = {
+    // Depth 0/1 has no interior vertices, so the backward
+    // accumulation below would never seed `acc` (and the unrolled
+    // oracle's UNION list would be empty) — reject loudly instead of
+    // NPE-ing later.
+    require(maxDepth >= 2,
+      s"dependencyScores needs maxDepth >= 2 (got $maxDepth): " +
+        "betweenness over paths of length < 2 is identically zero")
     val spark = edges.sparkSession
     import spark.implicits._
     val e = oriented("out").cp()
@@ -475,13 +482,18 @@ final case class Graph(edges: DataFrame) {
     * neighborhood. Dead ends retire the walk (kept, shorter path),
     * matching the oracle's stay-in-place CASE arithmetic. */
   def randomWalks(maxStart: Long, perStart: Int, steps: Int): DataFrame = {
+    require(perStart >= 1, s"perStart must be positive (got $perStart)")
     val adj = oriented("out").groupBy("src")
       .agg(sort_array(collect_set(col("dst"))).as("nbrs")).cp()
     val starts = adj.select("src").filter(col("src") < maxStart)
     var state = starts
       .select(col("src"), explode(sequence(lit(0), lit(perStart - 1)))
         .as("w"))
-      .select((col("src") * 10 + col("w")).as("walk_id"),
+      // walk_id = src * perStart + w is collision-free for ANY
+      // perStart (w < perStart by construction); the previous
+      // src*10+w encoding silently collided past perStart 10,
+      // corrupting both the corpus and the md5(walk_id:step) coin.
+      .select((col("src") * perStart + col("w")).as("walk_id"),
         col("src").as("start"), col("src").as("cur"),
         col("src").cast("string").as("path"))
     var finished = state.limit(0)

@@ -188,6 +188,47 @@ object GraphQueries {
       Graph(filtered).reachLevels(sources, "out", minHops = 2, maxHops = 4)
     },
 
+    // VERTEX-property predicate on a traversal (ast/graph.go:36 —
+    // vertex patterns carry their own Where, distinct from the edge
+    // Where g_reach_pred covers): expand only through vertices whose
+    // PROPERTY satisfies P. Vertex properties come from a vertex
+    // table (node → min nationkey of its customers); the declarative
+    // plan pre-filters the vertex set ONCE and semi-joins the edge
+    // list on BOTH endpoints before the BFS — the reference evaluates
+    // the vertex Where per expansion, but pruning the edge table
+    // up-front does the same work once and lets every level reuse the
+    // shrunken, checkpointed table (the g_reach_pred principle, now
+    // on vertices). Roots are the qualifying vertices < 5, so source,
+    // interior and destination vertices all satisfy P.
+    Q("g_reach_vpred", Some(s"""
+      $edgeCte,
+      v AS (SELECT c_custkey % 1000 AS node, MIN(c_nationkey) AS nk
+            FROM customer GROUP BY 1),
+      vs AS (SELECT node FROM v WHERE nk < 15),
+      fe AS (SELECT e.src, e.dst FROM e
+             WHERE e.src IN (SELECT node FROM vs)
+               AND e.dst IN (SELECT node FROM vs)),
+      r(node, d) AS (
+        SELECT node, 0 FROM vs WHERE node < 5
+        UNION
+        SELECT fe.dst, r.d + 1 FROM r JOIN fe ON fe.src = r.node
+        WHERE r.d < 3)
+      SELECT node, CAST(d AS INT) AS hops FROM r WHERE d >= 1
+    """)) { t =>
+      val vs = t.customer
+        .groupBy((col("c_custkey") % 1000).as("node"))
+        .agg(min(col("c_nationkey")).as("nk"))
+        .filter(col("nk") < 15)
+        .select("node")
+      val fe = Graph.derived(t.orders).edges
+        .join(vs.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(vs.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+      val sources = vs.filter(col("node") < 5)
+        .select(col("node").as("src"))
+      Graph(fe).reachLevels(sources, "out", minHops = 1, maxHops = 3)
+    },
+
     // TOP-K SHORTEST paths: path enumeration is engine-specific
     // (array accumulation): the oracle enumerates bounded simple
     // paths with the same "a->b->c" rendering and (len, path)
@@ -673,7 +714,7 @@ object GraphQueries {
         SELECT src, list_sort(list(DISTINCT dst)) AS nbrs
         FROM e GROUP BY src),
       s0 AS (
-        SELECT s.src * 10 + w.w AS walk_id, s.src AS start,
+        SELECT s.src * $perStart + w.w AS walk_id, s.src AS start,
                s.src AS cur, CAST(s.src AS VARCHAR) AS path
         FROM (SELECT DISTINCT src FROM e WHERE src < $maxStart) s,
              (SELECT unnest(generate_series(0, ${perStart - 1})) AS w) w),

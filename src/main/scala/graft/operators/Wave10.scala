@@ -229,7 +229,11 @@ object Wave10 {
     // prunes row groups by min/max stats, where OFFSET must scan and
     // discard every preceding row. The cursor itself is derived
     // in-query here (row 40 of the same order) so the entry is
-    // self-contained and oracle-checkable.
+    // self-contained and oracle-checkable — and it is derived
+    // scale-safely: row 40 is the MAX tuple of the first-40 TopK
+    // (orderBy+limit plans as TakeOrderedAndProject + a 1-row max
+    // aggregate), never a global row_number window, which would
+    // single-partition the whole table just to find the cursor.
     Q("q_keyset_page", Some("""
       WITH c AS (
         SELECT o_orderdate AS cd, o_orderkey AS ck FROM (
@@ -242,13 +246,15 @@ object Wave10 {
       ORDER BY o_orderdate, o_orderkey
       LIMIT 20
     """)) { t =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
+      // Cursor = max (date, key) tuple of the first 40 rows; struct
+      // comparison is lexicographic by field, so max(struct(d, k))
+      // over the TopK-40 IS row 40 under the (d, k) total order.
       val cursor = t.orders
-        .select(col("o_orderdate"), col("o_orderkey"),
-          row_number().over(w).as("rn"))
-        .filter(col("rn") === 40)
-        .select(col("o_orderdate").as("cd"), col("o_orderkey").as("ck"))
+        .select(col("o_orderdate"), col("o_orderkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .limit(40)
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("c"))
+        .select(col("c.o_orderdate").as("cd"), col("c.o_orderkey").as("ck"))
       t.orders.crossJoin(broadcast(cursor))
         .filter(col("o_orderdate") > col("cd") ||
           (col("o_orderdate") === col("cd") && col("o_orderkey") > col("ck")))

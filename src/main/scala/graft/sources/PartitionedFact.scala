@@ -44,4 +44,82 @@ object PartitionedFact {
     }
     spark.read.parquet(dir)
   }
+
+  /** Number of hash partitions for [[ordersByCustHash]] — the `n` of
+    * `PARTITION BY HASH(o_custkey) PARTITIONS n`. */
+  val HashBuckets = 16
+
+  /** HASH-partitioned orders (reference: PartitionTypeHash in
+    * planner/core/rule_partition_processor.go:635 — `PARTITION BY
+    * HASH(key) PARTITIONS n` prunes to `key mod n` for point/IN
+    * predicates). Partition column `pbucket = o_custkey mod 16`
+    * (TiDB's hash partitioning IS mod arithmetic for int keys), so a
+    * point lookup touches exactly one of 16 directories. The
+    * key→bucket rewrite the reference's rule does in the planner is
+    * [[custkeyPruned]] here: callers state the KEY predicate and the
+    * reader adds the derived bucket predicate, which Catalyst turns
+    * into PartitionFilters (static directory pruning). */
+  def ordersByCustHash(spark: SparkSession, dataDir: String): DataFrame = {
+    val src = s"$dataDir/orders.parquet"
+    val dir = Formats.cacheDir(
+      s"/tmp/graft_hash_orders_${Formats.sanitize(dataDir)}",
+      Formats.contentFingerprint(src))
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      Formats.write(
+        spark.read.parquet(src)
+          .withColumn("pbucket", pmod(col("o_custkey"), lit(HashBuckets))),
+        "parquet", dir, partitionBy = Seq("pbucket"))
+    }
+    spark.read.parquet(dir)
+  }
+
+  /** The hash-prune rewrite: an IN/point predicate on the partition
+    * KEY gains the implied predicate on the partition BUCKET, so the
+    * scan prunes to ≤ |keys| of the 16 directories before reading a
+    * row. Mirrors rule_partition_processor.go's static hash prune. */
+  def custkeyPruned(fact: DataFrame, keys: Seq[Long]): DataFrame = {
+    val buckets = keys.map(k => ((k % HashBuckets) + HashBuckets)
+      % HashBuckets).distinct
+    fact.filter(col("pbucket").isin(buckets: _*) &&
+      col("o_custkey").isin(keys: _*))
+  }
+
+  /** LIST COLUMNS partition definition — `PARTITION BY LIST
+    * COLUMNS(o_orderpriority) (PARTITION p_urgent VALUES IN
+    * ('1-URGENT','2-HIGH'), …)`. The named-partition map IS the DDL. */
+  val PriorityLists: Map[String, String] = Map(
+    "1-URGENT" -> "p_urgent", "2-HIGH" -> "p_urgent",
+    "3-MEDIUM" -> "p_normal",
+    "4-NOT SPECIFIED" -> "p_low", "5-LOW" -> "p_low")
+
+  /** LIST-partitioned orders (reference: rule_partition_processor.go
+    * :355 newListPartitionPruner — each named partition owns an
+    * explicit value list; a predicate on the list column locates the
+    * partitions whose lists intersect it). Directory column `plist`
+    * is the named partition of the row's o_orderpriority. */
+  def ordersByPriorityList(spark: SparkSession, dataDir: String): DataFrame = {
+    val src = s"$dataDir/orders.parquet"
+    val dir = Formats.cacheDir(
+      s"/tmp/graft_list_orders_${Formats.sanitize(dataDir)}",
+      Formats.contentFingerprint(src))
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      val plist = PriorityLists.foldLeft(lit(null).cast("string")) {
+        case (acc, (v, p)) =>
+          when(col("o_orderpriority") === v, p).otherwise(acc)
+      }
+      Formats.write(
+        spark.read.parquet(src).withColumn("plist", plist),
+        "parquet", dir, partitionBy = Seq("plist"))
+    }
+    spark.read.parquet(dir)
+  }
+
+  /** The list-prune rewrite (locatePartitionByColumn): a value
+    * predicate on the list column locates exactly the named
+    * partitions whose value lists intersect the predicate set. */
+  def priorityPruned(fact: DataFrame, values: Seq[String]): DataFrame = {
+    val parts = values.flatMap(PriorityLists.get).distinct
+    fact.filter(col("plist").isin(parts: _*) &&
+      col("o_orderpriority").isin(values: _*))
+  }
 }

@@ -170,7 +170,20 @@ object Streams {
     * that bounds the inner join's state — outer emission costs no
     * extra state, it just turns eviction into output. */
   def clickPurchaseOuterJoin(clicks: DataFrame,
-      purchases: DataFrame): DataFrame = {
+      purchases: DataFrame): DataFrame =
+    clickPurchaseJoinOf(clicks, purchases, "left_outer")
+
+  /** The full interval-join matrix ([[clickPurchaseJoin]]'s condition
+    * with any join type). right_outer null-pads the CLICK side
+    * (clicks that drove no purchase within the hour — the
+    * abandoned-funnel shape) and full_outer both sides; in every
+    * variant the null-padded row is emitted only once the global
+    * watermark proves no partner can arrive, off the SAME eviction
+    * horizon that bounds the inner state — Spark supports all four
+    * types on watermarked interval conditions, and the spec proves
+    * null-side emission for each. */
+  def clickPurchaseJoinOf(clicks: DataFrame, purchases: DataFrame,
+      joinType: String): DataFrame = {
     val c = clicks
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -182,7 +195,7 @@ object Streams {
     p.join(c, col("c_user") === col("p_user") &&
       col("click_ts") <= col("purchase_ts") &&
       col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
-      "left_outer")
+      joinType)
       .select(col("purchase_id"), col("click_id"), col("p_user"),
         col("purchase_ts"), col("click_ts"), col("value"))
   }

@@ -95,6 +95,14 @@ class DedupAnnSpec extends SparkSpecBase {
     // so the bloom-negative fast path and the exact-join slow path
     // were both taken.
     assert(res.values.exists(identity) && res.values.exists(!_))
+    // The probe must be Spark's codegen'd might_contain, not a Scala
+    // UDF closure (the r7 verdict note): the gate stays inside
+    // whole-stage codegen.
+    val plan = q("d_dedup_bloom").queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe not native might_contain:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"Scala UDF back in the bloom probe plan:\n$plan")
   }
 
   test("d_contamination: gram strings never cross an exchange") {

@@ -184,6 +184,53 @@ class PlanShapeSpec extends SparkSpecBase {
       s"no dynamic partition pruning in:\n$p")
   }
 
+  test("q_view: pushdown and pruning penetrate the view boundary") {
+    // The stored view exposes 6 columns of the lineitem⋈orders join;
+    // the outer query filters on l_shipdate and needs only 4 of them.
+    // Catalyst must inline the definition so the filter reaches the
+    // lineitem scan as PushedFilters and neither scan reads columns
+    // only the VIEW mentions (o_orderdate) or neither mentions.
+    val p = plan("q_view")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate filter did not cross the view boundary:\n$p")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(r =>
+      !r.contains("o_orderdate") && !r.contains("l_quantity")),
+      s"view-only/unused columns read at the scan:\n${reads.mkString("\n")}")
+  }
+
+  test("q_scan_partition_hash prunes to the key-derived buckets") {
+    // The IN predicate on the partition KEY must become a
+    // PartitionFilters entry on the derived bucket column — 3 of 16
+    // directories listed, the hash-prune rewrite of
+    // rule_partition_processor.go:635.
+    val p = plan("q_scan_partition_hash")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("pbucket"),
+      s"no bucket partition filter in:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("o_custkey"),
+      s"key predicate not pushed to the data filter:\n$p")
+  }
+
+  test("q_scan_partition_list locates the single named partition") {
+    // IN ('1-URGENT','2-HIGH') ⊆ p_urgent's value list → exactly one
+    // of the three plist directories is listed.
+    val p = plan("q_scan_partition_list")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("plist") && pf.contains("p_urgent"),
+      s"list predicate did not locate the named partition:\n$p")
+    assert(!pf.contains("p_normal") && !pf.contains("p_low"),
+      s"pruning kept partitions outside the located list:\n$pf")
+  }
+
+  test("q_generated_col: stored generated column filter is pushed") {
+    // STORED generation's whole point: o_year physically exists, so
+    // the equality lands in PushedFilters with row-group stats.
+    val p = plan("q_generated_col")
+    assert(p.contains("PushedFilters") && p.contains("o_year"),
+      s"stored generated column not pushed to the scan:\n$p")
+  }
+
   test("g_pagerank rounds carry no mandatory broadcast of the rank state") {
     // A forced broadcast() of the |V|-row rank/contribution state is a
     // scale ceiling (OOMs executors at 1e8+ vertices). The round plan
@@ -226,6 +273,10 @@ class PlanShapeSpec extends SparkSpecBase {
     // The 1-row cursor reaches the fact side by broadcast.
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), s"cursor not broadcast:\n$p")
+    // The cursor arm must be TopK-derived, never a global
+    // single-partition window numbering the whole table.
+    assert(!p.contains("Window"),
+      s"cursor derivation regressed to a global window:\n$p")
   }
 
   test("q_agg_bitmap keeps map-side partial bitmap aggregation") {

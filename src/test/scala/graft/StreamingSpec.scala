@@ -268,6 +268,76 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamedNullIds.nonEmpty)
   }
 
+  test("stream-stream RIGHT and FULL OUTER interval joins: inner exact, " +
+      "null sides watermark-proven") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = eventsDf.as[Event].collect().toSeq
+    val clicks = eventsDf.filter(col("event_type") === "click")
+    val purchases = eventsDf.filter(col("event_type") === "purchase")
+    val batchInner = Streams.clickPurchaseJoin(clicks, purchases)
+      .collect().map(_.toSeq).toSet
+    // Final-watermark horizon: rows this far behind BOTH inputs' max
+    // event time provably cannot gain a partner (1h delay + 1h
+    // interval margin), so their null-padded form MUST have emitted.
+    val wm = math.min(
+      clicks.agg(max(col("ts"))).head().getTimestamp(0).getTime,
+      purchases.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    ) - 2L * 3600 * 1000
+
+    for (joinType <- Seq("right_outer", "full_outer")) {
+      val clicksIn = MemoryStream[Event]
+      val purchasesIn = MemoryStream[Event]
+      clicksIn.addData(rows.filter(_.event_type == "click"))
+      purchasesIn.addData(rows.filter(_.event_type == "purchase"))
+      val query = Streams
+        .clickPurchaseJoinOf(clicksIn.toDF(), purchasesIn.toDF(), joinType)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(s"ss_${joinType}_out").start()
+      try query.processAllAvailable() finally query.stop()
+      val out = spark.table(s"ss_${joinType}_out").cache()
+
+      // Matched rows are exactly the batch inner join.
+      val streamedInner = out
+        .filter(col("click_id").isNotNull && col("purchase_id").isNotNull)
+        .collect().map(_.toSeq).toSet
+      assert(streamedInner == batchInner && streamedInner.nonEmpty,
+        s"$joinType inner rows diverge from batch")
+
+      val batchRef = Streams.clickPurchaseJoinOf(clicks, purchases, joinType)
+      // Null-padded CLICK rows (right/full): subset of batch-unmatched
+      // clicks, complete behind the watermark.
+      val batchNullP = batchRef.filter(col("purchase_id").isNull)
+        .select("click_id").collect().map(_.getLong(0)).toSet
+      val streamedNullP = out.filter(col("purchase_id").isNull)
+        .select("click_id", "click_ts").collect()
+      val streamedNullPIds = streamedNullP.map(_.getLong(0)).toSet
+      assert(streamedNullPIds.subsetOf(batchNullP),
+        s"$joinType emitted a null-padded click the batch join lacks")
+      val mustEmitClicks = batchRef.filter(col("purchase_id").isNull &&
+          col("click_ts") < new java.sql.Timestamp(wm))
+        .select("click_id").collect().map(_.getLong(0)).toSet
+      assert(mustEmitClicks.subsetOf(streamedNullPIds),
+        s"$joinType: watermark-cleared unmatched clicks must emit")
+      assert(streamedNullPIds.nonEmpty, s"$joinType emitted no null side")
+
+      if (joinType == "full_outer") {
+        // The purchase null side must ALSO behave like the left_outer
+        // variant: subset + watermark-complete.
+        val batchNullC = batchRef.filter(col("click_id").isNull)
+          .select("purchase_id").collect().map(_.getLong(0)).toSet
+        val streamedNullC = out.filter(col("click_id").isNull)
+          .select("purchase_id").collect().map(_.getLong(0)).toSet
+        assert(streamedNullC.subsetOf(batchNullC))
+        val mustEmitP = batchRef.filter(col("click_id").isNull &&
+            col("purchase_ts") < new java.sql.Timestamp(wm))
+          .select("purchase_id").collect().map(_.getLong(0)).toSet
+        assert(mustEmitP.subsetOf(streamedNullC),
+          "full_outer: watermark-cleared unmatched purchases must emit")
+      }
+    }
+  }
+
   test("transformWithState running totals equal the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -264,8 +264,9 @@ class Wave11Spec extends SparkSpecBase {
     val walks = g.randomWalks(maxStart = 10, perStart = 1, steps = 4)
       .collect().map(r => r.getAs[Long]("walk_id") ->
         r.getAs[String]("path")).toMap
-    assert(walks(10L) == "1->2->3->4->5")
-    assert(walks(70L) == "7->8")
+    // walk_id = src*perStart + w (collision-free encoding).
+    assert(walks(1L) == "1->2->3->4->5")
+    assert(walks(7L) == "7->8")
   }
 
   test("g_betweenness: hand-computed chain and diamond dependencies") {

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Wave12Spec extends SparkSpecBase {
+
+  private def q(name: String) =
+    Registry.all.find(_.name == name).get.run(t)
+
+  test("q_view equals the inlined query (view adds no semantics)") {
+    val through = q("q_view").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val inlined = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        operators.Exact.sumProd2(col("l_extendedprice"),
+          lit(1) - col("l_discount")).as("revenue"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(through == inlined)
+  }
+
+  test("q_scan_partition_hash: bucket-pruned result equals plain filter") {
+    val keys = Seq(1L, 20L, 35L, 100L)
+    val pruned = q("q_scan_partition_hash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = t.orders.filter(col("o_custkey").isin(keys: _*))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pruned == plain, "hash pruning changed the answer")
+    // The derived bucket set really is smaller than the table: 4 keys
+    // span 3 of the 16 buckets.
+    assert(keys.map(_ % 16).distinct.size == 3)
+  }
+
+  test("q_scan_partition_list: pruned result equals plain filter") {
+    val vals = Seq("1-URGENT", "2-HIGH")
+    val pruned = q("q_scan_partition_list").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = t.orders.filter(col("o_orderpriority").isin(vals: _*))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pruned == plain, "list pruning changed the answer")
+    // The value→partition map is total and 3-valued.
+    assert(sources.PartitionedFact.PriorityLists.values.toSet.size == 3)
+  }
+
+  test("q_sequence: lease arithmetic invariants") {
+    val rows = q("q_sequence").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    rows.foreach { case (_, n, blocks, base, minSeq, maxSeq, nDist, gaps) =>
+      // blocks = ceil(n/100); discarded tail of the last block.
+      assert(blocks == (n + 99) / 100)
+      assert(gaps == blocks * 100 - n)
+      // CYCLE: values live in [1000, 11000); distinct count collapses
+      // to the cycle length once a session wraps.
+      assert(minSeq >= 1000 && maxSeq < 11000)
+      assert(nDist == math.min(n, 10000L))
+    }
+    // Leases are disjoint and session-ordered: each base is the
+    // previous session's base + blocks·100.
+    rows.sliding(2).foreach { w =>
+      val (a, b) = (w(0), w(1))
+      assert(b._4 == a._4 + a._3 * 100, "overlapping block leases")
+    }
+  }
+
+  test("q_generated_col: stored column equals the generating expression") {
+    val stored = q("q_generated_col").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val virtual = t.orders.filter(year(col("o_orderdate")) === 1995)
+      .groupBy(substring(col("o_orderpriority"), 1, 1).as("prio_class"))
+      .agg(count(lit(1)).as("n"),
+        operators.Exact.sum2(col("o_totalprice")).as("spend"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(stored == virtual,
+      "stored generated column diverged from its expression")
+  }
+
+  test("q_func_json6: shape invariants + null quarantine") {
+    val rows = q("q_func_json6").collect()
+    assert(rows.length == 600)
+    rows.foreach { r =>
+      val branch = r.getLong(0) % 5
+      val depth = r.getInt(1)
+      assert(depth == Seq(3, 3, 1, 1, 2)(branch.toInt))
+      // pretty minifies back to exactly ssize bytes: pretty and
+      // minify agree on content, ssize counts the minified text.
+      assert(r.getLong(5) > 0)
+    }
+    // Both overlap outcomes occur across the 600-row slice.
+    val flags = rows.filter(_.getLong(0) % 5 == 4)
+      .map(r => Option(r.get(3)).map(_.asInstanceOf[Int])).flatten.toSet
+    assert(flags == Set(0, 1), s"overlaps7 outcomes: $flags")
+    // pretty∘minify round-trip + invalid-JSON quarantine, through the
+    // registered expressions themselves.
+    val probe = spark.range(1).select(
+      call_function("graft_json_minify",
+        call_function("graft_json_pretty",
+          lit("""{ "a": [1, {"b": 2}], "c": 3 }"""))).as("roundtrip"),
+      call_function("graft_json_depth", lit("nope{")).as("bad_depth"),
+      call_function("graft_json_pretty", lit("nope{")).as("bad_pretty"))
+      .collect().head
+    assert(probe.getString(0) == """{"a":[1,{"b":2}],"c":3}""")
+    assert(probe.isNullAt(1) && probe.isNullAt(2))
+  }
+
+  test("g_reach_vpred: every reported vertex satisfies the predicate " +
+      "and is reachable in the unfiltered graph") {
+    val qualifying = t.customer
+      .groupBy((col("c_custkey") % 1000).as("node"))
+      .agg(min(col("c_nationkey")).as("nk"))
+      .filter(col("nk") < 15).select("node")
+      .collect().map(_.getLong(0)).toSet
+    val res = q("g_reach_vpred").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(res.nonEmpty)
+    assert(res.forall { case (n, _) => qualifying(n) },
+      "traversal escaped the vertex predicate")
+    // Restricting the graph can only shrink reach: every (node, hops)
+    // must also appear in the SAME traversal over unfiltered edges
+    // from the same roots.
+    import spark.implicits._
+    val roots = qualifying.filter(_ < 5)
+    val sources = roots.toSeq.toDF("src")
+    val full = graph.Graph.derived(t.orders)
+      .reachLevels(sources, "out", minHops = 1, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(res.forall(full), "filtered reach not a subset of full reach")
+  }
+}
