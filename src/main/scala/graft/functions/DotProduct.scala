@@ -122,6 +122,7 @@ object GraftFunctions {
         exprs.head,
         new org.apache.spark.sql.catalyst.expressions.XxHash64(
           Seq(exprs(1)))))
+    ensure("graft_entropy_stats", exprs => EntropyStats(exprs.head))
     ensure("graft_json_depth", exprs => JsonDepth(exprs.head))
     ensure("graft_json_pretty", exprs => JsonPretty(exprs.head))
     ensure("graft_json_minify", exprs => JsonMinify(exprs.head))

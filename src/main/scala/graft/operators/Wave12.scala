@@ -232,6 +232,33 @@ object Wave12 {
           Exact.sum2(col("o_totalprice")).as("spend"))
     },
 
+    // SHOW CREATE TABLE (reference: executor/show.go
+    // fetchShowCreateTable — render the stored definition as DDL
+    // text; the BI/migration tool surface next to q_catalog/
+    // q_describe). The engine renders each catalog table's DDL from
+    // its LOADED schema via the shared engine-neutral type classes;
+    // the oracle assembles the same text from the PINNED catalog
+    // (Catalog.pinned — the one source both q_describe and this
+    // entry read), so a schema drift shows up as a text diff here
+    // and a row diff there. Driver-side string assembly over 10
+    // tables' metadata — O(catalog), no data touched.
+    Q("q_show_create", Some(s"""
+      WITH cols(table_name, ord, col_name, type_class) AS (VALUES
+        ${Catalog.pinnedValuesSql})
+      SELECT table_name,
+             'CREATE TABLE ' || table_name || ' (' ||
+             string_agg(col_name || ' ' || type_class, ', ' ORDER BY ord)
+             || ')' AS ddl
+      FROM cols GROUP BY table_name
+    """)) { t =>
+      import t.spark.implicits._
+      Catalog.tables(t).map { case (name, df) =>
+        val cols = df.schema.fields
+          .map(f => s"${f.name} ${Catalog.typeClass(f.dataType)}")
+        (name, cols.mkString(s"CREATE TABLE $name (", ", ", ")"))
+      }.toDF("table_name", "ddl")
+    },
+
     // JSON shape builtins — the builtin_json.go leftovers
     // (jsonDepthFunctionClass, jsonLengthFunctionClass,
     // jsonOverlapsFunctionClass, jsonPrettyFunctionClass,

@@ -140,36 +140,9 @@ object Wave9 {
     // driver-enforced schema-policy assertion: if a data regeneration
     // shifts a column's type (the r6 events nanos→NTZ break), this
     // query goes red instead of 21 downstream queries crashing.
-    Q("q_describe", Some("""
+    Q("q_describe", Some(s"""
       SELECT * FROM (VALUES
-        ('region', 1, 'r_regionkey', 'int'), ('region', 2, 'r_name', 'string'),
-        ('nation', 1, 'n_nationkey', 'int'), ('nation', 2, 'n_name', 'string'),
-        ('nation', 3, 'n_regionkey', 'int'),
-        ('customer', 1, 'c_custkey', 'bigint'), ('customer', 2, 'c_name', 'string'),
-        ('customer', 3, 'c_nationkey', 'int'), ('customer', 4, 'c_acctbal', 'double'),
-        ('customer', 5, 'c_mktsegment', 'string'),
-        ('supplier', 1, 's_suppkey', 'bigint'), ('supplier', 2, 's_name', 'string'),
-        ('supplier', 3, 's_nationkey', 'int'), ('supplier', 4, 's_acctbal', 'double'),
-        ('part', 1, 'p_partkey', 'bigint'), ('part', 2, 'p_name', 'string'),
-        ('part', 3, 'p_brand', 'string'), ('part', 4, 'p_type', 'string'),
-        ('part', 5, 'p_size', 'int'), ('part', 6, 'p_retailprice', 'double'),
-        ('orders', 1, 'o_orderkey', 'bigint'), ('orders', 2, 'o_custkey', 'bigint'),
-        ('orders', 3, 'o_orderstatus', 'string'), ('orders', 4, 'o_totalprice', 'double'),
-        ('orders', 5, 'o_orderdate', 'timestamp'), ('orders', 6, 'o_orderpriority', 'string'),
-        ('lineitem', 1, 'l_orderkey', 'bigint'), ('lineitem', 2, 'l_partkey', 'bigint'),
-        ('lineitem', 3, 'l_suppkey', 'bigint'), ('lineitem', 4, 'l_linenumber', 'int'),
-        ('lineitem', 5, 'l_quantity', 'double'), ('lineitem', 6, 'l_extendedprice', 'double'),
-        ('lineitem', 7, 'l_discount', 'double'), ('lineitem', 8, 'l_tax', 'double'),
-        ('lineitem', 9, 'l_returnflag', 'string'), ('lineitem', 10, 'l_linestatus', 'string'),
-        ('lineitem', 11, 'l_shipdate', 'timestamp'),
-        ('events', 1, 'event_id', 'bigint'), ('events', 2, 'ts', 'timestamp'),
-        ('events', 3, 'user_id', 'bigint'), ('events', 4, 'event_type', 'string'),
-        ('events', 5, 'value', 'double'), ('events', 6, 'props', 'string'),
-        ('documents', 1, 'doc_id', 'bigint'), ('documents', 2, 'text', 'string'),
-        ('documents', 3, 'lang', 'string'), ('documents', 4, 'source', 'string'),
-        ('documents', 5, 'n_chars', 'bigint'),
-        ('embeddings', 1, 'vec_id', 'bigint'), ('embeddings', 2, 'embedding', 'array<float>'),
-        ('embeddings', 3, 'label', 'int')
+        ${Catalog.pinnedValuesSql}
       ) AS v(table_name, ord, col_name, type_class)
     """)) { t =>
       import t.spark.implicits._
@@ -359,6 +332,46 @@ object Catalog {
     "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,
     "lineitem" -> t.lineitem, "events" -> t.events,
     "documents" -> t.documents, "embeddings" -> t.embeddings)
+
+  /** The pinned expected catalog (table, ordinal, column, type class)
+    * — the single source for the q_describe oracle's literal VALUES
+    * and q_show_create's DDL rendering, so the two entries cannot
+    * drift apart. This is the driver-enforced schema policy: a data
+    * regeneration that shifts a type goes red HERE. */
+  val pinned: Seq[(String, Int, String, String)] = Seq(
+    ("region", 1, "r_regionkey", "int"), ("region", 2, "r_name", "string"),
+    ("nation", 1, "n_nationkey", "int"), ("nation", 2, "n_name", "string"),
+    ("nation", 3, "n_regionkey", "int"),
+    ("customer", 1, "c_custkey", "bigint"), ("customer", 2, "c_name", "string"),
+    ("customer", 3, "c_nationkey", "int"), ("customer", 4, "c_acctbal", "double"),
+    ("customer", 5, "c_mktsegment", "string"),
+    ("supplier", 1, "s_suppkey", "bigint"), ("supplier", 2, "s_name", "string"),
+    ("supplier", 3, "s_nationkey", "int"), ("supplier", 4, "s_acctbal", "double"),
+    ("part", 1, "p_partkey", "bigint"), ("part", 2, "p_name", "string"),
+    ("part", 3, "p_brand", "string"), ("part", 4, "p_type", "string"),
+    ("part", 5, "p_size", "int"), ("part", 6, "p_retailprice", "double"),
+    ("orders", 1, "o_orderkey", "bigint"), ("orders", 2, "o_custkey", "bigint"),
+    ("orders", 3, "o_orderstatus", "string"), ("orders", 4, "o_totalprice", "double"),
+    ("orders", 5, "o_orderdate", "timestamp"), ("orders", 6, "o_orderpriority", "string"),
+    ("lineitem", 1, "l_orderkey", "bigint"), ("lineitem", 2, "l_partkey", "bigint"),
+    ("lineitem", 3, "l_suppkey", "bigint"), ("lineitem", 4, "l_linenumber", "int"),
+    ("lineitem", 5, "l_quantity", "double"), ("lineitem", 6, "l_extendedprice", "double"),
+    ("lineitem", 7, "l_discount", "double"), ("lineitem", 8, "l_tax", "double"),
+    ("lineitem", 9, "l_returnflag", "string"), ("lineitem", 10, "l_linestatus", "string"),
+    ("lineitem", 11, "l_shipdate", "timestamp"),
+    ("events", 1, "event_id", "bigint"), ("events", 2, "ts", "timestamp"),
+    ("events", 3, "user_id", "bigint"), ("events", 4, "event_type", "string"),
+    ("events", 5, "value", "double"), ("events", 6, "props", "string"),
+    ("documents", 1, "doc_id", "bigint"), ("documents", 2, "text", "string"),
+    ("documents", 3, "lang", "string"), ("documents", 4, "source", "string"),
+    ("documents", 5, "n_chars", "bigint"),
+    ("embeddings", 1, "vec_id", "bigint"), ("embeddings", 2, "embedding", "array<float>"),
+    ("embeddings", 3, "label", "int"))
+
+  /** The pinned catalog as a DuckDB VALUES list. */
+  def pinnedValuesSql: String = pinned
+    .map { case (t, o, c, ty) => s"('$t', $o, '$c', '$ty')" }
+    .mkString(",\n        ")
 
   /** Engine-neutral type-class names, shared by q_describe's two
     * sides. TIMESTAMP and TIMESTAMP_NTZ both map to 'timestamp': the

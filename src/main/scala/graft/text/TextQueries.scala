@@ -672,5 +672,53 @@ object TextQueries {
     Q("t_bpe_apply", None) { t =>
       Bpe.tokenCounts(t.fan(t.documents), Bpe.mergesFor(t, k = 6))
     },
+
+    // Lexical-entropy quality signals (CCNet/Gopher-class filters:
+    // low word entropy = repetitive/boilerplate, low char entropy =
+    // degenerate byte soup, low TTR = template text). The engine
+    // computes all four numbers in ONE map-side pass per document
+    // (functions/EntropyStats.scala — token + byte histograms in-row,
+    // H = log2 n − Σ c·log2 c / n over exact integer counts), so at
+    // 100 TB the signal costs a scan with zero exchanges; the oracle
+    // derives the same numbers the expensive declarative way —
+    // explode words/chars, DuckDB's own base-2 entropy() aggregate —
+    // proving the kernel against an independent formulation. 4dp
+    // rounding fences libm log2 ulp drift; token-less docs drop on
+    // both sides (oracle's join, engine's n_tokens > 0).
+    Q("t_entropy", Some("""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents),
+      we AS (
+        SELECT doc_id, round(entropy(w), 4) AS word_entropy,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM w WHERE w <> '' GROUP BY doc_id),
+      c AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS ch
+        FROM documents),
+      ce AS (
+        SELECT doc_id, round(entropy(ch), 4) AS char_entropy
+        FROM c GROUP BY doc_id)
+      SELECT we.doc_id AS doc_id, n_tokens, n_types,
+             round(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
+             word_entropy, char_entropy
+      FROM we JOIN ce ON we.doc_id = ce.doc_id
+    """)) { t =>
+      // Token-less docs drop via trim() — the same predicate as
+      // n_tokens > 0, but evaluated WITHOUT the kernel (a filter on
+      // the struct field would re-run the whole histogram pass per
+      // row when Catalyst pushes it below the project).
+      t.fan(t.documents.filter(trim(col("text")) =!= ""))
+        .select(col("doc_id"),
+          call_function("graft_entropy_stats", col("text")).as("s"))
+        .select(col("doc_id"),
+          col("s.n_tokens").cast("bigint").as("n_tokens"),
+          col("s.n_types").cast("bigint").as("n_types"),
+          round(col("s.n_types").cast("double") / col("s.n_tokens"), 4)
+            .as("ttr"),
+          round(col("s.word_entropy"), 4).as("word_entropy"),
+          round(col("s.char_entropy"), 4).as("char_entropy"))
+    },
   )
 }

@@ -231,6 +231,22 @@ class PlanShapeSpec extends SparkSpecBase {
       s"stored generated column not pushed to the scan:\n$p")
   }
 
+  test("t_entropy stays map-side: only the fan exchange, no agg shuffle") {
+    // The kernel's whole point vs the oracle's explode+aggregate
+    // spelling: the entropy column is computed in-row, so the only
+    // exchange is fan()'s round-robin spread of the scan.
+    val p = plan("t_entropy")
+    assert("Exchange".r.findAllIn(p).size == 1 &&
+      p.contains("RoundRobinPartitioning"),
+      s"t_entropy grew a shuffle:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"t_entropy should aggregate nothing:\n$p")
+    // The kernel must run exactly once per row — a pushed filter on
+    // the struct output would double-evaluate it at the scan.
+    assert("graft_entropy_stats".r.findAllIn(p).size == 1,
+      s"entropy kernel evaluated more than once:\n$p")
+  }
+
   test("g_pagerank rounds carry no mandatory broadcast of the rank state") {
     // A forced broadcast() of the |V|-row rank/contribution state is a
     // scale ceiling (OOMs executors at 1e8+ vertices). The round plan

@@ -112,6 +112,48 @@ class Wave12Spec extends SparkSpecBase {
     assert(probe.isNullAt(1) && probe.isNullAt(2))
   }
 
+  test("q_show_create renders the pinned catalog as DDL") {
+    val ddl = q("q_show_create").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ddl.size == 10)
+    assert(ddl("region") ==
+      "CREATE TABLE region (r_regionkey int, r_name string)")
+    // Every rendered DDL must list exactly the pinned columns in
+    // pinned order — the q_describe schema policy, as text.
+    operators.Catalog.pinned.groupBy(_._1).foreach { case (name, cols) =>
+      val expected = cols.sortBy(_._2)
+        .map(c => s"${c._3} ${c._4}")
+        .mkString(s"CREATE TABLE $name (", ", ", ")")
+      assert(ddl(name) == expected, s"DDL drift for $name")
+    }
+  }
+
+  test("t_entropy: kernel matches a brute-force recompute") {
+    val got = q("t_entropy").collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))).toMap
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty && got.size == docs.size)
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def entropy(counts: Iterable[Int]): Double = {
+      val n = counts.sum
+      log2(n.toDouble) - counts.map(c => c * log2(c.toDouble)).sum / n
+    }
+    docs.take(25).foreach { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val wc = toks.groupBy(identity).map(_._2.length)
+      val cc = text.toLowerCase.toCharArray.groupBy(identity).map(_._2.length)
+      val (nTok, nTyp, ttr, we, ce) = got(id)
+      assert(nTok == toks.length && nTyp == wc.size)
+      assert(math.abs(ttr - nTyp.toDouble / nTok) < 1e-3)
+      assert(math.abs(we - entropy(wc)) < 1e-3, s"word entropy doc $id")
+      assert(math.abs(ce - entropy(cc)) < 1e-3, s"char entropy doc $id")
+    }
+    // The signal discriminates: entropies vary across the corpus.
+    assert(got.values.map(_._4).toSet.size > 10)
+  }
+
   test("g_reach_vpred: every reported vertex satisfies the predicate " +
       "and is reachable in the unfiltered graph") {
     val qualifying = t.customer
