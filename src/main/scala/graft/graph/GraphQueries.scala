@@ -215,11 +215,15 @@ object GraphQueries {
         WHERE r.d < 3)
       SELECT node, CAST(d AS INT) AS hops FROM r WHERE d >= 1
     """)) { t =>
+      // Materialize the qualifying vertex set ONCE (|V|-bounded):
+      // it feeds both endpoint semi-joins and the root seed — without
+      // the checkpoint each use would re-scan the customer table.
       val vs = t.customer
         .groupBy((col("c_custkey") % 1000).as("node"))
         .agg(min(col("c_nationkey")).as("nk"))
         .filter(col("nk") < 15)
         .select("node")
+        .localCheckpoint()
       val fe = Graph.derived(t.orders).edges
         .join(vs.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(vs.select(col("node").as("dst")), Seq("dst"), "left_semi")

@@ -232,6 +232,42 @@ object Wave12 {
           Exact.sum2(col("o_totalprice")).as("spend"))
     },
 
+    // SQL plan binding (reference: executor/bind.go SQLBindExec +
+    // bindinfo/ — CREATE BINDING FOR <stmt> USING <hinted stmt>:
+    // statements matching the stored normalized digest execute the
+    // hinted text instead, steering a misbehaving production plan
+    // without touching application SQL). The entry binds the revenue
+    // join to a MERGE-hinted variant and runs the ORIGINAL text
+    // through the binding dispatch: the RESULT is identical (the
+    // oracle states the plain query — a binding that could change
+    // answers would be a correctness hole, and Bindings.create
+    // rejects any USING text that differs beyond hints), while the
+    // PLAN flips from the optimizer's choice to the bound sort-merge
+    // join (spec-asserted, plus unbind-restores).
+    Q("q_plan_binding", Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+    """)) { t =>
+      t.lineitem.createOrReplaceTempView("lineitem")
+      t.orders.createOrReplaceTempView("orders")
+      val stmt = """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority"""
+      graft.plans.Bindings.create(stmt, """
+        SELECT /*+ MERGE(orders) */ o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""")
+      graft.plans.Bindings.run(t.spark, stmt)
+    },
+
     // SHOW CREATE TABLE (reference: executor/show.go
     // fetchShowCreateTable — render the stored definition as DDL
     // text; the BI/migration tool surface next to q_catalog/

@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL plan bindings (reference: executor/bind.go SQLBindExec +
+  * bindinfo/ — `CREATE BINDING FOR <stmt> USING <hinted stmt>`: when
+  * an incoming statement matches a stored binding's normalized
+  * digest, the engine executes the HINTED text instead, steering the
+  * plan of a misbehaving query in production WITHOUT touching
+  * application SQL — the plan-management escape hatch next to the
+  * optimizer rule blacklist).
+  *
+  * Spark realization: normalization is lowercase + whitespace
+  * collapse (the bindinfo.NormalizeSQL analog — TiDB also strips
+  * literals for fuzzy bindings; exact-statement bindings are the
+  * core contract and what this models). The store maps the
+  * normalized digest to the hinted text; [[run]] executes the bound
+  * text when a binding matches and the original otherwise. Hints
+  * ride Spark's native hint comments (MERGE, BROADCAST,
+  * SHUFFLE_HASH, REPARTITION, …), so the steering
+  * power is exactly Catalyst's hint set — and like the reference,
+  * [[create]] REJECTS a binding whose statement differs from the
+  * bound query by anything other than hints (a binding must never be
+  * able to change semantics, only plans).
+  */
+object Bindings {
+  private val store =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** bindinfo.NormalizeSQL analog: case- and whitespace-insensitive
+    * statement identity. */
+  def normalize(sql: String): String =
+    sql.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+
+  private def stripHints(sql: String): String =
+    sql.replaceAll("/\\*\\+[^*]*\\*/", " ")
+
+  /** Install a binding. Throws if the USING statement is not the
+    * bound statement modulo hint comments — the reference's
+    * same-statement check (bind.go matches the two ASTs). */
+  def create(forSql: String, usingSql: String): Unit = {
+    require(normalize(stripHints(usingSql)) == normalize(forSql),
+      "binding USING statement must equal the bound statement " +
+        "modulo /*+ ... */ hints")
+    store(normalize(forSql)) = usingSql
+  }
+
+  def drop(forSql: String): Unit = store.remove(normalize(forSql))
+
+  def isBound(sql: String): Boolean = store.contains(normalize(sql))
+
+  /** Execute `sql`, substituting the bound hinted text when one
+    * matches — the SQLBindExec dispatch. */
+  def run(spark: SparkSession, sql: String): DataFrame =
+    spark.sql(store.getOrElse(normalize(sql), sql))
+}

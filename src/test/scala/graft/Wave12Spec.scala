@@ -112,6 +112,41 @@ class Wave12Spec extends SparkSpecBase {
     assert(probe.isNullAt(1) && probe.isNullAt(2))
   }
 
+  test("q_plan_binding steers the plan, never the answer") {
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.orders.createOrReplaceTempView("orders")
+    val stmt = """
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority"""
+    val unbound = spark.sql(stmt)
+    assert(unbound.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "baseline should broadcast")
+    plans.Bindings.create(stmt,
+      """
+      SELECT /*+ MERGE(orders) */ o_orderpriority, COUNT(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority""")
+    try {
+      // Dispatch matches modulo case/whitespace, flips the join, and
+      // preserves the answer bit-for-bit.
+      val bound = plans.Bindings.run(spark,
+        stmt.toUpperCase.replace("O_ORDERPRIORITY, COUNT",
+          "o_orderpriority,   COUNT"))
+      assert(bound.queryExecution.executedPlan.toString
+        .contains("SortMergeJoin"), "binding did not force merge join")
+      assert(bound.collect().map(_.toSeq).toSet ==
+        unbound.collect().map(_.toSeq).toSet)
+    } finally plans.Bindings.drop(stmt)
+    // Dropped binding restores the optimizer's plan.
+    assert(plans.Bindings.run(spark, stmt).queryExecution.executedPlan
+      .toString.contains("BroadcastHashJoin"))
+    // A USING text that differs beyond hints is rejected.
+    intercept[IllegalArgumentException] {
+      plans.Bindings.create(stmt, stmt + " LIMIT 1")
+    }
+  }
+
   test("q_show_create renders the pinned catalog as DDL") {
     val ddl = q("q_show_create").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -152,6 +187,33 @@ class Wave12Spec extends SparkSpecBase {
     }
     // The signal discriminates: entropies vary across the corpus.
     assert(got.values.map(_._4).toSet.size > 10)
+  }
+
+  test("PlanReplayer bundle carries plan, schemas, stats and confs") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_replayer").toString
+    val files = tools.PlanReplayer.dump("q_tpch_q3", t, dir)
+    assert(files.length == 4 && files.forall(f =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
+    val plan = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/plan.txt"))
+    // The full planning story: all four plan phases + a join.
+    assert(plan.contains("== Parsed Logical Plan ==") &&
+      plan.contains("== Physical Plan ==") && plan.contains("Join"))
+    val schema = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/schema.sql"))
+    assert(operators.Catalog.pinned.map(_._1).distinct
+      .forall(tn => schema.contains(s"CREATE TABLE $tn (")))
+    val stats = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/stats.json"))
+    assert(stats.contains("\"orders\": " + t.orders.count()))
+    val conf = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/conf.json"))
+    assert(conf.contains("spark.sql.shuffle.partitions"))
+    // Unknown entries throw, never dump an empty bundle.
+    intercept[IllegalArgumentException] {
+      tools.PlanReplayer.dump("no_such_query", t, dir)
+    }
   }
 
   test("g_reach_vpred: every reported vertex satisfies the predicate " +
