@@ -391,6 +391,51 @@ object AnnQueries {
         .select("qid", "vec_id", "label", "cos")
     },
 
+    // HARD-NEGATIVE MINING — contrastive-training data construction
+    // (per anchor: the most similar vectors of a DIFFERENT class are
+    // the informative negatives; random negatives are trivially easy
+    // and teach nothing). Distinct from s_ann_filtered's static
+    // attribute pre-filter: the exclusion predicate here is relative
+    // to EACH anchor's own label, so it rides the pair stream as a
+    // join residual (label <> qlabel) rather than pruning the scan.
+    // Same scale shape as s_ann_brute — broadcast anchor set × one
+    // corpus scan, per-partition top-k, no corpus shuffle; at 100 TB
+    // the anchors come from the LSH/IVF buckets like every other
+    // scorer, with the label residual unchanged.
+    Q("s_hard_negatives", Some("""
+      WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                        CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      pairs AS (
+        SELECT qid, e.vec_id AS vec_id, e.label AS label,
+               list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[]))
+                 AS c
+        FROM q, embeddings e
+        WHERE e.vec_id <> qid AND e.label <> qlabel)
+      SELECT qid, vec_id, label, ROUND(c, 4) AS cos FROM (
+        SELECT qid, vec_id, label, c,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(c, 8) DESC, vec_id) AS rn
+        FROM pairs) t
+      WHERE rn <= 5
+    """)) { t =>
+      val corpus = t.fan(t.embeddings)
+        .select(col("vec_id"), col("label").cast("int").as("label"),
+          toDouble(col("embedding")).as("v"))
+        .withColumn("nv", norm(col("v")))
+      val anchors = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"),
+          col("label").cast("int").as("qlabel"),
+          toDouble(col("embedding")).as("qv"))
+        .withColumn("nq", norm(col("qv")))
+      rerankTopK(
+          corpus.crossJoin(broadcast(anchors))
+            .filter(col("label") =!= col("qlabel")),
+          topk = 5, dedup = false)
+        .join(corpus.select("vec_id", "label"), "vec_id")
+        .select("qid", "vec_id", "label", "cos")
+    },
+
     // K-MEANS clustering as a first-class analytics op (the corpus-
     // organization step before semantic dedup / stratified sampling /
     // topic balancing — SemDeDup-style pipelines cluster first, then
