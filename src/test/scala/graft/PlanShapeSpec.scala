@@ -231,6 +231,31 @@ class PlanShapeSpec extends SparkSpecBase {
       s"stored generated column not pushed to the scan:\n$p")
   }
 
+  test("q_sequence: rank window is session-partitioned, leases broadcast") {
+    val p = plan("q_sequence")
+    // The per-row numbering must be partitioned by session — the only
+    // unpartitioned window allowed is the 4-row lease prefix ABOVE the
+    // per-session count aggregate.
+    assert(p.contains("windowspecdefinition(session_id"),
+      s"row numbering lost its session partitioning:\n$p")
+    // The 4-row lease table reaches the fact rows by broadcast.
+    assert(p.contains("BroadcastHashJoin"),
+      s"lease join not broadcast:\n$p")
+  }
+
+  test("s_hard_negatives: broadcast anchors, top-k limited pre-shuffle") {
+    val p = plan("s_hard_negatives")
+    // Anchor set broadcast against one corpus scan — never a shuffled
+    // or sort-merge pair join.
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"hard negatives shuffled the corpus:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"anchors not broadcast:\n$p")
+    // The per-anchor top-k is bounded BEFORE the window exchange.
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed below the shuffle:\n$p")
+  }
+
   test("t_entropy stays map-side: only the fan exchange, no agg shuffle") {
     // The kernel's whole point vs the oracle's explode+aggregate
     // spelling: the entropy column is computed in-row, so the only
