@@ -542,7 +542,7 @@ object AnnQueries {
     // can't flip on float noise. Greedy trace is engine-specific →
     // rows-only; the spec pins rank-1 = pure-relevance top-1 and a
     // constructed near-dup demotion.
-    Q("s_ann_mmr", None) { t =>
+    Q("s_ann_mmr", Some(mmrOracle(k = 4, lam = 0.7))) { t =>
       val corpus = vecs(t)
       val queries = t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qv"))
@@ -577,6 +577,52 @@ object AnnQueries {
       Pca.scores(t)
     },
   )
+
+  /** Unrolled MMR oracle (oracled since r8): the greedy selection is
+    * deterministic under the same round(·,8) ranking fences the
+    * engine uses, so k−1 unrolled steps reproduce it exactly —
+    * step r rescoses the unpicked pool against the union of previous
+    * picks with MAX-sim via a correlated subquery. λ and (1−λ) are
+    * rendered as the exact IEEE doubles the engine multiplies by
+    * (1−0.7 is NOT 0.3 in binary), cast to DOUBLE so DuckDB never
+    * routes them through DECIMAL arithmetic. */
+  private def mmrOracle(k: Int, lam: Double): String = {
+    def picked(r: Int) = (1 to r)
+      .map(i => s"SELECT qid, vec_id, rel, ve, $i AS rank FROM p$i")
+      .mkString(" UNION ALL ")
+    val steps = (2 to k).map { r =>
+      s"""s$r AS (
+        SELECT c.qid, c.vec_id, c.rel, c.ve,
+               (SELECT MAX(list_cosine_similarity(c.ve, p.ve))
+                FROM (${picked(r - 1)}) p WHERE p.qid = c.qid) AS msim
+        FROM cands c
+        WHERE NOT EXISTS (SELECT 1 FROM (${picked(r - 1)}) x
+                          WHERE x.qid = c.qid AND x.vec_id = c.vec_id)),
+      p$r AS (SELECT qid, vec_id, rel, ve FROM (
+        SELECT qid, vec_id, rel, ve,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY ROUND(CAST($lam AS DOUBLE) * rel -
+                   CAST(${1 - lam} AS DOUBLE) * msim, 8) DESC, vec_id)
+                 AS rn
+        FROM s$r) t WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < 5),
+      pool AS (
+        SELECT qid, vec_id, list_cosine_similarity(qv, ve) AS rel, ve,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY ROUND(list_cosine_similarity(qv, ve), 8)
+                   DESC, vec_id) AS rn
+        FROM q, v WHERE vec_id <> qid),
+      cands AS (SELECT qid, vec_id, rel, ve FROM pool WHERE rn <= 8),
+      p1 AS (SELECT qid, vec_id, rel, ve FROM pool WHERE rn = 1),
+      $steps
+      SELECT qid, rank, vec_id, ROUND(rel, 4) AS rel
+      FROM (${picked(k)}) f
+    """
+  }
 
   /** Greedy MMR over per-query candidate pools. `cands` columns:
     * (qid, vec_id, rel, v, nv). Round r: score = λ·rel − (1−λ)·

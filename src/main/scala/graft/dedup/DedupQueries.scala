@@ -152,7 +152,44 @@ object DedupQueries {
     // (df > 1000 carries no near-dup signal at any corpus size);
     // (c) df=1 singletons skip pair-gen entirely (can't intersect).
     // Shuffle carries (shingle_hash, doc_id) pairs only — never text.
-    Q("d_ngram_jaccard", None) { t =>
+    // Oracled since r8: the engine's jaccard is over xxhash64'd
+    // shingles purely as a bandwidth optimization — set arithmetic
+    // on 8-byte hashes instead of n-gram strings — so DuckDB
+    // recomputes the IDENTICAL numbers over the raw 3-gram strings
+    // (equal modulo 64-bit hash collisions: ~1e-9 at the gate's
+    // corpus size; a collision would surface as a hash diff and be
+    // investigated, which is exactly what an oracle is for).
+    Q("d_ngram_jaccard", Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(ws) - 2),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END))
+          AS h
+        FROM toks),
+      kept AS (
+        SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM g),
+      k2 AS (SELECT doc_id, h, df FROM kept WHERE df <= 1000),
+      sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM k2
+                GROUP BY doc_id),
+      pair_gen AS (SELECT h, doc_id FROM k2 WHERE df > 1),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+        FROM pair_gen a JOIN pair_gen b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT id1, id2,
+               ROUND(CAST(n_inter AS DOUBLE) /
+                 (s1.set_size + s2.set_size - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2)
+      SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.5
+    """)) { t =>
       val withSets = t.fan(t.documents)
         .select(col("doc_id"),
           array_distinct(TextFns.wordShingleHashes(col("text"), 3))
