@@ -200,6 +200,28 @@ object Streams {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** Streaming AS-OF join: per purchase, the LATEST click of the
+    * same user within the preceding hour — the streaming twin of the
+    * batch e_asof, restricted to a bounded lookback (an unbounded
+    * as-of cannot bound stream state; the 1-hour window IS the
+    * production contract). Two CHAINED stateful operators: the
+    * watermarked interval join emits (purchase, candidate-click)
+    * pairs, and the downstream window-keyed aggregation reduces them
+    * to the max (click_ts, click_id) per purchase, emitting once the
+    * watermark proves no later candidate can arrive. The purchase's
+    * event-time column flows through the join, so the aggregation
+    * inherits its watermark — the Spark 3.5+/4 multi-stateful
+    * pipeline shape. */
+  def clickPurchaseAsof(clicks: DataFrame,
+      purchases: DataFrame): DataFrame =
+    clickPurchaseJoinOf(clicks, purchases, "inner")
+      .groupBy(window(col("purchase_ts"), "1 hour"),
+        col("purchase_id"), col("p_user"))
+      .agg(max(struct(col("click_ts"), col("click_id"))).as("best"))
+      .select(col("purchase_id"), col("p_user"),
+        col("best.click_ts").as("click_ts"),
+        col("best.click_id").as("click_id"))
+
   final case class SessionOut(user_id: Long, s_start: java.sql.Timestamp,
       n_events: Long)
 

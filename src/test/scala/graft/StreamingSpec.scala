@@ -338,6 +338,51 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming as-of join (join → windowed latest-click reduce) " +
+      "equals the batch reduction") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = eventsDf.as[Event].collect().toSeq
+    val clicksIn = MemoryStream[Event]
+    val purchasesIn = MemoryStream[Event]
+    clicksIn.addData(rows.filter(_.event_type == "click"))
+    purchasesIn.addData(rows.filter(_.event_type == "purchase"))
+    val query = Streams
+      .clickPurchaseAsof(clicksIn.toDF(), purchasesIn.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_asof_out").start()
+    try query.processAllAvailable() finally query.stop()
+    val streamed = spark.table("ss_asof_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getTimestamp(2),
+        r.getLong(3))).toMap
+    // One row per purchase, never a candidate multiset.
+    assert(streamed.nonEmpty)
+    // Batch reference: same function on batch frames.
+    val clicks = eventsDf.filter(col("event_type") === "click")
+    val purchases = eventsDf.filter(col("event_type") === "purchase")
+    val batch = Streams.clickPurchaseAsof(clicks, purchases).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getTimestamp(2),
+        r.getLong(3))).toMap
+    // Append-mode emission is watermark-gated, so streamed ⊆ batch
+    // and complete well behind the final watermark.
+    assert(streamed.keySet.subsetOf(batch.keySet))
+    streamed.foreach { case (k, v) => assert(batch(k) == v) }
+    // Independent ground truth on a sample: the chosen click really
+    // is the latest same-user click in (pts - 1h, pts].
+    val clickRows = rows.filter(_.event_type == "click")
+    streamed.take(20).foreach { case (pid, (user, cts, cid)) =>
+      val p = rows.find(_.event_id == pid).get
+      val best = clickRows.filter(c => c.user_id == user &&
+          !c.ts.after(p.ts) &&
+          c.ts.getTime >= p.ts.getTime - 3600L * 1000)
+        .maxBy(c => (c.ts.getTime, c.event_id))
+      assert((best.ts, best.event_id) == (cts, cid),
+        s"purchase $pid picked ($cts,$cid), truth ${(best.ts, best.event_id)}")
+    }
+    assert(streamed.size * 10 >= batch.size,
+      "watermark should have cleared most purchases")
+  }
+
   test("transformWithState running totals equal the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
