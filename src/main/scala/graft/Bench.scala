@@ -43,7 +43,11 @@ object Bench {
       case None => Registry.all.filter(q => Set("q_scan_filter",
         "q_agg_hash", "q_join_broadcast", "q_window_rank",
         "s_ann_ivf_probe", "q_scan_partition", "d_dedup_incremental",
-        "q_time_travel", "q_backup_restore", "q_mv_refresh")
+        "q_time_travel", "q_backup_restore", "q_mv_refresh",
+        // r8 lazy-layout builders: hash/list-partitioned orders and
+        // the stored-generated-column copy must land untimed too.
+        "q_scan_partition_hash", "q_scan_partition_list",
+        "q_generated_col")
         .contains(q.name))
     }
     warmup.foreach { q =>

@@ -632,8 +632,14 @@ object DedupQueries {
         .agg(call_function("graft_bloom_agg", col("fp"),
           lit(estItems), lit(numBits)).as("f"))
         .head.getAs[Array[Byte]]("f")
+      // An EMPTY base yields a null aggregate; the gate then proves
+      // every probe negative (nothing can be a member of nothing) —
+      // a null literal instead would null out `maybe` and silently
+      // drop every row from both arms.
       val probed = inc.withColumn("maybe",
-        call_function("graft_bloom_contains", lit(filterBytes), col("fp")))
+        if (filterBytes == null) lit(false)
+        else call_function("graft_bloom_contains",
+          lit(filterBytes), col("fp")))
       val pos = probed.filter(col("maybe"))
         .join(baseSet.withColumn("hit", lit(1)), Seq("fp"), "left")
         .select(col("doc_id"), col("hit").isNotNull.as("is_dup"))

@@ -51,18 +51,26 @@ object EntropyStatsKernel {
     }
 
   def compute(s: UTF8String): GenericInternalRow = {
-    // ASCII-lowercase the whole text once; docs are ASCII by catalog
-    // policy (q_describe pins it) and multi-byte bytes pass through
-    // unchanged, keeping byte counts stable.
-    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
-    val bytes = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // ASCII-lowercase byte-wise (A-Z → a-z; every other byte,
+    // including multi-byte UTF-8 sequences, passes through verbatim)
+    // — locale-proof, and token slices are cut from the SAME byte
+    // array they were scanned in, so non-ASCII input can never
+    // misalign byte offsets against char offsets.
+    val raw = s.getBytes
+    val bytes = new Array[Byte](raw.length)
+    var j = 0
+    while (j < raw.length) {
+      val b = raw(j)
+      bytes(j) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      j += 1
+    }
     val byteHist = new Array[Int](256)
     val tokens = new java.util.HashMap[String, Int]()
     var nTokens = 0
     var tokStart = -1
-    var nChars = 0
     def endToken(end: Int): Unit = if (tokStart >= 0) {
-      val w = str.substring(tokStart, end)
+      val w = new String(bytes, tokStart, end - tokStart,
+        java.nio.charset.StandardCharsets.UTF_8)
       tokens.merge(w, 1, (a, b) => a + b)
       nTokens += 1
       tokStart = -1
@@ -70,7 +78,6 @@ object EntropyStatsKernel {
     var i = 0
     while (i < bytes.length) {
       val b = bytes(i) & 0xff
-      if ((b & 0xc0) != 0x80) nChars += 1
       byteHist(b) += 1
       val isWs = b == ' ' || b == '\t' || b == '\n' || b == 0x0b ||
         b == '\f' || b == '\r'

@@ -40,9 +40,21 @@ abstract class JsonShapeExpression extends UnaryExpression
 
   @transient protected lazy val mapper = new ObjectMapper()
 
+  /** Strict parse: exactly ONE complete JSON value, nothing before
+    * or after. Jackson's plain readTree is lenient in two ways that
+    * would break the invalid→NULL contract — empty input returns
+    * MissingNode and trailing tokens after the first value are
+    * ignored ('5 6' would "parse" as 5) — so both are rejected here
+    * explicitly. */
   protected def parse(input: Any): JsonNode =
-    try mapper.readTree(input.asInstanceOf[UTF8String].toString)
-    catch { case _: Exception => null }
+    try {
+      val p = mapper.getFactory
+        .createParser(input.asInstanceOf[UTF8String].toString)
+      val node = mapper.readTree[JsonNode](p)
+      if (node == null || node.isMissingNode || p.nextToken() != null)
+        null
+      else node
+    } catch { case _: Exception => null }
 }
 
 case class JsonDepth(child: Expression) extends JsonShapeExpression {
@@ -79,7 +91,13 @@ case class JsonPretty(child: Expression) extends JsonShapeExpression {
         val e = it.next()
         if (!first) sb.append(",\n")
         first = false
-        sb.append(pad).append('"').append(e.getKey).append("\": ")
+        // TextNode renders the key with full JSON string escaping —
+        // a raw append would emit invalid JSON for keys containing
+        // quotes/backslashes/control chars.
+        sb.append(pad)
+          .append(com.fasterxml.jackson.databind.node.TextNode
+            .valueOf(e.getKey).toString)
+          .append(": ")
         render(e.getValue, indent + 1, sb)
       }
       sb.append('\n').append("  " * indent).append('}')

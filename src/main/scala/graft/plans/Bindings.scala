@@ -28,9 +28,40 @@ object Bindings {
     new scala.collection.concurrent.TrieMap[String, String]()
 
   /** bindinfo.NormalizeSQL analog: case- and whitespace-insensitive
-    * statement identity. */
-  def normalize(sql: String): String =
-    sql.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    * statement identity OUTSIDE string literals — quoted spans are
+    * preserved verbatim (case, spacing, everything), because two
+    * statements differing in a literal are DIFFERENT statements and
+    * matching them would let a binding change answers. Handles
+    * backslash escapes inside literals; SQL-standard doubled-quote
+    * escaping preserves text by construction (close + reopen). */
+  def normalize(sql: String): String = {
+    val sb = new StringBuilder
+    var quote: Char = 0
+    var pendingWs = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        sb.append(c)
+        if (c == '\\' && i + 1 < sql.length) {
+          sb.append(sql.charAt(i + 1)); i += 1
+        } else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') {
+        if (pendingWs && sb.nonEmpty) sb.append(' ')
+        pendingWs = false
+        quote = c
+        sb.append(c)
+      } else if (c.isWhitespace) {
+        pendingWs = true
+      } else {
+        if (pendingWs && sb.nonEmpty) sb.append(' ')
+        pendingWs = false
+        sb.append(Character.toLowerCase(c))
+      }
+      i += 1
+    }
+    sb.toString
+  }
 
   private def stripHints(sql: String): String =
     sql.replaceAll("/\\*\\+[^*]*\\*/", " ")

@@ -145,21 +145,8 @@ object Streams {
     * are evicted), so state size tracks the interval, not the stream
     * length — the scalable form of event-correlation joins. */
   def clickPurchaseJoin(clicks: DataFrame,
-      purchases: DataFrame): DataFrame = {
-    val c = clicks
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("click_ts", "1 hour")
-    val p = purchases
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"), col("value"))
-      .withWatermark("purchase_ts", "1 hour")
-    p.join(c, col("c_user") === col("p_user") &&
-      col("click_ts") <= col("purchase_ts") &&
-      col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
-      .select(col("purchase_id"), col("click_id"), col("p_user"),
-        col("purchase_ts"), col("click_ts"), col("value"))
-  }
+      purchases: DataFrame): DataFrame =
+    clickPurchaseJoinOf(clicks, purchases, "inner")
 
   /** LEFT OUTER variant of [[clickPurchaseJoin]]: purchases with no
     * click in the preceding hour still emit, click columns null —
@@ -174,9 +161,9 @@ object Streams {
     clickPurchaseJoinOf(clicks, purchases, "left_outer")
 
   /** The full interval-join matrix ([[clickPurchaseJoin]]'s condition
-    * with any join type). right_outer null-pads the CLICK side
-    * (clicks that drove no purchase within the hour — the
-    * abandoned-funnel shape) and full_outer both sides; in every
+    * with any join type). right_outer keeps every CLICK, null-padding
+    * the purchase columns for clicks that drove no purchase within
+    * the hour (the abandoned-funnel shape); full_outer both sides; in every
     * variant the null-padded row is emitted only once the global
     * watermark proves no partner can arrive, off the SAME eviction
     * horizon that bounds the inner state — Spark supports all four

@@ -687,7 +687,7 @@ object TextQueries {
     // both sides (oracle's join, engine's n_tokens > 0).
     Q("t_entropy", Some("""
       WITH w AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
         FROM documents),
       we AS (
         SELECT doc_id, round(entropy(w), 4) AS word_entropy,
@@ -705,11 +705,12 @@ object TextQueries {
              word_entropy, char_entropy
       FROM we JOIN ce ON we.doc_id = ce.doc_id
     """)) { t =>
-      // Token-less docs drop via trim() — the same predicate as
-      // n_tokens > 0, but evaluated WITHOUT the kernel (a filter on
-      // the struct field would re-run the whole histogram pass per
+      // Token-less docs drop via a has-any-non-whitespace regex — the
+      // same predicate as n_tokens > 0 (for ANY whitespace flavor,
+      // not just spaces), but evaluated WITHOUT the kernel (a filter
+      // on the struct field would re-run the whole histogram pass per
       // row when Catalyst pushes it below the project).
-      t.fan(t.documents.filter(trim(col("text")) =!= ""))
+      t.fan(t.documents.filter(col("text").rlike("\\S")))
         .select(col("doc_id"),
           call_function("graft_entropy_stats", col("text")).as("s"))
         .select(col("doc_id"),

@@ -110,6 +110,18 @@ class Wave12Spec extends SparkSpecBase {
       .collect().head
     assert(probe.getString(0) == """{"a":[1,{"b":2}],"c":3}""")
     assert(probe.isNullAt(1) && probe.isNullAt(2))
+    // Strict-parse + key-escaping edges: empty input and trailing
+    // garbage quarantine to NULL (Jackson alone would return
+    // MissingNode / silently accept '5 6'); keys with quotes render
+    // escaped so pretty output stays valid JSON.
+    val edge = spark.range(1).select(
+      call_function("graft_json_minify", lit("")).as("empty"),
+      call_function("graft_json_depth", lit("5 6")).as("trailing"),
+      call_function("graft_json_pretty",
+        lit("""{"a\"b": 1}""")).as("esc"))
+      .collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+    assert(edge.getString(2) == "{\n  \"a\\\"b\": 1\n}")
   }
 
   test("q_plan_binding steers the plan, never the answer") {
@@ -145,6 +157,17 @@ class Wave12Spec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       plans.Bindings.create(stmt, stmt + " LIMIT 1")
     }
+    // String literals are part of statement identity: neither case
+    // nor internal spacing inside quotes is normalized away, so a
+    // binding can never redirect a query with a different literal.
+    intercept[IllegalArgumentException] {
+      plans.Bindings.create("SELECT * FROM orders WHERE o_orderstatus = 'F'",
+        "SELECT /*+ MERGE(orders) */ * FROM orders WHERE o_orderstatus = 'f'")
+    }
+    assert(plans.Bindings.normalize("SELECT  'A  B' FROM t") ==
+      "select 'A  B' from t")
+    assert(plans.Bindings.normalize("SELECT 'a b' FROM t") !=
+      plans.Bindings.normalize("SELECT 'a  b' FROM t"))
   }
 
   test("q_show_create renders the pinned catalog as DDL") {
@@ -187,6 +210,13 @@ class Wave12Spec extends SparkSpecBase {
     }
     // The signal discriminates: entropies vary across the corpus.
     assert(got.values.map(_._4).toSet.size > 10)
+    // Non-ASCII safety: token slices are byte-array cuts, so a
+    // multi-byte-ending string must neither crash nor misalign.
+    val multi = spark.range(1).select(
+      call_function("graft_entropy_stats", lit("ab αβγ AB")).as("s"))
+      .select(col("s.n_tokens"), col("s.n_types")).collect().head
+    assert(multi.getInt(0) == 3 && multi.getInt(1) == 2,
+      "ASCII-lowercase fold should merge 'ab' and 'AB', keep 'αβγ'")
   }
 
   test("PlanReplayer bundle carries plan, schemas, stats and confs") {
