@@ -354,6 +354,74 @@ final case class Graph(edges: DataFrame) {
           .as("rank"))
   }
 
+  /** Personalized PageRank (reference analog: executor/graph.go's
+    * traversal machinery + the PageRank convention of [[pageRank]],
+    * teleport restricted to a SEED set — "importance relative to
+    * these nodes", the recommendation/similar-entity primitive that
+    * global PageRank cannot express). Non-normalized convention
+    * mirroring [[pageRank]]: rank = (1−d)·1_{v∈seeds} + d·Σ
+    * in-rank/out-deg, init 1.0 on seeds else 0. Same per-round
+    * shape (co-partitioned contribution join + dst aggregation,
+    * |V|-row state, no broadcast of the rank state); mass stays
+    * concentrated near the seeds, and exact zeros (nodes unreachable
+    * from the seed set) are dropped — the locality that makes PPR
+    * cheaper than global PageRank at 100 TB. */
+  def personalizedPageRank(seedMax: Long, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val (edeg, nodes, _) = pageRankState()
+    val flagged = nodes
+      .withColumn("seed", (col("node") < seedMax).cast("double"))
+      .cp()
+    var ranks = flagged.select(col("node"), col("seed").as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = edeg
+        .join(ranks, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("c"))
+      ranks = flagged
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"), col("seed"),
+          (lit(1.0 - damping) * col("seed") +
+            lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .cp()
+        .select(col("node"), col("rank"))
+    }
+    ranks.filter(col("rank") > 0)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** Time-respecting (temporal) reachability: nodes reachable from
+    * the seed set within `maxHops` hops along edges whose timestamps
+    * are NON-DECREASING down the path — "what could this event have
+    * caused", the causality query a plain BFS gets wrong (it happily
+    * walks backwards in time). State per level: DISTINCT
+    * (node, arrival_ts) pairs — exactly the unrolled-CTE semantics
+    * the oracle states; at 100 TB the level state would be
+    * min-combined per node first (an EARLIER arrival admits a
+    * superset of continuations, so dominance pruning is lossless),
+    * which this keeps as one extra aggregation away. Output: per
+    * node, the EARLIEST time the seed set can reach it. Edge input:
+    * (src, dst, ts) triples. */
+  def temporalReach(tedges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    val te = tedges.select("src", "dst", "ts").distinct().cp()
+    val seed = seeds.select(col("src").as("node")).distinct()
+    var frontier = seed.select(col("node"),
+      lit("1990-01-01 00:00:00").cast("timestamp").as("at"))
+    var levels = List.empty[DataFrame]
+    for (_ <- 1 to maxHops) {
+      frontier = frontier.as("F")
+        .join(te.as("E"),
+          expr("E.src = F.node AND E.ts >= F.at"))
+        .select(col("E.dst").as("node"), col("E.ts").as("at"))
+        .distinct()
+      levels ::= frontier
+    }
+    levels.reduce(_ union _)
+      .groupBy("node")
+      .agg(min(col("at")).as("first_reach"))
+  }
+
   /** Connected components by min-label propagation (undirected).
     * Each round every node takes the minimum of its own label and its
     * neighbors' labels; the loop runs to a fixpoint (stable-count

@@ -233,6 +233,52 @@ object GraphQueries {
       Graph(fe).reachLevels(sources, "out", minHops = 1, maxHops = 3)
     },
 
+    // Personalized PageRank — importance RELATIVE to a seed set
+    // (similar-entity / recommendation primitive; global g_pagerank
+    // cannot express it). Teleport mass lands only on seeds
+    // (nodes < 3); 10 unrolled rounds, 6dp rounding, exact zeros
+    // (unreachable from the seeds) dropped — the locality that makes
+    // PPR cheaper than global PageRank at scale. Same co-partitioned
+    // round shape as g_pagerank (no broadcast of the rank state).
+    Q("g_ppr", Some(pprOracle(iters = 10, seedMax = 3))) { t =>
+      Graph.derived(t.orders)
+        .personalizedPageRank(seedMax = 3, iters = 10)
+    },
+
+    // Time-respecting reachability — edges must have NON-DECREASING
+    // timestamps down the path ("what could this event have caused");
+    // a plain BFS walks backwards in time and overcounts. Temporal
+    // edges = (src, dst, o_orderdate) triples; per node, the EARLIEST
+    // arrival time from the seed set within 3 hops. Level state is
+    // DISTINCT (node, arrival) pairs (the unrolled-CTE semantics the
+    // oracle states); production would min-combine per node per
+    // level first — dominance pruning is lossless because an earlier
+    // arrival admits a superset of continuations.
+    Q("g_reach_temporal", Some(s"""
+      WITH te AS (
+        SELECT DISTINCT o_custkey % 1000 AS src,
+               o_orderkey % 1000 AS dst, o_orderdate AS ts
+        FROM orders),
+      seeds AS (SELECT DISTINCT src AS node FROM te WHERE src < 3),
+      r AS (
+        WITH RECURSIVE rr(node, at, d) AS (
+          SELECT node, TIMESTAMP '1990-01-01', 0 FROM seeds
+          UNION
+          SELECT te.dst, te.ts, rr.d + 1
+          FROM rr JOIN te ON te.src = rr.node AND te.ts >= rr.at
+          WHERE rr.d < 3)
+        SELECT * FROM rr)
+      SELECT node, MIN(at) AS first_reach
+      FROM r WHERE d >= 1 GROUP BY node
+    """)) { t =>
+      val te = t.orders.select(
+        (col("o_custkey") % 1000).as("src"),
+        (col("o_orderkey") % 1000).as("dst"),
+        col("o_orderdate").as("ts"))
+      val seeds = te.select("src").filter(col("src") < 3)
+      Graph.derived(t.orders).temporalReach(te, seeds, maxHops = 3)
+    },
+
     // TOP-K SHORTEST paths: path enumeration is engine-specific
     // (array accumulation): the oracle enumerates bounded simple
     // paths with the same "a->b->c" rendering and (len, path)
@@ -787,6 +833,36 @@ object GraphQueries {
                AS contrib
       FROM degs LEFT JOIN within ON within.lbl = degs.lbl, m2
     """
+
+  /** Unrolled personalized-PageRank oracle: pageRankOracle with the
+    * teleport term gated on seed membership and init mass 1.0 on the
+    * seeds only; exact zeros filtered like the engine. */
+  private def pprOracle(iters: Int, seedMax: Long): String = {
+    val stages = (1 to iters).map { i =>
+      s"""r$i AS (
+        SELECT n.node,
+               0.15 * (CASE WHEN n.node < $seedMax THEN 1.0 ELSE 0.0 END)
+                 + 0.85 * COALESCE(s.c, 0) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM(r.rank / d.deg) AS c
+          FROM r${i - 1} r
+          JOIN deg d ON d.node = r.node
+          JOIN e ON e.src = r.node
+          GROUP BY e.dst) s ON n.node = s.node)"""
+    }.mkString(",\n      ")
+    s"""
+      $edgeCte,
+      nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e) x),
+      deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT node,
+               CAST(CASE WHEN node < $seedMax THEN 1.0 ELSE 0.0 END
+                 AS DOUBLE) AS rank
+             FROM nodes),
+      $stages
+      SELECT node, ROUND(rank, 6) AS rank FROM r$iters WHERE rank > 0
+    """
+  }
 
   private def pageRankOracle(iters: Int): String = {
     val stages = (1 to iters).map { i =>

@@ -93,6 +93,56 @@ class GraphSpec extends SparkSpecBase {
     assert(res.values.forall(_ >= 3) && res.nonEmpty)
   }
 
+  test("personalized pagerank: mass concentrates on seeds, " +
+      "zero off the seed component") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Two disjoint chains; seeds = {1}. Component {1,2,3} gains
+    // rank, component {7,8} must be absent (exact zero filtered).
+    val g = graph.Graph(Seq((1L, 2L), (2L, 3L), (7L, 8L))
+      .toDF("src", "dst"))
+    val r = g.personalizedPageRank(seedMax = 2, iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    // Hand computation: r(1)=0.15 (fixpoint after round 1 — no
+    // in-edges, teleport only); r(2)=0.85·r(1); r(3)=0.85·r(2).
+    assert(math.abs(r(1L) - 0.15) < 1e-6)
+    assert(math.abs(r(2L) - 0.85 * 0.15) < 1e-6)
+    assert(math.abs(r(3L) - 0.85 * 0.85 * 0.15) < 1e-6)
+    // Registry entry: deterministic, every rank positive, seeds rank
+    // highest (teleport mass) on the derived graph.
+    val a = Registry.all.find(_.name == "g_ppr").get.run(t).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val b = Registry.all.find(_.name == "g_ppr").get.run(t).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // Ranks are raw-positive but may ROUND to 0.0 at 6dp far from
+    // the seeds; the seeds themselves carry the teleport floor.
+    assert(a == b && a.nonEmpty)
+    assert((0L until 3L).filter(a.contains)
+      .forall(s => a(s) >= 0.15 - 1e-6))
+  }
+
+  test("temporal reach: paths must not walk backwards in time") {
+    import spark.implicits._
+    val te = Seq(
+      (1L, 2L, "2024-01-05"), // seed edge at t=5
+      (2L, 3L, "2024-01-03"), // BEFORE arrival at 2 — not traversable
+      (2L, 4L, "2024-01-07"), // after — traversable
+      (4L, 3L, "2024-01-09")  // 3 reachable only the long way
+    ).toDF("src", "dst", "s").select(col("src"), col("dst"),
+      col("s").cast("timestamp").as("ts"))
+    val seeds = Seq(1L).toDF("src")
+    val r = graph.Graph(te.select("src", "dst"))
+      .temporalReach(te, seeds, maxHops = 3)
+      .collect()
+      .map(x => x.getLong(0) -> x.getTimestamp(1).toString).toMap
+    assert(r.keySet == Set(2L, 4L, 3L))
+    assert(r(2L).startsWith("2024-01-05"))
+    assert(r(4L).startsWith("2024-01-07"))
+    // 3 arrives via 1→2→4→3 at t=9, never via the backwards 2→3 edge.
+    assert(r(3L).startsWith("2024-01-09"))
+  }
+
   test("closeness: tagged multi-root chain equals per-root BFS") {
     import org.apache.spark.sql.functions._
     val g = graph.Graph.derived(t.orders)
