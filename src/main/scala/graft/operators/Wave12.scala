@@ -34,6 +34,12 @@ object Wave12 {
     t.spark.read.parquet(dir)
   }
 
+  /** Avro ships INSIDE Spark 4's spark-sql jar but is not listed in
+    * its DataSourceRegister service file, so the "avro" short name
+    * does not resolve — the fully-qualified FileFormat class is the
+    * documented fallback lookup path. */
+  private val AvroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
   val all: Seq[Q] = Seq(
 
     // Named VIEW queried through (reference: executor/ddl.go:378
@@ -230,6 +236,59 @@ object Wave12 {
         .groupBy("prio_class")
         .agg(count(lit(1)).as("n"),
           Exact.sum2(col("o_totalprice")).as("spend"))
+    },
+
+    // AVRO round trip — the fourth interchange format beside
+    // parquet/ORC/CSV (reference: load_data.go/select_into.go's
+    // format surface; Avro is the row-oriented staple of Kafka/
+    // ingest pipelines, bundled natively in Spark 4's spark-sql).
+    // The slice deliberately exercises Avro's logical types —
+    // timestamp-micros (o_orderdate), a decimal-derived double, and
+    // an ARRAY (priority split into words) — the places where
+    // interchange formats historically lose type fidelity. The
+    // oracle states the expected values straight from the source, so
+    // the driver hash proves the round trip lossless.
+    Q("q_format_avro", Some("""
+      SELECT o_orderkey, o_orderstatus,
+             o_orderdate AS o_ts,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS o_price,
+             string_split(o_orderpriority, '-') AS prio_parts
+      FROM orders WHERE o_orderkey < 5000
+    """)) { t =>
+      val dir =
+        s"/tmp/graft_avro_${graft.sources.Formats.sanitize(t.dir)}"
+      t.orders.filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate").as("o_ts"),
+          Exact.dec2(col("o_totalprice")).cast("double").as("o_price"),
+          split(col("o_orderpriority"), "-").as("prio_parts"))
+        .write.mode("overwrite").format(AvroFmt).save(dir)
+      t.spark.read.format(AvroFmt).load(dir)
+    },
+
+    // XML round trip — the fifth interchange format (Spark 4
+    // absorbed spark-xml as a native source; rowTag frames each
+    // record). B2B/legacy feeds still arrive as XML; the explicit
+    // read schema pins types against XML's stringly inference. The
+    // oracle states expected values from the source — the driver
+    // hash proves the round trip lossless.
+    Q("q_format_xml", Some("""
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS o_price
+      FROM orders WHERE o_orderkey < 2000
+    """)) { t =>
+      val dir =
+        s"/tmp/graft_xml_${graft.sources.Formats.sanitize(t.dir)}"
+      t.orders.filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          Exact.dec2(col("o_totalprice")).cast("double").as("o_price"))
+        .write.mode("overwrite").option("rowTag", "order")
+        .format("xml").save(dir)
+      t.spark.read.format("xml").option("rowTag", "order")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, o_price DOUBLE")
+        .load(dir)
     },
 
     // SQL plan binding (reference: executor/bind.go SQLBindExec +
