@@ -33,6 +33,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("state-store reader exposes a running aggregation's state " +
+      "as a batch table") {
+    // Spark 4's statestore source (StateDataSource): read a
+    // streaming query's checkpointed operator state offline — the
+    // observability surface for debugging stuck aggregations without
+    // touching the running query. The state of a windowed count must
+    // equal the aggregate the query itself reports.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_statestore").toString
+    val input = MemoryStream[Event]
+    input.addData(eventsDf.as[Event].collect().toSeq)
+    val query = Streams.windowed(input.toDF())
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("ss_reader_out").start()
+    try query.processAllAvailable() finally query.stop()
+    val live = spark.table("ss_reader_out")
+      .select("w_start", "event_type", "n")
+      .collect().map(_.toSeq).toSet
+    val state = spark.read.format("statestore").load(ckpt)
+    // Schema: key struct (group columns) + value struct (agg state).
+    // Tumbling windows optimize to a single timestamp grouping
+    // expression, so the key struct carries the window START
+    // directly under Catalyst's generated `_groupingexpression`.
+    // The value struct carries the RAW aggregation buffers (count /
+    // sum / isEmpty), not the output aliases — reading state means
+    // reading the operator's internal accumulator layout.
+    val fromState = state
+      .select(col("key._groupingexpression").as("w_start"),
+        col("key.event_type").as("event_type"),
+        col("value.count").as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(fromState == live && fromState.nonEmpty,
+      "offline state read diverges from the query's own output")
+  }
+
   test("streaming sliding-window agg equals batch; 4 windows per event") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
