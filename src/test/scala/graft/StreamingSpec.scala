@@ -71,6 +71,38 @@ class StreamingSpec extends SparkSpecBase {
       "offline state read diverges from the query's own output")
   }
 
+  test("late rows behind the watermark are dropped and counted") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = eventsDf.as[Event].collect().toSeq.sortBy(_.ts.getTime)
+    val maxTs = rows.last.ts.getTime
+    val input = MemoryStream[Event]
+    // Batch 1: everything — advances the watermark to max(ts) − delay.
+    input.addData(rows)
+    val agg = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val query = agg.writeStream.outputMode("update")
+      .format("memory").queryName("late_out").start()
+    try {
+      query.processAllAvailable()
+      // Batch 2: a rogue event 10 days BEFORE the corpus — provably
+      // behind the watermark. It must be dropped, not aggregated.
+      val late = rows.head.copy(event_id = -1L,
+        ts = new java.sql.Timestamp(maxTs - 10L * 86400 * 1000),
+        event_type = "late_type")
+      input.addData(Seq(late))
+      query.processAllAvailable()
+      val out = spark.table("late_out")
+      assert(out.filter(col("event_type") === "late_type").count() == 0,
+        "late row leaked into the aggregate")
+      val dropped = query.lastProgress.stateOperators
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1, s"expected a watermark drop, got $dropped")
+    } finally query.stop()
+  }
+
   test("streaming sliding-window agg equals batch; 4 windows per event") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
