@@ -400,6 +400,70 @@ object DedupQueries {
             .as("realized_rate"))
     },
 
+    // Per-document WEIGHTED (importance) sampling — the quality-
+    // proportional companion of d_mix_sample's per-source rates
+    // (FineWeb/DCLM-style ablations resample docs with probability
+    // proportional to a quality proxy instead of flat per-domain
+    // rates). Acceptance is the deterministic multiplicative-hash
+    // coin against weight·2³², weight = min(1, n_chars/2000) (chars
+    // as the budget proxy; the real pipelines plug a classifier
+    // score into the same slot). Pure map-side at any scale; the
+    // oracle restates the identical integer/double arithmetic, so
+    // the EXACT acceptance set hash-matches, not just the counts.
+    Q("d_weighted_sample", Some(s"""
+      WITH rated AS (
+        SELECT doc_id, source,
+               LEAST(1.0, n_chars / 2000.0) AS w,
+               ${TextFns.knuthCoinSql("doc_id")} AS coin
+        FROM documents)
+      SELECT doc_id, source, ROUND(w, 6) AS w
+      FROM rated WHERE coin < w * 4294967296
+    """)) { t =>
+      val w = least(lit(1.0), col("n_chars") / 2000.0)
+      t.documents
+        .select(col("doc_id"), col("source"), w.as("w"),
+          TextFns.knuthCoin(col("doc_id")).as("coin"))
+        .filter(col("coin") < col("w") * 4294967296L)
+        .select(col("doc_id"), col("source"), round(col("w"), 6).as("w"))
+    },
+
+    // Best-first TOKEN-BUDGET selection — "train on the best N
+    // tokens": docs ranked by quality (chars-as-token proxy; longer
+    // first, doc_id tie-break) are taken while the budget (¼ of the
+    // corpus) lasts — i.e. a doc is kept iff the chars BEFORE it in
+    // rank order stay under the budget (greedy prefix, one overshoot
+    // doc allowed — the standard cut). The global ordered cumsum is
+    // the two-phase PrefixSum (range-partial + broadcast range
+    // offsets), NEVER a single-partition window — the q_id_assign
+    // machinery pointed at a ranking, which is exactly how a 100 TB
+    // corpus cut runs.
+    Q("d_token_budget", Some("""
+      WITH b AS (SELECT CAST(SUM(n_chars) AS BIGINT) // 4 AS budget
+                 FROM documents),
+      r AS (
+        SELECT doc_id, n_chars,
+               COALESCE(SUM(n_chars) OVER (
+                 ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS before
+        FROM documents)
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+      FROM r, b WHERE before < budget
+    """)) { t =>
+      val docs = t.documents.select(col("doc_id"), col("n_chars"),
+        (-col("n_chars")).as("neg"),
+        (-col("n_chars")).cast("long").as("negb"))
+        .withColumn("rng", expr("negb div 500"))
+      val cum = graft.operators.PrefixSum.sumBefore(docs,
+        rangeCol = "rng", orderCols = Seq("neg", "doc_id"),
+        valueCol = "n_chars", out = "before")
+      val budget = t.documents
+        .agg((sum(col("n_chars")) / 4).cast("long").as("budget"))
+      cum.crossJoin(broadcast(budget))
+        .filter(col("before") < col("budget"))
+        .select(col("doc_id"), col("n_chars"))
+    },
+
     // Deterministic TRAIN/VAL/TEST split — the dataset-card step
     // every training corpus needs: the same multiplicative-hash coin
     // buckets each doc 80/10/10, so the assignment is reproducible

@@ -256,6 +256,21 @@ class PlanShapeSpec extends SparkSpecBase {
       s"rank filter not pushed below the shuffle:\n$p")
   }
 
+  test("d_token_budget: two-phase prefix sum, no global window") {
+    // The budget cut ranks the WHOLE corpus — the naive spelling is
+    // one unpartitioned cumsum window (one task at 100 TB). The plan
+    // must show only PARTITIONED windows (the range-bucketed phase).
+    val p = plan("d_token_budget")
+    // The table-wide cumsum phase is partitioned by the range bucket
+    // (windowspecdefinition(rng#...)); the only unpartitioned work
+    // allowed is PrefixSum's one-row-per-range offset phase.
+    assert(p.contains("windowspecdefinition(rng#"),
+      s"range-bucketed cumsum phase missing — global window?\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"range offsets / budget not broadcast:\n$p")
+  }
+
   test("t_entropy stays map-side: only the fan exchange, no agg shuffle") {
     // The kernel's whole point vs the oracle's explode+aggregate
     // spelling: the entropy column is computed in-row, so the only
