@@ -60,6 +60,46 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // The runtime half of the skew story: SkewJoin.salted is the
+    // plan-time mitigation; AQE's skew-join rule is the zero-code
+    // one — a hot key's oversized shuffle partition is split into
+    // advisory-sized slices AFTER the map stage measures it, each
+    // slice joining against a replicated dim partition. Thresholds
+    // are tuned down so the local data trips the rule; cluster
+    // defaults fire on their own at 100 TB.
+    import spark.implicits._
+    val tuned = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // One hot key carrying ~99% of the fact rows + a uniform tail.
+      val fact = spark.range(0, 60000)
+        .select(when(col("id") < 59000, 0L).otherwise(col("id") % 7 + 1)
+          .as("k"), col("id").as("v"))
+      val dim = spark.range(0, 8).select(col("id").as("k"),
+        concat(lit("payload_"), col("id")).as("p"))
+      val j = fact.join(dim, "k")
+      // collect() drives THIS dataset's QueryExecution (count() would
+      // plan a separate one and leave j's AQE plan unfinalized).
+      assert(j.collect().length == 60000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables sort-merge join without a shuffle") {
     for (tbl <- Seq("orders_bucketed", "customer_bucketed")) {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
