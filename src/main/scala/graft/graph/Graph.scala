@@ -742,6 +742,47 @@ final case class Graph(edges: DataFrame) {
       .select(col("src").as("node"), col("deg"))
   }
 
+  /** k-truss: the maximal subgraph in which every EDGE sits in at
+    * least k−2 triangles — the edge-level cohesion test beside
+    * [[kCore]]'s vertex-degree test (a community that passes k-core
+    * can still hang together by single bridge edges; truss demands
+    * every tie be triangle-reinforced). Peel to fixpoint: per round,
+    * per-edge support = |N(u) ∩ N(v)| over the CURRENT survivor set
+    * (the g_triangles pairing — posting-list joins bounded by
+    * Σ min-degree, no cartesian), drop edges under k−2, repeat.
+    * Early exit on a stable edge count is idempotent at fixpoint, so
+    * a fixed-round unrolled oracle states the same result (the
+    * kCore convergence contract; the spec pins fixpoint-within-
+    * bound). Output: surviving canonical edges with their final
+    * support. */
+  def kTruss(k: Int, maxRounds: Int): DataFrame = {
+    def support(e: DataFrame): DataFrame = {
+      val und = e.select(col("src").as("x"), col("dst").as("y"))
+        .union(e.select(col("dst").as("x"), col("src").as("y")))
+      e.as("E")
+        .join(und.as("A"), expr("A.x = E.src"))
+        .join(und.as("B"), expr("B.x = E.dst AND B.y = A.y"))
+        .groupBy(col("E.src").as("src"), col("E.dst").as("dst"))
+        .agg(count(lit(1)).as("sup"))
+    }
+    var e = oriented("both").filter(col("src") < col("dst"))
+      .distinct().cp()
+    var prevN = e.count()
+    var rounds = 0
+    var converged = prevN == 0
+    while (!converged && rounds < maxRounds) {
+      val kept = e.join(support(e).filter(col("sup") >= k - 2),
+          Seq("src", "dst"), "left_semi")
+        .cp()
+      val n = kept.count()
+      converged = n == prevN
+      prevN = n
+      e = kept
+      rounds += 1
+    }
+    support(e).select(col("src"), col("dst"), col("sup"))
+  }
+
   /** TOP-K SHORTEST path enumeration, ranked by (length, path) —
     * ast.GraphPathPatternTypeTopKShortestPath semantics.
     *

@@ -233,6 +233,16 @@ object GraphQueries {
       Graph(fe).reachLevels(sources, "out", minHops = 1, maxHops = 3)
     },
 
+    // k-TRUSS — edge-level cohesion beside g_kcore's vertex test
+    // (every surviving EDGE must sit in ≥ k−2 triangles among
+    // survivors; bridge edges that k-core tolerates are peeled).
+    // 4-truss, 6 peel rounds (fixpoint within the bound,
+    // spec-asserted); support counting is the g_triangles
+    // posting-list pairing, Σ min-degree bound, no cartesian.
+    Q("g_ktruss", Some(kTrussOracle(k = 4, rounds = 6))) { t =>
+      Graph.derived(t.orders).kTruss(k = 4, maxRounds = 6)
+    },
+
     // Personalized PageRank — importance RELATIVE to a seed set
     // (similar-entity / recommendation primitive; global g_pagerank
     // cannot express it). Teleport mass lands only on seeds
@@ -664,6 +674,47 @@ object GraphQueries {
     * `a UNION b` of e0 recursive-accumulation semantics and the peel
     * converges to the wrong fixpoint (verified: 123 vs 120 rows at
     * sf0.001). Nothing here recurses, so RECURSIVE is droppable. */
+  /** Unrolled k-truss oracle — kCoreOracle's peel shape on EDGES:
+    * stage i recomputes per-edge triangle support over stage i−1's
+    * survivors and keeps edges with support ≥ k−2; the final stage
+    * recomputes support once more for the output (matching the
+    * engine's final pass). MATERIALIZED throughout for the same
+    * exponential-reevaluation reason as kCoreOracle. */
+  private def kTrussOracle(k: Int, rounds: Int): String = {
+    def stage(i: Int) =
+      s"""d${i - 1} AS MATERIALIZED (
+           SELECT u AS x, v AS y FROM e${i - 1}
+           UNION ALL SELECT v, u FROM e${i - 1}),
+      s$i AS MATERIALIZED (
+        SELECT t.u, t.v, COUNT(*) AS sup
+        FROM e${i - 1} t
+        JOIN d${i - 1} a ON a.x = t.u
+        JOIN d${i - 1} b ON b.x = t.v AND b.y = a.y
+        GROUP BY t.u, t.v),
+      e$i AS MATERIALIZED (
+        SELECT u, v FROM s$i WHERE sup >= ${k - 2})"""
+    val stages = (1 to rounds).map(stage).mkString(",\n      ")
+    s"""
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst
+        FROM orders),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM e WHERE src <> dst),
+      $stages,
+      d$rounds AS MATERIALIZED (
+        SELECT u AS x, v AS y FROM e$rounds
+        UNION ALL SELECT v, u FROM e$rounds),
+      fin AS (
+        SELECT t.u, t.v, COUNT(*) AS sup
+        FROM e$rounds t
+        JOIN d$rounds a ON a.x = t.u
+        JOIN d$rounds b ON b.x = t.v AND b.y = a.y
+        GROUP BY t.u, t.v)
+      SELECT u AS src, v AS dst, CAST(sup AS BIGINT) AS sup FROM fin
+    """
+  }
+
   private def kCoreOracle(k: Int, rounds: Int): String = {
     // AS MATERIALIZED throughout: each stage references its
     // predecessor three times, so DuckDB's default CTE inlining

@@ -122,6 +122,31 @@ class GraphSpec extends SparkSpecBase {
       .forall(s => a(s) >= 0.15 - 1e-6))
   }
 
+  test("k-truss: K4 survives, a lone triangle and bridges peel") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: every edge in 2 triangles → 4-truss keeps all
+    // 6 edges with support 2. The pendant edge 4→5 (support 0) and
+    // the lone triangle {6,7,8} (support 1 each) must peel — exactly
+    // what k-core would NOT do (every {6,7,8} vertex has degree 2,
+    // and 5 hangs on a high-degree neighbor).
+    val g = graph.Graph(Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (7L, 8L), (6L, 8L)).toDF("src", "dst"))
+    val res = g.kTruss(k = 4, maxRounds = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(res.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(res.values.forall(_ == 2L))
+    // Registry entry fixpoint within the oracle's unroll bound: one
+    // more peel round changes nothing.
+    val e = graph.Graph.derived(t.orders)
+    val r6 = e.kTruss(k = 4, maxRounds = 6).collect()
+      .map(_.toSeq).toSet
+    val r7 = e.kTruss(k = 4, maxRounds = 7).collect()
+      .map(_.toSeq).toSet
+    assert(r6 == r7, "4-truss not at fixpoint within 6 rounds")
+  }
+
   test("temporal reach: paths must not walk backwards in time") {
     import spark.implicits._
     val te = Seq(
