@@ -13,14 +13,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * are standard pre-training corpus filters beside
   * [[TextStatsKernel]]'s ratio counters).
   *
-  * Per document, ONE pass over the UTF-8 bytes builds a token
-  * histogram (maximal `\S` runs, ASCII-lowercased — the same token
-  * definition TextStats counts) and a 256-way byte histogram, then
-  * returns struct(n_tokens, n_types, word_entropy, char_entropy)
-  * with entropies in bits via H = log2(n) − Σ c·log2(c) / n — the
-  * exact-integer-count form, so the only float work is log2 of
-  * integers (matches DuckDB's `entropy` aggregate to well under the
-  * 4dp at which the oracle compares).
+  * Per document, ONE pass over the Unicode CODE POINTS builds a
+  * token histogram (maximal runs of non-ASCII-whitespace, lowercased
+  * per code point — the same token definition TextStats counts) and
+  * a code-point histogram, then returns struct(n_tokens, n_types,
+  * word_entropy, char_entropy) with entropies in bits via
+  * H = log2(n) − Σ c·log2(c) / n — the exact-integer-count form, so
+  * the only float work is log2 of integers (matches DuckDB's
+  * `entropy` aggregate over characters of lower(text) to well under
+  * the 4dp at which the oracle compares). Character semantics are
+  * pinned: char_entropy counts CODE POINTS, not UTF-8 bytes, and
+  * lowercasing is the simple per-code-point mapping
+  * (Character.toLowerCase) — locale-proof and 1:1, so a code point
+  * never expands while being counted.
   *
   * The per-row HashMap puts this on the CodegenFallback tier —
   * like the JSON shape family, the cost IS the histogram, which no
@@ -51,48 +56,58 @@ object EntropyStatsKernel {
     }
 
   def compute(s: UTF8String): GenericInternalRow = {
-    // ASCII-lowercase byte-wise (A-Z → a-z; every other byte,
-    // including multi-byte UTF-8 sequences, passes through verbatim)
-    // — locale-proof, and token slices are cut from the SAME byte
-    // array they were scanned in, so non-ASCII input can never
-    // misalign byte offsets against char offsets.
-    val raw = s.getBytes
-    val bytes = new Array[Byte](raw.length)
-    var j = 0
-    while (j < raw.length) {
-      val b = raw(j)
-      bytes(j) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
-      j += 1
-    }
-    val byteHist = new Array[Int](256)
+    // One walk over the code points. ASCII code points (the ~whole
+    // corpus) histogram into a flat 128-slot array; the rare
+    // non-ASCII tail falls through to a HashMap allocated only when
+    // first needed, so the common path stays allocation-free.
+    val str = s.toString
+    val len = str.length
+    val asciiHist = new Array[Int](128)
+    var hiHist: java.util.HashMap[Integer, Int] = null
     val tokens = new java.util.HashMap[String, Int]()
+    val tok = new java.lang.StringBuilder()
     var nTokens = 0
-    var tokStart = -1
-    def endToken(end: Int): Unit = if (tokStart >= 0) {
-      val w = new String(bytes, tokStart, end - tokStart,
-        java.nio.charset.StandardCharsets.UTF_8)
-      tokens.merge(w, 1, (a, b) => a + b)
+    var nChars = 0
+    def endToken(): Unit = if (tok.length > 0) {
+      tokens.merge(tok.toString, 1, (a, b) => a + b)
       nTokens += 1
-      tokStart = -1
+      tok.setLength(0)
     }
     var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      byteHist(b) += 1
-      val isWs = b == ' ' || b == '\t' || b == '\n' || b == 0x0b ||
-        b == '\f' || b == '\r'
-      if (isWs) endToken(i)
-      else if (tokStart < 0) tokStart = i
-      i += 1
+    while (i < len) {
+      val cp0 = str.codePointAt(i)
+      i += Character.charCount(cp0)
+      val cp = Character.toLowerCase(cp0)
+      nChars += 1
+      if (cp < 128) asciiHist(cp) += 1
+      else {
+        if (hiHist == null) hiHist = new java.util.HashMap[Integer, Int]()
+        hiHist.merge(cp, 1, (a, b) => a + b)
+      }
+      // ASCII whitespace flavors only — the oracle's regex \S (RE2
+      // Perl class) is byte-flavored the same way, pinned by the r8
+      // parity fix; Unicode spaces (NBSP etc.) are token bytes.
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+        cp == '\f' || cp == '\r'
+      if (isWs) endToken() else tok.appendCodePoint(cp)
     }
-    endToken(bytes.length)
+    endToken()
     val it = tokens.values().iterator()
     val wordCounts = new Iterator[Int] {
       def hasNext = it.hasNext
       def next() = it.next()
     }
     val we = entropyOf(wordCounts, nTokens)
-    val ce = entropyOf(byteHist.iterator.filter(_ > 0), bytes.length)
+    val charCounts: Iterator[Int] =
+      if (hiHist == null) asciiHist.iterator.filter(_ > 0)
+      else {
+        val hi = hiHist.values().iterator()
+        asciiHist.iterator.filter(_ > 0) ++ new Iterator[Int] {
+          def hasNext = hi.hasNext
+          def next() = hi.next()
+        }
+      }
+    val ce = entropyOf(charCounts, nChars)
     // Raw doubles out; the query rounds with Spark's round() so the
     // half-up semantics match DuckDB's round() exactly.
     new GenericInternalRow(Array[Any](nTokens, tokens.size(), we, ce))

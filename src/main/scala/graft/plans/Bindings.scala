@@ -31,9 +31,13 @@ object Bindings {
     * statement identity OUTSIDE string literals — quoted spans are
     * preserved verbatim (case, spacing, everything), because two
     * statements differing in a literal are DIFFERENT statements and
-    * matching them would let a binding change answers. Handles
-    * backslash escapes inside literals; SQL-standard doubled-quote
-    * escaping preserves text by construction (close + reopen). */
+    * matching them would let a binding change answers. Backtick-
+    * quoted identifiers are preserved verbatim the same way (no case
+    * fold, no collapse) — conservative: spell-variant identifiers
+    * are treated as different statements. Handles backslash escapes
+    * inside string literals (backslash is not an escape inside
+    * backticks); SQL-standard doubled-quote escaping preserves text
+    * by construction (close + reopen). */
   def normalize(sql: String): String = {
     val sb = new StringBuilder
     var quote: Char = 0
@@ -43,10 +47,10 @@ object Bindings {
       val c = sql.charAt(i)
       if (quote != 0) {
         sb.append(c)
-        if (c == '\\' && i + 1 < sql.length) {
+        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
           sb.append(sql.charAt(i + 1)); i += 1
         } else if (c == quote) quote = 0
-      } else if (c == '\'' || c == '"') {
+      } else if (c == '\'' || c == '"' || c == '`') {
         if (pendingWs && sb.nonEmpty) sb.append(' ')
         pendingWs = false
         quote = c
@@ -63,8 +67,11 @@ object Bindings {
     sb.toString
   }
 
+  // Reluctant DOTALL match — a hint body may itself contain '*'
+  // (e.g. REPARTITION hints with expressions); [^*]* would fail to
+  // close such a comment and spuriously reject the binding.
   private def stripHints(sql: String): String =
-    sql.replaceAll("/\\*\\+[^*]*\\*/", " ")
+    sql.replaceAll("(?s)/\\*\\+.*?\\*/", " ")
 
   /** Install a binding. Throws if the USING statement is not the
     * bound statement modulo hint comments — the reference's

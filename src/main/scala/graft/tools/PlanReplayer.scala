@@ -18,13 +18,18 @@ import java.nio.file.{Files, Paths}
   *    q_show_create renderer — reproducing planning needs the
   *    schemas even for tables the plan pruned away);
   *  - `stats.json` — per-table row counts (the CBO's primary input;
-  *    sources.Stats holds the richer per-column view);
+  *    sources.Stats holds the richer per-column view). Counts come
+  *    from the PARQUET FOOTERS of the table's input files — a
+  *    driver-side metadata read, O(#files), no data scanned; a
+  *    catalog entry that is not a plain file scan (no input files)
+  *    falls back to a count() job and is marked `"scanned": true`;
   *  - `conf.json` — the planner-relevant session confs (AQE, join
   *    thresholds, shuffle width, ANSI).
   *
   * Everything is text in one directory — the bundle diffs, greps and
-  * mails like the reference's zip. Metadata-only except the O(1)
-  * per-table counts.
+  * mails like the reference's zip. All string values are
+  * JSON-escaped, so a quote or backslash in a conf value cannot
+  * break the bundle.
   */
 object PlanReplayer {
 
@@ -35,6 +40,28 @@ object PlanReplayer {
     "spark.sql.shuffle.partitions",
     "spark.sql.ansi.enabled",
     "spark.sql.optimizer.excludedRules")
+
+  /** Minimal JSON string escape for interpolated keys/values. */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** Row count from one parquet file's footer — a metadata read of
+    * the file tail, no row groups decoded. */
+  private def footerRowCount(t: Tables, file: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      t.spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
 
   /** Dump the bundle for registry entry `name`; returns the files
     * written. Unknown names throw (Registry.byName). */
@@ -55,10 +82,19 @@ object PlanReplayer {
           .mkString(s"CREATE TABLE $tn (\n", ",\n", "\n);")
       }.mkString("\n\n")
     val stats = Catalog.tables(t)
-      .map { case (tn, tdf) => s"""  "$tn": ${tdf.count()}""" }
+      .map { case (tn, tdf) =>
+        val files = tdf.inputFiles.filter(_.endsWith(".parquet"))
+        if (files.nonEmpty) {
+          val n = files.map(footerRowCount(t, _)).sum
+          s"""  "${esc(tn)}": {"rows": $n, "scanned": false}"""
+        } else {
+          s"""  "${esc(tn)}": {"rows": ${tdf.count()}, "scanned": true}"""
+        }
+      }
       .mkString("{\n", ",\n", "\n}")
     val conf = PlannerConfs
-      .map(k => s"""  "$k": "${t.spark.conf.getOption(k).getOrElse("")}"""")
+      .map(k => s"""  "${esc(k)}": "${esc(
+        t.spark.conf.getOption(k).getOrElse(""))}"""")
       .mkString("{\n", ",\n", "\n}")
     Seq(
       write("plan.txt", s"-- PLAN REPLAYER DUMP: $name\n$plan"),

@@ -55,25 +55,50 @@ class PropertySpec extends AnyFunSuite {
     6 -> Gen.alphaChar, 2 -> Gen.const(' '), 1 -> Gen.numChar,
     1 -> Gen.oneOf('\t', '\n', '.', ','))).map(_.mkString)
 
-  test("entropy kernel matches a brute-force recompute on random ASCII") {
+  // Non-ASCII mix: multi-byte letters (Greek, CJK), a 4-byte
+  // supplementary code point, uppercase with a non-ASCII simple
+  // lowercase mapping (\u00c4, \u03a3), and NBSP which is a TOKEN
+  // char (only ASCII whitespace splits).
+  private val unicodeText = Gen.listOf(Gen.frequency(
+    4 -> Gen.alphaChar.map(_.toString), 2 -> Gen.const(" "),
+    3 -> Gen.oneOf("\u03b1", "\u03a3", "\u4e2d", "\u00c4", "\u00e9",
+      "\u00a0", "\ud835\udd4a"),
+    1 -> Gen.oneOf("\t", "\n"))).map(_.mkString)
+
+  private def entropyBrute(s: String): (Int, Int, Double, Double) = {
     def log2(x: Double) = math.log(x) / math.log(2.0)
     def entropy(counts: Iterable[Int]): Double = {
       val n = counts.sum
       if (n == 0) 0.0
       else log2(n.toDouble) - counts.map(c => c * log2(c.toDouble)).sum / n
     }
-    check(Prop.forAll(asciiText) { s =>
-      val row = functions.EntropyStatsKernel.compute(
-        org.apache.spark.unsafe.types.UTF8String.fromString(s))
-      val toks = s.toLowerCase.split("[ \t\n\f\r]+")
-        .filter(_.nonEmpty)
-      val wc = toks.groupBy(identity).map(_._2.length)
-      val bytes = s.toLowerCase.getBytes("UTF-8")
-      val cc = bytes.groupBy(identity).map(_._2.length)
-      row.getInt(0) == toks.length && row.getInt(1) == wc.size &&
-        math.abs(row.getDouble(2) - entropy(wc)) < 1e-9 &&
-        math.abs(row.getDouble(3) - entropy(cc)) < 1e-9
-    }, "entropy kernel")
+    // Independent formulation of the PINNED semantics: simple
+    // per-code-point lowercase, char histogram over CODE POINTS
+    // (not UTF-8 bytes), tokens split on ASCII whitespace.
+    val cps = s.codePoints().toArray.map(Character.toLowerCase)
+    val lowered = new String(cps, 0, cps.length)
+    val toks = lowered.split("[ \t\n\u000b\f\r]+").filter(_.nonEmpty)
+    val wc = toks.groupBy(identity).map(_._2.length)
+    val cc = cps.groupBy(identity).map(x => x._2.length)
+    (toks.length, wc.size, entropy(wc), entropy(cc))
+  }
+
+  private def entropyKernelMatches(s: String): Boolean = {
+    val row = functions.EntropyStatsKernel.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    val (nTok, nTyp, we, ce) = entropyBrute(s)
+    row.getInt(0) == nTok && row.getInt(1) == nTyp &&
+      math.abs(row.getDouble(2) - we) < 1e-9 &&
+      math.abs(row.getDouble(3) - ce) < 1e-9
+  }
+
+  test("entropy kernel matches a brute-force recompute on random ASCII") {
+    check(Prop.forAll(asciiText)(entropyKernelMatches _), "entropy kernel")
+  }
+
+  test("entropy kernel matches brute force on non-ASCII unicode") {
+    check(Prop.forAll(unicodeText)(entropyKernelMatches _),
+      "entropy kernel unicode")
   }
 
   test("entropy kernel never throws on arbitrary unicode") {

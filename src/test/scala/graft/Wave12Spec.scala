@@ -168,6 +168,18 @@ class Wave12Spec extends SparkSpecBase {
       "select 'A  B' from t")
     assert(plans.Bindings.normalize("SELECT 'a b' FROM t") !=
       plans.Bindings.normalize("SELECT 'a  b' FROM t"))
+    // A hint whose body contains '*' must still strip cleanly — the
+    // reluctant match closes at the first '*/'.
+    plans.Bindings.create(stmt,
+      stmt.replaceFirst("SELECT", "SELECT /*+ BROADCAST(lineitem) ** */ "))
+    plans.Bindings.drop(stmt)
+    // Backtick identifiers are statement identity, preserved
+    // verbatim like string literals: case/spacing differences inside
+    // backticks are DIFFERENT statements.
+    assert(plans.Bindings.normalize("SELECT `A  b` FROM t") ==
+      "select `A  b` from t")
+    assert(plans.Bindings.normalize("SELECT `Col` FROM t") !=
+      plans.Bindings.normalize("SELECT `col` FROM t"))
   }
 
   test("q_show_create renders the pinned catalog as DDL") {
@@ -210,13 +222,13 @@ class Wave12Spec extends SparkSpecBase {
     }
     // The signal discriminates: entropies vary across the corpus.
     assert(got.values.map(_._4).toSet.size > 10)
-    // Non-ASCII safety: token slices are byte-array cuts, so a
+    // Non-ASCII safety: the kernel walks code points, so a
     // multi-byte-ending string must neither crash nor misalign.
     val multi = spark.range(1).select(
       call_function("graft_entropy_stats", lit("ab αβγ AB")).as("s"))
       .select(col("s.n_tokens"), col("s.n_types")).collect().head
     assert(multi.getInt(0) == 3 && multi.getInt(1) == 2,
-      "ASCII-lowercase fold should merge 'ab' and 'AB', keep 'αβγ'")
+      "lowercase fold should merge 'ab' and 'AB', keep 'αβγ'")
   }
 
   test("PlanReplayer bundle carries plan, schemas, stats and confs") {
@@ -236,7 +248,9 @@ class Wave12Spec extends SparkSpecBase {
       .forall(tn => schema.contains(s"CREATE TABLE $tn (")))
     val stats = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$dir/stats.json"))
-    assert(stats.contains("\"orders\": " + t.orders.count()))
+    // Footer-derived count equals the scan count, read metadata-only.
+    assert(stats.contains(
+      "\"orders\": {\"rows\": " + t.orders.count() + ", \"scanned\": false}"))
     val conf = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$dir/conf.json"))
     assert(conf.contains("spark.sql.shuffle.partitions"))
