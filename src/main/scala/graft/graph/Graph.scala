@@ -756,31 +756,53 @@ final case class Graph(edges: DataFrame) {
     * bound). Output: surviving canonical edges with their final
     * support. */
   def kTruss(k: Int, maxRounds: Int): DataFrame = {
-    def support(e: DataFrame): DataFrame = {
-      val und = e.select(col("src").as("x"), col("dst").as("y"))
-        .union(e.select(col("dst").as("x"), col("src").as("y")))
-      e.as("E")
-        .join(und.as("A"), expr("A.x = E.src"))
-        .join(und.as("B"), expr("B.x = E.dst AND B.y = A.y"))
-        .groupBy(col("E.src").as("src"), col("E.dst").as("dst"))
-        .agg(count(lit(1)).as("sup"))
+    // Per-edge support = |N(u) ∩ N(v)| via sorted neighbor arrays +
+    // the merge-walk SortedIntersectCount kernel: one agg + two
+    // co-partitioned joins per round with the intersection computed
+    // in-row, instead of the wedge self-join whose row count is
+    // Σ d(v)² (the wedge spelling measured ~2.2 s/round at sf0.1 —
+    // 7 rounds put g_ktruss at 15 s; arrays cut the per-round cost
+    // to the adjacency build). Neighbor lists are collect_set-bounded
+    // by max degree — the same in-memory contract as g_jaccard_nbrs,
+    // which caps hubs when degree is unbounded; truss graphs are
+    // peeled from round 1, so the arrays only shrink.
+    def withSupport(e: DataFrame): DataFrame = {
+      val und = e.select(col("src").as("n"), col("dst").as("nbr"))
+        .union(e.select(col("dst").as("n"), col("src").as("nbr")))
+      val adj = und.groupBy("n")
+        .agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
+      e.join(adj.select(col("n").as("src"), col("nbrs").as("sn")), "src")
+        .join(adj.select(col("n").as("dst"), col("nbrs").as("dn")), "dst")
+        .select(col("src"), col("dst"),
+          org.apache.spark.sql.GraftSqlShim.column(
+            graft.functions.SortedIntersectCount(
+              org.apache.spark.sql.GraftSqlShim.expr(col("sn")),
+              org.apache.spark.sql.GraftSqlShim.expr(col("dn"))))
+            .cast("long").as("sup"))
     }
     var e = oriented("both").filter(col("src") < col("dst"))
       .distinct().cp()
     var prevN = e.count()
     var rounds = 0
     var converged = prevN == 0
+    // At fixpoint the survivor set is unchanged, so the support
+    // computed over the PRE-prune set is already the final support —
+    // carry it instead of re-enumerating after the loop.
+    var lastSup: Option[DataFrame] = None
     while (!converged && rounds < maxRounds) {
-      val kept = e.join(support(e).filter(col("sup") >= k - 2),
-          Seq("src", "dst"), "left_semi")
-        .cp()
+      val sup = withSupport(e).cp()
+      val kept = sup.filter(col("sup") >= k - 2)
       val n = kept.count()
       converged = n == prevN
       prevN = n
-      e = kept
+      e = kept.select("src", "dst")
+      lastSup = Some(kept)
       rounds += 1
     }
-    support(e).select(col("src"), col("dst"), col("sup"))
+    lastSup match {
+      case Some(s) if converged => s.select("src", "dst", "sup")
+      case _ => withSupport(e).select("src", "dst", "sup")
+    }
   }
 
   /** TOP-K SHORTEST path enumeration, ranked by (length, path) —
