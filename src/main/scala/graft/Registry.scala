@@ -28,6 +28,7 @@ object Registry {
     operators.Wave10.all,
     operators.Wave11.all,
     operators.Wave12.all,
+    operators.Wave13.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,

@@ -233,6 +233,80 @@ object GraphQueries {
       Graph(fe).reachLevels(sources, "out", minHops = 1, maxHops = 3)
     },
 
+    // Conjunctive multi-path MATCH (reference: parser/ast/graph.go
+    // GraphPattern.Paths — `MATCH p1, p2, …` is a LIST of path
+    // patterns over shared variables, i.e. subgraph pattern matching,
+    // not a single walk). Pattern here: the transitive triad
+    // (a)->(b), (a)->(c), (b)->(c) with a source predicate a < 50
+    // and pairwise-distinct vertex bindings. Spark-first plan: the
+    // predicate prunes the anchor edge list FIRST, the wedge join is
+    // keyed on `a`, and the closing path is a LEFT SEMI join on
+    // (b, c) — existence, never multiplication; every join is
+    // co-partitioned on its pattern variable, so the shape survives
+    // an edge list 100× this size (work is Σ deg(a)² over the pruned
+    // anchors, not |E|²).
+    Q("g_match_multi", Some(s"""
+      $edgeCte
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.src
+      JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+      WHERE e1.src < 50 AND e1.dst <> e2.dst
+        AND e1.src <> e1.dst AND e1.src <> e2.dst
+    """)) { t =>
+      val e = Graph.derived(t.orders).oriented("out")
+      val wedges = e.filter(col("src") < 50)
+        .select(col("src").as("a"), col("dst").as("b"))
+        .join(e.select(col("src").as("a2"), col("dst").as("c")),
+          col("a") === col("a2"))
+        .filter(col("b") =!= col("c") && col("a") =!= col("b") &&
+          col("a") =!= col("c"))
+        .select("a", "b", "c")
+      wedges.join(
+        e.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"), "left_semi")
+        .select("a", "b", "c")
+    },
+
+    // SIMPLE-path fixed-length chain MATCH (reference:
+    // parser/ast/graph.go GraphPathPatternTypeSimple + the Edges
+    // list — a chain of edge patterns (a)->(b)->(c)->(d), each
+    // variable with its own Where, and SIMPLE semantics binding each
+    // vertex variable to a DISTINCT vertex — revisit-free paths,
+    // which the visited-set BFS entries deliberately do NOT pin).
+    // Per-variable predicates (a<5, b<500, c<250) prune each hop
+    // BEFORE its join — the pattern planner's prefix-pruning rule:
+    // chain selectivity compounds multiplicatively, so filters belong
+    // on the hop inputs, not the assembled paths. Aggregated to
+    // (a, d) endpoint pairs with path and midpoint counts.
+    Q("g_match_chain", Some(s"""
+      $edgeCte
+      SELECT e1.src AS a, e3.dst AS d, COUNT(*) AS n_paths,
+             CAST(COUNT(DISTINCT e1.dst) AS BIGINT) AS n_b
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e2.dst
+      WHERE e1.src < 5 AND e1.dst < 500 AND e2.dst < 250
+        AND e1.src <> e1.dst AND e1.src <> e2.dst AND e1.src <> e3.dst
+        AND e1.dst <> e2.dst AND e1.dst <> e3.dst AND e2.dst <> e3.dst
+      GROUP BY 1, 2
+    """)) { t =>
+      val e = Graph.derived(t.orders).oriented("out")
+      val h1 = e.filter(col("src") < 5 && col("dst") < 500)
+        .select(col("src").as("a"), col("dst").as("b"))
+      val h2 = e.filter(col("dst") < 250)
+        .select(col("src").as("b2"), col("dst").as("c"))
+      val h3 = e.select(col("src").as("c3"), col("dst").as("d"))
+      h1.join(h2, col("b") === col("b2"))
+        .join(h3, col("c") === col("c3"))
+        .filter(col("a") =!= col("b") && col("a") =!= col("c") &&
+          col("a") =!= col("d") && col("b") =!= col("c") &&
+          col("b") =!= col("d") && col("c") =!= col("d"))
+        .groupBy("a", "d")
+        .agg(count(lit(1)).as("n_paths"),
+          countDistinct(col("b")).as("n_b"))
+    },
+
     // k-TRUSS — edge-level cohesion beside g_kcore's vertex test
     // (every surviving EDGE must sit in ≥ k−2 triangles among
     // survivors; bridge edges that k-core tolerates are peeled).

@@ -1,0 +1,256 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 capability wave: the table-attribute surface left after
+  * the r7/r8 gap lists — AUTO_RANDOM shard-bit id allocation, cached
+  * hot tables, local/global temporary tables — plus the last
+  * straggler builtins (TIME_TO_SEC / MAKE_TIME / FORMAT_BYTES /
+  * TIDB_PARSE_TSO).
+  */
+object Wave13 {
+
+  val all: Seq[Q] = Seq(
+
+    // AUTO_RANDOM id allocation (reference: ddl/column.go:1640
+    // checkAndApplyAutoRandomBits; allocator semantics in
+    // table/tables — an AUTO_RANDOM(S) primary key scatters hot
+    // sequential inserts by placing S shard bits directly below the
+    // sign bit and the per-shard incremental id in the remaining
+    // 63−S bits, so concurrent writers land on 2^S different TiKV
+    // ranges instead of one hot region). Spark statement of the SAME
+    // arithmetic: S=4, shard = o_orderkey % 16 (the allocating
+    // session), seq = dense per-shard order — id = shard·2^59 + seq.
+    // The entry reports, per shard, the allocation envelope AND a
+    // bit-level round-trip proof: decode(id) = (id >> 59, id & mask)
+    // must reproduce (shard, seq) for every row. The per-shard
+    // row_number window is 16-way partitioned — never global — and
+    // at scale this is exactly the write-path sharding math, cheap by
+    // construction.
+    Q("q_auto_random", Some("""
+      WITH s AS (
+        SELECT o_orderkey, o_orderkey % 16 AS shard,
+               ROW_NUMBER() OVER (PARTITION BY o_orderkey % 16
+                                  ORDER BY o_orderkey) - 1 AS seq
+        FROM orders),
+      ids AS (
+        SELECT shard, seq,
+               (shard << 59) | seq AS id
+        FROM s)
+      SELECT shard, COUNT(*) AS n_rows,
+             MIN(id) AS min_id, MAX(id) AS max_id,
+             CAST(SUM(CASE WHEN (id >> 59) = shard
+                        AND (id & ((CAST(1 AS BIGINT) << 59) - 1)) = seq
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_decode_ok
+      FROM ids GROUP BY shard
+    """)) { t =>
+      val shardW = Window.partitionBy("shard").orderBy("o_orderkey")
+      val mask = (1L << 59) - 1
+      val ids = t.orders
+        .select(col("o_orderkey"), (col("o_orderkey") % 16).as("shard"))
+        .withColumn("seq", row_number().over(shardW).cast("long") - 1)
+        .withColumn("id",
+          shiftleft(col("shard"), 59).bitwiseOR(col("seq")))
+      ids.groupBy("shard").agg(
+        count(lit(1)).as("n_rows"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        sum(when(shiftright(col("id"), 59) === col("shard") &&
+            col("id").bitwiseAND(lit(mask)) === col("seq"), 1L)
+          .otherwise(0L)).as("n_decode_ok"))
+    },
+
+    // Cached hot table (reference: table/tables/cache.go — `ALTER
+    // TABLE t CACHE` pins a small, hot table into every tidb-server's
+    // memory behind a read lease; reads skip TiKV entirely while the
+    // lease holds, and MUST equal the base table). Spark twin:
+    // Dataset.cache() on the dimension — the lease-read analog is
+    // the InMemoryRelation scan (spec-asserted), and the entry's
+    // answer is the parity contract: the query THROUGH the cache is
+    // hash-identical to the oracle's base-table join. The 25-row
+    // nation dim is exactly the table class the reference built this
+    // for; the cache stays session-pinned afterwards like the
+    // reference's (an ALTER, not a query-scoped hint), costing 25
+    // rows of executor memory.
+    Q("q_cached_table", Some("""
+      SELECT n.n_name, COUNT(*) AS n_cust,
+             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS acctbal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    """)) { t =>
+      val dim = t.nation.cache()
+      dim.count() // materialize the "lease" before serving reads
+      val cust = t.customer
+      cust.join(broadcast(dim),
+          cust("c_nationkey") === dim("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          Exact.sum2(col("c_acctbal")).as("acctbal"))
+    },
+
+    // Local + global temporary tables (reference: table/temptable/
+    // ddl.go — CREATE TEMPORARY TABLE is session-scoped and vanishes
+    // with the session; CREATE GLOBAL TEMPORARY TABLE shares the
+    // DEFINITION across sessions with per-transaction data). Spark
+    // twin: a session temp view (session-scoped catalog, dropped
+    // with the session) and a global temp view (the shared
+    // `global_temp` schema, visible from OTHER sessions — the
+    // definition-sharing half of the reference's contract;
+    // Wave13Spec pins cross-session visibility of the global and
+    // invisibility of the local). The entry materializes a per-
+    // customer order rollup AS the temp table, then serves a segment
+    // report through BOTH views — predicates still reach the parquet
+    // scans because temp views are logical plans, not materialized
+    // walls.
+    // "spend above the mean" is stated as the EXACT cross-product
+    // inequality spend·N > Σspend over DECIMALs (never a double AVG
+    // — a customer sitting one ulp from the mean must not flip
+    // between engines).
+    Q("q_temp_table", Some("""
+      WITH tmp_cust_orders AS (
+        SELECT o_custkey, COUNT(*) AS n_ord,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS spend
+        FROM orders GROUP BY o_custkey),
+      cut AS (
+        SELECT COUNT(*) AS n_total,
+               SUM(CAST(spend AS DECIMAL(18,2))) AS s_total
+        FROM tmp_cust_orders)
+      SELECT c.c_mktsegment, COUNT(*) AS n_cust,
+             CAST(SUM(t.n_ord) AS BIGINT) AS n_ord,
+             CAST(SUM(CAST(t.spend AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM tmp_cust_orders t
+      JOIN customer c ON c.c_custkey = t.o_custkey
+      WHERE CAST(t.spend AS DECIMAL(18,2)) * (SELECT n_total FROM cut)
+            > (SELECT s_total FROM cut)
+      GROUP BY c.c_mktsegment
+    """)) { t =>
+      t.orders.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_ord"),
+          Exact.sum2(col("o_totalprice")).as("spend"))
+        .createOrReplaceTempView("tmp_cust_orders")
+      t.spark.table("tmp_cust_orders")
+        .agg(count(lit(1)).as("n_total"),
+          sum(Exact.dec2(col("spend"))).as("s_total"))
+        .createOrReplaceGlobalTempView("gtmp_spend_cut")
+      t.customer.createOrReplaceTempView("wave13_customer")
+      t.spark.sql("""
+        SELECT c.c_mktsegment, COUNT(*) AS n_cust,
+               CAST(SUM(t.n_ord) AS BIGINT) AS n_ord,
+               CAST(SUM(CAST(t.spend AS DECIMAL(18,2))) AS DOUBLE)
+                 AS spend
+        FROM tmp_cust_orders t
+        JOIN wave13_customer c ON c.c_custkey = t.o_custkey
+        WHERE CAST(t.spend AS DECIMAL(18,2))
+              * (SELECT n_total FROM global_temp.gtmp_spend_cut)
+              > (SELECT s_total FROM global_temp.gtmp_spend_cut)
+        GROUP BY c.c_mktsegment""")
+    },
+
+    // Straggler builtins (reference: expression/builtin_time.go
+    // TIME_TO_SEC / MAKE_TIME; builtin_info.go formatBytes — the
+    // util/memory/tracker.go:433 arithmetic: unit chosen by strict
+    // > 1KB/MB/GB bounds, 0 decimals when divisible, 2 below 10,
+    // else 1; builtin_info.go tidbParseTso — a TiDB TSO's physical
+    // clock is `tso >> 18` milliseconds). Each value is derived from
+    // event data and the oracle restates the arithmetic
+    // independently; byte sizes are staged across all four unit
+    // branches so every CASE arm is exercised.
+    Q("q_func_misc2", Some("""
+      WITH d AS (
+        SELECT event_id, ts,
+               (event_id % 4) * 21 + (event_id % 7) AS h,
+               event_id % 60 AS mi, (event_id * 7) % 60 AS sec,
+               CASE event_id % 4
+                 WHEN 0 THEN event_id % 1025
+                 WHEN 1 THEN 1024 + event_id * 512
+                 WHEN 2 THEN 1048576 + event_id * 393216
+                 ELSE (10 + event_id % 5) * 1073741824
+                   + CASE event_id % 8 WHEN 3 THEN 0
+                     ELSE 536870912 END
+               END AS nbytes,
+               (400000000000 + event_id * 1000000) * 262144
+                 + event_id % 262144 AS tso
+        FROM events WHERE event_id < 400)
+      SELECT event_id,
+             CAST(hour(ts) * 3600 + minute(ts) * 60
+                  + CAST(floor(second(ts)) AS BIGINT) AS BIGINT)
+               AS t2s,
+             printf('%02d:%02d:%02d', least(h, 23), mi, sec) AS mk_time,
+             CASE
+               WHEN nbytes <= 1024 THEN nbytes || ' Bytes'
+               WHEN nbytes > 1073741824 THEN
+                 CASE WHEN nbytes % 1073741824 = 0
+                      THEN CAST(nbytes // 1073741824 AS VARCHAR) || ' GB'
+                      WHEN nbytes / 1073741824.0 < 10
+                      THEN CAST(round(nbytes / 1073741824.0, 2)
+                           AS VARCHAR) || ' GB'
+                      ELSE CAST(round(nbytes / 1073741824.0, 1)
+                           AS VARCHAR) || ' GB' END
+               WHEN nbytes > 1048576 THEN
+                 CASE WHEN nbytes % 1048576 = 0
+                      THEN CAST(nbytes // 1048576 AS VARCHAR) || ' MB'
+                      WHEN nbytes / 1048576.0 < 10
+                      THEN CAST(round(nbytes / 1048576.0, 2)
+                           AS VARCHAR) || ' MB'
+                      ELSE CAST(round(nbytes / 1048576.0, 1)
+                           AS VARCHAR) || ' MB' END
+               ELSE
+                 CASE WHEN nbytes % 1024 = 0
+                      THEN CAST(nbytes // 1024 AS VARCHAR) || ' KB'
+                      WHEN nbytes / 1024.0 < 10
+                      THEN CAST(round(nbytes / 1024.0, 2)
+                           AS VARCHAR) || ' KB'
+                      ELSE CAST(round(nbytes / 1024.0, 1)
+                           AS VARCHAR) || ' KB' END
+             END AS fmt_bytes,
+             tso >> 18 AS tso_ms
+      FROM d
+    """)) { t =>
+      def fmtUnit(nbytes: org.apache.spark.sql.Column, unit: Long,
+          name: String): org.apache.spark.sql.Column = {
+        val v = nbytes.cast("double") / lit(unit.toDouble)
+        concat(
+          when(nbytes % unit === 0,
+            (nbytes / unit).cast("long").cast("string"))
+            .when(v < 10, round(v, 2).cast("string"))
+            .otherwise(round(v, 1).cast("string")),
+          lit(" " + name))
+      }
+      t.events.filter(col("event_id") < 400)
+        .select(col("event_id"), col("ts"),
+          ((col("event_id") % 4) * 21 + col("event_id") % 7).as("h"),
+          (col("event_id") % 60).as("mi"),
+          (col("event_id") * 7 % 60).as("sec"),
+          when(col("event_id") % 4 === 0, col("event_id") % 1025)
+            .when(col("event_id") % 4 === 1,
+              lit(1024L) + col("event_id") * 512)
+            .when(col("event_id") % 4 === 2,
+              lit(1048576L) + col("event_id") * 393216)
+            .otherwise((lit(10L) + col("event_id") % 5) * 1073741824L
+              + when(col("event_id") % 8 === 3, 0L)
+                .otherwise(536870912L))
+            .as("nbytes"),
+          ((lit(400000000000L) + col("event_id") * 1000000L) * 262144L
+            + col("event_id") % 262144).as("tso"))
+        .select(col("event_id"),
+          (hour(col("ts")) * 3600 + minute(col("ts")) * 60
+            + second(col("ts"))).cast("long").as("t2s"),
+          format_string("%02d:%02d:%02d",
+            least(col("h"), lit(23)), col("mi"), col("sec"))
+            .as("mk_time"),
+          when(col("nbytes") <= 1024,
+            concat(col("nbytes").cast("string"), lit(" Bytes")))
+            .when(col("nbytes") > 1073741824L,
+              fmtUnit(col("nbytes"), 1073741824L, "GB"))
+            .when(col("nbytes") > 1048576L,
+              fmtUnit(col("nbytes"), 1048576L, "MB"))
+            .otherwise(fmtUnit(col("nbytes"), 1024L, "KB"))
+            .as("fmt_bytes"),
+          shiftright(col("tso"), 18).as("tso_ms"))
+    },
+  )
+}

@@ -188,4 +188,36 @@ class GraphSpec extends SparkSpecBase {
       assert(math.abs(gc - n.toDouble / sumD) < 1e-5)
     }
   }
+
+  test("pattern MATCH entries equal a brute-force recompute") {
+    val edges = g.oriented("out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // g_match_multi: conjunctive triad (a)->(b), (a)->(c), (b)->(c),
+    // a < 50, all bindings distinct.
+    val expectTriads = (for {
+      (a, b) <- edges if a < 50
+      (a2, c) <- edges if a2 == a
+      if b != c && a != b && a != c && edges.contains((b, c))
+    } yield (a, b, c)).toSet
+    val gotTriads = Registry.all.find(_.name == "g_match_multi").get
+      .run(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotTriads == expectTriads && gotTriads.nonEmpty)
+    // g_match_chain: SIMPLE (revisit-free) 3-edge chain with
+    // per-variable predicates, aggregated to (a, d).
+    val chains = for {
+      (a, b) <- edges if a < 5 && b < 500
+      (b2, c) <- edges if b2 == b && c < 250
+      (c3, d) <- edges if c3 == c
+      if Set(a, b, c, d).size == 4
+    } yield (a, b, c, d)
+    val expectAgg = chains.groupBy(p => (p._1, p._4)).map { case (k, ps) =>
+      k -> (ps.size.toLong, ps.map(_._2).toSet.size.toLong)
+    }
+    val gotAgg = Registry.all.find(_.name == "g_match_chain").get
+      .run(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(gotAgg == expectAgg && gotAgg.nonEmpty)
+  }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Wave13Spec extends SparkSpecBase {
+
+  private def q(name: String) =
+    Registry.all.find(_.name == name).get.run(t)
+
+  test("q_cached_table serves reads from the in-memory lease") {
+    val df = q("q_cached_table")
+    val plan = df.queryExecution.executedPlan.toString
+    // The dimension scan must be the cache, not the parquet file —
+    // the table/tables/cache.go lease-read contract.
+    assert(plan.contains("InMemoryTableScan"),
+      s"nation not read from cache:\n$plan")
+    val viaCache = df.collect().map(_.toSeq).toSet
+    // Parity: dropping the cache must not change a single value.
+    t.nation.unpersist(blocking = true)
+    val base = q("q_cached_table").collect().map(_.toSeq).toSet
+    assert(viaCache == base && base.size == 25)
+    t.nation.unpersist(blocking = true)
+  }
+
+  test("q_temp_table: global temp crosses sessions, local does not") {
+    q("q_temp_table").collect() // registers both views
+    val other = spark.newSession()
+    // Global temporary table: definition shared across sessions
+    // (table/temptable's GLOBAL half).
+    assert(other.table("global_temp.gtmp_spend_cut").collect()
+      .length == 1)
+    // Local temporary table: session-scoped, invisible elsewhere.
+    intercept[Exception] { other.table("tmp_cust_orders").collect() }
+    assert(spark.table("tmp_cust_orders").columns
+      .sameElements(Array("o_custkey", "n_ord", "spend")))
+  }
+
+  test("q_auto_random: shard bits and sequence round-trip") {
+    val rows = q("q_auto_random").collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val (shard, n, minId, maxId, okN) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))
+      // Every id decodes back to (shard, seq): the bit layout is
+      // lossless.
+      assert(okN == n, s"shard $shard: $okN of $n decode")
+      // The shard owns a disjoint 2^59-wide range, ids dense within.
+      assert(minId == (shard << 59) && maxId == (shard << 59) + n - 1)
+    }
+  }
+
+  test("q_func_misc2 exercises every format_bytes arm") {
+    val fmts = q("q_func_misc2").collect()
+      .map(_.getAs[String]("fmt_bytes"))
+    assert(fmts.exists(_.endsWith(" Bytes")))
+    assert(fmts.exists(_.endsWith(" KB")))
+    assert(fmts.exists(_.endsWith(" MB")))
+    assert(fmts.exists(_.endsWith(" GB")))
+    // Decimal-width arms: divisible → no point, <10 units → 2dp,
+    // ≥10 units → 1dp (util/memory/tracker.go:433 arithmetic).
+    assert(fmts.exists(s => s.endsWith(" GB") && !s.contains(".")))
+    assert(fmts.exists(s =>
+      s.endsWith(" GB") && s.matches("""\d+\.\d [A-Z]B""")))
+    assert(fmts.exists(s => s.matches("""\d+\.\d\d [A-Z]B""")))
+    // make_time renders zero-padded clock fields.
+    val mk = q("q_func_misc2").collect()
+      .map(_.getAs[String]("mk_time"))
+    assert(mk.forall(_.matches("""\d{2}:\d{2}:\d{2}""")))
+  }
+}
