@@ -433,4 +433,20 @@ object Streams {
       .select(col("o_orderkey"),
         coalesce(col("u_price"), col("o_totalprice")).as("o_totalprice"))
   }
+
+  /** Exactly-once foreachBatch sink: each micro-batch lands in its
+    * own `batch_id=` partition via DYNAMIC partition overwrite, so a
+    * replayed batchId (failure recovery re-delivers the same
+    * micro-batch with the same id — the Structured Streaming
+    * contract) rewrites its own partition deterministically instead
+    * of appending duplicates. This is the idempotence half of
+    * end-to-end exactly-once; the source offsets in the checkpoint
+    * are the other half. At 100 TB the same body holds — overwrite
+    * scope is one batch partition, never the table. */
+  def idempotentSink(dir: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dir)
 }

@@ -411,4 +411,15 @@ class PlanShapeSpec extends SparkSpecBase {
       .foreach(l => assert(!l.contains("text"),
         s"text crossed an exchange: $l"))
   }
+
+  test("pattern MATCH entries plan keyed joins, never a cartesian") {
+    for (name <- Seq("g_match_multi", "g_match_chain")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated to an unkeyed join:\n$p")
+      // Every hop is an equi-join on a pattern variable.
+      assert(p.contains("Join"), s"$name lost its joins:\n$p")
+    }
+  }
 }
