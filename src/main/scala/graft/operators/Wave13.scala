@@ -150,6 +150,88 @@ object Wave13 {
         GROUP BY c.c_mktsegment""")
     },
 
+    // SHOW STATS (reference: executor/show_stats.go — SHOW
+    // STATS_META / STATS_HISTOGRAMS render the per-column statistics
+    // the CBO planned with: row count, NDV, null count, value
+    // bounds). The engine computes ALL columns' stats in ONE
+    // aggregate pass (every ndv/min/max is a map-combined agg over
+    // the same scan — SHOW STATS at 100 TB costs one scan, never one
+    // job per column) and unpivots to the reference's row-per-column
+    // shape via stack(). The oracle recomputes each column's numbers
+    // independently. Values render as strings so one schema carries
+    // date, decimal and varchar columns — cast spellings pinned on
+    // both sides.
+    Q("q_show_stats", Some("""
+      WITH o AS (SELECT o_orderkey, o_custkey,
+                        CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                        o_orderdate, o_orderpriority
+                 FROM orders)
+      SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+             COUNT(*) - COUNT(o_orderkey) AS n_null,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_v,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_v
+      FROM o
+      UNION ALL
+      SELECT 'o_custkey', COUNT(*),
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+             COUNT(*) - COUNT(o_custkey),
+             CAST(MIN(o_custkey) AS VARCHAR),
+             CAST(MAX(o_custkey) AS VARCHAR)
+      FROM o
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*),
+             CAST(COUNT(DISTINCT price) AS BIGINT),
+             COUNT(*) - COUNT(price),
+             CAST(MIN(price) AS VARCHAR), CAST(MAX(price) AS VARCHAR)
+      FROM o
+      UNION ALL
+      SELECT 'o_orderdate', COUNT(*),
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+             COUNT(*) - COUNT(o_orderdate),
+             CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR),
+             CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR)
+      FROM o
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*),
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+             COUNT(*) - COUNT(o_orderpriority),
+             MIN(o_orderpriority), MAX(o_orderpriority)
+      FROM o
+    """)) { t =>
+      val one = t.orders.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("ndv_ok"),
+        count(col("o_orderkey")).as("nn_ok"),
+        min(col("o_orderkey")).cast("string").as("min_ok"),
+        max(col("o_orderkey")).cast("string").as("max_ok"),
+        countDistinct(col("o_custkey")).as("ndv_ck"),
+        count(col("o_custkey")).as("nn_ck"),
+        min(col("o_custkey")).cast("string").as("min_ck"),
+        max(col("o_custkey")).cast("string").as("max_ck"),
+        countDistinct(Exact.dec2(col("o_totalprice"))).as("ndv_tp"),
+        count(col("o_totalprice")).as("nn_tp"),
+        min(Exact.dec2(col("o_totalprice"))).cast("string").as("min_tp"),
+        max(Exact.dec2(col("o_totalprice"))).cast("string").as("max_tp"),
+        countDistinct(col("o_orderdate")).as("ndv_od"),
+        count(col("o_orderdate")).as("nn_od"),
+        min(col("o_orderdate").cast("date")).cast("string").as("min_od"),
+        max(col("o_orderdate").cast("date")).cast("string").as("max_od"),
+        countDistinct(col("o_orderpriority")).as("ndv_op"),
+        count(col("o_orderpriority")).as("nn_op"),
+        min(col("o_orderpriority")).as("min_op"),
+        max(col("o_orderpriority")).as("max_op"))
+      one.selectExpr("n_rows", """stack(5,
+          'o_orderkey', ndv_ok, n_rows - nn_ok, min_ok, max_ok,
+          'o_custkey', ndv_ck, n_rows - nn_ck, min_ck, max_ck,
+          'o_totalprice', ndv_tp, n_rows - nn_tp, min_tp, max_tp,
+          'o_orderdate', ndv_od, n_rows - nn_od, min_od, max_od,
+          'o_orderpriority', ndv_op, n_rows - nn_op, min_op, max_op)
+          AS (col_name, ndv, n_null, min_v, max_v)""")
+        .select(col("col_name"), col("n_rows"), col("ndv"),
+          col("n_null"), col("min_v"), col("max_v"))
+    },
+
     // Straggler builtins (reference: expression/builtin_time.go
     // TIME_TO_SEC / MAKE_TIME; builtin_info.go formatBytes — the
     // util/memory/tracker.go:433 arithmetic: unit chosen by strict

@@ -50,6 +50,23 @@ class Wave13Spec extends SparkSpecBase {
     }
   }
 
+  test("q_show_stats computes every column's stats in one scan") {
+    val df = q("q_show_stats")
+    val p = df.queryExecution.executedPlan.toString
+    // One pass over orders — SHOW STATS must never run a job per
+    // column (5 ndv aggs ride the same scan via Expand).
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one orders scan:\n$p")
+    val rows = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("o_orderkey", "o_custkey", "o_totalprice",
+      "o_orderdate", "o_orderpriority"))
+    val nRows = t.orders.count()
+    assert(rows.values.forall(_._1 == nRows))
+    // Primary key: ndv == rows, no nulls.
+    assert(rows("o_orderkey")._2 == nRows && rows("o_orderkey")._3 == 0)
+  }
+
   test("q_func_misc2 exercises every format_bytes arm") {
     val fmts = q("q_func_misc2").collect()
       .map(_.getAs[String]("fmt_bytes"))
