@@ -62,6 +62,44 @@ object Dml {
             .as("o_totalprice"))
     },
 
+    // INSERT IGNORE (reference: executor/insert.go +
+    // batch_checker.go getKeysNeedCheck — the THIRD conflict policy
+    // beside q_replace's delete-then-insert and q_upsert's ON
+    // DUPLICATE KEY UPDATE: a conflicting incoming row is silently
+    // SKIPPED and the stored row survives untouched). The incoming
+    // batch restates every 7th key with poisoned values — which must
+    // NOT surface — and appends fresh keys from every 97th. The
+    // conflict check is ONE key anti-join (the batch side broadcasts
+    // when small), never a per-row constraint probe; at 100 TB the
+    // snapshot streams through untouched and only the batch pays.
+    Q("q_insert_ignore", Some("""
+      WITH ins AS (
+        SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+               0.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_custkey, 'I', o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT i.o_orderkey, i.o_custkey, i.o_orderstatus, i.o_totalprice
+      FROM ins i ANTI JOIN orders b USING (o_orderkey)
+    """)) { t =>
+      val base = t.orders
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val ins = base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("X").as("o_orderstatus"), lit(0.0).as("o_totalprice"))
+        .union(base.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            col("o_custkey"), lit("I").as("o_orderstatus"),
+            col("o_totalprice")))
+      base.union(
+        ins.join(base.select("o_orderkey"), Seq("o_orderkey"),
+          "left_anti"))
+    },
+
     // Dense row-id ALLOCATION (reference: TiDB assigns _tidb_rowid /
     // AUTO_INCREMENT batches per insert — ddl/ + tablecodec rowid
     // allocators). The distributed analog hands every row a gapless

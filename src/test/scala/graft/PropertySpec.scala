@@ -110,6 +110,19 @@ class PropertySpec extends AnyFunSuite {
     }, "unicode safety")
   }
 
+  // --- SortedIntersectKernel ------------------------------------
+
+  test("sorted-intersect merge walk equals the set intersection") {
+    val sortedArr = Gen.listOf(Gen.choose(-500L, 500L))
+      .map(_.distinct.sorted.toArray)
+    check(Prop.forAll(sortedArr, sortedArr) { (a, b) =>
+      val got = functions.SortedIntersectKernel.count(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(b))
+      got == a.toSet.intersect(b.toSet).size
+    }, "sorted intersect")
+  }
+
   // --- JsonShape kernels (via direct eval) ----------------------
 
   private def evalStr(e: org.apache.spark.sql.catalyst.expressions.Expression,

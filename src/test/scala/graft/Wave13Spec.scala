@@ -67,6 +67,24 @@ class Wave13Spec extends SparkSpecBase {
     assert(rows("o_orderkey")._2 == nRows && rows("o_orderkey")._3 == 0)
   }
 
+  test("q_insert_ignore keeps stored rows and appends only fresh keys") {
+    val res = q("q_insert_ignore")
+    // A conflicting incoming row must never surface: no stored key
+    // carries the poisoned status.
+    assert(res.filter(col("o_orderstatus") === "X").count() == 0,
+      "INSERT IGNORE let a conflicting row overwrite")
+    val base = t.orders.count()
+    val fresh = t.orders.filter(col("o_orderkey") % 97 === 0).count()
+    assert(res.count() == base + fresh)
+    assert(res.filter(col("o_orderstatus") === "I").count() == fresh)
+    // Stored rows untouched bit-for-bit.
+    val kept = res.filter(col("o_orderkey") < 20000000L)
+      .collect().map(_.toSeq).toSet
+    val orig = t.orders.select("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice").collect().map(_.toSeq).toSet
+    assert(kept == orig)
+  }
+
   test("q_func_misc2 exercises every format_bytes arm") {
     val fmts = q("q_func_misc2").collect()
       .map(_.getAs[String]("fmt_bytes"))
