@@ -84,10 +84,12 @@ object EntropyStatsKernel {
         if (hiHist == null) hiHist = new java.util.HashMap[Integer, Int]()
         hiHist.merge(cp, 1, (a, b) => a + b)
       }
-      // ASCII whitespace flavors only — the oracle's regex \S (RE2
-      // Perl class) is byte-flavored the same way, pinned by the r8
-      // parity fix; Unicode spaces (NBSP etc.) are token bytes.
-      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+      // EXACTLY RE2's \s = [\t\n\f\r ] — the oracle tokenizes with
+      // DuckDB's RE2 \S+, whose Perl class does NOT include vertical
+      // tab; a kernel that split on \v would diverge from the oracle
+      // on any corpus containing one. Unicode spaces (NBSP etc.) are
+      // token chars on both sides.
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' ||
         cp == '\f' || cp == '\r'
       if (isWs) endToken() else tok.appendCodePoint(cp)
     }

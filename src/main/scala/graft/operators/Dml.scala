@@ -78,7 +78,7 @@ object Dml {
                0.0 AS o_totalprice
         FROM orders WHERE o_orderkey % 7 = 0
         UNION ALL
-        SELECT o_orderkey + 20000000, o_custkey, 'I', o_totalprice
+        SELECT o_orderkey + 2000000000000, o_custkey, 'I', o_totalprice
         FROM orders WHERE o_orderkey % 97 = 0)
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       FROM orders
@@ -92,7 +92,7 @@ object Dml {
         .select(col("o_orderkey"), col("o_custkey"),
           lit("X").as("o_orderstatus"), lit(0.0).as("o_totalprice"))
         .union(base.filter(col("o_orderkey") % 97 === 0)
-          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          .select((col("o_orderkey") + 2000000000000L).as("o_orderkey"),
             col("o_custkey"), lit("I").as("o_orderstatus"),
             col("o_totalprice")))
       base.union(

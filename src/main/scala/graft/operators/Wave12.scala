@@ -393,7 +393,8 @@ object Wave12 {
                END AS doc
         FROM events
         WHERE event_id < 600
-          AND json_extract_string(props, '$.k') IS NOT NULL)
+          AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+              IS NOT NULL)
       SELECT event_id,
              CAST(CASE event_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 3
                   WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 2 END AS INT) AS depth,
@@ -438,7 +439,10 @@ object Wave12 {
              END) AS BIGINT) AS ssize
       FROM d
     """)) { t =>
-      val k = get_json_object(col("props"), "$.k").cast("bigint")
+      // try_cast, not cast: under ANSI a non-numeric $.k must fall
+      // into the NULL quarantine (symmetric with the oracle's
+      // TRY_CAST guard), never abort the query.
+      val k = expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
       val doc = when(col("event_id") % 5 === 0,
           concat(lit("{ \"k\": "), k, lit(",  \"tags\": ["), k + 1,
             lit(", "), k + 2, lit("], \"m\": {\"t\": \""),
@@ -448,10 +452,12 @@ object Wave12 {
         .when(col("event_id") % 5 === 2, lit("{ }"))
         .when(col("event_id") % 5 === 3, k.cast("string"))
         .otherwise(concat(lit("["), k, lit(", "), k + 3, lit("]")))
-      // Rows whose props lack $.k are excluded on BOTH sides — the
-      // oracle's per-branch depth/pretty constants assume the doc
-      // exists, and a sparse-$.k data regeneration must not turn
-      // that assumption into a silent engine/oracle mismatch.
+      // Rows without a NUMERIC $.k are excluded on BOTH sides (the
+      // same post-cast predicate — try_cast here, TRY_CAST in the
+      // oracle): the per-branch depth/pretty constants assume the
+      // doc exists, and a sparse or stringly $.k regeneration must
+      // not turn that assumption into a silent mismatch or an ANSI
+      // cast abort.
       t.events.filter(col("event_id") < 600 && k.isNotNull)
         .select(col("event_id"), doc.as("doc"))
         .select(col("event_id"),

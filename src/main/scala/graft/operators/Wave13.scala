@@ -239,8 +239,12 @@ object Wave13 {
     // else 1; builtin_info.go tidbParseTso — a TiDB TSO's physical
     // clock is `tso >> 18` milliseconds). Each value is derived from
     // event data and the oracle restates the arithmetic
-    // independently; byte sizes are staged across all four unit
-    // branches so every CASE arm is exercised.
+    // independently. Byte sizes are staged across all four UNIT
+    // branches, and all three decimal-width rules of the (shared,
+    // unit-parameterized) renderer fire: divisible→0dp in GB,
+    // <10 units→2dp in KB/MB, ≥10 units→1dp in KB/MB/GB — the
+    // remaining unit×width combos exercise the same fmtUnit code
+    // path (spec-asserted).
     Q("q_func_misc2", Some("""
       WITH d AS (
         SELECT event_id, ts,

@@ -67,11 +67,36 @@ object Bindings {
     sb.toString
   }
 
-  // Reluctant DOTALL match — a hint body may itself contain '*'
-  // (e.g. REPARTITION hints with expressions); [^*]* would fail to
-  // close such a comment and spuriously reject the binding.
-  private def stripHints(sql: String): String =
-    sql.replaceAll("(?s)/\\*\\+.*?\\*/", " ")
+  // Quote-aware walk, not a regex: a '/*+' or '*/' INSIDE a string
+  // literal is data, and a regex that can open in one literal and
+  // close in another would delete real SQL between them and
+  // spuriously reject the binding. Outside quotes the comment closes
+  // at the first '*/' (so hint bodies may contain '*'); an unclosed
+  // hint passes through verbatim and fails the identity check
+  // honestly.
+  private def stripHints(sql: String): String = {
+    val sb = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        sb.append(c)
+        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
+          sb.append(sql.charAt(i + 1)); i += 1
+        } else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; sb.append(c); i += 1
+      } else if (c == '/' && i + 2 < sql.length &&
+          sql.charAt(i + 1) == '*' && sql.charAt(i + 2) == '+') {
+        val end = sql.indexOf("*/", i + 3)
+        if (end < 0) { sb.append(sql.substring(i)); i = sql.length }
+        else { sb.append(' '); i = end + 2 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Install a binding. Throws if the USING statement is not the
     * bound statement modulo hint comments — the reference's

@@ -41,17 +41,8 @@ object PlanReplayer {
     "spark.sql.ansi.enabled",
     "spark.sql.optimizer.excludedRules")
 
-  /** Minimal JSON string escape for interpolated keys/values. */
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+  /** JSON string escape — the shared [[JsonText]] escaper. */
+  private def esc(s: String): String = JsonText.esc(s)
 
   /** Row count from one parquet file's footer — a metadata read of
     * the file tail, no row groups decoded. */

@@ -169,10 +169,18 @@ class Wave12Spec extends SparkSpecBase {
     assert(plans.Bindings.normalize("SELECT 'a b' FROM t") !=
       plans.Bindings.normalize("SELECT 'a  b' FROM t"))
     // A hint whose body contains '*' must still strip cleanly — the
-    // reluctant match closes at the first '*/'.
+    // comment closes at the first '*/'.
     plans.Bindings.create(stmt,
       stmt.replaceFirst("SELECT", "SELECT /*+ BROADCAST(lineitem) ** */ "))
     plans.Bindings.drop(stmt)
+    // '/*+' and '*/' INSIDE string literals are data: stripping must
+    // never open a comment in one literal and close it in another
+    // (which would delete the real column between them and reject
+    // this legitimate binding).
+    val litStmt = "SELECT '/*+' AS a, o_orderkey, '*/' AS b FROM orders"
+    plans.Bindings.create(litStmt,
+      litStmt.replaceFirst("SELECT", "SELECT /*+ BROADCAST(orders) */ "))
+    plans.Bindings.drop(litStmt)
     // Backtick identifiers are statement identity, preserved
     // verbatim like string literals: case/spacing differences inside
     // backticks are DIFFERENT statements.

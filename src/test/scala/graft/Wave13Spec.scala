@@ -78,29 +78,29 @@ class Wave13Spec extends SparkSpecBase {
     assert(res.count() == base + fresh)
     assert(res.filter(col("o_orderstatus") === "I").count() == fresh)
     // Stored rows untouched bit-for-bit.
-    val kept = res.filter(col("o_orderkey") < 20000000L)
+    val kept = res.filter(col("o_orderkey") < 2000000000000L)
       .collect().map(_.toSeq).toSet
     val orig = t.orders.select("o_orderkey", "o_custkey",
       "o_orderstatus", "o_totalprice").collect().map(_.toSeq).toSet
     assert(kept == orig)
   }
 
-  test("q_func_misc2 exercises every format_bytes arm") {
-    val fmts = q("q_func_misc2").collect()
-      .map(_.getAs[String]("fmt_bytes"))
+  test("q_func_misc2 exercises all units and decimal-width rules") {
+    val rows = q("q_func_misc2").collect()
+    val fmts = rows.map(_.getAs[String]("fmt_bytes"))
     assert(fmts.exists(_.endsWith(" Bytes")))
     assert(fmts.exists(_.endsWith(" KB")))
     assert(fmts.exists(_.endsWith(" MB")))
     assert(fmts.exists(_.endsWith(" GB")))
-    // Decimal-width arms: divisible → no point, <10 units → 2dp,
+    // All three decimal-width rules of the shared renderer fire:
+    // divisible → no point (staged in GB), <10 units → 2dp (KB/MB),
     // ≥10 units → 1dp (util/memory/tracker.go:433 arithmetic).
     assert(fmts.exists(s => s.endsWith(" GB") && !s.contains(".")))
     assert(fmts.exists(s =>
       s.endsWith(" GB") && s.matches("""\d+\.\d [A-Z]B""")))
     assert(fmts.exists(s => s.matches("""\d+\.\d\d [A-Z]B""")))
     // make_time renders zero-padded clock fields.
-    val mk = q("q_func_misc2").collect()
-      .map(_.getAs[String]("mk_time"))
+    val mk = rows.map(_.getAs[String]("mk_time"))
     assert(mk.forall(_.matches("""\d{2}:\d{2}:\d{2}""")))
   }
 }
