@@ -232,6 +232,50 @@ object Wave13 {
           col("n_null"), col("min_v"), col("max_v"))
     },
 
+    // utf8mb4_unicode_ci — the ACCENT-insensitive collation
+    // (reference: util/collate/unicode_ci.go unicodeCICollator —
+    // UCA primary weights: case AND latin accents fold for compare,
+    // group and sort; q_func_collate covers the case-only
+    // general_ci analog). Spark 4's native UNICODE_CI_AI collation
+    // IS this contract — comparisons/grouping ride the collated
+    // type, no lower()/strip-accent projection in the key, so the
+    // whole pipeline stays codegen'd. Inputs stage case AND accent
+    // variants of the event types (deterministic per event_id); the
+    // oracle folds with DuckDB's independent
+    // strip_accents ∘ lower. Output canonical label = the folded
+    // form, so both engines' group keys render identically.
+    Q("q_func_collate2", Some("""
+      WITH m AS (
+        SELECT CASE event_id % 3
+                 WHEN 0 THEN translate(upper(event_type),
+                                       'AEO', 'ÁÉÓ')
+                 WHEN 1 THEN translate(event_type, 'aeo', 'áéó')
+                 ELSE event_type
+               END AS s,
+               event_id
+        FROM events WHERE event_id < 900)
+      SELECT strip_accents(lower(s)) AS seg,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN strip_accents(lower(s)) = 'view'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+      FROM m GROUP BY 1
+    """)) { t =>
+      val s = when(col("event_id") % 3 === 0,
+          translate(upper(col("event_type")), "AEO", "ÁÉÓ"))
+        .when(col("event_id") % 3 === 1,
+          translate(col("event_type"), "aeo", "áéó"))
+        .otherwise(col("event_type"))
+      t.events.filter(col("event_id") < 900)
+        .select(s.as("s"))
+        .groupBy(collate(col("s"), "UNICODE_CI_AI").as("k"))
+        .agg(
+          min(translate(lower(col("s")), "áéó", "aeo")).as("seg"),
+          count(lit(1)).as("n"),
+          sum(when(collate(col("s"), "UNICODE_CI_AI") === lit("view"),
+            1L).otherwise(0L)).as("n_view"))
+        .select("seg", "n", "n_view")
+    },
+
     // Straggler builtins (reference: expression/builtin_time.go
     // TIME_TO_SEC / MAKE_TIME; builtin_info.go formatBytes — the
     // util/memory/tracker.go:433 arithmetic: unit chosen by strict
