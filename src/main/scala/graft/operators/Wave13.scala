@@ -276,6 +276,29 @@ object Wave13 {
         .select("seg", "n", "n_view")
     },
 
+    // Pinyin collation ordering (reference:
+    // util/collate/pinyin_tidb_as_cs.go — Chinese text sorts by
+    // PINYIN romanization, not code points; the collator the zh
+    // locale ships). Spark 4's ICU 'zh' collation IS pinyin-primary
+    // (probe: 啊a < 百bǎi < 数shù < 文wén < 中zhōng, where UNICODE
+    // order scrambles them) — ORDER BY rides the collated type. No
+    // DuckDB oracle (the driver's DuckDB has no ICU zh collation) →
+    // rows-only; the spec pins the exact pinyin order of the eight
+    // pinned labels instead. The rank window is 8 rows (the label
+    // domain), never the table.
+    Q("q_func_pinyin", None) { t =>
+      val labels = Seq("啊", "百", "中", "数", "文", "国", "人", "大")
+      val arr = array(labels.map(lit): _*)
+      val byPinyin = Window.orderBy(collate(col("w"), "zh"))
+      t.customer
+        .select(element_at(arr,
+          (col("c_custkey") % 8 + 1).cast("int")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(byPinyin))
+        .orderBy("rk")
+        .select("rk", "w", "n")
+    },
+
     // Straggler builtins (reference: expression/builtin_time.go
     // TIME_TO_SEC / MAKE_TIME; builtin_info.go formatBytes — the
     // util/memory/tracker.go:433 arithmetic: unit chosen by strict

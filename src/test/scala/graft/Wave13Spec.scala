@@ -85,6 +85,15 @@ class Wave13Spec extends SparkSpecBase {
     assert(kept == orig)
   }
 
+  test("q_func_pinyin orders by pinyin, not code points") {
+    val ws = q("q_func_pinyin").collect().map(_.getString(1))
+    // 啊(ā) 百(bǎi) 大(dà) 国(guó) 人(rén) 数(shù) 文(wén) 中(zhōng)
+    assert(ws.toSeq == Seq("啊", "百", "大", "国", "人", "数", "文", "中"),
+      s"pinyin order broken: ${ws.mkString(",")}")
+    // Code-point order would differ (中 U+4E2D sorts before 啊 U+554A).
+    assert(ws.toSeq != ws.sorted.toSeq)
+  }
+
   test("q_func_misc2 exercises all units and decimal-width rules") {
     val rows = q("q_func_misc2").collect()
     val fmts = rows.map(_.getAs[String]("fmt_bytes"))
