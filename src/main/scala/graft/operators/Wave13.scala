@@ -26,9 +26,14 @@ object Wave13 {
     // The entry reports, per shard, the allocation envelope AND a
     // bit-level round-trip proof: decode(id) = (id >> 59, id & mask)
     // must reproduce (shard, seq) for every row. The per-shard
-    // row_number window is 16-way partitioned — never global — and
-    // at scale this is exactly the write-path sharding math, cheap by
-    // construction.
+    // row_number window is 16-way partitioned — never global. At
+    // 100 TB a 16-task window would itself be the bottleneck; the
+    // real allocator assigns seq at WRITE time from per-session
+    // local counters (gaps allowed — q_sequence's block leases), and
+    // a batch restatement would compose q_id_assign's two-phase
+    // prefix sum INSIDE each shard. The dense global rank here is
+    // the verification spelling that makes the bit arithmetic
+    // exactly oracle-statable.
     Q("q_auto_random", Some("""
       WITH s AS (
         SELECT o_orderkey, o_orderkey % 16 AS shard,
