@@ -105,11 +105,14 @@ object Wave13 {
     // `global_temp` schema, visible from OTHER sessions — the
     // definition-sharing half of the reference's contract;
     // Wave13Spec pins cross-session visibility of the global and
-    // invisibility of the local). The entry materializes a per-
-    // customer order rollup AS the temp table, then serves a segment
-    // report through BOTH views — predicates still reach the parquet
-    // scans because temp views are logical plans, not materialized
-    // walls.
+    // invisibility of the local). A TiDB temp table STORES its rows
+    // for the session — so the rollup is cache()d before the view is
+    // registered: the report and the cut subquery both read the
+    // stored rows (InMemoryTableScan, spec-asserted) and orders is
+    // scanned ONCE to fill the table, not once per reference — at
+    // 100 TB re-deriving a temp table per reference would double the
+    // scan cost, which is precisely what the reference's stored
+    // temp rows exist to avoid.
     // "spend above the mean" is stated as the EXACT cross-product
     // inequality spend·N > Σspend over DECIMALs (never a double AVG
     // — a customer sitting one ulp from the mean must not flip
@@ -133,10 +136,11 @@ object Wave13 {
             > (SELECT s_total FROM cut)
       GROUP BY c.c_mktsegment
     """)) { t =>
-      t.orders.groupBy("o_custkey")
+      val tmp = t.orders.groupBy("o_custkey")
         .agg(count(lit(1)).as("n_ord"),
           Exact.sum2(col("o_totalprice")).as("spend"))
-        .createOrReplaceTempView("tmp_cust_orders")
+        .cache() // TiDB temp tables STORE rows for the session
+      tmp.createOrReplaceTempView("tmp_cust_orders")
       t.spark.table("tmp_cust_orders")
         .agg(count(lit(1)).as("n_total"),
           sum(Exact.dec2(col("spend"))).as("s_total"))
@@ -158,7 +162,12 @@ object Wave13 {
     // SHOW STATS (reference: executor/show_stats.go — SHOW
     // STATS_META / STATS_HISTOGRAMS render the per-column statistics
     // the CBO planned with: row count, NDV, null count, value
-    // bounds). The engine computes ALL columns' stats in ONE
+    // bounds). In production the render READS the stats ANALYZE
+    // persisted (Stats.analyze → session catalog, the CboSpec path);
+    // this entry computes the same numbers inline so the driver can
+    // hash-check them against an independent oracle — and the
+    // compute side is exactly the ANALYZE cost model: ALL columns in
+    // one pass. The engine computes ALL columns' stats in ONE
     // aggregate pass (every ndv/min/max is a map-combined agg over
     // the same scan — SHOW STATS at 100 TB costs one scan, never one
     // job per column) and unpivots to the reference's row-per-column

@@ -23,7 +23,13 @@ class Wave13Spec extends SparkSpecBase {
   }
 
   test("q_temp_table: global temp crosses sessions, local does not") {
-    q("q_temp_table").collect() // registers both views
+    val df = q("q_temp_table")
+    // Temp-table rows are STORED (cache), so the report and the cut
+    // subquery read InMemoryTableScan and orders is scanned once.
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"temp table rows not stored:\n$p")
+    df.collect() // registers both views
     val other = spark.newSession()
     // Global temporary table: definition shared across sessions
     // (table/temptable's GLOBAL half).
