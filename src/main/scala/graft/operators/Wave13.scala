@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Round-9 capability wave: the table-attribute surface left after
   * the r7/r8 gap lists — AUTO_RANDOM shard-bit id allocation, cached
-  * hot tables, local/global temporary tables — plus the last
-  * straggler builtins (TIME_TO_SEC / MAKE_TIME / FORMAT_BYTES /
-  * TIDB_PARSE_TSO).
+  * hot tables, local/global temporary tables, one-scan SHOW STATS —
+  * plus the last straggler builtins (TIME_TO_SEC / MAKE_TIME /
+  * FORMAT_BYTES / TIDB_PARSE_TSO) and the collation closers
+  * (accent-insensitive unicode_ci via UNICODE_CI_AI, pinyin ordering
+  * via the ICU zh collation).
   */
 object Wave13 {
 
