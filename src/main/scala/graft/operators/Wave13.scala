@@ -248,6 +248,58 @@ object Wave13 {
           col("n_null"), col("min_v"), col("max_v"))
     },
 
+    // EQUI-DEPTH histogram — the CBO's actual structure (reference:
+    // statistics/builder.go:118 BuildColumnHist — buckets hold equal
+    // ROW counts, not equal value widths, so selectivity estimates
+    // stay accurate under skew; q_agg_histogram covers the
+    // equi-WIDTH display variant). Scale-correct build: the 7 inner
+    // boundaries come from ONE exact-percentile aggregate (a 1-row
+    // result — the only "global" step), broadcast back, and every
+    // row buckets MAP-SIDE by comparing against the 7 constants —
+    // no ntile (a global single-partition window) anywhere. Ties go
+    // left (p > b strictly); boundaries are rounded to 4dp on BOTH
+    // sides so an interpolated boundary compares identically across
+    // engines. Per bucket: rows, value bounds, NDV — the
+    // STATS_HISTOGRAMS row shape.
+    Q("q_stats_histogram", Some("""
+      WITH p AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+        FROM orders),
+      b AS (
+        SELECT [round(quantile_cont(v, 0.125), 4),
+                round(quantile_cont(v, 0.25), 4),
+                round(quantile_cont(v, 0.375), 4),
+                round(quantile_cont(v, 0.5), 4),
+                round(quantile_cont(v, 0.625), 4),
+                round(quantile_cont(v, 0.75), 4),
+                round(quantile_cont(v, 0.875), 4)] AS bs
+        FROM p),
+      m AS (
+        SELECT v, 1 + len(list_filter(bs, b -> p.v > b)) AS bucket
+        FROM p, b)
+      SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n_rows,
+             MIN(v) AS lo, MAX(v) AS hi,
+             CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv
+      FROM m GROUP BY bucket
+    """)) { t =>
+      val qs = Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+      val v = Exact.dec2(col("o_totalprice")).cast("double")
+      val bcols = qs.zipWithIndex.map { case (q, i) =>
+        round(expr(s"percentile(CAST(CAST(o_totalprice AS" +
+          s" DECIMAL(18,2)) AS DOUBLE), $q)"), 4).as(s"b$i")
+      }
+      val bounds = t.orders.agg(bcols.head, bcols.tail: _*)
+      val withB = t.orders.select(v.as("v"))
+        .crossJoin(broadcast(bounds))
+      val bucket = qs.indices
+        .map(i => when(col("v") > col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _) + 1
+      withB.select(col("v"), bucket.as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"),
+          max(col("v")).as("hi"), countDistinct(col("v")).as("ndv"))
+    },
+
     // utf8mb4_unicode_ci — the ACCENT-insensitive collation
     // (reference: util/collate/unicode_ci.go unicodeCICollator —
     // UCA primary weights: case AND latin accents fold for compare,

@@ -91,6 +91,26 @@ class Wave13Spec extends SparkSpecBase {
     assert(kept == orig)
   }
 
+  test("q_stats_histogram is equi-DEPTH and built without a window") {
+    val df = q("q_stats_histogram")
+    val p = df.queryExecution.executedPlan.toString
+    // The build is one percentile agg + map-side bucketing — an
+    // ntile spelling would plan a single-partition global Window.
+    assert(!p.contains("Window"), s"histogram grew a window:\n$p")
+    val rows = df.collect().map(r => r.getInt(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    assert(rows.map(_._1).sameElements(1 to 8))
+    // Equal-depth: no bucket more than 2x the smallest (exact eighths
+    // up to boundary ties).
+    val ns = rows.map(_._2._1)
+    assert(ns.max <= 2 * ns.min, s"buckets unbalanced: ${ns.toSeq}")
+    // Value ranges are ordered and non-overlapping.
+    rows.sliding(2).foreach { case Array((_, (_, _, hi1)), (_, (_, lo2, _))) =>
+      assert(hi1 <= lo2, "bucket ranges overlap")
+    case _ => ()
+    }
+  }
+
   test("q_func_pinyin orders by pinyin, not code points") {
     val ws = q("q_func_pinyin").collect().map(_.getString(1))
     // 啊(ā) 百(bǎi) 大(dà) 国(guó) 人(rén) 数(shù) 文(wén) 中(zhōng)
