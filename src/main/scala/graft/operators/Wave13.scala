@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Round-9 capability wave: the table-attribute surface left after
   * the r7/r8 gap lists — AUTO_RANDOM shard-bit id allocation, cached
-  * hot tables, local/global temporary tables, one-scan SHOW STATS —
-  * plus the last straggler builtins (TIME_TO_SEC / MAKE_TIME /
-  * FORMAT_BYTES / TIDB_PARSE_TSO) and the collation closers
+  * hot tables, local/global temporary tables, one-scan SHOW STATS,
+  * the CBO's equi-depth histogram build — plus the last straggler
+  * builtins (TIME_TO_SEC / MAKE_TIME / FORMAT_BYTES /
+  * TIDB_PARSE_TSO) and the collation closers
   * (accent-insensitive unicode_ci via UNICODE_CI_AI, pinyin ordering
   * via the ICU zh collation).
   */
@@ -256,7 +257,11 @@ object Wave13 {
     // boundaries come from ONE exact-percentile aggregate (a 1-row
     // result — the only "global" step), broadcast back, and every
     // row buckets MAP-SIDE by comparing against the 7 constants —
-    // no ntile (a global single-partition window) anywhere. Ties go
+    // no ntile (a global single-partition window) anywhere. At
+    // 100 TB the boundary aggregate runs on ANALYZE's SAMPLE — the
+    // reference builds from a SampleCollector with a sampleFactor
+    // correction (builder.go:145) — a straight input swap; exact
+    // percentiles here keep the entry oracle-statable. Ties go
     // left (p > b strictly); boundaries are rounded to 4dp on BOTH
     // sides so an interpolated boundary compares identically across
     // engines. Per bucket: rows, value bounds, NDV — the
