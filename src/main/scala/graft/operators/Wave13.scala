@@ -288,10 +288,11 @@ object Wave13 {
       FROM m GROUP BY bucket
     """)) { t =>
       val qs = Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+      // ONE spelling of the value expression feeds both the boundary
+      // aggregate and the bucketed rows — the two can never drift.
       val v = Exact.dec2(col("o_totalprice")).cast("double")
       val bcols = qs.zipWithIndex.map { case (q, i) =>
-        round(expr(s"percentile(CAST(CAST(o_totalprice AS" +
-          s" DECIMAL(18,2)) AS DOUBLE), $q)"), 4).as(s"b$i")
+        round(percentile(v, lit(q)), 4).as(s"b$i")
       }
       val bounds = t.orders.agg(bcols.head, bcols.tail: _*)
       val withB = t.orders.select(v.as("v"))
@@ -333,16 +334,22 @@ object Wave13 {
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_view
       FROM m GROUP BY 1
     """)) { t =>
+      // ONE (plain, accented) alphabet drives staging AND the output
+      // fold — extending the staged accent set cannot silently skip
+      // the fold (the oracle's strip_accents is general).
+      val plain = "aeo"
+      val accented = "áéó"
       val s = when(col("event_id") % 3 === 0,
-          translate(upper(col("event_type")), "AEO", "ÁÉÓ"))
+          translate(upper(col("event_type")),
+            plain.toUpperCase, accented.toUpperCase))
         .when(col("event_id") % 3 === 1,
-          translate(col("event_type"), "aeo", "áéó"))
+          translate(col("event_type"), plain, accented))
         .otherwise(col("event_type"))
       t.events.filter(col("event_id") < 900)
         .select(s.as("s"))
         .groupBy(collate(col("s"), "UNICODE_CI_AI").as("k"))
         .agg(
-          min(translate(lower(col("s")), "áéó", "aeo")).as("seg"),
+          min(translate(lower(col("s")), accented, plain)).as("seg"),
           count(lit(1)).as("n"),
           sum(when(collate(col("s"), "UNICODE_CI_AI") === lit("view"),
             1L).otherwise(0L)).as("n_view"))

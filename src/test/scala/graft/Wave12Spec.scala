@@ -264,11 +264,11 @@ class Wave12Spec extends SparkSpecBase {
     assert(conf.contains("spark.sql.shuffle.partitions"))
     // Both hand-assembled JSON artifacts must PARSE — the shared
     // escaper's whole contract (a quote/control char in a conf or
-    // table name must not break the bundle).
+    // table name must not break the bundle). The rows VALUE is
+    // already pinned by the substring assert above.
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    assert(mapper.readTree(stats).isObject && mapper.readTree(conf).isObject)
-    assert(mapper.readTree(stats).get("orders").get("rows").asLong() ==
-      t.orders.count())
+    assert(mapper.readTree(stats).isObject &&
+      mapper.readTree(conf).isObject)
     // Unknown entries throw, never dump an empty bundle.
     intercept[IllegalArgumentException] {
       tools.PlanReplayer.dump("no_such_query", t, dir)

@@ -30,15 +30,25 @@ class Wave13Spec extends SparkSpecBase {
     assert(p.contains("InMemoryTableScan"),
       s"temp table rows not stored:\n$p")
     df.collect() // registers both views
-    val other = spark.newSession()
-    // Global temporary table: definition shared across sessions
-    // (table/temptable's GLOBAL half).
-    assert(other.table("global_temp.gtmp_spend_cut").collect()
-      .length == 1)
-    // Local temporary table: session-scoped, invisible elsewhere.
-    intercept[Exception] { other.table("tmp_cust_orders").collect() }
-    assert(spark.table("tmp_cust_orders").columns
-      .sameElements(Array("o_custkey", "n_ord", "spend")))
+    try {
+      val other = spark.newSession()
+      // Global temporary table: definition shared across sessions
+      // (table/temptable's GLOBAL half).
+      assert(other.table("global_temp.gtmp_spend_cut").collect()
+        .length == 1)
+      // Local temporary table: session-scoped, invisible elsewhere.
+      intercept[Exception] { other.table("tmp_cust_orders").collect() }
+      assert(spark.table("tmp_cust_orders").columns
+        .sameElements(Array("o_custkey", "n_ord", "spend")))
+    } finally {
+      // DROP TEMPORARY TABLE: release the stored rows and both
+      // definitions (the reference drops them with the session; the
+      // shared spec session lives on, so clean up explicitly).
+      spark.table("tmp_cust_orders").unpersist(blocking = true)
+      spark.catalog.dropTempView("tmp_cust_orders")
+      spark.catalog.dropGlobalTempView("gtmp_spend_cut")
+      spark.catalog.dropTempView("wave13_customer")
+    }
   }
 
   test("q_auto_random: shard bits and sequence round-trip") {
@@ -104,9 +114,11 @@ class Wave13Spec extends SparkSpecBase {
     // up to boundary ties).
     val ns = rows.map(_._2._1)
     assert(ns.max <= 2 * ns.min, s"buckets unbalanced: ${ns.toSeq}")
-    // Value ranges are ordered and non-overlapping.
+    // Value ranges are ordered and STRICTLY disjoint — ties-left
+    // bucketing means a value can never appear in two buckets, so
+    // hi1 == lo2 would itself be an overlap.
     rows.sliding(2).foreach { case Array((_, (_, _, hi1)), (_, (_, lo2, _))) =>
-      assert(hi1 <= lo2, "bucket ranges overlap")
+      assert(hi1 < lo2, "bucket ranges overlap")
     case _ => ()
     }
   }
