@@ -801,7 +801,11 @@ final case class Graph(edges: DataFrame) {
     }
     lastSup match {
       case Some(s) if converged => s.select("src", "dst", "sup")
-      case _ => withSupport(e).select("src", "dst", "sup")
+      // Non-converged (maxRounds-exhausted) exit: the final recompute
+      // must drop zero-support survivors — the oracle's closing wedge
+      // recount is an inner join, which omits them by construction.
+      case _ => withSupport(e).filter(col("sup") >= 1)
+        .select("src", "dst", "sup")
     }
   }
 

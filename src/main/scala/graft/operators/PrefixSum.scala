@@ -48,6 +48,32 @@ object PrefixSum {
       .drop("_intra", "_off")
   }
 
+  /** Adds `out` = number of rows strictly before this row WITHIN its
+    * `groupCol` group, in (rangeCol, orderCols) order — the per-group
+    * dense ordinal. The naive spelling is
+    * `Window.partitionBy(groupCol)`, which caps parallelism at
+    * |groups| (16 shards, 4 sessions) no matter the cluster size;
+    * here phase 1 partitions by (group, range) — parallelism scales
+    * with the DATA — and phase 2 prefix-sums the per-(group, range)
+    * totals inside each group, a |groups|·|ranges|-row table. Used by
+    * q_auto_random (per-shard id sequence) and q_sequence (per-session
+    * block offsets). */
+  def rowNumberBeforeBy(df: DataFrame, groupCol: String, rangeCol: String,
+      orderCols: Seq[String], out: String): DataFrame = {
+    val intraW = Window.partitionBy(groupCol, rangeCol)
+      .orderBy(orderCols.map(col): _*)
+    val intra = df.withColumn("_intra",
+      (row_number().over(intraW) - 1).cast("long"))
+    val totalsW = Window.partitionBy(groupCol).orderBy(rangeCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(groupCol, rangeCol).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(totalsW), lit(0L)))
+      .select(col(groupCol), col(rangeCol), col("_off"))
+    intra.join(broadcast(offsets), Seq(groupCol, rangeCol))
+      .withColumn(out, col("_off") + col("_intra"))
+      .drop("_intra", "_off")
+  }
+
   /** Phase 2: per-range totals prefix-summed — |ranges| rows, so the
     * single-partition window here is over the tiny totals table, not
     * the data. */

@@ -157,8 +157,11 @@ object Wave12 {
     // never the table) — and value r of session s is
     // start + (base_s + r) mod 10000. The per-session row ordering is
     // the sequence's own serialization contract (CACHE exists
-    // precisely to shard it); each session's rank window is one
-    // partition of a 4-way partitioned window, not a global one.
+    // precisely to shard it); the per-session dense rank r comes from
+    // PrefixSum.rowNumberBeforeBy over (session, orderkey-range
+    // bucket) — parallelism scales with the data, never capped at the
+    // 4 sessions the way a bare Window.partitionBy(session_id) would
+    // cap it.
     // Reported per session: rows, leased blocks, lease base, min/max
     // value, distinct values (shows CYCLE collisions), discarded gap
     // slots — the allocation arithmetic, stated exactly.
@@ -197,9 +200,10 @@ object Wave12 {
         .withColumn("blocks", expr(s"(n + ${C - 1}) div $C"))
         .withColumn("base",
           coalesce(sum(col("blocks") * C).over(leaseW), lit(0L)))
-      val rankW = Window.partitionBy("session_id").orderBy("o_orderkey")
-      val vals = s.join(broadcast(leases), "session_id")
-        .withColumn("r", row_number().over(rankW).cast("long") - 1)
+      val ranked = PrefixSum.rowNumberBeforeBy(
+        s.withColumn("okbkt", expr("o_orderkey div 1024")),
+        "session_id", "okbkt", Seq("o_orderkey"), "r")
+      val vals = ranked.join(broadcast(leases), "session_id")
         .withColumn("seq", lit(1000L) + (col("base") + col("r")) % 10000L)
       vals.groupBy("session_id").agg(
         min(col("n")).as("n_rows"),

@@ -28,15 +28,14 @@ object Wave13 {
     // session), seq = dense per-shard order — id = shard·2^59 + seq.
     // The entry reports, per shard, the allocation envelope AND a
     // bit-level round-trip proof: decode(id) = (id >> 59, id & mask)
-    // must reproduce (shard, seq) for every row. The per-shard
-    // row_number window is 16-way partitioned — never global. At
-    // 100 TB a 16-task window would itself be the bottleneck; the
-    // real allocator assigns seq at WRITE time from per-session
-    // local counters (gaps allowed — q_sequence's block leases), and
-    // a batch restatement would compose q_id_assign's two-phase
-    // prefix sum INSIDE each shard. The dense global rank here is
-    // the verification spelling that makes the bit arithmetic
-    // exactly oracle-statable.
+    // must reproduce (shard, seq) for every row. The per-shard dense
+    // sequence comes from PrefixSum.rowNumberBeforeBy — phase 1 is a
+    // window over (shard, orderkey-range bucket), parallelism
+    // |shards|·|buckets| which scales with the data; phase 2
+    // prefix-sums the tiny per-(shard, bucket) totals. A plain
+    // Window.partitionBy(shard) would cap the sort at 16 tasks
+    // forever — the same pathology the allocator's shard bits exist
+    // to avoid on the write path.
     Q("q_auto_random", Some("""
       WITH s AS (
         SELECT o_orderkey, o_orderkey % 16 AS shard,
@@ -54,11 +53,12 @@ object Wave13 {
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_decode_ok
       FROM ids GROUP BY shard
     """)) { t =>
-      val shardW = Window.partitionBy("shard").orderBy("o_orderkey")
       val mask = (1L << 59) - 1
-      val ids = t.orders
-        .select(col("o_orderkey"), (col("o_orderkey") % 16).as("shard"))
-        .withColumn("seq", row_number().over(shardW).cast("long") - 1)
+      val s = t.orders
+        .select(col("o_orderkey"), (col("o_orderkey") % 16).as("shard"),
+          expr("o_orderkey div 1024").as("okbkt"))
+      val ids = PrefixSum
+        .rowNumberBeforeBy(s, "shard", "okbkt", Seq("o_orderkey"), "seq")
         .withColumn("id",
           shiftleft(col("shard"), 59).bitwiseOR(col("seq")))
       ids.groupBy("shard").agg(

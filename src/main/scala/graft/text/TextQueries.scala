@@ -705,12 +705,16 @@ object TextQueries {
              word_entropy, char_entropy
       FROM we JOIN ce ON we.doc_id = ce.doc_id
     """)) { t =>
-      // Token-less docs drop via a has-any-non-whitespace regex — the
-      // same predicate as n_tokens > 0 (for ANY whitespace flavor,
-      // not just spaces), but evaluated WITHOUT the kernel (a filter
-      // on the struct field would re-run the whole histogram pass per
-      // row when Catalyst pushes it below the project).
-      t.fan(t.documents.filter(col("text").rlike("\\S")))
+      // Token-less docs drop via a has-any-token-char regex — the
+      // same predicate as n_tokens > 0, but evaluated WITHOUT the
+      // kernel (a filter on the struct field would re-run the whole
+      // histogram pass per row when Catalyst pushes it below the
+      // project). The character class is spelled out rather than \S
+      // because Java \s includes \x0B (vertical tab) while the
+      // kernel's RE2-pinned token class treats \x0B as a token char —
+      // a \S filter would drop a vertical-tab-only doc the oracle
+      // keeps.
+      t.fan(t.documents.filter(col("text").rlike("[^ \\t\\n\\f\\r]")))
         .select(col("doc_id"),
           call_function("graft_entropy_stats", col("text")).as("s"))
         .select(col("doc_id"),

@@ -74,8 +74,18 @@ object PlanReplayer {
       }.mkString("\n\n")
     val stats = Catalog.tables(t)
       .map { case (tn, tdf) =>
-        val files = tdf.inputFiles.filter(_.endsWith(".parquet"))
-        if (files.nonEmpty) {
+        // Footer counts are only the table's row count when the plan
+        // is a BARE file-source scan whose files are ALL parquet — a
+        // wrapped filter/limit/union (or a mixed-format table) must
+        // fall back to count(), or the footers would overstate rows.
+        val bareScan = tdf.queryExecution.optimizedPlan match {
+          case _: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => true
+          case _ => false
+        }
+        val files = tdf.inputFiles
+        if (bareScan && files.nonEmpty &&
+            files.forall(_.endsWith(".parquet"))) {
           val n = files.map(footerRowCount(t, _)).sum
           s"""  "${esc(tn)}": {"rows": $n, "scanned": false}"""
         } else {

@@ -241,6 +241,30 @@ class PlanShapeSpec extends SparkSpecBase {
     // The 4-row lease table reaches the fact rows by broadcast.
     assert(p.contains("BroadcastHashJoin"),
       s"lease join not broadcast:\n$p")
+    // No window over the FACT rows (ordering by o_orderkey) may be
+    // partitioned solely by the 4-value session key — the two-phase
+    // prefix sum co-partitions it with the orderkey-range bucket, so
+    // parallelism scales with the data instead of capping at 4 tasks.
+    val factSpecs = "windowspecdefinition\\([^)]*o_orderkey[^)]*".r
+      .findAllIn(p).toList
+    assert(factSpecs.nonEmpty && factSpecs.forall(_.contains("okbkt")),
+      s"fact window not co-partitioned with the range bucket:\n$p")
+  }
+
+  test("q_auto_random: per-shard sequence is two-phase, never 16 tasks") {
+    val p = plan("q_auto_random")
+    // Same contract as q_sequence: the window that sorts the fact by
+    // o_orderkey must be partitioned by (shard, okbkt) — a window
+    // partitioned solely by the 16-value shard key caps the sort at
+    // 16 tasks no matter the cluster size.
+    val factSpecs = "windowspecdefinition\\([^)]*o_orderkey[^)]*".r
+      .findAllIn(p).toList
+    assert(factSpecs.nonEmpty && factSpecs.forall(_.contains("okbkt")),
+      s"fact window not co-partitioned with the range bucket:\n$p")
+    // The per-(shard, bucket) offset table reaches the fact rows by
+    // broadcast, not a shuffled join.
+    assert(p.contains("BroadcastHashJoin"),
+      s"offset join not broadcast:\n$p")
   }
 
   test("s_hard_negatives: broadcast anchors, top-k limited pre-shuffle") {
