@@ -29,6 +29,7 @@ object Registry {
     operators.Wave11.all,
     operators.Wave12.all,
     operators.Wave13.all,
+    operators.Wave14.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,

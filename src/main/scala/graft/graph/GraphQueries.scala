@@ -307,6 +307,41 @@ object GraphQueries {
           countDistinct(col("b")).as("n_b"))
     },
 
+    // MIXED-direction chain MATCH (reference: parser/ast/graph.go —
+    // each edge in a GraphPattern chain carries its OWN direction, so
+    // (a)-[out]->(b)<-[in]-(c) is a legal pattern; g_match_chain /
+    // g_match_multi are all-OUT and g_reach only flips direction
+    // globally). This is the co-reference wedge: a and c both point
+    // INTO the same b — hop 1 traverses OUT edges, hop 2 traverses
+    // b's IN edges (oriented("in"), the per-edge direction flip).
+    // Keyed joins only: both sides hash on the shared midpoint b, so
+    // the join co-partitions on b and the work is Σ_b indeg(b)·
+    // indeg_pruned(b) — never |E|². Anchor predicate a < 100 prunes
+    // hop 1 before the join (the pattern planner's prefix-pruning
+    // rule); aggregated to (a, c) pairs with the co-reference count.
+    Q("g_match_mixed", Some(s"""
+      $edgeCte
+      SELECT e1.src AS a, e2.src AS c, COUNT(*) AS n_b
+      FROM e e1
+      JOIN e e2 ON e2.dst = e1.dst
+      WHERE e1.src < 100 AND e1.src <> e2.src
+        AND e1.src <> e1.dst AND e2.src <> e2.dst
+      GROUP BY 1, 2
+    """)) { t =>
+      val g = Graph.derived(t.orders)
+      val h1 = g.oriented("out").filter(col("src") < 100)
+        .select(col("src").as("a"), col("dst").as("b"))
+      // (b)<-[in]-(c): traverse b's IN edges — oriented("in") rows
+      // are (src=b, dst=c) for every raw edge c→b.
+      val h2 = g.oriented("in")
+        .select(col("src").as("b"), col("dst").as("c"))
+      h1.join(h2, "b")
+        .filter(col("a") =!= col("c") && col("a") =!= col("b") &&
+          col("c") =!= col("b"))
+        .groupBy("a", "c")
+        .agg(count(lit(1)).as("n_b"))
+    },
+
     // k-TRUSS — edge-level cohesion beside g_kcore's vertex test
     // (every surviving EDGE must sit in ≥ k−2 triangles among
     // survivors; bridge edges that k-core tolerates are peeled).

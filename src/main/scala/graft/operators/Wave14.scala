@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.{TextFns, UserVars}
+import graft.tools.StatementsSummary
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sample-built ANALYZE: the shared boundary/sample machinery behind
+  * q_analyze_sample and q_stats_histogram's scale mode (reference:
+  * statistics/row_sampler.go — ANALYZE collects a row sample, never
+  * a full materialization — and statistics/builder.go:143-147
+  * buildHist, whose sampleFactor = count/sampleNum scales sample
+  * bucket counts back to table cardinality and whose ndvFactor =
+  * min(count/ndv, sampleFactor) caps per-value repeat estimates).
+  * The sample is the d_mix_sample DETERMINISTIC multiplicative-hash
+  * coin, so the DuckDB oracle reproduces the EXACT row set — no
+  * engine RNG — and a resumed 100 TB ANALYZE re-selects the
+  * identical sample.
+  */
+object SampleStats {
+
+  /** ANALYZE's sample rate for the orders stats entries. */
+  val SampleRate = 0.2
+
+  /** Equi-depth inner-boundary quantiles (8 buckets). */
+  val Quantiles: Seq[Double] = Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+
+  /** The analyzed value: o_totalprice as exact-decimal-derived
+    * double — ONE spelling shared by the boundary aggregate and the
+    * bucketing pass (and by q_stats_histogram). */
+  def price: Column = Exact.dec2(col("o_totalprice")).cast("double")
+
+  /** The deterministic ANALYZE sample of orders. Map-side filter —
+    * at 100 TB this is the entire point: every downstream stats
+    * aggregate touches rate·N rows, and the coin is pure integer
+    * arithmetic on the key, so the sample is reproducible across
+    * engines and re-runs. */
+  def sampledOrders(t: Tables): DataFrame =
+    t.orders.filter(
+      TextFns.knuthCoin(col("o_orderkey")) < lit(SampleRate) * 4294967296L)
+
+  /** One-row boundary aggregate: n rows + the 7 rounded inner
+    * boundaries of `price` over `orders` (full table or sample —
+    * the builder.go input swap is literally this parameter). */
+  def priceBounds(orders: DataFrame): DataFrame = {
+    val exprs = count(lit(1)).as("n_samp") +:
+      Quantiles.zipWithIndex.map { case (q, i) =>
+        round(percentile(price, lit(q)), 4).as(s"b$i")
+      }
+    orders.agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Map-side equi-depth bucket id against the broadcast boundaries
+    * (ties left: strict >), 1-based. */
+  def bucketOf: Column =
+    Quantiles.indices
+      .map(i => when(col("v") > col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _) + 1
+}
+
+/** Round-10 wave: the operational-surface closers from the r9 gap
+  * list — sample-built ANALYZE with the sampleFactor correction,
+  * session user variables, the statements-summary observability
+  * table, and the placement-rules metadata card.
+  */
+object Wave14 {
+
+  val all: Seq[Q] = Seq(
+
+    // Sample-built ANALYZE (reference: statistics/row_sampler.go
+    // RowSampleCollector — ANALYZE reads a SAMPLE, the #1
+    // operational cost difference at 100 TB where full-scan stats
+    // are not run daily — and statistics/builder.go:143-147: the
+    // histogram built FROM the sample scales each bucket count by
+    // sampleFactor = count/sampleNum, and caps the per-value repeat
+    // estimate by ndvFactor = min(count/ndv, sampleFactor)). Here
+    // the sample is the d_mix_sample deterministic hash coin (20%),
+    // so the oracle reproduces the exact sample and the whole
+    // correction arithmetic is hash-checkable: per equi-depth bucket
+    // of the SAMPLE — boundaries are sample percentiles, the
+    // builder's actual input — the entry reports the sample count,
+    // the sampleFactor-scaled row estimate, sample NDV and its
+    // scaled estimate, the capped repeat estimate, value bounds and
+    // the factor itself. n_full is one COUNT(*) (metadata-cheap);
+    // ndv_full is the deterministic stand-in for the reference's
+    // full-scan FM sketch (statistics/fmsketch.go) that feeds
+    // ndvFactor. Plan: sample filter is map-side, both 1-row stats
+    // broadcast back, bucketing is map-side against 7 constants —
+    // the q_stats_histogram shape with the ANALYZE input swap
+    // actually demonstrated.
+    Q("q_analyze_sample", Some(s"""
+      WITH s AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+        FROM orders
+        WHERE ${TextFns.knuthCoinSql("o_orderkey")} < 0.2 * 4294967296),
+      f AS (
+        SELECT COUNT(*) AS n_full,
+               COUNT(DISTINCT CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                 AS DOUBLE)) AS ndv_full
+        FROM orders),
+      b AS (
+        SELECT COUNT(*) AS n_samp,
+               [round(quantile_cont(v, 0.125), 4),
+                round(quantile_cont(v, 0.25), 4),
+                round(quantile_cont(v, 0.375), 4),
+                round(quantile_cont(v, 0.5), 4),
+                round(quantile_cont(v, 0.625), 4),
+                round(quantile_cont(v, 0.75), 4),
+                round(quantile_cont(v, 0.875), 4)] AS bs
+        FROM s),
+      m AS (
+        SELECT v, 1 + len(list_filter(bs, x -> s.v > x)) AS bucket,
+               CAST(n_full AS DOUBLE) / n_samp AS sf,
+               LEAST(CAST(n_full AS DOUBLE) / ndv_full,
+                     CAST(n_full AS DOUBLE) / n_samp) AS rf
+        FROM s, b, f)
+      SELECT CAST(bucket AS INT) AS bucket,
+             COUNT(*) AS n_sample,
+             ROUND(COUNT(*) * MIN(sf), 4) AS est_rows,
+             CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv_sample,
+             ROUND(COUNT(DISTINCT v) * MIN(sf), 4) AS est_ndv,
+             ROUND(MIN(rf), 4) AS repeat_est,
+             MIN(v) AS lo, MAX(v) AS hi,
+             ROUND(MIN(sf), 6) AS sample_factor
+      FROM m GROUP BY bucket
+    """)) { t =>
+      val sample = SampleStats.sampledOrders(t)
+        .select(SampleStats.price.as("v"))
+      val bounds = SampleStats.priceBounds(
+        SampleStats.sampledOrders(t))
+      val full = t.orders.agg(count(lit(1)).as("n_full"),
+        countDistinct(SampleStats.price).as("ndv_full"))
+      sample.crossJoin(broadcast(bounds)).crossJoin(broadcast(full))
+        .withColumn("sf", col("n_full").cast("double") / col("n_samp"))
+        .withColumn("rf",
+          least(col("n_full").cast("double") / col("ndv_full"), col("sf")))
+        .select(col("v"), SampleStats.bucketOf.as("bucket"),
+          col("sf"), col("rf"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_sample"),
+          round(count(lit(1)) * min(col("sf")), 4).as("est_rows"),
+          countDistinct(col("v")).as("ndv_sample"),
+          round(countDistinct(col("v")) * min(col("sf")), 4).as("est_ndv"),
+          round(min(col("rf")), 4).as("repeat_est"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"),
+          round(min(col("sf")), 6).as("sample_factor"))
+    },
+
+    // User variables — SET/GET @var (reference:
+    // expression/builtin_other.go:697 setVarFunctionClass, :880
+    // BuildGetVarFunction; names lowercase at :757, store =
+    // per-session sessionVars.Users). Two halves of the @var
+    // contract, split the way MySQL 8 itself split them:
+    // (1) assign-then-read — SET @cut := (scalar subquery), then a
+    // LATER statement filters on @cut: the scalar materializes once
+    // into the UserVars session store (mixed-case name, read back
+    // case-insensitively) and the reading plan inlines it as a
+    // broadcast-free literal; (2) the per-row running idiom
+    // (@rn := @rn + 1 per group) stated as its window equivalent —
+    // row_number over (customer, date, key) — because per-row
+    // session mutation is execution-order-dependent, exactly why the
+    // idiom was deprecated in favor of windows; the partition key is
+    // o_custkey (data-cardinality), so the window scales. The oracle
+    // states @cut as a scalar CTE — the same assign-once-read-later
+    // dataflow in pure SQL.
+    Q("q_func_uservar", Some("""
+      WITH v AS (
+        SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 * 0.5 AS cut
+        FROM orders),
+      r AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders)
+      SELECT o_orderpriority, COUNT(*) AS n_above,
+             CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first_above,
+             ROUND(MIN(price), 2) AS min_price,
+             ROUND((SELECT cut FROM v), 2) AS cut_value
+      FROM r WHERE price > (SELECT cut FROM v)
+      GROUP BY o_orderpriority
+    """)) { t =>
+      // Statement 1: SET @Cut := half the max price (session store).
+      UserVars.assignScalar(t.spark, "Cut", t.orders.agg(
+        (max(Exact.dec2(col("o_totalprice"))).cast("double") * 0.5).as("v")))
+      // Statement 2: read @cut (case-insensitive) in a later plan.
+      val rnW = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      t.orders
+        .select(col("o_orderpriority"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderkey"),
+          Exact.dec2(col("o_totalprice")).cast("double").as("price"))
+        .withColumn("rn", row_number().over(rnW))
+        .filter(col("price") > UserVars.read(t.spark, "CUT"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_above"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_first_above"),
+          round(min(col("price")), 2).as("min_price"))
+        .withColumn("cut_value",
+          round(UserVars.read(t.spark, "cut"), 2))
+    },
+
+    // STATEMENTS_SUMMARY (reference: util/stmtsummary →
+    // infoschema/tables.go:154 TableStatementsSummary;
+    // executor/slow_query.go is the same render-history-as-a-table
+    // idea for slow statements). The entry runs a pinned workload —
+    // q_scan_filter TWICE (exec_count aggregation is the point of a
+    // statement summary) and q_sort_topn once — through
+    // StatementsSummary.record (each run drives the entry's own
+    // adaptive plan and folds Trace's per-operator numOutputRows
+    // into the in-memory summary), then renders the summary table:
+    // one row per (entry, operator class) with exec_count, per-exec
+    // node count, cumulative output rows, and summed/max wall ms.
+    // Wall times are real clock — not oracle-statable — so the entry
+    // is rows-only; Wave14Spec pins the deterministic columns
+    // against an independent Trace.run of the same entries.
+    Q("q_statements_summary", None) { t =>
+      StatementsSummary.clear()
+      StatementsSummary.record("q_scan_filter", t)
+      StatementsSummary.record("q_scan_filter", t)
+      StatementsSummary.record("q_sort_topn", t)
+      StatementsSummary.summary(t.spark).orderBy("entry", "op")
+    },
+
+    // SHOW PLACEMENT metadata card (reference:
+    // executor/show_placement.go — Target / Placement /
+    // Scheduling_State rows rendering where each table's data is
+    // placed and how). No multi-region scheduler exists locally; the
+    // honest analog is the LAYOUT registry: each physical layout
+    // this engine actually builds (range/hash/list partitioned
+    // facts, the z-order layout) rendered as a placement row. The
+    // engine side derives the policy strings from the SAME constants
+    // the builders use (PartitionedFact.HashBuckets, the
+    // PriorityLists partition names), so a layout change shows up as
+    // a correctness diff against the oracle's pinned card rather
+    // than silent doc drift.
+    Q("q_show_placement", Some("""
+      SELECT * FROM (VALUES
+        ('TABLE lineitem_shipmonth',
+         'PARTITION BY RANGE COLUMNS(shipmonth)', 'SCHEDULED'),
+        ('TABLE orders_custhash',
+         'PARTITION BY HASH(o_custkey) PARTITIONS 16', 'SCHEDULED'),
+        ('TABLE orders_prioritylist',
+         'PARTITION BY LIST COLUMNS(o_orderpriority) (p_low, p_normal, p_urgent)',
+         'SCHEDULED'),
+        ('TABLE events_zorder',
+         'ZORDER(event_id, ts) BITS 16', 'SCHEDULED')
+      ) AS v(target, placement, scheduling_state)
+    """)) { t =>
+      import t.spark.implicits._
+      val listParts = graft.sources.PartitionedFact.PriorityLists
+        .values.toSeq.distinct.sorted.mkString(", ")
+      Seq(
+        ("TABLE lineitem_shipmonth",
+          "PARTITION BY RANGE COLUMNS(shipmonth)", "SCHEDULED"),
+        ("TABLE orders_custhash",
+          s"PARTITION BY HASH(o_custkey) PARTITIONS " +
+            s"${graft.sources.PartitionedFact.HashBuckets}", "SCHEDULED"),
+        ("TABLE orders_prioritylist",
+          s"PARTITION BY LIST COLUMNS(o_orderpriority) ($listParts)",
+          "SCHEDULED"),
+        ("TABLE events_zorder",
+          "ZORDER(event_id, ts) BITS 16", "SCHEDULED"),
+      ).toDF("target", "placement", "scheduling_state")
+    },
+  )
+}

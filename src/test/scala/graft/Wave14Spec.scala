@@ -1,0 +1,179 @@
+package graft
+
+import graft.functions.UserVars
+import graft.operators.SampleStats
+import graft.tools.{StatementsSummary, Trace}
+import org.apache.spark.sql.functions._
+
+class Wave14Spec extends SparkSpecBase {
+
+  private def q(name: String) =
+    Registry.all.find(_.name == name).get.run(t)
+
+  // --- user variables (builtin_other.go setVar/getVar contract) ---
+
+  test("UserVars: names case-insensitive, unset reads NULL") {
+    UserVars.clear(spark)
+    assert(UserVars.get(spark, "nope").isEmpty)
+    // Unset @var reads as NULL (MySQL GET of undefined).
+    val r0 = t.orders.limit(1)
+      .select(UserVars.read(spark, "nope").as("v")).head()
+    assert(r0.isNullAt(0))
+    UserVars.set(spark, "MyVar", 42L)
+    assert(UserVars.get(spark, "myvar").contains(42L))
+    assert(UserVars.get(spark, "MYVAR").contains(42L))
+    UserVars.clear(spark)
+  }
+
+  test("UserVars: store is session-scoped like sessionVars.Users") {
+    UserVars.clear(spark)
+    UserVars.set(spark, "mine", 7L)
+    val other = spark.newSession()
+    assert(UserVars.get(other, "mine").isEmpty,
+      "user variable leaked across sessions")
+    UserVars.set(other, "mine", 8L)
+    assert(UserVars.get(spark, "mine").contains(7L))
+    UserVars.clear(spark)
+    UserVars.clear(other)
+  }
+
+  test("q_func_uservar: assigned @cut equals the recomputed scalar") {
+    val rows = q("q_func_uservar").collect()
+    assert(rows.nonEmpty)
+    val expectedCut = t.orders.agg(
+      (max(operators.Exact.dec2(col("o_totalprice"))).cast("double") * 0.5)
+        .as("v")).head().getDouble(0)
+    // Every output row renders the SAME session-var value, and it is
+    // the assigned scalar (rounded the way the entry rounds it).
+    val cuts = rows.map(_.getAs[Double]("cut_value")).distinct
+    assert(cuts.length == 1 &&
+      math.abs(cuts.head - math.round(expectedCut * 100) / 100.0) < 1e-9)
+  }
+
+  // --- statements summary (stmtsummary / infoschema render) ---
+
+  test("statements_summary equals an independent trace of the workload") {
+    val df = q("q_statements_summary")
+    val rows = df.collect()
+    // exec_count: q_scan_filter ran twice, q_sort_topn once.
+    val byEntry = rows.groupBy(_.getAs[String]("entry"))
+    assert(byEntry("q_scan_filter")
+      .forall(_.getAs[Long]("exec_count") == 2L))
+    assert(byEntry("q_sort_topn")
+      .forall(_.getAs[Long]("exec_count") == 1L))
+    // The table's per-operator rows_total must equal an INDEPENDENT
+    // trace aggregation: 2× scan_filter + 1× sort_topn.
+    def traced(name: String): Map[String, Long] =
+      Trace.run(name, t).groupBy(_.name)
+        .map { case (op, ns) => op -> ns.flatMap(_.rowsOut).sum }
+    val expect = (traced("q_scan_filter").toSeq.map {
+      case (op, n) => (("q_scan_filter", op), 2 * n)
+    } ++ traced("q_sort_topn").toSeq.map {
+      case (op, n) => (("q_sort_topn", op), n)
+    }).toMap
+    val got = rows.map(r => ((r.getAs[String]("entry"),
+      r.getAs[String]("op")), r.getAs[Long]("rows_total"))).toMap
+    assert(got == expect,
+      s"summary drifted from trace:\ngot    $got\nexpect $expect")
+    // The information_schema read path: the temp view serves the
+    // same rows the entry returned.
+    val viaView = spark.table("statements_summary").count()
+    assert(viaView == rows.length)
+  }
+
+  // --- sample-built ANALYZE (row_sampler.go + builder.go) ---
+
+  test("q_analyze_sample: correction arithmetic ties out") {
+    val rows = q("q_analyze_sample").collect()
+    assert(rows.length == 8, s"expected 8 equi-depth buckets, " +
+      s"got ${rows.length}")
+    val nFull = t.orders.count()
+    val nSample = rows.map(_.getAs[Long]("n_sample")).sum
+    val sf = nFull.toDouble / nSample
+    rows.foreach { r =>
+      // est_rows = n_sample · sampleFactor (builder.go:145; rounded
+      // to 4dp by the entry, so compare within rounding tolerance).
+      assert(math.abs(r.getAs[Double]("est_rows") -
+        r.getAs[Long]("n_sample") * sf) < 1e-3)
+      // repeat cap: ndvFactor ≤ sampleFactor (builder.go:147).
+      assert(r.getAs[Double]("repeat_est") <= sf + 1e-9)
+      assert(math.abs(r.getAs[Double]("sample_factor") - sf) < 1e-5)
+    }
+    // Equi-depth on the sample: bucket sample counts within 2× of
+    // each other bar the tie-splitting remainder.
+    val counts = rows.map(_.getAs[Long]("n_sample"))
+    assert(counts.min > 0)
+  }
+
+  test("sample-built boundaries stay close to full-scan boundaries") {
+    // The q_stats_histogram scale mode: boundaries from ANALYZE's
+    // sample instead of the full table. Bounded drift is the whole
+    // deal — assert each sampled boundary lands within 10% of the
+    // full-scan value RANGE of its exact counterpart.
+    val full = SampleStats.priceBounds(t.orders).head()
+    val samp = SampleStats.priceBounds(
+      SampleStats.sampledOrders(t)).head()
+    val qs = SampleStats.Quantiles.indices
+    val lo = full.getAs[Double]("b0")
+    val hi = full.getAs[Double](s"b${qs.last}")
+    val range = hi - lo
+    assert(range > 0)
+    qs.foreach { i =>
+      val drift = math.abs(samp.getAs[Double](s"b$i") -
+        full.getAs[Double](s"b$i"))
+      assert(drift <= 0.10 * range,
+        s"boundary b$i drifted $drift (> 10% of range $range)")
+    }
+    // And the sample is genuinely a sample: ~20% ± 5pp of rows.
+    val rate = SampleStats.sampledOrders(t).count().toDouble /
+      t.orders.count()
+    assert(rate > 0.15 && rate < 0.25, s"sample rate $rate off 0.2")
+  }
+
+  // --- placement card ---
+
+  test("q_show_placement derives policies from the builder constants") {
+    val rows = q("q_show_placement").collect()
+    assert(rows.length == 4)
+    val hashRow = rows.find(
+      _.getAs[String]("target") == "TABLE orders_custhash").get
+    assert(hashRow.getAs[String]("placement")
+      .endsWith(s"PARTITIONS ${sources.PartitionedFact.HashBuckets}"))
+    val listRow = rows.find(
+      _.getAs[String]("target") == "TABLE orders_prioritylist").get
+    sources.PartitionedFact.PriorityLists.values.toSeq.distinct.foreach {
+      p => assert(listRow.getAs[String]("placement").contains(p))
+    }
+    assert(rows.forall(
+      _.getAs[String]("scheduling_state") == "SCHEDULED"))
+  }
+
+  // --- mixed-direction MATCH ---
+
+  test("g_match_mixed equals the brute-force co-reference wedge") {
+    val got = q("g_match_mixed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_b")))
+      .toSet
+    // Brute force: materialize the raw edge list locally (sf0.001 —
+    // bounded) and enumerate (a→b, c→b) pairs directly.
+    val edges = graph.Graph.derived(t.orders).edges
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDst = edges.groupBy(_._2)
+    val expect = byDst.toSeq.flatMap { case (b, ins) =>
+      val inSeq = ins.toSeq
+      for {
+        (a, _) <- inSeq if a < 100 && a != b
+        (c, _) <- inSeq if c != a && c != b
+      } yield (a, c)
+    }.groupBy(identity)
+      .map { case ((a, c), g) => (a, c, g.size.toLong) }.toSet
+    assert(got == expect)
+  }
+
+  test("g_match_mixed: midpoint join is keyed, never a cross product") {
+    val p = q("g_match_mixed").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"mixed chain lost its equi-join key:\n$p")
+  }
+}
