@@ -755,22 +755,30 @@ final case class Graph(edges: DataFrame) {
     * kCore convergence contract; the spec pins fixpoint-within-
     * bound). Output: surviving canonical edges with their final
     * support. */
-  def kTruss(k: Int, maxRounds: Int): DataFrame = {
+  def kTruss(k: Int, maxRounds: Int, degreeCap: Int = 10000): DataFrame = {
     // Per-edge support = |N(u) ∩ N(v)| via sorted neighbor arrays +
     // the merge-walk SortedIntersectCount kernel: one agg + two
     // co-partitioned joins per round with the intersection computed
     // in-row, instead of the wedge self-join whose row count is
     // Σ d(v)² (the wedge spelling measured ~2.2 s/round at sf0.1 —
     // 7 rounds put g_ktruss at 15 s; arrays cut the per-round cost
-    // to the adjacency build). Neighbor lists are collect_set-bounded
-    // by max degree — the same in-memory contract as g_jaccard_nbrs,
-    // which caps hubs when degree is unbounded; truss graphs are
-    // peeled from round 1, so the arrays only shrink.
-    def withSupport(e: DataFrame): DataFrame = {
-      val und = e.select(col("src").as("n"), col("dst").as("nbr"))
-        .union(e.select(col("dst").as("n"), col("src").as("nbr")))
-      val adj = und.groupBy("n")
-        .agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
+    // to the adjacency build).
+    //
+    // MEMORY CONTRACT: a collect_set adjacency row is one vertex's
+    // whole neighborhood, so an unbounded hub would materialize an
+    // unbounded row. Vertices over `degreeCap` (measured ONCE on the
+    // initial graph — peeling only shrinks degrees, so under-cap
+    // stays under-cap; an initial hub that later shrinks merely
+    // stays on the hub path, which is correct for any degree) are
+    // EXCLUDED from the array build, and their incident edges get
+    // support from a keyed wedge expansion instead: expand the
+    // lower-degree endpoint's neighbors (rows = deg(x), never an
+    // array) and LEFT SEMI-check the closing edge — co-partitioned
+    // joins only, nothing wider than an edge shuffled. Same cap
+    // family as g_jaccard_nbrs' hub handling; Wave14Spec proves
+    // hub-path/array-path parity on a constructed hub graph.
+    def arraySupport(e: DataFrame, und: DataFrame,
+        adj: DataFrame): DataFrame =
       e.join(adj.select(col("n").as("src"), col("nbrs").as("sn")), "src")
         .join(adj.select(col("n").as("dst"), col("nbrs").as("dn")), "dst")
         .select(col("src"), col("dst"),
@@ -779,9 +787,56 @@ final case class Graph(edges: DataFrame) {
               org.apache.spark.sql.GraftSqlShim.expr(col("sn")),
               org.apache.spark.sql.GraftSqlShim.expr(col("dn"))))
             .cast("long").as("sup"))
-    }
     var e = oriented("both").filter(col("src") < col("dst"))
       .distinct().cp()
+    // Hub set: measured once; tiny by construction (over-cap
+    // vertices), so it broadcasts into the edge classification.
+    val bigNodes = e.select(col("src").as("n"))
+      .union(e.select(col("dst").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .filter(col("d") > degreeCap).select("n").cp()
+    val hasHubs = bigNodes.head(1).nonEmpty // O(|hubs|) driver scalar
+    def withSupport(e: DataFrame): DataFrame = {
+      val und = e.select(col("src").as("n"), col("dst").as("nbr"))
+        .union(e.select(col("dst").as("n"), col("src").as("nbr")))
+      if (!hasHubs) {
+        val adj = und.groupBy("n")
+          .agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
+        arraySupport(e, und, adj)
+      } else {
+        val big = broadcast(bigNodes)
+        val flagged = e
+          .join(big.select(col("n").as("src"), lit(true).as("sb")),
+            Seq("src"), "left")
+          .join(big.select(col("n").as("dst"), lit(true).as("db")),
+            Seq("dst"), "left")
+        val small = flagged.filter(col("sb").isNull && col("db").isNull)
+          .select("src", "dst")
+        val adj = und.join(big, Seq("n"), "left_anti")
+          .groupBy("n")
+          .agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
+        // Hub-incident edges: expand from the non-hub endpoint when
+        // exactly one end is a hub (deg ≤ cap there), else from src.
+        val hubEdges = flagged
+          .filter(col("sb").isNotNull || col("db").isNotNull)
+          .select(col("src"), col("dst"),
+            when(col("sb").isNotNull && col("db").isNull, col("dst"))
+              .otherwise(col("src")).as("x"),
+            when(col("sb").isNotNull && col("db").isNull, col("src"))
+              .otherwise(col("dst")).as("y"))
+        val wedges = hubEdges
+          .join(und.select(col("n").as("x"), col("nbr").as("w")), "x")
+          .join(und.select(col("n").as("y"), col("nbr").as("w")),
+            Seq("y", "w"), "left_semi")
+          .groupBy("src", "dst")
+          .agg(count(lit(1)).cast("long").as("sup"))
+        val hubSup = hubEdges.select("src", "dst")
+          .join(wedges, Seq("src", "dst"), "left")
+          .select(col("src"), col("dst"),
+            coalesce(col("sup"), lit(0L)).as("sup"))
+        arraySupport(small, und, adj).unionByName(hubSup)
+      }
+    }
     var prevN = e.count()
     var rounds = 0
     var converged = prevN == 0

@@ -170,6 +170,33 @@ class Wave14Spec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("kTruss degreeCap hub path matches the array path exactly") {
+    import spark.implicits._
+    // Constructed hub graph: hub 0 — {1..30} star, a leaf ring
+    // (triangles only THROUGH the hub), and a detached 4-clique.
+    // 4-truss: ring edges have support 1 (peeled round 1), star
+    // edges then drop to 0 (peeled round 2) — multi-round peeling
+    // with every wedge passing through the hub — and only the
+    // clique (support 2 everywhere) survives.
+    val star = (1L to 30L).map(i => (0L, i))
+    val ring = (1L to 29L).map(i => (i, i + 1))
+    val clique = Seq((100L, 101L), (100L, 102L), (100L, 103L),
+      (101L, 102L), (101L, 103L), (102L, 103L))
+    val edges = (star ++ ring ++ clique).toDF("src", "dst")
+    def result(cap: Int): Set[(Long, Long, Long)] =
+      graph.Graph(edges).kTruss(k = 4, maxRounds = 10, degreeCap = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("sup")))
+        .toSet
+    // cap=5 puts the hub (degree 30) on the wedge-expansion path;
+    // cap=10000 keeps everything on the array path.
+    val hubPath = result(5)
+    val arrayPath = result(10000)
+    assert(hubPath == arrayPath,
+      s"hub path diverged:\nhub   $hubPath\narray $arrayPath")
+    assert(hubPath == clique.map { case (a, b) => (a, b, 2L) }.toSet)
+  }
+
   test("g_match_mixed: midpoint join is keyed, never a cross product") {
     val p = q("g_match_mixed").queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
