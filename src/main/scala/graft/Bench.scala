@@ -47,7 +47,14 @@ object Bench {
         // r8 lazy-layout builders: hash/list-partitioned orders and
         // the stored-generated-column copy must land untimed too.
         "q_scan_partition_hash", "q_scan_partition_list",
-        "q_generated_col")
+        "q_generated_col",
+        // r10 audit of every `_SUCCESS`-guarded lazy build found ONE
+        // uncovered layout: the persisted PQ index (codebooks+codes).
+        // Every other cacheDir site is warmed by an entry above
+        // (timetravel via q_time_travel, mv via q_mv_refresh, backup,
+        // corpus fingerprints via d_dedup_incremental, the three
+        // partitioned facts, the IVF index via s_ann_ivf_probe).
+        "s_ann_pq_probe")
         .contains(q.name))
     }
     warmup.foreach { q =>
@@ -73,13 +80,17 @@ object Bench {
       }
     }
     val selected = Registry.all.filter(q => wanted.forall(_.contains(q.name)))
-    val firstPass = selected.zipWithIndex.map { case (q, i) =>
+    val firstPass = selected.map { q =>
       // Iterative queries localCheckpoint their loop state and Spark
       // only reclaims those blocks (and old broadcasts) when the JVM
       // GCs the dead references (ContextCleaner is weak-ref driven).
-      // A periodic explicit GC keeps the cleaner ahead of the 150+-
-      // query session; its ~100 ms land between timings, not inside.
-      if (i % 10 == 0) System.gc()
+      // GC before EVERY entry (was every 10th): the ~100 ms pause
+      // lands between timings instead of a full-heap collection
+      // landing MID-entry — the r9 tail showed string-heavy entries
+      // (t_span_contam 13.8 s in-suite vs 1.4 s isolated) absorbing
+      // exactly that; ~30 s of untimed GC across the suite buys
+      // steady-state measurements.
+      System.gc()
       q -> measure(q)
     }
     // This box shows intermittent external stalls (measured: the same
