@@ -34,17 +34,11 @@ object UserVars {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, Any]]())
 
-  private def store(spark: SparkSession) = {
-    // computeIfAbsent keeps the synchronized wrapper's lock once.
-    stores.synchronized {
-      var m = stores.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, Any]
-        stores.put(spark, m)
-      }
-      m
-    }
-  }
+  private def store(spark: SparkSession) =
+    // computeIfAbsent on the synchronized wrapper holds its lock once
+    // for the whole check-then-insert.
+    stores.computeIfAbsent(spark,
+      _ => scala.collection.concurrent.TrieMap.empty[String, Any])
 
   /** SET @name := value; returns the value (SET_VAR's return). */
   def set(spark: SparkSession, name: String, value: Any): Any = {

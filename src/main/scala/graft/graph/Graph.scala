@@ -777,8 +777,7 @@ final case class Graph(edges: DataFrame) {
     // joins only, nothing wider than an edge shuffled. Same cap
     // family as g_jaccard_nbrs' hub handling; Wave14Spec proves
     // hub-path/array-path parity on a constructed hub graph.
-    def arraySupport(e: DataFrame, und: DataFrame,
-        adj: DataFrame): DataFrame =
+    def arraySupport(e: DataFrame, adj: DataFrame): DataFrame =
       e.join(adj.select(col("n").as("src"), col("nbrs").as("sn")), "src")
         .join(adj.select(col("n").as("dst"), col("nbrs").as("dn")), "dst")
         .select(col("src"), col("dst"),
@@ -802,7 +801,7 @@ final case class Graph(edges: DataFrame) {
       if (!hasHubs) {
         val adj = und.groupBy("n")
           .agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
-        arraySupport(e, und, adj)
+        arraySupport(e, adj)
       } else {
         val big = broadcast(bigNodes)
         val flagged = e
@@ -834,7 +833,7 @@ final case class Graph(edges: DataFrame) {
           .join(wedges, Seq("src", "dst"), "left")
           .select(col("src"), col("dst"),
             coalesce(col("sup"), lit(0L)).as("sup"))
-        arraySupport(small, und, adj).unionByName(hubSup)
+        arraySupport(small, adj).unionByName(hubSup)
       }
     }
     var prevN = e.count()

@@ -64,25 +64,26 @@ object PrefixSum {
       .orderBy(orderCols.map(col): _*)
     val intra = df.withColumn("_intra",
       (row_number().over(intraW) - 1).cast("long"))
-    val totalsW = Window.partitionBy(groupCol).orderBy(rangeCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = df.groupBy(groupCol, rangeCol).agg(count(lit(1)).as("_cnt"))
-      .withColumn("_off", coalesce(sum(col("_cnt")).over(totalsW), lit(0L)))
-      .select(col(groupCol), col(rangeCol), col("_off"))
-    intra.join(broadcast(offsets), Seq(groupCol, rangeCol))
+    intra.join(
+        broadcast(rangeOffsets(df, rangeCol, count(lit(1)), Seq(groupCol))),
+        Seq(groupCol, rangeCol))
       .withColumn(out, col("_off") + col("_intra"))
       .drop("_intra", "_off")
   }
 
-  /** Phase 2: per-range totals prefix-summed — |ranges| rows, so the
-    * single-partition window here is over the tiny totals table, not
-    * the data. */
+  /** Phase 2: per-(group, range) totals prefix-summed within each
+    * group — |groups|·|ranges| rows, so the per-group window here is
+    * over the tiny totals table, not the data. With no group keys the
+    * single-partition window is likewise totals-sized. */
   private def rangeOffsets(df: DataFrame, rangeCol: String,
-      total: org.apache.spark.sql.Column): DataFrame = {
-    val totalsW = Window.orderBy(rangeCol)
+      total: org.apache.spark.sql.Column,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val totalsW = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(rangeCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.groupBy(rangeCol).agg(total.as("_cnt"))
+    val keys = groupCols :+ rangeCol
+    df.groupBy(keys.map(col): _*).agg(total.as("_cnt"))
       .withColumn("_off", coalesce(sum(col("_cnt")).over(totalsW), lit(0L)))
-      .select(col(rangeCol), col("_off"))
+      .select(keys.map(col) :+ col("_off"): _*)
   }
 }

@@ -287,20 +287,15 @@ object Wave13 {
              CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv
       FROM m GROUP BY bucket
     """)) { t =>
-      val qs = Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
-      // ONE spelling of the value expression feeds both the boundary
-      // aggregate and the bucketed rows — the two can never drift.
-      val v = Exact.dec2(col("o_totalprice")).cast("double")
-      val bcols = qs.zipWithIndex.map { case (q, i) =>
-        round(percentile(v, lit(q)), 4).as(s"b$i")
-      }
-      val bounds = t.orders.agg(bcols.head, bcols.tail: _*)
-      val withB = t.orders.select(v.as("v"))
+      // ONE shared spelling — value expression, quantile list,
+      // boundary aggregate, ties-left bucket expr — lives in
+      // SampleStats (Wave14) and feeds both this entry and
+      // q_analyze_sample, so the two can never drift; the documented
+      // scale mode is literally priceBounds(sampledOrders(t)).
+      val bounds = SampleStats.priceBounds(t.orders)
+      val withB = t.orders.select(SampleStats.price.as("v"))
         .crossJoin(broadcast(bounds))
-      val bucket = qs.indices
-        .map(i => when(col("v") > col(s"b$i"), 1).otherwise(0))
-        .reduce(_ + _) + 1
-      withB.select(col("v"), bucket.as("bucket"))
+      withB.select(col("v"), SampleStats.bucketOf.as("bucket"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"),
           max(col("v")).as("hi"), countDistinct(col("v")).as("ndv"))

@@ -53,9 +53,12 @@ object StatementsSummary {
       val maxWall = rs.map(_.wallMs).max
       rs.flatMap(_.nodes).groupBy(_.name).toSeq.map { case (op, ns) =>
         (entry, op, execCount,
-          // nodes of this class per execution (plans are stable
-          // across re-runs of the same entry at fixed data)
-          ns.size.toLong / execCount,
+          // nodes of this class per execution: plans are normally
+          // stable across re-runs at fixed data, but AQE may add or
+          // drop a node (ReusedExchange, coalesced stages) between
+          // runs — report the max observed in any single execution
+          // rather than a silently-flooring average.
+          rs.map(_.nodes.count(_.name == op)).max.toLong,
           ns.flatMap(_.rowsOut).sum,
           math.round(sumWall * 100) / 100.0,
           math.round(maxWall * 100) / 100.0)
