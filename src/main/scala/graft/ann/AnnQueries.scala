@@ -199,6 +199,64 @@ object AnnQueries {
         topk = 3, dedup = false)
     },
 
+    // IVF+PQ — the COMPOSED billion-scale serving shape (the classic
+    // IVFPQ layout: coarse cells × residual codebooks). The IVF
+    // quantizer partitions the corpus into cells; PQ codebooks are
+    // trained on the RESIDUALS v − c(v) — residuals concentrate near
+    // zero, so the same 16 centroids per subspace quantize far finer
+    // than raw vectors. Query-time inner product decomposes exactly:
+    // dot(q, v) = dot(q, c(v)) + dot(q, v−c(v)) — the first term is
+    // one number per (query, probed cell) (the probe already paid
+    // it), the second is ADC'd as 8 code lookups in the query's 8×16
+    // LUT over the RESIDUAL codebooks built from the FULL query
+    // sub-vectors. ADC top-10 candidates re-rank by exact cosine
+    // into the shared top-3 shape. At 100 TB the query-time scan is
+    // nprobe/C of the CODE table (cell-partitioned, 64× smaller than
+    // the floats); the float corpus is touched only for the
+    // ≤10·|queries| re-rank rows. Both quantizers keep the
+    // deterministic conventions (first-k seeds, 6dp rounding), but
+    // the arithmetic is engine-specific → rows-only; DedupAnnSpec
+    // pins recall vs brute force and the candidate contract.
+    Q("s_ann_ivfpq", None) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val corpus = vecs(t)
+      val (cells, centroids) = IvfIndex.build(corpus, c = 16, iters = 2)
+      // Residuals rounded to 6dp — the IvfIndex/PqIndex float-order
+      // rule, so a re-run cannot flip a code assignment.
+      val resid = cells.join(broadcast(centroids), "cell")
+        .select(col("vec_id"), col("cell"),
+          expr("transform(zip_with(v, cv, (a, b) -> a - b)," +
+            " x -> round(x, 6))").as("v"))
+      val (codes, cent) = PqIndex.build(
+        resid.select("vec_id", "v"), m = 8, s = 8, k = 16, iters = 2)
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nv").as("nq"))
+      // One LUT per query: full query sub-vectors × residual
+      // codebooks (the dot(q, v−c) term).
+      val lut = PqIndex.adcLut(queries.select("qid", "qv"), cent, s = 8)
+      // One constant per (query, probed cell): dot(q, c) — and the
+      // probe list doubles as the cell restriction (the
+      // partition-pruning analog: non-probed cells never join).
+      val probeConst = IvfIndex.probes(
+          queries.select("qid", "qv"), centroids, nprobe = 4)
+        .join(broadcast(centroids), "cell")
+        .select(col("qid"), col("cell"),
+          round(dot(col("qv"), col("cv")), 6).as("qc"))
+      val adcTop = codes.join(cells.select("vec_id", "cell"), "vec_id")
+        .join(broadcast(probeConst), "cell")
+        .join(broadcast(lut), Seq("qid", "m", "cid"))
+        .groupBy("qid", "vec_id")
+        .agg((min(col("qc")) + sum(col("d"))).as("adc"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(round(col("adc"), 6).desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+        .select("qid", "vec_id")
+      rerankTopK(adcTop.join(corpus, "vec_id").join(queries, "qid"),
+        topk = 3, dedup = false)
+    },
+
     // SCALAR-quantization (SQ8) ANN — the third compression leg next
     // to IVF (partitioning) and PQ (codebooks): each vector stores
     // its (min, max) plus one uint8 code per dimension — 4× smaller

@@ -292,5 +292,116 @@ object RankQueries {
           round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"))
         .withColumn("keep", (col("score") > 0.5).cast("int"))
     },
+
+    // PMI collocation mining — the phrase-detection pass a tokenizer
+    // or word2vec-style pipeline runs before segmentation (score
+    // word pairs by pointwise mutual information; high-PMI pairs
+    // become phrase units). Scale: unigram and bigram counts are
+    // map-combined groupBys keyed on the term/pair — the text never
+    // crosses an exchange; the unigram marginal table is vocab-sized
+    // and broadcast onto the (min-count pruned) bigram table twice;
+    // the corpus totals are 1-row crossJoin broadcasts; the top-20
+    // cut is a TakeOrdered. PMI = ln((c/NB) / ((c1/N)·(c2/N))) on
+    // exact BIGINT counts, so only the final ln needs the 4dp pin;
+    // ranks use the 8dp-rounded score with a (w1, w2) tie-break.
+    Q("t_colloc", Some(s"""
+      WITH w AS (
+        SELECT doc_id, string_split($normSql, ' ') AS ws
+        FROM documents),
+      u AS (SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS uc
+            FROM (SELECT unnest(ws) AS t FROM w) z
+            WHERE t <> '' GROUP BY 1),
+      n AS (SELECT CAST(SUM(uc) AS BIGINT) AS n FROM u),
+      bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+             FROM w, UNNEST(generate_series(1, LEN(ws) - 1)) AS g(i)),
+      nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bg),
+      bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+             FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      p AS (
+        SELECT bc.w1, bc.w2, bc.c,
+               LN((CAST(bc.c AS DOUBLE) / nb.nb) /
+                  ((CAST(u1.uc AS DOUBLE) / n.n) *
+                   (CAST(u2.uc AS DOUBLE) / n.n))) AS pmi
+        FROM bc, n, nb
+        JOIN u u1 ON u1.term = bc.w1
+        JOIN u u2 ON u2.term = bc.w2)
+      SELECT w1, w2, c AS n, ROUND(pmi, 4) AS pmi
+      FROM p ORDER BY ROUND(pmi, 8) DESC, w1, w2 LIMIT 20
+    """)) { t =>
+      val docs = t.fan(t.documents)
+        .select(split(TextFns.normalize(col("text")), " ").as("ws"))
+      val uni = docs.select(explode(col("ws")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("uc"))
+      val n = uni.agg(sum("uc").as("n"))
+      val bg = docs.select(explode(expr(
+          "CASE WHEN size(ws) >= 2 THEN transform(" +
+            "sequence(1, size(ws) - 1), " +
+            "i -> struct(ws[i - 1] AS w1, ws[i] AS w2)) " +
+            "ELSE array() END")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val nb = bg.agg(count(lit(1)).as("nb"))
+      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 5)
+      val pmi = log((col("c").cast("double") / col("nb")) /
+        ((col("uc1").cast("double") / col("n")) *
+         (col("uc2").cast("double") / col("n"))))
+      bc.join(broadcast(uni.select(col("term").as("w1"),
+          col("uc").as("uc1"))), "w1")
+        .join(broadcast(uni.select(col("term").as("w2"),
+          col("uc").as("uc2"))), "w2")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("c").as("n"),
+          round(pmi, 4).as("pmi"), round(pmi, 8).as("_k"))
+        .orderBy(col("_k").desc, col("w1"), col("w2"))
+        .limit(20)
+        .drop("_k")
+    },
+
+    // Zipf-law fit — the corpus-health diagnostic (token frequency
+    // vs rank should be log-log linear with slope ≈ −1; a truncated
+    // or templated corpus bends the curve). One map-combined token
+    // count, then the fit runs entirely on the VOCAB table: rank is
+    // a window over (count desc, term) — vocab-sized by
+    // construction, orders of magnitude under the corpus, same class
+    // as the registry's other tiny-table global windows — and the
+    // OLS fit of ln(count) on ln(rank) is one regr_slope/intercept/
+    // r2 aggregate, capped at the top 1000 ranks so the contract is
+    // fixed-size at any corpus scale. 1-row output, 4dp-pinned.
+    Q("t_zipf", Some(s"""
+      WITH u AS (SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS uc
+                 FROM (SELECT unnest(string_split($normSql, ' ')) AS t
+                       FROM documents) z
+                 WHERE t <> '' GROUP BY 1),
+      r AS (SELECT uc,
+                   ROW_NUMBER() OVER (ORDER BY uc DESC, term) AS rank
+            FROM u)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+             ROUND(regr_slope(LN(CAST(uc AS DOUBLE)),
+                              LN(CAST(rank AS DOUBLE))), 4) AS slope,
+             ROUND(regr_intercept(LN(CAST(uc AS DOUBLE)),
+                                  LN(CAST(rank AS DOUBLE))), 4)
+               AS intercept,
+             ROUND(regr_r2(LN(CAST(uc AS DOUBLE)),
+                           LN(CAST(rank AS DOUBLE))), 4) AS r2
+      FROM r WHERE rank <= 1000
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val uni = t.fan(t.documents)
+        .select(explode(split(TextFns.normalize(col("text")), " "))
+          .as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("uc"))
+      // Vocab-sized global window (counts are already aggregated).
+      val ranked = uni.withColumn("rank",
+          row_number().over(Window.orderBy(col("uc").desc, col("term"))))
+        .filter(col("rank") <= 1000)
+        .select(log(col("uc").cast("double")).as("y"),
+          log(col("rank").cast("double")).as("x"))
+      ranked.agg(count(lit(1)).as("n_vocab"),
+        round(regr_slope(col("y"), col("x")), 4).as("slope"),
+        round(regr_intercept(col("y"), col("x")), 4).as("intercept"),
+        round(regr_r2(col("y"), col("x")), 4).as("r2"))
+    },
   )
 }

@@ -446,4 +446,31 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(p.contains("Join"), s"$name lost its joins:\n$p")
     }
   }
+
+  test("t_colloc broadcasts marginals; text never crosses an exchange") {
+    val p = plan("t_colloc")
+    // The unigram marginal join onto the bigram table must broadcast
+    // (vocab-sized side), and the final cut must be a TakeOrdered.
+    assert(p.contains("BroadcastHashJoin"),
+      s"marginals not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not fused:\n$p")
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text"),
+        s"text crossed an exchange: $l"))
+  }
+
+  test("t_zipf's global window runs over the aggregated vocab only") {
+    val df = Registry.all.find(_.name == "t_zipf").get.run(t)
+    val p = df.queryExecution.executedPlan.toString
+    // The single-partition window must sit ABOVE the count
+    // aggregation: no Window may appear below a HashAggregate in the
+    // plan tree (the window input is the vocab table, not the token
+    // stream).
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0, s"no window found:\n$p")
+    assert(winIdx < aggIdx,
+      s"window must consume the aggregated vocab, not raw tokens:\n$p")
+  }
 }

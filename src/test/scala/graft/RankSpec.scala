@@ -104,4 +104,53 @@ class RankSpec extends SparkSpecBase {
     val p = q("t_quality_lr").queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"classifier scoring must not shuffle:\n$p")
   }
+
+  test("colloc: top pair's PMI recomputes from raw corpus counts") {
+    val res = q("t_colloc").collect()
+    assert(res.nonEmpty && res.length <= 20)
+    res.foreach(r => assert(r.getAs[Long]("n") >= 5,
+      "min-count prune must hold"))
+    // PMI non-increasing down the list (the ranking key is the
+    // 8dp-rounded PMI, so the 4dp-rounded output can only tie or
+    // decrease).
+    val pmis = res.map(_.getAs[Double]("pmi"))
+    pmis.zip(pmis.tail).foreach { case (a, b) => assert(a >= b) }
+    // Recompute the winner's PMI from the raw corpus.
+    val tokss = t.documents.select("text").collect()
+      .map(r => toks(r.getString(0)))
+    val uni = tokss.flatten.groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val n = uni.values.sum.toDouble
+    val bgs = tokss.flatMap(ws => ws.zip(ws.drop(1)))
+    val nb = bgs.length.toDouble
+    val top = res.head
+    val (w1, w2) = (top.getAs[String]("w1"), top.getAs[String]("w2"))
+    val c = bgs.count(p => p._1 == w1 && p._2 == w2)
+    assert(c.toLong == top.getAs[Long]("n"))
+    val pmi = math.log((c / nb) / ((uni(w1) / n) * (uni(w2) / n)))
+    assert(math.abs(top.getAs[Double]("pmi") - pmi) < 1e-4 + 1e-9,
+      s"PMI drifted: got ${top.getAs[Double]("pmi")}, expect ~$pmi")
+  }
+
+  test("zipf: the log-log OLS fit recomputes from raw token counts") {
+    val row = q("t_zipf").head()
+    val counts = t.documents.select("text").collect()
+      .flatMap(r => toks(r.getString(0)))
+      .groupBy(identity).map { case (w, g) => (w, g.size) }.toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(1000)
+    val xs = counts.indices.map(i => math.log(i + 1.0))
+    val ys = counts.map { case (_, c) => math.log(c.toDouble) }
+    val nV = counts.size
+    val (mx, my) = (xs.sum / nV, ys.sum / nV)
+    val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+    val syy = ys.map(y => (y - my) * (y - my)).sum
+    assert(row.getAs[Long]("n_vocab") == nV.toLong)
+    assert(row.getAs[Double]("slope") < 0, "Zipf slope must be negative")
+    assert(math.abs(row.getAs[Double]("slope") - sxy / sxx) < 1e-3)
+    assert(math.abs(row.getAs[Double]("intercept") -
+      (my - (sxy / sxx) * mx)) < 1e-3)
+    assert(math.abs(row.getAs[Double]("r2") - sxy * sxy / (sxx * syy))
+      < 1e-3)
+  }
 }
