@@ -220,7 +220,10 @@ object AnnQueries {
     Q("s_ann_ivfpq", None) { t =>
       import org.apache.spark.sql.expressions.Window
       val corpus = vecs(t)
-      val (cells, centroids) = IvfIndex.build(corpus, c = 16, iters = 2)
+      val (cells0, centroids) = IvfIndex.build(corpus, c = 16, iters = 2)
+      // The cell assignment feeds BOTH the residual/PQ build and the
+      // candidate cell restriction — materialize the one corpus pass.
+      val cells = cells0.localCheckpoint()
       // Residuals rounded to 6dp — the IvfIndex/PqIndex float-order
       // rule, so a re-run cannot flip a code assignment.
       val resid = cells.join(broadcast(centroids), "cell")

@@ -72,7 +72,12 @@ object IvfIndex {
         .agg(expr("transform(array_sort(collect_list(struct(j, m)))," +
           " s -> round(s.m, 6))").as("cv"))
     }
-    (assign(corpus, centroids, "vec_id", "v"), centroids)
+    // The returned centroid table is C rows but its PLAN is the whole
+    // Lloyd chain — callers reference it several times (final assign,
+    // probe ranking, residual joins), and each action would re-run
+    // every iteration. Materialize the tiny table once.
+    val finalCents = centroids.localCheckpoint()
+    (assign(corpus, finalCents, "vec_id", "v"), finalCents)
   }
 
   /** Persist the index as a warehouse layout: corpus vectors
