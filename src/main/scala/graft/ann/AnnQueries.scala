@@ -218,26 +218,24 @@ object AnnQueries {
     // the arithmetic is engine-specific → rows-only; DedupAnnSpec
     // pins recall vs brute force and the candidate contract.
     Q("s_ann_ivfpq", None) { t =>
-      import org.apache.spark.sql.expressions.Window
       val corpus = vecs(t)
       val (cells0, centroids) = IvfIndex.build(corpus, c = 16, iters = 2)
       // The cell assignment feeds BOTH the residual/PQ build and the
-      // candidate cell restriction — materialize the one corpus pass.
-      val cells = cells0.localCheckpoint()
+      // candidate cell restriction — materialize the one corpus pass
+      // (only the columns downstream reads: the rerank gets v/nv from
+      // the original corpus).
+      val cells = cells0.select("vec_id", "cell", "v").localCheckpoint()
       // Residuals rounded to 6dp — the IvfIndex/PqIndex float-order
       // rule, so a re-run cannot flip a code assignment.
       val resid = cells.join(broadcast(centroids), "cell")
-        .select(col("vec_id"), col("cell"),
+        .select(col("vec_id"),
           expr("transform(zip_with(v, cv, (a, b) -> a - b)," +
             " x -> round(x, 6))").as("v"))
-      val (codes, cent) = PqIndex.build(
-        resid.select("vec_id", "v"), m = 8, s = 8, k = 16, iters = 2)
+      val (codes, cent) = PqIndex.build(resid, m = 8, s = 8, k = 16,
+        iters = 2)
       val queries = corpus.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("nv").as("nq"))
-      // One LUT per query: full query sub-vectors × residual
-      // codebooks (the dot(q, v−c) term).
-      val lut = PqIndex.adcLut(queries.select("qid", "qv"), cent, s = 8)
       // One constant per (query, probed cell): dot(q, c) — and the
       // probe list doubles as the cell restriction (the
       // partition-pruning analog: non-probed cells never join).
@@ -246,16 +244,12 @@ object AnnQueries {
         .join(broadcast(centroids), "cell")
         .select(col("qid"), col("cell"),
           round(dot(col("qv"), col("cv")), 6).as("qc"))
-      val adcTop = codes.join(cells.select("vec_id", "cell"), "vec_id")
-        .join(broadcast(probeConst), "cell")
-        .join(broadcast(lut), Seq("qid", "m", "cid"))
-        .groupBy("qid", "vec_id")
-        .agg((min(col("qc")) + sum(col("d"))).as("adc"))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("rn", row_number().over(Window.partitionBy("qid")
-          .orderBy(round(col("adc"), 6).desc, col("vec_id"))))
-        .filter(col("rn") <= 10)
-        .select("qid", "vec_id")
+      // The shared ADC candidate generator: the query's LUT over the
+      // RESIDUAL codebooks supplies the dot(q, v−c) term; qc adds the
+      // dot(q, c) term.
+      val adcTop = PqIndex.adcCandidates(
+        codes.join(cells.select("vec_id", "cell"), "vec_id"),
+        cent, queries, s = 8, topn = 10, cellConst = Some(probeConst))
       rerankTopK(adcTop.join(corpus, "vec_id").join(queries, "qid"),
         topk = 3, dedup = false)
     },

@@ -85,15 +85,33 @@ object PqIndex {
           .as("d"))
 
   /** ADC candidate generation, shared by the in-query build
-    * (s_ann_pq) and the persisted-index probe (s_ann_pq_probe) so the
-    * scoring/ranking key cannot silently diverge: approximate dot =
-    * sum of the M per-code table lookups, top-`topn` per query on the
-    * deterministic (round(adc, 6) desc, vec_id) key. */
+    * (s_ann_pq), the persisted-index probe (s_ann_pq_probe) and the
+    * composed IVF×PQ entry (s_ann_ivfpq) so the scoring/ranking key
+    * cannot silently diverge: approximate dot = sum of the M per-code
+    * table lookups, top-`topn` per query on the deterministic
+    * (round(adc, 6) desc, vec_id) key.
+    *
+    * `cellConst`, when given, is the IVFPQ probe table — one
+    * (qid, cell, qc) row per (query, probed cell) with qc = the exact
+    * dot(q, centroid) term of the decomposition dot(q, v) =
+    * dot(q, c(v)) + dot(q, v−c(v)). `codes` must then carry a `cell`
+    * column; the join doubles as the cell restriction (non-probed
+    * cells never pair), and the score becomes qc + Σ lookups (a
+    * vector lives in exactly one cell, so min(qc) is that constant). */
   def adcCandidates(codes: DataFrame, cent: DataFrame, queries: DataFrame,
-      s: Int, topn: Int): DataFrame = {
+      s: Int, topn: Int, cellConst: Option[DataFrame] = None): DataFrame = {
     val lut = adcLut(queries.select("qid", "qv"), cent, s)
-    codes.join(broadcast(lut), Seq("m", "cid"))
-      .groupBy("qid", "vec_id").agg(sum(col("d")).as("adc"))
+    val scored = cellConst match {
+      case Some(probes) =>
+        codes.join(broadcast(probes), "cell")
+          .join(broadcast(lut), Seq("qid", "m", "cid"))
+          .groupBy("qid", "vec_id")
+          .agg((min(col("qc")) + sum(col("d"))).as("adc"))
+      case None =>
+        codes.join(broadcast(lut), Seq("m", "cid"))
+          .groupBy("qid", "vec_id").agg(sum(col("d")).as("adc"))
+    }
+    scored
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")

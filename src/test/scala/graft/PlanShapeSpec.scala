@@ -460,8 +460,7 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("t_zipf's global window runs over the aggregated vocab only") {
-    val df = Registry.all.find(_.name == "t_zipf").get.run(t)
-    val p = df.queryExecution.executedPlan.toString
+    val p = plan("t_zipf")
     // The single-partition window must sit ABOVE the count
     // aggregation: no Window may appear below a HashAggregate in the
     // plan tree (the window input is the vocab table, not the token
