@@ -54,7 +54,9 @@ object Bench {
         // (timetravel via q_time_travel, mv via q_mv_refresh, backup,
         // corpus fingerprints via d_dedup_incremental, the three
         // partitioned facts, the IVF index via s_ann_ivf_probe).
-        "s_ann_pq_probe")
+        "s_ann_pq_probe",
+        // The composed IVFPQ index is its own lazy layout too.
+        "s_ann_ivfpq_probe")
         .contains(q.name))
     }
     warmup.foreach { q =>

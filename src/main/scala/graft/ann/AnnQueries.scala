@@ -219,39 +219,53 @@ object AnnQueries {
     // pins recall vs brute force and the candidate contract.
     Q("s_ann_ivfpq", None) { t =>
       val corpus = vecs(t)
-      val (cells0, centroids) = IvfIndex.build(corpus, c = 16, iters = 2)
-      // The cell assignment feeds BOTH the residual/PQ build and the
-      // candidate cell restriction — materialize the one corpus pass
-      // (only the columns downstream reads: the rerank gets v/nv from
-      // the original corpus).
-      val cells = cells0.select("vec_id", "cell", "v").localCheckpoint()
-      // Residuals rounded to 6dp — the IvfIndex/PqIndex float-order
-      // rule, so a re-run cannot flip a code assignment.
-      val resid = cells.join(broadcast(centroids), "cell")
-        .select(col("vec_id"),
-          expr("transform(zip_with(v, cv, (a, b) -> a - b)," +
-            " x -> round(x, 6))").as("v"))
-      val (codes, cent) = PqIndex.build(resid, m = 8, s = 8, k = 16,
-        iters = 2)
+      // The shared composition (IvfPqIndex): IVF cells + PQ on
+      // residuals; the probe constant carries the exact dot(q, c)
+      // term and doubles as the cell restriction (the
+      // partition-pruning analog: non-probed cells never join); the
+      // shared ADC candidate generator's LUT over the RESIDUAL
+      // codebooks supplies the dot(q, v−c) term.
+      val (cells, centroids, codes, cent) = IvfPqIndex.build(
+        corpus, c = 16, iters = 2, m = 8, s = 8, k = 16)
       val queries = corpus.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("nv").as("nq"))
-      // One constant per (query, probed cell): dot(q, c) — and the
-      // probe list doubles as the cell restriction (the
-      // partition-pruning analog: non-probed cells never join).
-      val probeConst = IvfIndex.probes(
-          queries.select("qid", "qv"), centroids, nprobe = 4)
-        .join(broadcast(centroids), "cell")
-        .select(col("qid"), col("cell"),
-          round(dot(col("qv"), col("cv")), 6).as("qc"))
-      // The shared ADC candidate generator: the query's LUT over the
-      // RESIDUAL codebooks supplies the dot(q, v−c) term; qc adds the
-      // dot(q, c) term.
       val adcTop = PqIndex.adcCandidates(
         codes.join(cells.select("vec_id", "cell"), "vec_id"),
-        cent, queries, s = 8, topn = 10, cellConst = Some(probeConst))
+        cent, queries, s = 8, topn = 10,
+        cellConst = Some(IvfPqIndex.probeConst(queries, centroids,
+          nprobe = 4)))
       rerankTopK(adcTop.join(corpus, "vec_id").join(queries, "qid"),
         topk = 3, dedup = false)
+    },
+
+    // IVFPQ probe against the PERSISTED index — the steady-state
+    // serving op for the composed layout: training is amortized
+    // (lazily written once, keyed by a content fingerprint of the
+    // source like the IVF/PQ indexes); the on-disk codes are
+    // partitioned BY CELL, so each query reads its nprobe cell
+    // directories via dynamic partition pruning (spec-asserted) and
+    // each code row is 8 small ints — at 100 TB the probe reads
+    // nprobe/C of a 64×-compressed table, and the float corpus is
+    // touched only for the ADC top-10 re-rank rows. Same parameters
+    // as s_ann_ivfpq, so the two entries split build+probe vs
+    // probe-only exactly like the IVF and PQ pairs; the spec pins
+    // probe == in-query build.
+    Q("s_ann_ivfpq_probe", None) { t =>
+      val (c, iters, m, s, k) = (16, 2, 8, 8, 16)
+      val F = graft.sources.Formats
+      val dir = F.cacheDir(
+        s"/tmp/graft_ivfpq_c${c}i${iters}m${m}s${s}k${k}_" +
+          F.sanitize(t.dir),
+        F.contentFingerprint(s"${t.dir}/embeddings.parquet"))
+      if (!new java.io.File(s"$dir/centroids/_SUCCESS").exists())
+        IvfPqIndex.writeIndex(vecs(t).select("vec_id", "v"), dir,
+          c, iters, m, s, k)
+      IvfPqIndex.probeIndex(t.spark, dir,
+        t.embeddings.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"),
+            toDouble(col("embedding")).as("qv")),
+        vecs(t), s = s, nprobe = 4, topn = 10, topk = 3)
     },
 
     // SCALAR-quantization (SQ8) ANN — the third compression leg next
