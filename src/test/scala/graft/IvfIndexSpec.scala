@@ -50,16 +50,18 @@ class IvfIndexSpec extends SparkSpecBase {
 
   test("s_ann_ivfpq_probe equals the in-query IVFPQ build and " +
     "prunes the code scan") {
-    val probeQ = Registry.all.find(_.name == "s_ann_ivfpq_probe").get
-    val probe = probeQ.run(t)
+    val probeDf = Registry.all.find(_.name == "s_ann_ivfpq_probe").get
+      .run(t)
+    val probe = probeDf
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val inMem = Registry.all.find(_.name == "s_ann_ivfpq").get.run(t)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(probe == inMem && probe.nonEmpty)
     // The cell-partitioned code scan must be dynamically pruned by
     // the broadcast probe side — the nprobe/C read is the entry's
-    // whole scale story.
-    val plan = probeQ.run(t).queryExecution.executedPlan.toString
+    // whole scale story. Inspect the plan of the DataFrame that
+    // actually executed.
+    val plan = probeDf.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
       s"no dynamic partition pruning on the code scan:\n$plan")
   }
