@@ -403,5 +403,52 @@ object RankQueries {
         round(regr_intercept(col("y"), col("x")), 4).as("intercept"),
         round(regr_r2(col("y"), col("x")), 4).as("r2"))
     },
+
+    // Vocabulary-coverage / OOV-rate card — the tokenizer-QA pass
+    // (how much of each source's token stream a fixed top-k
+    // vocabulary covers; a high OOV share flags domain drift the
+    // tokenizer was not trained for). The vocabulary is the corpus
+    // top-50 by frequency with a deterministic (count desc, term)
+    // cut. Scale: one map-combined term count builds the vocab (the
+    // TakeOrdered cut is vocab-sized), the 50-row vocab broadcasts
+    // onto the token stream map-side, and the per-source rollup is a
+    // map-combined aggregation whose shuffle carries |sources| rows —
+    // the text itself never crosses an exchange.
+    Q("t_oov_rate", Some(s"""
+      WITH toks AS (
+        SELECT doc_id, source, t AS term
+        FROM (SELECT doc_id, source,
+                     unnest(string_split($normSql, ' ')) AS t
+              FROM documents) z
+        WHERE t <> ''),
+      v AS (SELECT term FROM (
+              SELECT term, COUNT(*) AS c FROM toks
+              GROUP BY 1 ORDER BY c DESC, term LIMIT 50)),
+      m AS (SELECT source, doc_id,
+                   CASE WHEN term IN (SELECT term FROM v)
+                        THEN 0 ELSE 1 END AS oov
+            FROM toks)
+      SELECT source,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(oov) AS BIGINT) AS n_oov,
+             ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 4) AS oov_rate
+      FROM m GROUP BY source
+    """)) { t =>
+      val toks = t.fan(t.documents)
+        .select(col("doc_id"), col("source"),
+          explode(split(TextFns.normalize(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(50)
+        .select(col("term"), lit(1).as("inv"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 4))
+    },
   )
 }

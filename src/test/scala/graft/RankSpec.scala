@@ -153,4 +153,24 @@ class RankSpec extends SparkSpecBase {
     assert(math.abs(row.getAs[Double]("r2") - sxy * sxy / (sxx * syy))
       < 1e-3)
   }
+
+  test("oov_rate: one source's card recomputes from raw text") {
+    val res = q("t_oov_rate").collect()
+    assert(res.nonEmpty)
+    val docs = t.documents.select("source", "text").collect()
+      .map(r => (r.getString(0), toks(r.getString(1))))
+    val vocab = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, g) => (w, g.size) }.toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(50).map(_._1).toSet
+    val src = res.head.getAs[String]("source")
+    val mine = docs.filter(_._1 == src)
+    val nTok = mine.map(_._2.size).sum
+    val nOov = mine.map(_._2.count(!vocab(_))).sum
+    val row = res.find(_.getAs[String]("source") == src).get
+    assert(row.getAs[Long]("n_docs") == mine.length.toLong)
+    assert(row.getAs[Long]("n_tokens") == nTok.toLong)
+    assert(row.getAs[Long]("n_oov") == nOov.toLong)
+    assert(math.abs(row.getAs[Double]("oov_rate") -
+      nOov.toDouble / nTok) < 1e-4 + 1e-9)
+  }
 }
