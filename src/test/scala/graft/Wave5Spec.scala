@@ -209,6 +209,30 @@ class Wave5Spec extends SparkSpecBase {
       (0L until rows.length).toSeq)
   }
 
+  test("rowNumberBeforeBy equals the naive per-group ROW_NUMBER " +
+    "on random skewed data") {
+    // The grouped two-phase prefix sum must reproduce
+    // Window.partitionBy(group).orderBy(key) exactly — on data with
+    // FEW skewed groups (the exact case the naive spelling caps
+    // parallelism on) and colliding range buckets. Seeded, so the
+    // check is deterministic.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 2000).map(_ =>
+      (rnd.nextInt(5), rnd.nextInt(100000))).distinct
+    val df = rows.toDF("g", "k")
+      .withColumn("bkt", expr("k div 1024"))
+    val got = operators.PrefixSum
+      .rowNumberBeforeBy(df, "g", "bkt", Seq("k"), "seq")
+    val naive = df.withColumn("seq2",
+      (row_number().over(Window.partitionBy("g").orderBy("k")) - 1)
+        .cast("long"))
+    val joined = got.join(naive, Seq("g", "k"))
+    assert(joined.count() == rows.size.toLong)
+    assert(joined.filter(col("seq") =!= col("seq2")).count() == 0,
+      "two-phase grouped ordinal drifted from the naive window")
+  }
+
   test("regression aggregates: r2 bounded, slope consistent with corr sign") {
     q("q_agg_regr").collect().foreach { r =>
       val r2 = r.getAs[Double]("r2")
