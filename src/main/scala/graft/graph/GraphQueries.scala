@@ -518,6 +518,111 @@ object GraphQueries {
       triangles(u)
     },
 
+    // Per-vertex LOCAL clustering coefficient — how close each
+    // vertex's neighborhood is to a clique (2·tri(v) / deg(v)·
+    // (deg(v)−1)), the community-structure profile a graph engine
+    // reports next to degree (g_triangles gives only the global
+    // count). Engine plan: one sorted-adjacency agg on the shared
+    // src exchange, per-edge common-neighbor counts via the
+    // codegen'd SortedIntersectCount merge-walk (the g_ktruss
+    // support kernel — work Σ_edges deg(a)+deg(b), never Σ deg²
+    // wedges), then each edge's support folds onto BOTH endpoints
+    // (Σ incident supports = 2·tri(v)). At 100 TB hub rows get the
+    // kTruss degreeCap hybrid (Graph.kTruss) before the array
+    // build. Oracle recomputes supports with the wedge join —
+    // affordable on the mod-1000 oracle graph, exactly what the
+    // engine plan avoids at scale.
+    Q("g_clustering", Some(s"""
+      $edgeCte, u AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+      und AS (SELECT a AS x, b AS y FROM u
+              UNION ALL SELECT b, a FROM u),
+      d AS (SELECT x AS n, COUNT(*) AS deg FROM und GROUP BY x),
+      sup AS (SELECT t.a, t.b, COUNT(*) AS c
+              FROM u t
+              JOIN und p ON p.x = t.a
+              JOIN und q ON q.x = t.b AND q.y = p.y
+              GROUP BY t.a, t.b),
+      tri AS (SELECT n, CAST(SUM(c) / 2 AS BIGINT) AS n_tri FROM (
+                SELECT a AS n, c FROM sup
+                UNION ALL SELECT b, c FROM sup) z
+              GROUP BY n)
+      SELECT d.n AS node, CAST(d.deg AS BIGINT) AS deg,
+             COALESCE(tri.n_tri, 0) AS n_tri,
+             ROUND(COALESCE(tri.n_tri, 0) * 2.0 /
+                   (d.deg * (d.deg - 1)), 6) AS lcc
+      FROM d LEFT JOIN tri ON tri.n = d.n
+      WHERE d.deg >= 2
+    """)) { t =>
+      val e = Graph.derived(t.orders).edges
+      val u = e.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val und = u.select(col("a").as("n"), col("b").as("nbr"))
+        .union(u.select(col("b").as("n"), col("a").as("nbr")))
+      val adj = und.groupBy("n")
+        .agg(sort_array(collect_set(col("nbr"))).as("nbrs"),
+          count(lit(1)).as("deg"))
+      val sup = u
+        .join(adj.select(col("n").as("a"), col("nbrs").as("na")), "a")
+        .join(adj.select(col("n").as("b"), col("nbrs").as("nb")), "b")
+        .select(col("a"), col("b"),
+          org.apache.spark.sql.GraftSqlShim.column(
+            graft.functions.SortedIntersectCount(
+              org.apache.spark.sql.GraftSqlShim.expr(col("na")),
+              org.apache.spark.sql.GraftSqlShim.expr(col("nb"))))
+            .as("c"))
+      val tri = sup.select(col("a").as("node"), col("c"))
+        .union(sup.select(col("b").as("node"), col("c")))
+        .groupBy("node")
+        .agg((sum(col("c")) / 2).cast("long").as("n_tri"))
+      adj.select(col("n").as("node"), col("deg"))
+        .filter(col("deg") >= 2)
+        .join(tri, Seq("node"), "left")
+        .select(col("node"), col("deg").cast("long").as("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          round(coalesce(col("n_tri"), lit(0L)) * lit(2.0) /
+            (col("deg") * (col("deg") - lit(1))), 6).as("lcc"))
+    },
+
+    // Degree assortativity — the Pearson correlation of endpoint
+    // degrees across undirected edge ends: positive = hubs link to
+    // hubs (social), negative = hub-and-spoke (technological). One
+    // degree agg + two AQE-broadcast joins back onto the edge list +
+    // a single-row corr() aggregate — every step map-combined, no
+    // driver loop, scale-free in |V| and |E|. corr is
+    // summation-order-sensitive in the last bits, so both engines
+    // round to 4dp (the g_jaccard_nbrs convention).
+    Q("g_assortativity", Some(s"""
+      $edgeCte, u AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+      und AS (SELECT a AS x, b AS y FROM u
+              UNION ALL SELECT b, a FROM u),
+      d AS (SELECT x AS n, COUNT(*) AS deg FROM und GROUP BY x)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_ends,
+             ROUND(CORR(dx.deg, dy.deg), 4) AS assort
+      FROM und
+      JOIN d dx ON dx.n = und.x
+      JOIN d dy ON dy.n = und.y
+    """)) { t =>
+      val e = Graph.derived(t.orders).edges
+      val u = e.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val und = u.select(col("a").as("x"), col("b").as("y"))
+        .union(u.select(col("b").as("x"), col("a").as("y")))
+      val d = und.groupBy(col("x").as("n")).agg(count(lit(1)).as("deg"))
+      und
+        .join(d.select(col("n").as("x"), col("deg").as("degx")), "x")
+        .join(d.select(col("n").as("y"), col("deg").as("degy")), "y")
+        .agg(count(lit(1)).cast("long").as("n_ends"),
+          round(corr(col("degx"), col("degy")), 4).as("assort"))
+    },
+
     // PageRank, 10 fixed rounds. No recursive-aggregate SQL exists,
     // so the oracle unrolls the iteration as chained CTEs — same
     // convention (init 1.0, dangling mass not redistributed), 6dp

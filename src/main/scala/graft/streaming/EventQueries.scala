@@ -405,6 +405,54 @@ object EventQueries {
         Seq(col("n").desc, col("event_type")), 2, "rn")
     },
 
+    // Bounded-horizon exponential moving average — the smoothing
+    // primitive behind every metrics dashboard. The textbook
+    // recurrence (s_n = α·x_n + (1−α)·s_{n−1}) carries unbounded
+    // state and no closed SQL form; the production form is the
+    // FIR truncation: weights ½^k over the trailing 10 events, a
+    // fixed 10-lag stencil both engines evaluate with the IDENTICAL
+    // left-to-right double-addition chain (each ½^k is an exact
+    // double, so the only rounding is the shared additions — then
+    // 4dp on top). One window per user ordered by (ts, event_id) —
+    // bounded 10-row frame state, partition count scales with
+    // |users|, nothing unbounded at 100 TB. Emitted only where the
+    // stencil is full (9th lag exists), making the normalizer the
+    // exact constant Σ½^k = 1.998046875.
+    Q("e_ewma", Some("""
+      WITH w AS (
+        SELECT event_id, user_id, value,
+               lag(value, 1) OVER win AS l1,
+               lag(value, 2) OVER win AS l2,
+               lag(value, 3) OVER win AS l3,
+               lag(value, 4) OVER win AS l4,
+               lag(value, 5) OVER win AS l5,
+               lag(value, 6) OVER win AS l6,
+               lag(value, 7) OVER win AS l7,
+               lag(value, 8) OVER win AS l8,
+               lag(value, 9) OVER win AS l9
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_id, user_id,
+             ROUND((value + 0.5 * l1 + 0.25 * l2 + 0.125 * l3
+                    + 0.0625 * l4 + 0.03125 * l5 + 0.015625 * l6
+                    + 0.0078125 * l7 + 0.00390625 * l8
+                    + 0.001953125 * l9) / 1.998046875, 4) AS ewma
+      FROM w WHERE l9 IS NOT NULL
+    """)) { t =>
+      val win = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val lags = (1 to 9).map(k =>
+        lag(col("value"), k).over(win).as(s"l$k"))
+      val w = t.events.select(
+        (Seq(col("event_id"), col("user_id"), col("value")) ++ lags): _*)
+      val num = (1 to 9).foldLeft(col("value")) { (acc, k) =>
+        acc + lit(math.pow(0.5, k)) * col(s"l$k")
+      }
+      w.filter(col("l9").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          round(num / lit(1.998046875), 4).as("ewma"))
+    },
+
     // DAU + cumulative reach — the growth-dashboard pair: per day,
     // distinct active users, NEW users, and the running total of
     // users ever seen. Cumulative distinct is NOT a running

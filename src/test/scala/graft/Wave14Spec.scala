@@ -203,4 +203,86 @@ class Wave14Spec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoopJoin"),
       s"mixed chain lost its equi-join key:\n$p")
   }
+
+  // --- clustering coefficient / assortativity / EWMA recomputes ---
+
+  /** The derived undirected simple graph as adjacency sets. */
+  private def undirectedAdj(): Map[Long, Set[Long]] = {
+    val u = graph.Graph.derived(t.orders).edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toSet
+    (u.map(_._1) ++ u.map(_._2)).map { n =>
+      n -> u.collect {
+        case (a, b) if a == n => b
+        case (a, b) if b == n => a
+      }
+    }.toMap
+  }
+
+  test("g_clustering matches the set-intersection brute force") {
+    val adj = undirectedAdj()
+    val got = q("g_clustering").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val expect = adj.collect { case (n, nbrs) if nbrs.size >= 2 =>
+      // tri(v) = #{unordered neighbor pairs that are themselves
+      // adjacent} — counted directly, independent of the engine's
+      // per-edge support fold.
+      val tri = nbrs.toSeq.combinations(2).count {
+        case Seq(x, y) => adj(x).contains(y)
+      }.toLong
+      val deg = nbrs.size.toLong
+      val lcc = BigDecimal(tri * 2.0 / (deg * (deg - 1)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      n -> ((deg, tri, lcc))
+    }
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (n, (deg, tri, lcc)) =>
+      val (ed, et, el) = expect(n)
+      assert(deg == ed && tri == et, s"node $n: got ($deg,$tri) want ($ed,$et)")
+      assert(math.abs(lcc - el) < 5e-4, s"node $n lcc: $lcc vs $el")
+    }
+  }
+
+  test("g_assortativity matches a direct Pearson recompute") {
+    val adj = undirectedAdj()
+    val ends = adj.toSeq.flatMap { case (n, nbrs) =>
+      nbrs.toSeq.map(m => (adj(n).size.toDouble, adj(m).size.toDouble))
+    }
+    val n = ends.size.toDouble
+    val mx = ends.map(_._1).sum / n
+    val my = ends.map(_._2).sum / n
+    val cov = ends.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sx = math.sqrt(ends.map(p => (p._1 - mx) * (p._1 - mx)).sum)
+    val sy = math.sqrt(ends.map(p => (p._2 - my) * (p._2 - my)).sum)
+    val expect = cov / (sx * sy)
+    val row = q("g_assortativity").head()
+    assert(row.getLong(0) == ends.size.toLong)
+    assert(math.abs(row.getDouble(1) - expect) < 5e-4,
+      s"assortativity ${row.getDouble(1)} vs recomputed $expect")
+  }
+
+  test("e_ewma matches the per-user trailing-stencil recompute") {
+    val events = t.events.select("user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getDouble(3)))
+    val expect = events.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      sorted.indices.drop(9).map { i =>
+        val win = (0 to 9).map(k => sorted(i - k)._4)
+        val num = win.zipWithIndex
+          .map { case (x, k) => x * math.pow(0.5, k) }.sum
+        sorted(i)._3 -> num / 1.998046875
+      }
+    }
+    val got = q("e_ewma").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, v) =>
+      assert(math.abs(v - expect(id)) < 5e-4, s"event $id: $v vs ${expect(id)}")
+    }
+  }
 }
