@@ -521,8 +521,9 @@ object GraphQueries {
     // Per-vertex LOCAL clustering coefficient — how close each
     // vertex's neighborhood is to a clique (2·tri(v) / deg(v)·
     // (deg(v)−1)), the community-structure profile a graph engine
-    // reports next to degree (g_triangles gives only the global
-    // count). Engine plan: one sorted-adjacency agg on the shared
+    // serves next to degree (the MATCH-analytics family over
+    // executor/graph.go adjacency; g_triangles gives only the
+    // global count). Engine plan: one sorted-adjacency agg on the shared
     // src exchange, per-edge common-neighbor counts via the
     // codegen'd SortedIntersectCount merge-walk (the g_ktruss
     // support kernel — work Σ_edges deg(a)+deg(b), never Σ deg²
@@ -589,7 +590,9 @@ object GraphQueries {
 
     // Degree assortativity — the Pearson correlation of endpoint
     // degrees across undirected edge ends: positive = hubs link to
-    // hubs (social), negative = hub-and-spoke (technological). One
+    // hubs (social), negative = hub-and-spoke (technological); the
+    // graph-shape summary statistic over the same derived adjacency
+    // (executor/graph.go edge scans feeding a corr aggregate). One
     // degree agg + two AQE-broadcast joins back onto the edge list +
     // a single-row corr() aggregate — every step map-combined, no
     // driver loop, scale-free in |V| and |E|. corr is

@@ -409,6 +409,71 @@ object TextQueries {
           (avg(logp) > -7.0).cast("int").as("keep_lm"))
     },
 
+    // CCNet-style perplexity bucketing — the canonical LM-data split:
+    // score every document with the corpus bigram LM (t_lm_score's
+    // broadcast-scoring pass), cut the corpus into head/middle/tail
+    // at the lp terciles, report each bucket's size and score mass.
+    // Scale: the tercile boundaries are ONE exact-percentile
+    // aggregate (a 1-row result — the q_stats_histogram pattern)
+    // broadcast back over the scores; bucket assignment is pure
+    // map-side; the final rollup shuffles 3 rows. Scores are rounded
+    // to 6dp BEFORE the quantile/cut so an interpolated boundary
+    // landing exactly on a document compares identically in both
+    // engines (the boundary IS derived from the same rounded values).
+    Q("t_ppl_bucket", Some("""
+      WITH n AS (SELECT doc_id,
+               TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS s
+             FROM documents),
+      bg AS (SELECT doc_id, SUBSTR(s, i, 2) AS b
+             FROM n, UNNEST(generate_series(1, LEN(s) - 1)) AS g(i)),
+      lm AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+      tot AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM lm),
+      sc AS (SELECT doc_id,
+               ROUND(AVG(LN((lm.c + 1) / CAST(total + v AS DOUBLE))), 6) AS lp6
+             FROM bg JOIN lm USING (b), tot
+             GROUP BY doc_id),
+      q AS (SELECT quantile_cont(lp6, 0.3333333333333333) AS q1,
+                   quantile_cont(lp6, 0.6666666666666666) AS q2
+            FROM sc)
+      SELECT CASE WHEN lp6 >= q2 THEN 'head'
+                  WHEN lp6 >= q1 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             ROUND(AVG(lp6), 4) AS avg_lp,
+             ROUND(MIN(lp6), 4) AS min_lp,
+             ROUND(MAX(lp6), 4) AS max_lp
+      FROM sc, q
+      GROUP BY 1
+    """)) { t =>
+      val docs = t.documents
+        .select(col("doc_id"), TextFns.normalize(col("text")).as("s"))
+      val bg = t.fan(docs).select(col("doc_id"),
+        explode(expr(
+          "CASE WHEN length(s) >= 2 THEN " +
+            "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2)) " +
+            "ELSE array() END"))
+          .as("b"))
+      val lm = bg.groupBy("b").agg(count(lit(1)).as("c"))
+      val tot = lm.agg(sum("c").as("total"), count(lit(1)).as("v"))
+      val logp = log((col("c") + 1) / (col("total") + col("v")).cast("double"))
+      val sc = bg.join(broadcast(lm), "b").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(round(avg(logp), 6).as("lp6"))
+      val q = sc.agg(
+        expr("percentile(lp6, 0.3333333333333333)").as("q1"),
+        expr("percentile(lp6, 0.6666666666666666)").as("q2"))
+      sc.crossJoin(broadcast(q))
+        .select(col("lp6"),
+          when(col("lp6") >= col("q2"), "head")
+            .when(col("lp6") >= col("q1"), "middle")
+            .otherwise("tail").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          round(avg(col("lp6")), 4).as("avg_lp"),
+          round(min(col("lp6")), 4).as("min_lp"),
+          round(max(col("lp6")), 4).as("max_lp"))
+    },
+
     // Corpus n-gram frequency table — the vocabulary/statistics
     // artifact every tokenizer build and contamination screen starts
     // from (top word bigrams corpus-wide). Map-side bigram explode →

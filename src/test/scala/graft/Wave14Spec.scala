@@ -264,6 +264,63 @@ class Wave14Spec extends SparkSpecBase {
       s"assortativity ${row.getDouble(1)} vs recomputed $expect")
   }
 
+  test("t_ppl_bucket matches a from-raw-text tercile recompute") {
+    // Independent path: normalize → bigrams → add-one bigram LM →
+    // per-doc mean log-prob (6dp) → interpolated terciles → buckets.
+    val texts = t.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def norm(s: String) = s.toLowerCase
+      .replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+    val bigrams = texts.map { case (id, tx) =>
+      val s = norm(tx)
+      id -> (if (s.length >= 2) (0 until s.length - 1).map(i =>
+        s.substring(i, i + 2)) else Seq.empty)
+    }
+    val lm = bigrams.flatMap(_._2).groupBy(identity)
+      .map { case (b, g) => b -> g.size.toLong }
+    val total = lm.values.sum
+    val v = lm.size.toLong
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lp = bigrams.collect { case (id, bs) if bs.nonEmpty =>
+      id -> r6(bs.map(b =>
+        math.log((lm(b) + 1).toDouble / (total + v))).sum / bs.size)
+    }
+    val sorted = lp.map(_._2).sorted
+    def quant(p: Double): Double = {
+      val h = p * (sorted.length - 1)
+      val lo = math.floor(h).toInt
+      val hi = math.ceil(h).toInt
+      sorted(lo) + (h - lo) * (sorted(hi) - sorted(lo))
+    }
+    val (q1, q2) = (quant(0.3333333333333333), quant(0.6666666666666666))
+    val expect = lp.groupBy { case (_, x) =>
+      if (x >= q2) "head" else if (x >= q1) "middle" else "tail"
+    }.map { case (b, g) => b -> g.size.toLong }
+    val got = q("t_ppl_bucket").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"buckets $got vs recomputed $expect")
+  }
+
+  test("g_clustering plan is equi-joins only (no wedge cartesian)") {
+    val p = q("g_clustering").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"clustering coefficient lost its equi-join keys:\n$p")
+  }
+
+  test("e_ewma runs ONE user-partitioned window, never a global sort") {
+    val plan = q("e_ewma").queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, s"no window node:\n$plan")
+    // Every window partitions on user_id — an empty partition spec
+    // would be the q_keyset_page single-task pathology.
+    assert(plan.contains("user_id"),
+      s"window lost its user partition key:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"global single-partition stage in the EWMA plan:\n$plan")
+  }
+
   test("e_ewma matches the per-user trailing-stencil recompute") {
     val events = t.events.select("user_id", "ts", "event_id", "value")
       .collect()
