@@ -756,86 +756,24 @@ final case class Graph(edges: DataFrame) {
     * bound). Output: surviving canonical edges with their final
     * support. */
   def kTruss(k: Int, maxRounds: Int, degreeCap: Int = 10000): DataFrame = {
-    // Per-edge support = |N(u) ∩ N(v)| via sorted neighbor arrays +
-    // the merge-walk SortedIntersectCount kernel: one agg + two
-    // co-partitioned joins per round with the intersection computed
-    // in-row, instead of the wedge self-join whose row count is
-    // Σ d(v)² (the wedge spelling measured ~2.2 s/round at sf0.1 —
-    // 7 rounds put g_ktruss at 15 s; arrays cut the per-round cost
-    // to the adjacency build).
-    //
-    // MEMORY CONTRACT: a collect_set adjacency row is one vertex's
-    // whole neighborhood, so an unbounded hub would materialize an
-    // unbounded row. Vertices over `degreeCap` (measured ONCE on the
+    // Per-edge support via the shared [[Graph.edgeSupportsWith]]
+    // degree-cap hybrid (see its Scaladoc for the array/wedge split
+    // and the memory contract). Hubs are classified ONCE on the
     // initial graph — peeling only shrinks degrees, so under-cap
     // stays under-cap; an initial hub that later shrinks merely
-    // stays on the hub path, which is correct for any degree) are
-    // EXCLUDED from the array build, and their incident edges get
-    // support from a keyed wedge expansion instead: expand the
-    // lower-degree endpoint's neighbors (rows = deg(x), never an
-    // array) and LEFT SEMI-check the closing edge — co-partitioned
-    // joins only, nothing wider than an edge shuffled. Same cap
-    // family as g_jaccard_nbrs' hub handling; Wave14Spec proves
-    // hub-path/array-path parity on a constructed hub graph.
-    def arraySupport(e: DataFrame, adj: DataFrame): DataFrame =
-      e.join(adj.select(col("n").as("src"), col("nbrs").as("sn")), "src")
-        .join(adj.select(col("n").as("dst"), col("nbrs").as("dn")), "dst")
-        .select(col("src"), col("dst"),
-          org.apache.spark.sql.GraftSqlShim.column(
-            graft.functions.SortedIntersectCount(
-              org.apache.spark.sql.GraftSqlShim.expr(col("sn")),
-              org.apache.spark.sql.GraftSqlShim.expr(col("dn"))))
-            .cast("long").as("sup"))
+    // stays on the hub path, which is correct for any degree. The
+    // classification is one count agg over the checkpointed edges
+    // collected to a bounded driver set (only over-cap vertices —
+    // see Graph.edgeSupports), so hub-free graphs get the lean
+    // array-only per-round plan with no broadcast machinery in it.
     var e = oriented("both").filter(col("src") < col("dst"))
       .distinct().cp()
-    // Hub set: measured once; tiny by construction (over-cap
-    // vertices), so it broadcasts into the edge classification.
-    val bigNodes = e.select(col("src").as("n"))
-      .union(e.select(col("dst").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-      .filter(col("d") > degreeCap).select("n").cp()
-    val hasHubs = bigNodes.head(1).nonEmpty // O(|hubs|) driver scalar
-    def withSupport(e: DataFrame): DataFrame = {
-      val und = e.select(col("src").as("n"), col("dst").as("nbr"))
-        .union(e.select(col("dst").as("n"), col("src").as("nbr")))
-      if (!hasHubs) {
-        val adj = und.groupBy("n")
-          .agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
-        arraySupport(e, adj)
-      } else {
-        val big = broadcast(bigNodes)
-        val flagged = e
-          .join(big.select(col("n").as("src"), lit(true).as("sb")),
-            Seq("src"), "left")
-          .join(big.select(col("n").as("dst"), lit(true).as("db")),
-            Seq("dst"), "left")
-        val small = flagged.filter(col("sb").isNull && col("db").isNull)
-          .select("src", "dst")
-        val adj = und.join(big, Seq("n"), "left_anti")
-          .groupBy("n")
-          .agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
-        // Hub-incident edges: expand from the non-hub endpoint when
-        // exactly one end is a hub (deg ≤ cap there), else from src.
-        val hubEdges = flagged
-          .filter(col("sb").isNotNull || col("db").isNotNull)
-          .select(col("src"), col("dst"),
-            when(col("sb").isNotNull && col("db").isNull, col("dst"))
-              .otherwise(col("src")).as("x"),
-            when(col("sb").isNotNull && col("db").isNull, col("src"))
-              .otherwise(col("dst")).as("y"))
-        val wedges = hubEdges
-          .join(und.select(col("n").as("x"), col("nbr").as("w")), "x")
-          .join(und.select(col("n").as("y"), col("nbr").as("w")),
-            Seq("y", "w"), "left_semi")
-          .groupBy("src", "dst")
-          .agg(count(lit(1)).cast("long").as("sup"))
-        val hubSup = hubEdges.select("src", "dst")
-          .join(wedges, Seq("src", "dst"), "left")
-          .select(col("src"), col("dst"),
-            coalesce(col("sup"), lit(0L)).as("sup"))
-        arraySupport(small, adj).unionByName(hubSup)
-      }
-    }
+    val spark = e.sparkSession
+    import spark.implicits._
+    val hubIds = Graph.hubVertices(e, degreeCap)
+      .collect().map(_.getLong(0)).toSeq
+    val hubs = hubIds.toDF("n")
+    val hasHubs = hubIds.nonEmpty
     var prevN = e.count()
     var rounds = 0
     var converged = prevN == 0
@@ -844,7 +782,7 @@ final case class Graph(edges: DataFrame) {
     // carry it instead of re-enumerating after the loop.
     var lastSup: Option[DataFrame] = None
     while (!converged && rounds < maxRounds) {
-      val sup = withSupport(e).cp()
+      val sup = Graph.edgeSupportsWith(e, hubs, hasHubs).cp()
       val kept = sup.filter(col("sup") >= k - 2)
       val n = kept.count()
       converged = n == prevN
@@ -858,7 +796,7 @@ final case class Graph(edges: DataFrame) {
       // Non-converged (maxRounds-exhausted) exit: the final recompute
       // must drop zero-support survivors — the oracle's closing wedge
       // recount is an inner join, which omits them by construction.
-      case _ => withSupport(e).filter(col("sup") >= 1)
+      case _ => Graph.edgeSupportsWith(e, hubs, hasHubs).filter(col("sup") >= 1)
         .select("src", "dst", "sup")
     }
   }
@@ -941,4 +879,111 @@ object Graph {
     orders.select((col("o_custkey") % 1000).as("src"),
         (col("o_orderkey") % 1000).as("dst"))
       .distinct())
+
+  /** Vertices whose degree in a canonical undirected edge set
+    * (src < dst, distinct) exceeds `degreeCap` — the hub
+    * classification input for [[edgeSupportsWith]]. One map-combined
+    * count aggregate over the edge ends; output is tiny by
+    * construction (only over-cap vertices survive the filter). */
+  private[graph] def hubVertices(e: DataFrame, degreeCap: Int): DataFrame =
+    e.select(col("src").as("n"))
+      .union(e.select(col("dst").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .filter(col("d") > degreeCap).select("n")
+
+  /** Sorted-array spelling of per-edge support: join each endpoint's
+    * neighbor array onto the edge and merge-walk the two arrays with
+    * the codegen'd SortedIntersectCount kernel — work
+    * Σ_edges deg(u)+deg(v), never the Σ deg² wedge self-join (the
+    * wedge spelling measured ~2.2 s/round at sf0.1; arrays cut the
+    * per-round cost to the adjacency build). */
+  private def arraySupport(e: DataFrame, adj: DataFrame): DataFrame =
+    e.join(adj.select(col("n").as("src"), col("nbrs").as("sn")), "src")
+      .join(adj.select(col("n").as("dst"), col("nbrs").as("dn")), "dst")
+      .select(col("src"), col("dst"),
+        org.apache.spark.sql.GraftSqlShim.column(
+          graft.functions.SortedIntersectCount(
+            org.apache.spark.sql.GraftSqlShim.expr(col("sn")),
+            org.apache.spark.sql.GraftSqlShim.expr(col("dn"))))
+          .cast("long").as("sup"))
+
+  /** Per-edge triangle support |N(u) ∩ N(v)| over a canonical
+    * undirected edge set (`src < dst`, distinct) → `(src, dst, sup)`
+    * — the shared kernel behind kTruss peeling and g_clustering's
+    * per-vertex triangle fold.
+    *
+    * MEMORY CONTRACT: a collect_set adjacency row is one vertex's
+    * whole neighborhood, so an unbounded hub would materialize an
+    * unbounded row. Vertices in `hubs` are EXCLUDED from the array
+    * build, and their incident edges get support from a keyed wedge
+    * expansion instead: expand the non-hub endpoint's neighbors
+    * (rows = deg(x), never an array) and LEFT SEMI-check the closing
+    * edge — co-partitioned joins only, nothing wider than an edge
+    * shuffled. Same cap family as g_jaccard_nbrs' hub handling;
+    * Wave14Spec proves hub-path/array-path parity on a constructed
+    * hub graph for both consumers.
+    *
+    * `hasHubs=false` (the common case) takes the pure array path —
+    * no flag joins, no wedge pipeline in the plan, so hub-free
+    * graphs pay nothing per call beyond the classification the
+    * caller already did (measured: leaving the hybrid plan in place
+    * unconditionally costs ~0.5 s/round at sf0.1 because the und
+    * shuffles feeding the empty wedge join still run before AQE can
+    * propagate the empty stage). */
+  private[graft] def edgeSupportsWith(e: DataFrame, hubs: DataFrame,
+      hasHubs: Boolean): DataFrame = {
+    val und = e.select(col("src").as("n"), col("dst").as("nbr"))
+      .union(e.select(col("dst").as("n"), col("src").as("nbr")))
+    if (!hasHubs) {
+      val adj = und.groupBy("n")
+        .agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
+      return arraySupport(e, adj)
+    }
+    val big = broadcast(hubs)
+    val flagged = e
+      .join(big.select(col("n").as("src"), lit(true).as("sb")),
+        Seq("src"), "left")
+      .join(big.select(col("n").as("dst"), lit(true).as("db")),
+        Seq("dst"), "left")
+    val small = flagged.filter(col("sb").isNull && col("db").isNull)
+      .select("src", "dst")
+    val adj = und.join(big, Seq("n"), "left_anti")
+      .groupBy("n")
+      .agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
+    // Hub-incident edges: expand from the non-hub endpoint when
+    // exactly one end is a hub (deg ≤ cap there), else from src.
+    val hubEdges = flagged
+      .filter(col("sb").isNotNull || col("db").isNotNull)
+      .select(col("src"), col("dst"),
+        when(col("sb").isNotNull && col("db").isNull, col("dst"))
+          .otherwise(col("src")).as("x"),
+        when(col("sb").isNotNull && col("db").isNull, col("src"))
+          .otherwise(col("dst")).as("y"))
+    val wedges = hubEdges
+      .join(und.select(col("n").as("x"), col("nbr").as("w")), "x")
+      .join(und.select(col("n").as("y"), col("nbr").as("w")),
+        Seq("y", "w"), "left_semi")
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).cast("long").as("sup"))
+    val hubSup = hubEdges.select("src", "dst")
+      .join(wedges, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("sup"), lit(0L)).as("sup"))
+    arraySupport(small, adj).unionByName(hubSup)
+  }
+
+  /** One-shot spelling of [[edgeSupportsWith]]: classifies hubs from
+    * `e` itself. The classification is ONE map-combined count
+    * aggregate whose result is collected — a bounded driver scalar
+    * set (only over-cap vertices survive, each one long; even a
+    * hub-heavy web graph yields thousands of rows, not |V|) — so the
+    * common hub-free case selects the lean array-only plan with no
+    * broadcast machinery left in it. */
+  def edgeSupports(e: DataFrame, degreeCap: Int = 10000): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val hubIds = hubVertices(e, degreeCap)
+      .collect().map(_.getLong(0)).toSeq
+    edgeSupportsWith(e, hubIds.toDF("n"), hubIds.nonEmpty)
+  }
 }

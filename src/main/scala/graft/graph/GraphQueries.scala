@@ -528,9 +528,14 @@ object GraphQueries {
     // codegen'd SortedIntersectCount merge-walk (the g_ktruss
     // support kernel — work Σ_edges deg(a)+deg(b), never Σ deg²
     // wedges), then each edge's support folds onto BOTH endpoints
-    // (Σ incident supports = 2·tri(v)). At 100 TB hub rows get the
-    // kTruss degreeCap hybrid (Graph.kTruss) before the array
-    // build. Oracle recomputes supports with the wedge join —
+    // (Σ incident supports = 2·tri(v)). Supports come from the
+    // SHARED Graph.edgeSupports degree-cap hybrid (the kTruss
+    // kernel): hub vertices are excluded from the array build and
+    // their incident edges scored by keyed wedge expansion, so no
+    // row ever holds an unbounded neighborhood — Wave14Spec proves
+    // the fold's hub/array parity on a constructed hub graph.
+    // Per-vertex degrees come from the same map-combined count agg
+    // that classifies hubs. Oracle recomputes supports with the wedge join —
     // affordable on the mod-1000 oracle graph, exactly what the
     // engine plan avoids at scale.
     Q("g_clustering", Some(s"""
@@ -558,28 +563,18 @@ object GraphQueries {
     """)) { t =>
       val e = Graph.derived(t.orders).edges
       val u = e.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
         .distinct()
-      val und = u.select(col("a").as("n"), col("b").as("nbr"))
-        .union(u.select(col("b").as("n"), col("a").as("nbr")))
-      val adj = und.groupBy("n")
-        .agg(sort_array(collect_set(col("nbr"))).as("nbrs"),
-          count(lit(1)).as("deg"))
-      val sup = u
-        .join(adj.select(col("n").as("a"), col("nbrs").as("na")), "a")
-        .join(adj.select(col("n").as("b"), col("nbrs").as("nb")), "b")
-        .select(col("a"), col("b"),
-          org.apache.spark.sql.GraftSqlShim.column(
-            graft.functions.SortedIntersectCount(
-              org.apache.spark.sql.GraftSqlShim.expr(col("na")),
-              org.apache.spark.sql.GraftSqlShim.expr(col("nb"))))
-            .as("c"))
-      val tri = sup.select(col("a").as("node"), col("c"))
-        .union(sup.select(col("b").as("node"), col("c")))
+      val degs = u.select(col("src").as("n"))
+        .union(u.select(col("dst").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val sup = Graph.edgeSupports(u)
+      val tri = sup.select(col("src").as("node"), col("sup").as("c"))
+        .union(sup.select(col("dst").as("node"), col("sup").as("c")))
         .groupBy("node")
         .agg((sum(col("c")) / 2).cast("long").as("n_tri"))
-      adj.select(col("n").as("node"), col("deg"))
+      degs.select(col("n").as("node"), col("deg"))
         .filter(col("deg") >= 2)
         .join(tri, Seq("node"), "left")
         .select(col("node"), col("deg").cast("long").as("deg"),

@@ -197,6 +197,46 @@ class Wave14Spec extends SparkSpecBase {
     assert(hubPath == clique.map { case (a, b) => (a, b, 2L) }.toSet)
   }
 
+  test("g_clustering fold: edgeSupports hub path matches array path") {
+    import spark.implicits._
+    // Hub 0 star over {1..30} + a ring among the leaves + a detached
+    // 4-clique: triangles exist both THROUGH the hub (star×ring
+    // wedges) and away from it (clique), so the per-vertex fold must
+    // agree on hub, leaf and clique vertices alike.
+    val star = (1L to 30L).map(i => (0L, i))
+    val ring = (1L to 29L).map(i => (i, i + 1))
+    val clique = Seq((100L, 101L), (100L, 102L), (100L, 103L),
+      (101L, 102L), (101L, 103L), (102L, 103L))
+    val u = (star ++ ring ++ clique).toDF("src", "dst")
+    // The exact g_clustering fold, parameterized by the cap.
+    def lcc(cap: Int): Map[Long, (Long, Double)] = {
+      val sup = graph.Graph.edgeSupports(u, degreeCap = cap)
+      val degs = u.select(col("src").as("n"))
+        .union(u.select(col("dst").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val tri = sup.select(col("src").as("n"), col("sup").as("c"))
+        .union(sup.select(col("dst").as("n"), col("sup").as("c")))
+        .groupBy("n").agg((sum(col("c")) / 2).cast("long").as("n_tri"))
+      degs.filter(col("deg") >= 2).join(tri, Seq("n"), "left")
+        .select(col("n"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          round(coalesce(col("n_tri"), lit(0L)) * lit(2.0) /
+            (col("deg") * (col("deg") - lit(1))), 6).as("lcc"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    }
+    // cap=5 puts hub 0 (degree 30) on the wedge-expansion path;
+    // cap=10000 keeps everything on the array path.
+    val hubPath = lcc(5)
+    val arrayPath = lcc(10000)
+    assert(hubPath == arrayPath,
+      s"clustering fold diverged:\nhub   $hubPath\narray $arrayPath")
+    // Spot-check absolute values: hub 0 closes one triangle per ring
+    // edge (29), deg 30 → lcc = 58/870; clique vertices are perfect.
+    assert(hubPath(0L) == ((29L,
+      math.round(29.0 * 2 / (30 * 29) * 1e6) / 1e6)))
+    assert(hubPath(100L) == ((3L, 1.0)))
+  }
+
   test("g_match_mixed: midpoint join is keyed, never a cross product") {
     val p = q("g_match_mixed").queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
