@@ -83,23 +83,38 @@ object Wave14 {
     // builder's actual input — the entry reports the sample count,
     // the sampleFactor-scaled row estimate, sample NDV and its
     // scaled estimate, the capped repeat estimate, value bounds and
-    // the factor itself. n_full is one COUNT(*) (metadata-cheap);
-    // ndv_full is the deterministic stand-in for the reference's
-    // full-scan FM sketch (statistics/fmsketch.go) that feeds
-    // ndvFactor. Plan: sample filter is map-side, both 1-row stats
-    // broadcast back, bucketing is map-side against 7 constants —
-    // the q_stats_histogram shape with the ANALYZE input swap
-    // actually demonstrated.
+    // the factor itself. n_full is one COUNT(*) (metadata-cheap) —
+    // the ONLY full-table input. The table NDV feeding ndvFactor is
+    // estimated FROM THE SAMPLE, the analog of the reference's
+    // sample-collected FM sketch (statistics/fmsketch.go;
+    // row_sampler.go collects it; builder.go:147 caps with it): the
+    // Duj1 scale-up estimator (Haas & Stokes 1998 — the PostgreSQL
+    // ANALYZE estimator) D = n*d / (n - f1 + f1*n/N) over the
+    // sample's value-frequency profile (d = sample NDV, f1 =
+    // singletons, n = sample rows, N = table rows) — deterministic
+    // because the sample is the hash coin, so the whole arithmetic
+    // stays hash-checkable. Plan: sample filter is map-side, all
+    // 1-row stats broadcast back, bucketing is map-side against 7
+    // constants; NO full-table distinct anywhere (plan-asserted:
+    // the un-sampled orders scan reads zero columns) — the
+    // q_stats_histogram shape with the ANALYZE input swap actually
+    // demonstrated.
     Q("q_analyze_sample", Some(s"""
       WITH s AS (
         SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
         FROM orders
         WHERE ${TextFns.knuthCoinSql("o_orderkey")} < 0.2 * 4294967296),
-      f AS (
-        SELECT COUNT(*) AS n_full,
-               COUNT(DISTINCT CAST(CAST(o_totalprice AS DECIMAL(18,2))
-                 AS DOUBLE)) AS ndv_full
-        FROM orders),
+      f AS (SELECT COUNT(*) AS n_full FROM orders),
+      g AS (SELECT v, COUNT(*) AS c FROM s GROUP BY v),
+      nd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS d_samp,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS f1,
+               CAST(SUM(c) AS DOUBLE) AS nsd
+        FROM g),
+      est AS (
+        SELECT nsd * d_samp / (nsd - f1 + f1 * nsd / n_full) AS ndv_est
+        FROM nd, f),
       b AS (
         SELECT COUNT(*) AS n_samp,
                [round(quantile_cont(v, 0.125), 4),
@@ -113,15 +128,17 @@ object Wave14 {
       m AS (
         SELECT v, 1 + len(list_filter(bs, x -> s.v > x)) AS bucket,
                CAST(n_full AS DOUBLE) / n_samp AS sf,
-               LEAST(CAST(n_full AS DOUBLE) / ndv_full,
-                     CAST(n_full AS DOUBLE) / n_samp) AS rf
-        FROM s, b, f)
+               LEAST(CAST(n_full AS DOUBLE) / ndv_est,
+                     CAST(n_full AS DOUBLE) / n_samp) AS rf,
+               ndv_est
+        FROM s, b, f, est)
       SELECT CAST(bucket AS INT) AS bucket,
              COUNT(*) AS n_sample,
              ROUND(COUNT(*) * MIN(sf), 4) AS est_rows,
              CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv_sample,
              ROUND(COUNT(DISTINCT v) * MIN(sf), 4) AS est_ndv,
              ROUND(MIN(rf), 4) AS repeat_est,
+             ROUND(MIN(ndv_est), 4) AS ndv_table_est,
              MIN(v) AS lo, MAX(v) AS hi,
              ROUND(MIN(sf), 6) AS sample_factor
       FROM m GROUP BY bucket
@@ -130,20 +147,29 @@ object Wave14 {
         .select(SampleStats.price.as("v"))
       val bounds = SampleStats.priceBounds(
         SampleStats.sampledOrders(t))
-      val full = t.orders.agg(count(lit(1)).as("n_full"),
-        countDistinct(SampleStats.price).as("ndv_full"))
+      val full = t.orders.agg(count(lit(1)).as("n_full"))
+      val nd = sample.groupBy("v").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).cast("long").as("d_samp"),
+          sum(when(col("c") === 1, 1).otherwise(0)).cast("long")
+            .as("f1"),
+          sum(col("c")).cast("double").as("nsd"))
       sample.crossJoin(broadcast(bounds)).crossJoin(broadcast(full))
+        .crossJoin(broadcast(nd))
+        .withColumn("ndv_est", col("nsd") * col("d_samp") /
+          (col("nsd") - col("f1") +
+            col("f1") * col("nsd") / col("n_full")))
         .withColumn("sf", col("n_full").cast("double") / col("n_samp"))
         .withColumn("rf",
-          least(col("n_full").cast("double") / col("ndv_full"), col("sf")))
+          least(col("n_full").cast("double") / col("ndv_est"), col("sf")))
         .select(col("v"), SampleStats.bucketOf.as("bucket"),
-          col("sf"), col("rf"))
+          col("sf"), col("rf"), col("ndv_est"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_sample"),
           round(count(lit(1)) * min(col("sf")), 4).as("est_rows"),
           countDistinct(col("v")).as("ndv_sample"),
           round(countDistinct(col("v")) * min(col("sf")), 4).as("est_ndv"),
           round(min(col("rf")), 4).as("repeat_est"),
+          round(min(col("ndv_est")), 4).as("ndv_table_est"),
           min(col("v")).as("lo"), max(col("v")).as("hi"),
           round(min(col("sf")), 6).as("sample_factor"))
     },

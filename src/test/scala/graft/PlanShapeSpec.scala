@@ -199,6 +199,28 @@ class PlanShapeSpec extends SparkSpecBase {
       s"view-only/unused columns read at the scan:\n${reads.mkString("\n")}")
   }
 
+  test("q_analyze_sample: the only un-sampled orders read is column-less") {
+    // Sample-ANALYZE exists to avoid full-scan stats (row_sampler.go);
+    // after the Duj1 swap the one remaining full-table input is
+    // COUNT(*), whose scan must read ZERO columns — a full-scan
+    // distinct would surface o_totalprice in an orders ReadSchema
+    // with no sample coin above it.
+    val p = plan("q_analyze_sample")
+    val reads = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("orders")).toSeq
+    assert(reads.nonEmpty, s"no orders scans found in:\n$p")
+    val columnless = reads.count(_.contains("ReadSchema: struct<>"))
+    assert(columnless == 1,
+      s"expected exactly one column-less orders scan:\n${reads.mkString("\n")}")
+    // Every other orders scan is the 20% hash-coin sample: key +
+    // analyzed value only.
+    reads.filterNot(_.contains("ReadSchema: struct<>")).foreach { r =>
+      assert(r.contains("o_orderkey") && r.contains("o_totalprice") &&
+        !r.contains("o_orderdate"),
+        s"sampled scan reads unexpected columns: $r")
+    }
+  }
+
   test("q_scan_partition_hash prunes to the key-derived buckets") {
     // The IN predicate on the partition KEY must become a
     // PartitionFilters entry on the derived bucket column — 3 of 16

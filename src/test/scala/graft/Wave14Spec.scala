@@ -90,13 +90,27 @@ class Wave14Spec extends SparkSpecBase {
     val nFull = t.orders.count()
     val nSample = rows.map(_.getAs[Long]("n_sample")).sum
     val sf = nFull.toDouble / nSample
+    // Duj1 table-NDV estimate (Haas & Stokes 1998) recomputed from
+    // the sample's value-frequency profile — the entry must state
+    // n·d / (n − f1 + f1·n/N) exactly, with NO full-scan distinct.
+    val freqs = SampleStats.sampledOrders(t)
+      .select(SampleStats.price.as("v")).collect()
+      .map(_.getDouble(0)).groupBy(identity).map(_._2.length).toSeq
+    val d = freqs.size
+    val f1 = freqs.count(_ == 1)
+    val n = freqs.sum
+    val duj1 = n.toDouble * d / (n - f1 + f1.toDouble * n / nFull)
     rows.foreach { r =>
       // est_rows = n_sample · sampleFactor (builder.go:145; rounded
       // to 4dp by the entry, so compare within rounding tolerance).
       assert(math.abs(r.getAs[Double]("est_rows") -
         r.getAs[Long]("n_sample") * sf) < 1e-3)
-      // repeat cap: ndvFactor ≤ sampleFactor (builder.go:147).
+      // repeat cap: ndvFactor ≤ sampleFactor (builder.go:147), with
+      // the ndv input now the sample-derived Duj1 estimate.
       assert(r.getAs[Double]("repeat_est") <= sf + 1e-9)
+      assert(math.abs(r.getAs[Double]("ndv_table_est") - duj1) < 1e-3)
+      assert(math.abs(r.getAs[Double]("repeat_est") -
+        math.min(nFull / duj1, sf)) < 1e-3)
       assert(math.abs(r.getAs[Double]("sample_factor") - sf) < 1e-5)
     }
     // Equi-depth on the sample: bucket sample counts within 2× of
