@@ -252,6 +252,42 @@ object Wave14 {
       StatementsSummary.summary(t.spark).orderBy("entry", "op")
     },
 
+    // STATEMENTS_SUMMARY_HISTORY + slow log (reference:
+    // infoschema/tables.go:155 tableStatementsSummaryHistory — the
+    // rotated-window twin of the live summary — and
+    // executor/slow_query.go, which renders persisted slow-statement
+    // history as a threshold-filterable table). Two rotations of a
+    // pinned workload: window 1 records q_scan_filter twice +
+    // q_sort_topn once and rotates to disk (clearing the live
+    // window — survival across clear() IS the history contract),
+    // window 2 records q_scan_filter once more and rotates; the
+    // entry renders the folded history, where q_scan_filter's
+    // exec_count accumulates to 3 ACROSS windows and n_batches
+    // distinguishes the digests seen in both. Batches are
+    // content-keyed on the deterministic columns, so re-running the
+    // entry overwrites its own two batches — idempotent history, no
+    // unbounded growth. Wall columns are real clock → rows-only;
+    // Wave14Spec proves re-read-equals-rotated and the slow-view
+    // threshold fences.
+    Q("q_slow_history", None) { t =>
+      val F = graft.sources.Formats
+      val dir = F.cacheDir(
+        s"/tmp/graft_stmthist_${F.sanitize(t.dir)}",
+        F.contentFingerprint(t.dir))
+      StatementsSummary.clear()
+      StatementsSummary.record("q_scan_filter", t)
+      StatementsSummary.record("q_scan_filter", t)
+      StatementsSummary.record("q_sort_topn", t)
+      StatementsSummary.persistRotate(t.spark, dir)
+      StatementsSummary.record("q_scan_filter", t)
+      StatementsSummary.persistRotate(t.spark, dir)
+      // Register the slow view (threshold 0 keeps the render
+      // deterministic in ROW SET; real ops pass a real threshold)
+      // and return the folded history.
+      StatementsSummary.slowView(t.spark, dir, 0.0)
+      StatementsSummary.history(t.spark, dir).orderBy("entry", "op")
+    },
+
     // SHOW PLACEMENT metadata card (reference:
     // executor/show_placement.go — Target / Placement /
     // Scheduling_State rows rendering where each table's data is

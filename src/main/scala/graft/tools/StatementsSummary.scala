@@ -15,8 +15,11 @@ import org.apache.spark.sql.DataFrame
   * adaptive plan's numOutputRows metrics). record() executes the
   * entry once and folds its trace into the in-memory summary —
   * the reference's stmtsummary is likewise an in-memory ring the
-  * infoschema reader renders on demand; history-table persistence is
-  * one .write.parquet on [[summary]]'s output. The summary itself is
+  * infoschema reader renders on demand; [[persistRotate]] rotates
+  * the live window into on-disk history the way the reference's
+  * history table keeps expired windows queryable, [[history]] folds
+  * the batches back, and [[slowView]] is the slow_query.go
+  * threshold filter over it. The summary itself is
   * O(entries × operator classes) — driver-sized by construction, so
   * building the DataFrame from local rows is not a collect of data.
   */
@@ -39,15 +42,10 @@ object StatementsSummary {
     wallMs
   }
 
-  /** One row per (entry, operator class): exec_count, per-exec node
-    * count, CUMULATIVE output rows across execs (the sum_latency
-    * shape), and the entry's summed/max wall ms repeated on each of
-    * its rows (the per-digest latency columns). Also registers the
-    * result as temp view `statements_summary` — the
-    * information_schema read path. */
-  def summary(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+  private def localRows: Seq[(String, String, Long, Long, Long,
+      Double, Double)] = {
     val local = recs.synchronized { recs.toList }
-    val rows = local.groupBy(_.entry).toSeq.flatMap { case (entry, rs) =>
+    local.groupBy(_.entry).toSeq.flatMap { case (entry, rs) =>
       val execCount = rs.size.toLong
       val sumWall = rs.map(_.wallMs).sum
       val maxWall = rs.map(_.wallMs).max
@@ -64,10 +62,82 @@ object StatementsSummary {
           math.round(maxWall * 100) / 100.0)
       }
     }.sortBy(r => (r._1, r._2))
+  }
+
+  /** One row per (entry, operator class): exec_count, per-exec node
+    * count, CUMULATIVE output rows across execs (the sum_latency
+    * shape), and the entry's summed/max wall ms repeated on each of
+    * its rows (the per-digest latency columns). Also registers the
+    * result as temp view `statements_summary` — the
+    * information_schema read path. */
+  def summary(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    val df = rows.toDF("entry", "op", "exec_count", "n_nodes",
+    val df = localRows.toDF("entry", "op", "exec_count", "n_nodes",
       "rows_total", "sum_wall_ms", "max_wall_ms")
     df.createOrReplaceTempView("statements_summary")
+    df
+  }
+
+  /** Rotate the current in-memory window into the on-disk history
+    * under `dir` and CLEAR the window — the stmtsummary history
+    * contract (infoschema/tables.go:155 tableStatementsSummaryHistory
+    * keeps rotated windows queryable after the live window resets;
+    * executor/slow_query.go is the same persist-then-scan idea).
+    * Each batch lands at `dir/batch_id=<key>` where the key is an
+    * MD5 over the window's DETERMINISTIC columns (entry, op,
+    * exec_count, n_nodes, rows_total) — wall times vary per run, so
+    * content-keying on the stable columns makes re-recording the same
+    * pinned workload overwrite its own batch instead of duplicating
+    * history (the q_slow_history entry stays idempotent). Returns the
+    * batch key. The window snapshot is driver-sized (entries ×
+    * operator classes), so the write is one tiny parquet file. */
+  def persistRotate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val rows = localRows
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.map(r => s"${r._1}|${r._2}|${r._3}|${r._4}|${r._5}")
+        .mkString("\n").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    import spark.implicits._
+    rows.toDF("entry", "op", "exec_count", "n_nodes",
+        "rows_total", "sum_wall_ms", "max_wall_ms")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/batch_id=$key")
+    clear()
+    key
+  }
+
+  /** The folded history table: every rotated batch under `dir` read
+    * back and aggregated per (entry, op) — exec_count and row/time
+    * totals SUM across batches, max latency is the max over
+    * batches, n_batches counts the windows that saw the digest.
+    * Registered as temp view `statements_summary_history`. */
+  def history(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(dir)
+      .groupBy("entry", "op")
+      .agg(sum("exec_count").cast("long").as("exec_count"),
+        max("n_nodes").cast("long").as("n_nodes"),
+        sum("rows_total").cast("long").as("rows_total"),
+        round(sum("sum_wall_ms"), 2).as("sum_wall_ms"),
+        round(max("max_wall_ms"), 2).as("max_wall_ms"),
+        countDistinct("batch_id").cast("long").as("n_batches"))
+    df.createOrReplaceTempView("statements_summary_history")
+    df
+  }
+
+  /** SLOW_QUERY analog (executor/slow_query.go renders the slow log
+    * as a threshold-filtered queryable table — tidb_slow_log_threshold
+    * semantics): history digests whose worst recorded execution met
+    * or exceeded `thresholdMs`. Registered as temp view
+    * `slow_queries`. */
+  def slowView(spark: org.apache.spark.sql.SparkSession, dir: String,
+      thresholdMs: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = history(spark, dir)
+      .filter(col("max_wall_ms") >= thresholdMs)
+    df.createOrReplaceTempView("slow_queries")
     df
   }
 }

@@ -81,6 +81,51 @@ class Wave14Spec extends SparkSpecBase {
     assert(viaView == rows.length)
   }
 
+  test("statements history: rotation survives clear() and folds windows") {
+    val dir = java.nio.file.Files.createTempDirectory("stmthist")
+      .toString
+    StatementsSummary.clear()
+    StatementsSummary.record("q_scan_filter", t)
+    StatementsSummary.record("q_scan_filter", t)
+    StatementsSummary.record("q_sort_topn", t)
+    def detCols(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[String]("entry"), r.getAs[String]("op"),
+        r.getAs[Long]("exec_count"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("rows_total"))).toSet
+    val inMem = detCols(StatementsSummary.summary(spark).collect())
+    StatementsSummary.persistRotate(spark, dir)
+    // Rotation clears the live window (stmtsummary window reset)...
+    assert(StatementsSummary.summary(spark).collect().isEmpty)
+    // ...but the re-read history equals the summary it rotated out.
+    assert(detCols(StatementsSummary.history(spark, dir).collect())
+      == inMem, "re-read history diverged from the rotated summary")
+    // A second window accumulates per-digest exec counts across
+    // batches instead of overwriting them.
+    StatementsSummary.record("q_scan_filter", t)
+    StatementsSummary.persistRotate(spark, dir)
+    val hist = StatementsSummary.history(spark, dir).collect()
+    val scanRows = hist.filter(_.getAs[String]("entry") == "q_scan_filter")
+    assert(scanRows.nonEmpty &&
+      scanRows.forall(_.getAs[Long]("exec_count") == 3L))
+    assert(scanRows.forall(_.getAs[Long]("n_batches") == 2L))
+    val topnRows = hist.filter(_.getAs[String]("entry") == "q_sort_topn")
+    assert(topnRows.nonEmpty &&
+      topnRows.forall(_.getAs[Long]("exec_count") == 1L) &&
+      topnRows.forall(_.getAs[Long]("n_batches") == 1L))
+    // Slow-view threshold fences (slow_query.go): 0 ms admits every
+    // digest, an impossible threshold admits none.
+    assert(StatementsSummary.slowView(spark, dir, 0.0).count() ==
+      hist.length)
+    assert(StatementsSummary.slowView(spark, dir, 1e12).count() == 0)
+    // Content-keyed batches: re-rotating an identical window
+    // overwrites its own batch — history row set unchanged.
+    StatementsSummary.record("q_scan_filter", t)
+    StatementsSummary.persistRotate(spark, dir)
+    assert(detCols(StatementsSummary.history(spark, dir).collect())
+      == detCols(hist))
+    StatementsSummary.clear()
+  }
+
   // --- sample-built ANALYZE (row_sampler.go + builder.go) ---
 
   test("q_analyze_sample: correction arithmetic ties out") {
