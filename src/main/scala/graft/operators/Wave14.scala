@@ -288,6 +288,71 @@ object Wave14 {
       StatementsSummary.history(t.spark, dir).orderBy("entry", "op")
     },
 
+    // Session/runtime memtable card (reference: infoschema/tables.go
+    // memtable list — CLUSTER_INFO / PROCESSLIST and friends are
+    // virtual tables RENDERED from live runtime state, not stored —
+    // and executor/memtable_reader.go, the executor that serves
+    // them). The deterministic slice of that surface: engine version
+    // class, scheduler mode, catalog implementation, loaded SQL
+    // extensions, ANSI mode, the UTC-session invariant Tables
+    // enforces, and one row per registered table with its LOADED
+    // column count (events counted AFTER the ts normalization —
+    // the reader-boundary schema a session actually serves). Every
+    // value is DERIVED from the live session at run time and hash-
+    // checked against the oracle's pinned literals, so a runtime
+    // drift (version bump, extension unloaded, schema change) fails
+    // correctness instead of passing silently.
+    Q("q_memtable_info", Some("""
+      SELECT * FROM (VALUES
+        ('runtime', 'ansi_mode', 'true'),
+        ('runtime', 'catalog', 'in-memory'),
+        ('runtime', 'scheduler_mode', 'FIFO'),
+        ('runtime', 'sql_extensions', 'graft.plans.GraftExtensions'),
+        ('runtime', 'utc_session', 'true'),
+        ('table', 'customer', '5'),
+        ('table', 'documents', '5'),
+        ('table', 'embeddings', '3'),
+        ('table', 'events', '6'),
+        ('table', 'lineitem', '11'),
+        ('table', 'nation', '3'),
+        ('table', 'orders', '6'),
+        ('table', 'part', '6'),
+        ('table', 'region', '2'),
+        ('table', 'supplier', '4'),
+        ('version', 'spark', '4.1')
+      ) AS v(fact_type, name, value)
+    """)) { t =>
+      import t.spark.implicits._
+      val sc = t.spark.sparkContext
+      val tz = t.spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID)
+      val rules = java.time.ZoneId.of(tz,
+        java.time.ZoneId.SHORT_IDS).getRules
+      val utc = rules.isFixedOffset && rules
+        .getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+      val runtime = Seq(
+        ("runtime", "ansi_mode",
+          t.spark.conf.get("spark.sql.ansi.enabled")),
+        ("runtime", "catalog",
+          sc.getConf.get("spark.sql.catalogImplementation", "in-memory")),
+        ("runtime", "scheduler_mode",
+          sc.getConf.get("spark.scheduler.mode", "FIFO")),
+        ("runtime", "sql_extensions",
+          sc.getConf.get("spark.sql.extensions", "")),
+        ("runtime", "utc_session", utc.toString),
+        ("version", "spark",
+          t.spark.version.split("\\.").take(2).mkString(".")))
+      val tables = Seq(
+        "customer" -> t.customer, "documents" -> t.documents,
+        "embeddings" -> t.embeddings, "events" -> t.events,
+        "lineitem" -> t.lineitem, "nation" -> t.nation,
+        "orders" -> t.orders, "part" -> t.part,
+        "region" -> t.region, "supplier" -> t.supplier)
+        .map { case (n, df) => ("table", n, df.schema.size.toString) }
+      (runtime ++ tables).toDF("fact_type", "name", "value")
+        .orderBy("fact_type", "name")
+    },
+
     // SHOW PLACEMENT metadata card (reference:
     // executor/show_placement.go — Target / Placement /
     // Scheduling_State rows rendering where each table's data is

@@ -189,6 +189,24 @@ class Wave14Spec extends SparkSpecBase {
     assert(rate > 0.15 && rate < 0.25, s"sample rate $rate off 0.2")
   }
 
+  test("q_memtable_info renders live session facts, not constants") {
+    val rows = q("q_memtable_info").collect()
+    assert(rows.length == 16)
+    val byKey = rows.map(r => ((r.getString(0), r.getString(1)),
+      r.getString(2))).toMap
+    // Derived from THIS session, recomputed independently here.
+    assert(byKey(("version", "spark")) ==
+      spark.version.split("\\.").take(2).mkString("."))
+    assert(byKey(("runtime", "utc_session")) == "true")
+    assert(byKey(("runtime", "sql_extensions")) ==
+      "graft.plans.GraftExtensions")
+    // Loaded column counts equal the reader-boundary schemas (events
+    // counted after ts normalization).
+    assert(byKey(("table", "lineitem")) == t.lineitem.schema.size.toString)
+    assert(byKey(("table", "events")) == t.events.schema.size.toString)
+    assert(byKey(("table", "region")) == t.region.schema.size.toString)
+  }
+
   // --- placement card ---
 
   test("q_show_placement derives policies from the builder constants") {
