@@ -42,6 +42,54 @@ class OptimizerControlSpec extends SparkSpecBase {
     assert(refolded.isEmpty)
   }
 
+  test("scan-pushdown control: flag strips PushedFilters, results identical") {
+    // The expression-pushdown blacklist analog (reference:
+    // executor/reload_expr_pushdown_blacklist.go — disable shipping a
+    // specific expression class to the storage layer at runtime, with
+    // results unchanged because the engine still evaluates it). The
+    // Spark lever is `spark.sql.parquet.filterPushdown`. The V1
+    // FileScan string renders translated filters unconditionally
+    // (the conf gates the READER, invisibly), so the spec drives the
+    // q_scan_filter predicate shape through the DSv2 parquet scan,
+    // whose plan reflects the conf: flipping it off must empty
+    // PushedFilters while the collected rows stay identical, and
+    // unsetting must restore the pushdown.
+    val pdKey = "spark.sql.parquet.filterPushdown"
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    def withConf[A](key: String, v: String)(f: => A): A = {
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, v)
+      try f finally old match {
+        case Some(x) => spark.conf.set(key, x)
+        case None => spark.conf.unset(key)
+      }
+    }
+    withConf(v1Key, "") {
+      val q = () => spark.read.parquet(s"${t.dir}/lineitem.parquet")
+        .filter(col("l_discount") > 0.05 && col("l_quantity") < 24)
+        .select("l_orderkey", "l_quantity", "l_discount")
+      def pushedLine(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString.linesIterator
+          .find(_.contains("PushedFilters")).getOrElse("")
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      val onLine = pushedLine(q())
+      assert(onLine.contains("l_discount"),
+        s"expected a pushed discount predicate, got: $onLine")
+      val baseline = rows(q())
+      assert(baseline.nonEmpty)
+      withConf(pdKey, "false") {
+        val offLine = pushedLine(q())
+        assert(offLine.contains("PushedFilters: []"),
+          s"pushdown still active under $pdKey=false: $offLine")
+        assert(rows(q()) == baseline,
+          "results drifted when scan pushdown was disabled")
+      }
+      // Restored on unset: the predicate ships to the scan again.
+      assert(pushedLine(q()).contains("l_discount"))
+    }
+  }
+
   test("excluding EliminateOuterJoin keeps the null-filtered outer join") {
     // A null-intolerant predicate on the right side lets the
     // optimizer degrade LEFT OUTER to INNER — the exact class of
