@@ -112,8 +112,91 @@ object Bindings {
 
   def isBound(sql: String): Boolean = store.contains(normalize(sql))
 
+  /** The hinted text a digest is bound to, if any. */
+  def bound(sql: String): Option[String] = store.get(normalize(sql))
+
   /** Execute `sql`, substituting the bound hinted text when one
     * matches — the SQLBindExec dispatch. */
   def run(spark: SparkSession, sql: String): DataFrame =
     spark.sql(store.getOrElse(normalize(sql), sql))
+
+  // ---- baseline capture (bindinfo/handle.go CaptureBaselines) ----
+
+  /** Capture frequency floor — the reference's default: a digest
+    * executed twice is workload, not a one-off. */
+  val CaptureThreshold = 2
+
+  private val execCounts =
+    new scala.collection.concurrent.TrieMap[String, Int]()
+
+  def clearCapture(): Unit = execCounts.clear()
+
+  /** Execute `sql` through the binding dispatch and, when its digest
+    * has no binding yet and has now run [[CaptureThreshold]] times,
+    * AUTO-CREATE a baseline from the execution — the
+    * bindinfo/handle.go capture path: the FINAL adaptive plan's join
+    * strategies are rendered back onto the statement as hints
+    * (BROADCAST / MERGE / SHUFFLE_HASH on each join's right-side
+    * relation name from the analyzed plan), freezing today's plan
+    * choice against tomorrow's optimizer/stats drift. The captured
+    * text goes through [[create]], so the same-statement safety gate
+    * applies — capture can only add hints, never change semantics.
+    * Returns the collected rows: capture rides a REAL execution, so
+    * the plan inspected is the plan that ran. Statements with no
+    * hintable join (or whose join list can't be mapped 1:1 onto
+    * named relations) are left uncaptured rather than mis-steered. */
+  def capturedRun(spark: SparkSession,
+      sql: String): Array[org.apache.spark.sql.Row] = {
+    val df = run(spark, sql)
+    val rows = df.collect()
+    val digest = normalize(sql)
+    if (!store.contains(digest)) {
+      val n = execCounts.updateWith(digest)(
+        c => Some(c.getOrElse(0) + 1)).get
+      if (n >= CaptureThreshold)
+        captureHints(df).foreach(h => create(sql, injectHints(sql, h)))
+    }
+    rows
+  }
+
+  /** The executed plan's join strategies zipped onto the analyzed
+    * plan's right-side relation aliases, rendered as a hint list.
+    * None when the statement has no joins or the physical/logical
+    * join lists don't line up 1:1 with named right sides — a capture
+    * that guesses would be able to steer the wrong join. */
+  private def captureHints(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, SubqueryAlias}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins._
+    // Descend through AQE wrappers and materialized stages — the
+    // Trace walk — so the strategies seen are the ones that ran.
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec        => Seq(s.plan)
+      case o                        => o.children
+    }).flatMap(walk)
+    val phys = walk(df.queryExecution.executedPlan).collect {
+      case _: BroadcastHashJoinExec => "BROADCAST"
+      case _: SortMergeJoinExec     => "MERGE"
+      case _: ShuffledHashJoinExec  => "SHUFFLE_HASH"
+    }
+    val names = df.queryExecution.analyzed.collect {
+      case j: Join =>
+        j.right.collectFirst { case s: SubqueryAlias => s.alias }
+    }
+    if (phys.isEmpty || phys.size != names.size ||
+        names.exists(_.isEmpty)) None
+    else Some(phys.zip(names.map(_.get))
+      .map { case (k, n) => s"$k($n)" }.mkString(", "))
+  }
+
+  /** Insert the captured hint block after the statement's first
+    * SELECT keyword — the only statement class capture targets. */
+  private def injectHints(sql: String, hints: String): String = {
+    val i = sql.toLowerCase(java.util.Locale.ROOT).indexOf("select")
+    require(i >= 0, "capture requires a SELECT statement")
+    val j = i + "select".length
+    s"${sql.substring(0, j)} /*+ $hints */${sql.substring(j)}"
+  }
 }

@@ -190,6 +190,56 @@ class Wave12Spec extends SparkSpecBase {
       plans.Bindings.normalize("SELECT `col` FROM t"))
   }
 
+  test("baseline capture: second execution auto-creates the binding") {
+    // bindinfo/handle.go's capture path: an unbound digest executed
+    // at the frequency floor gets a baseline built from the plan
+    // that actually ran, and the NEXT run dispatches through it.
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.orders.createOrReplaceTempView("orders")
+    val stmt = """
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority"""
+    plans.Bindings.drop(stmt)
+    plans.Bindings.clearCapture()
+    try {
+      val first = plans.Bindings.capturedRun(spark, stmt)
+      assert(!plans.Bindings.isBound(stmt),
+        "captured below the frequency floor")
+      val second = plans.Bindings.capturedRun(spark, stmt)
+      assert(plans.Bindings.isBound(stmt),
+        "second execution did not capture a baseline")
+      val hinted = plans.Bindings.bound(stmt).get
+      // The baseline freezes the strategy the execution used, named
+      // on the join's right side.
+      assert(hinted.contains("/*+") && hinted.contains("(orders)"),
+        s"captured text lacks a join hint: $hinted")
+      assert(hinted.contains("BROADCAST"),
+        s"expected the observed broadcast frozen, got: $hinted")
+      // The next run matches the captured binding: same rows, and
+      // the frozen strategy appears in the executed plan.
+      val next = plans.Bindings.run(spark, stmt)
+      assert(next.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(next.collect().map(_.toSeq).toSet ==
+        second.map(_.toSeq).toSet &&
+        first.map(_.toSeq).toSet == second.map(_.toSeq).toSet)
+      // An already-bound digest is not re-captured (text unchanged).
+      plans.Bindings.capturedRun(spark, stmt)
+      assert(plans.Bindings.bound(stmt).contains(hinted))
+    } finally {
+      plans.Bindings.drop(stmt)
+      plans.Bindings.clearCapture()
+    }
+    // A joinless statement is never captured — no plan to freeze.
+    val flat = "SELECT COUNT(*) AS n FROM orders WHERE o_custkey > 0"
+    plans.Bindings.capturedRun(spark, flat)
+    plans.Bindings.capturedRun(spark, flat)
+    plans.Bindings.capturedRun(spark, flat)
+    assert(!plans.Bindings.isBound(flat))
+    plans.Bindings.clearCapture()
+  }
+
   test("q_show_create renders the pinned catalog as DDL") {
     val ddl = q("q_show_create").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
