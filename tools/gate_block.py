@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Generate the SURVEY/README gate numbers from fresh run artifacts
+instead of hand-typing them (they have drifted twice: r10 said 617
+ScalaTest while HEAD ran 621).
+
+Usage:
+  sbt -batch test | tee /tmp/sbt_test.log
+  sbt -batch "runMain graft.Verify <sfDir> <outDir>"
+  python3 tools/check_oracle.py <sfDir> <outDir>   # must be all-PASS
+  SPARK_GRAFT_SF_DIR=... sbt -batch "runMain graft.Bench"
+  python3 tools/gate_block.py /tmp/sbt_test.log <outDir> /tmp/graft_bench.json
+
+Prints the gate block; paste it into SURVEY.md (gate state) and sync
+README.md's counts to the same numbers.
+"""
+import json
+import re
+import sys
+
+
+def main() -> None:
+    test_log, verify_dir, bench_json = sys.argv[1], sys.argv[2], sys.argv[3]
+
+    with open(test_log) as f:
+        log = f.read()
+    m = re.search(r"Total number of tests run: (\d+)", log)
+    tests = int(m.group(1)) if m else 0
+    ok = "Tests: succeeded %d, failed 0" % tests in log or \
+        re.search(r"Tests: succeeded \d+, failed 0", log)
+    if not (m and ok):
+        sys.exit("test log missing a clean 'Total number of tests run'")
+
+    with open(f"{verify_dir}/_expected.json") as f:
+        expected = json.load(f)
+    with open(f"{verify_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    with open(f"{verify_dir}/_failed.json") as f:
+        failed = json.load(f)
+    if failed:
+        sys.exit(f"verify run has failures: {sorted(failed)}")
+    registry = len(expected)
+    oracled = len([k for k in expected if oracles.get(k)])
+    rows_only = registry - oracled
+
+    with open(bench_json) as f:
+        bench = json.loads(f.read().strip())
+    n_bench = len(bench["queries"])
+    total = bench["value"]
+    if bench.get("failed"):
+        sys.exit(f"bench has failures: {bench['failed']}")
+
+    print(
+        f"Gate state: {registry} registry entries ({oracled} oracled — "
+        f"hash-green, + {rows_only} declared rows-only),\n"
+        f"{tests} ScalaTest green. Closing bench ({bench['sf']}): "
+        f"{total:.1f} s / {n_bench} = {total / n_bench:.2f} s/query, "
+        f"failed:[]."
+    )
+
+
+if __name__ == "__main__":
+    main()
