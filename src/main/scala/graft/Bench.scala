@@ -173,20 +173,21 @@ object Bench {
     // total_s duplicates the headline as the LAST key: the driver's
     // capture has repeatedly kept only the tail of this line, losing
     // the leading "value" — a trailing copy survives tail-truncation.
-    // r10 verdict asked the unchanged-code swings (g_copurchase
-    // 3.80→5.44, g_ppr 2.84→3.71, g_cc 2.06→2.87 isolated) to either
-    // recover or be named: r11's gapped re-measures on code untouched
-    // since r9 returned g_ppr to r9±15% (2.98 vs 2.84) and left
-    // g_copurchase/g_cc ~15-25% above r9 (4.36 vs 3.80, 2.52 vs
-    // 2.06), moving together with the rest of the unchanged graph
-    // family — host throughput variance between rounds, not plan
-    // cost. Cross-round tail comparisons should use `tail.isolated`
-    // relative to the SAME round's suite, not absolute seconds.
-    val regressions = "\"g_copurchase/g_ppr/g_cc code unchanged " +
-      "since r9; r11 gapped re-measures: g_ppr back to r9 +-15%, " +
-      "g_copurchase/g_cc ~15-25% above r9 moving with the whole " +
-      "unchanged graph family — host variance, not plan cost; " +
-      "compare tail.isolated within-round\""
+    // Per-round measurement commentary (e.g. "these swings are host
+    // variance, not plan cost") lives in bench_note.txt at the repo
+    // root, NOT in source: a compiled-in narrative would ride along
+    // into every future round's JSON, staling into exactly the
+    // hand-typed-claim drift the gate-number generator exists to
+    // prevent. The builder updates or deletes the file each round.
+    val regressions = {
+      val f = new java.io.File("bench_note.txt")
+      val note = if (f.isFile)
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .trim.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ")
+      else ""
+      "\"" + note + "\""
+    }
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"tail":$tail,"regressions":$regressions,"total_s":$total%.3f}"""
     // Belt and braces for the driver's parse: stdout line AND a file

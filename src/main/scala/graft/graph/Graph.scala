@@ -889,7 +889,11 @@ object Graph {
     e.select(col("src").as("n"))
       .union(e.select(col("dst").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-      .filter(col("d") > degreeCap).select("n")
+      .filter(col("d") > degreeCap)
+      // Normalize the id type: callers collect these via getLong, and
+      // the schema contract is BIGINT but nothing stops an
+      // IntegerType edge list reaching the public edgeSupports.
+      .select(col("n").cast("long").as("n"))
 
   /** Sorted-array spelling of per-edge support: join each endpoint's
     * neighbor array onto the edge and merge-walk the two arrays with

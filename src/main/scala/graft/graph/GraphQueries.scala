@@ -561,15 +561,25 @@ object GraphQueries {
       FROM d LEFT JOIN tri ON tri.n = d.n
       WHERE d.deg >= 2
     """)) { t =>
+      import t.spark.implicits._
       val e = Graph.derived(t.orders).edges
       val u = e.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("src"),
           greatest(col("src"), col("dst")).as("dst"))
         .distinct()
+      // ONE degree aggregate serves both the hub classification and
+      // the output's deg column: checkpointed, so the tiny
+      // classification collect and the final join read the same
+      // materialized blocks instead of re-running the agg.
       val degs = u.select(col("src").as("n"))
         .union(u.select(col("dst").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
-      val sup = Graph.edgeSupports(u)
+        .localCheckpoint()
+      val hubIds = degs.filter(col("deg") > 10000)
+        .select(col("n").cast("long")).collect()
+        .map(_.getLong(0)).toSeq
+      val sup = Graph.edgeSupportsWith(u, hubIds.toDF("n"),
+        hubIds.nonEmpty)
       val tri = sup.select(col("src").as("node"), col("sup").as("c"))
         .union(sup.select(col("dst").as("node"), col("sup").as("c")))
         .groupBy("node")

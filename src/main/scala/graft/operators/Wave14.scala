@@ -274,6 +274,14 @@ object Wave14 {
       val dir = F.cacheDir(
         s"/tmp/graft_stmthist_${F.sanitize(t.dir)}",
         F.contentFingerprint(t.dir))
+      // Reset the entry's OWN history dir first: batch keys hash the
+      // deterministic columns, so a CODE change that shifts a plan's
+      // node counts would mint new keys while the old batches stay
+      // under the same data-fingerprinted dir — history() would fold
+      // stale windows in and exec_count would creep. Each run renders
+      // exactly its own two rotations. (The spec proves cross-
+      // rotation persistence semantics on an independent dir.)
+      F.deleteRecursively(new java.io.File(dir))
       StatementsSummary.clear()
       StatementsSummary.record("q_scan_filter", t)
       StatementsSummary.record("q_scan_filter", t)

@@ -126,6 +126,15 @@ object Bindings {
     * executed twice is workload, not a one-off. */
   val CaptureThreshold = 2
 
+  /** Bound on tracked digests. normalize() keeps literals, so a
+    * parameterized workload mints a distinct digest per literal; an
+    * unbounded counter map would grow with the life of the JVM. The
+    * reference's capture likewise rides a BOUNDED statement-summary
+    * ring. Overflow resets the counters — capture is best-effort
+    * frequency sampling, and a hot statement re-crosses the floor
+    * within two executions of a reset. */
+  val MaxTrackedDigests = 65536
+
   private val execCounts =
     new scala.collection.concurrent.TrieMap[String, Int]()
 
@@ -142,15 +151,23 @@ object Bindings {
     * text goes through [[create]], so the same-statement safety gate
     * applies — capture can only add hints, never change semantics.
     * Returns the collected rows: capture rides a REAL execution, so
-    * the plan inspected is the plan that ran. Statements with no
-    * hintable join (or whose join list can't be mapped 1:1 onto
-    * named relations) are left uncaptured rather than mis-steered. */
+    * the plan inspected is the plan that ran. Capture is
+    * deliberately NARROW — only statements that BEGIN with SELECT
+    * (hint placement after the leading keyword is unambiguous; a
+    * WITH statement's first inner SELECT is the wrong scope) and
+    * whose plan has exactly ONE hintable join (matching a physical
+    * strategy list to logical join sides by traversal position is
+    * only sound when both lists have one element — a nested-join
+    * statement could otherwise capture MERGE(b) against the wrong
+    * join). Everything else is left uncaptured rather than
+    * mis-steered. */
   def capturedRun(spark: SparkSession,
       sql: String): Array[org.apache.spark.sql.Row] = {
     val df = run(spark, sql)
     val rows = df.collect()
     val digest = normalize(sql)
-    if (!store.contains(digest)) {
+    if (!store.contains(digest) && digest.startsWith("select")) {
+      if (execCounts.size >= MaxTrackedDigests) execCounts.clear()
       val n = execCounts.updateWith(digest)(
         c => Some(c.getOrElse(0) + 1)).get
       if (n >= CaptureThreshold)
@@ -159,11 +176,15 @@ object Bindings {
     rows
   }
 
-  /** The executed plan's join strategies zipped onto the analyzed
-    * plan's right-side relation aliases, rendered as a hint list.
-    * None when the statement has no joins or the physical/logical
-    * join lists don't line up 1:1 with named right sides — a capture
-    * that guesses would be able to steer the wrong join. */
+  /** The executed plan's join strategy paired with the analyzed
+    * plan's right-side relation alias, rendered as a hint. None
+    * unless the statement has EXACTLY ONE join on both the physical
+    * and logical side with a named right-side relation: position-
+    * based pairing is only sound for a single join (in a nested
+    * join, collectFirst on the outer join's right subtree can name a
+    * leaf of the INNER join, capturing the outer strategy against
+    * the wrong relation) — a capture that guesses would steer the
+    * wrong join. */
   private def captureHints(df: DataFrame): Option[String] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, SubqueryAlias}
     import org.apache.spark.sql.execution.SparkPlan
@@ -185,14 +206,17 @@ object Bindings {
       case j: Join =>
         j.right.collectFirst { case s: SubqueryAlias => s.alias }
     }
-    if (phys.isEmpty || phys.size != names.size ||
-        names.exists(_.isEmpty)) None
-    else Some(phys.zip(names.map(_.get))
-      .map { case (k, n) => s"$k($n)" }.mkString(", "))
+    (phys, names) match {
+      case (Seq(strategy), Seq(Some(name))) => Some(s"$strategy($name)")
+      case _ => None
+    }
   }
 
-  /** Insert the captured hint block after the statement's first
-    * SELECT keyword — the only statement class capture targets. */
+  /** Insert the captured hint block after the statement's LEADING
+    * SELECT keyword. capturedRun gates on the normalized digest
+    * starting with `select`, so the first occurrence in the raw text
+    * is that leading keyword (not an identifier substring or a CTE's
+    * inner SELECT). */
   private def injectHints(sql: String, hints: String): String = {
     val i = sql.toLowerCase(java.util.Locale.ROOT).indexOf("select")
     require(i >= 0, "capture requires a SELECT statement")

@@ -84,15 +84,18 @@ object Formats {
     val p = new java.io.File(prefix)
     val (base, stem) = (p.getParentFile, p.getName)
     if (base != null && base.isDirectory) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
       Option(base.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith(stem + "_") &&
           f.getName != s"${stem}_$fp")
-        .foreach(rm)
+        .foreach(deleteRecursively)
     }
     s"${prefix}_$fp"
+  }
+
+  /** Recursive local delete (cache-dir eviction). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
   }
 }

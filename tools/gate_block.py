@@ -23,12 +23,20 @@ def main() -> None:
 
     with open(test_log) as f:
         log = f.read()
-    m = re.search(r"Total number of tests run: (\d+)", log)
-    tests = int(m.group(1)) if m else 0
-    ok = "Tests: succeeded %d, failed 0" % tests in log or \
-        re.search(r"Tests: succeeded \d+, failed 0", log)
-    if not (m and ok):
-        sys.exit("test log missing a clean 'Total number of tests run'")
+    # Use the LAST run in the log (a tee -a'd log may hold several),
+    # and require ITS summary line to report succeeded == total with
+    # zero failures — no fallback that could certify a red log.
+    runs = list(re.finditer(r"Total number of tests run: (\d+)", log))
+    if not runs:
+        sys.exit("test log has no 'Total number of tests run' line")
+    tests = int(runs[-1].group(1))
+    summary = re.search(
+        r"Tests: succeeded (\d+), failed (\d+)", log[runs[-1].end():])
+    if not summary or int(summary.group(1)) != tests or \
+            int(summary.group(2)) != 0:
+        sys.exit(
+            f"last test run is not clean: total={tests}, summary="
+            f"{summary.group(0) if summary else 'missing'}")
 
     with open(f"{verify_dir}/_expected.json") as f:
         expected = json.load(f)
