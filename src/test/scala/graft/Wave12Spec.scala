@@ -237,6 +237,31 @@ class Wave12Spec extends SparkSpecBase {
     plans.Bindings.capturedRun(spark, flat)
     plans.Bindings.capturedRun(spark, flat)
     assert(!plans.Bindings.isBound(flat))
+    // A WITH statement is never captured: hint placement after the
+    // first inner SELECT would be the wrong scope (and 'selected_o'
+    // exercises the identifier-contains-select hazard).
+    val cte = """
+      WITH selected_o AS (SELECT o_orderkey FROM orders)
+      SELECT COUNT(*) AS n
+      FROM lineitem JOIN selected_o ON l_orderkey = o_orderkey"""
+    plans.Bindings.capturedRun(spark, cte)
+    plans.Bindings.capturedRun(spark, cte)
+    plans.Bindings.capturedRun(spark, cte)
+    assert(!plans.Bindings.isBound(cte),
+      "WITH statement must not be captured")
+    // A multi-join statement is never captured: position-based
+    // strategy/alias pairing is only sound for a single join.
+    t.customer.createOrReplaceTempView("customer")
+    val multi = """
+      SELECT COUNT(*) AS n
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey"""
+    plans.Bindings.capturedRun(spark, multi)
+    plans.Bindings.capturedRun(spark, multi)
+    plans.Bindings.capturedRun(spark, multi)
+    assert(!plans.Bindings.isBound(multi),
+      "multi-join statement must not be captured")
     plans.Bindings.clearCapture()
   }
 
