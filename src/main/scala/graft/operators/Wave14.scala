@@ -361,6 +361,68 @@ object Wave14 {
         .orderBy("fact_type", "name")
     },
 
+    // Cluster-inspection card (reference: executor/inspection_result.go
+    // + inspection_summary.go — rule-based diagnostics over the
+    // runtime memtables: config-consistency rules and data/threshold
+    // rules rendered as (rule, item, status, detail) rows the
+    // operator scans instead of ssh-ing around). The deterministic
+    // analog: four config rules DERIVED from the live session (ANSI
+    // on, shuffle partitions matching core count, UTC session, AQE
+    // on — a drifted session renders 'warn' and fails the hash
+    // against the oracle's expected-state card) and one data rule
+    // per registered table (non-empty check with the row count in
+    // the detail — the oracle COMPUTES the same counts from the same
+    // parquet, so the rule is genuinely evaluated on both engines,
+    // footer-cheap on the Spark side).
+    Q("q_inspection", Some(s"""
+      SELECT 'config' AS rule, 'ansi_mode_on' AS item,
+             'ok' AS status, 'true' AS detail
+      UNION ALL SELECT 'config', 'aqe_enabled', 'ok', 'true'
+      UNION ALL SELECT 'config', 'shuffle_partitions_match_cores',
+                       'ok', 'match'
+      UNION ALL SELECT 'config', 'utc_session', 'ok', 'true'
+      ${Seq("customer", "documents", "embeddings", "events",
+        "lineitem", "nation", "orders", "part", "region", "supplier")
+        .map(n => s"""
+      UNION ALL SELECT 'data', '${n}_nonempty',
+        CASE WHEN (SELECT COUNT(*) FROM $n) > 0
+             THEN 'ok' ELSE 'warn' END,
+        'rows=' || CAST((SELECT COUNT(*) FROM $n) AS VARCHAR)""")
+        .mkString}
+    """)) { t =>
+      import t.spark.implicits._
+      val sc = t.spark.sparkContext
+      val ansi = t.spark.conf.get("spark.sql.ansi.enabled")
+      val aqe = t.spark.conf.get("spark.sql.adaptive.enabled")
+      val parts = t.spark.conf.get("spark.sql.shuffle.partitions")
+      val partsMatch = parts == sc.defaultParallelism.toString
+      val tz = t.spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID)
+      val rules = java.time.ZoneId.of(tz,
+        java.time.ZoneId.SHORT_IDS).getRules
+      val utc = rules.isFixedOffset && rules
+        .getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+      def flag(b: Boolean) = if (b) "ok" else "warn"
+      val config = Seq(
+        ("config", "ansi_mode_on", flag(ansi == "true"), ansi),
+        ("config", "aqe_enabled", flag(aqe == "true"), aqe),
+        ("config", "shuffle_partitions_match_cores", flag(partsMatch),
+          if (partsMatch) "match" else "mismatch"),
+        ("config", "utc_session", flag(utc), utc.toString))
+      val data = Seq(
+        "customer" -> t.customer, "documents" -> t.documents,
+        "embeddings" -> t.embeddings, "events" -> t.events,
+        "lineitem" -> t.lineitem, "nation" -> t.nation,
+        "orders" -> t.orders, "part" -> t.part,
+        "region" -> t.region, "supplier" -> t.supplier)
+        .map { case (n, df) =>
+          val c = df.count() // parquet footer count, no data read
+          ("data", s"${n}_nonempty", flag(c > 0), s"rows=$c")
+        }
+      (config ++ data).toDF("rule", "item", "status", "detail")
+        .orderBy("rule", "item")
+    },
+
     // SHOW PLACEMENT metadata card (reference:
     // executor/show_placement.go — Target / Placement /
     // Scheduling_State rows rendering where each table's data is

@@ -207,6 +207,27 @@ class Wave14Spec extends SparkSpecBase {
     assert(byKey(("table", "region")) == t.region.schema.size.toString)
   }
 
+  test("q_inspection rules are evaluated against the live session") {
+    val rows = q("q_inspection").collect()
+    assert(rows.length == 14)
+    val byItem = rows.map(r => (r.getString(1),
+      (r.getString(2), r.getString(3)))).toMap
+    // Data rules recomputed independently: every table non-empty
+    // with the actual count in the detail.
+    Seq("region" -> t.region, "lineitem" -> t.lineitem,
+      "documents" -> t.documents).foreach { case (n, df) =>
+      assert(byItem(s"${n}_nonempty") == (("ok", s"rows=${df.count()}")))
+    }
+    assert(byItem("utc_session") == (("ok", "true")))
+    // The config rule is DERIVED, not a constant: this TEST session
+    // deliberately runs shuffle.partitions=8 on local[4], so the
+    // cores rule must flag the mismatch here (the Verify/Bench
+    // sessions set partitions == cores and render 'ok', which is
+    // what the oracle pins).
+    assert(byItem("shuffle_partitions_match_cores") ==
+      (("warn", "mismatch")))
+  }
+
   // --- placement card ---
 
   test("q_show_placement derives policies from the builder constants") {
