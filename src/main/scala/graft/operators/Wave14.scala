@@ -174,6 +174,74 @@ object Wave14 {
           round(min(col("sf")), 6).as("sample_factor"))
     },
 
+    // Column ORDER CORRELATION (reference: statistics/builder.go:190
+    // calcCorrelation — the Pearson correlation between each sample's
+    // ordinal in HANDLE order and its ordinal in VALUE order, stored
+    // on every histogram as hg.Correlation; the CBO's clustering
+    // factor: corr ≈ ±1 means an index range scan touches contiguous
+    // rows, ≈ 0 means it scatters). Same closed form as the
+    // reference: with both rank sets equal to 0..n−1, Σx = n(n−1)/2
+    // and Σx² = (n−1)n(2n−1)/6 are exact integers, so
+    // corr = (n·Σxy − Σx²ₚ) / (n·Σx2 − Σx²ₚ) needs only ONE data
+    // aggregate (Σxy) — all-integer until the final division, so the
+    // hash check is exact, no float-summation noise. Input is the
+    // ANALYZE machinery's BOUNDED sample: the deterministic hash
+    // coin capped to the 10,000 smallest hash values (the
+    // row_sampler.go maxSampleSize contract) via TakeOrdered — so
+    // the two rank windows run over a CONSTANT-bounded row set, the
+    // one case where a partition-less window is legitimate (the same
+    // bound the reference's driver-side sort relies on).
+    Q("q_stats_correlation", Some(s"""
+      WITH s AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+        FROM orders
+        WHERE ${TextFns.knuthCoinSql("o_orderkey")} < 0.2 * 4294967296
+        ORDER BY ${TextFns.knuthCoinSql("o_orderkey")}, o_orderkey
+        LIMIT 10000),
+      r AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS x,
+               ROW_NUMBER() OVER (ORDER BY v, o_orderkey) - 1 AS y
+        FROM s),
+      a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM r)
+      SELECT 'o_totalprice' AS col, n AS n_samples,
+             ROUND(CAST(n * sxy - (n * (n - 1) // 2) * (n * (n - 1) // 2)
+                     AS DOUBLE) /
+                   (n * ((n - 1) * n * (2 * n - 1) // 6) -
+                    (n * (n - 1) // 2) * (n * (n - 1) // 2)), 6)
+               AS order_corr
+      FROM a
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val h = TextFns.knuthCoin(col("o_orderkey"))
+      val s = t.orders
+        .filter(h < lit(0.2) * 4294967296L)
+        .select(col("o_orderkey"), SampleStats.price.as("v"),
+          h.as("h"))
+        .orderBy(col("h"), col("o_orderkey"))
+        .limit(10000)
+      val r = s
+        .withColumn("x",
+          row_number().over(Window.orderBy("o_orderkey")) - 1)
+        .withColumn("y",
+          row_number().over(Window.orderBy("v", "o_orderkey")) - 1)
+      val a = r.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x").cast("long") * col("y")).cast("long").as("sxy"))
+      // Integer `div` keeps every term exact in BIGINT on both
+      // engines (n·Σxy peaks ~1e16 — representable as long, NOT as
+      // double), matching the oracle's `//` arithmetic bit-for-bit.
+      a.select(lit("o_totalprice").as("col"), col("n").as("n_samples"),
+        round(
+          expr("CAST(n * sxy - (n * (n - 1) div 2) * " +
+            "(n * (n - 1) div 2) AS DOUBLE)") /
+          expr("n * ((n - 1) * n * (2 * n - 1) div 6) - " +
+            "(n * (n - 1) div 2) * (n * (n - 1) div 2)"),
+          6).as("order_corr"))
+    },
+
     // User variables — SET/GET @var (reference:
     // expression/builtin_other.go:697 setVarFunctionClass, :880
     // BuildGetVarFunction; names lowercase at :757, store =

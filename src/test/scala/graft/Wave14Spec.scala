@@ -126,6 +126,38 @@ class Wave14Spec extends SparkSpecBase {
     StatementsSummary.clear()
   }
 
+  test("q_stats_correlation matches a brute-force rank recompute") {
+    val row = q("q_stats_correlation").collect().head
+    // Brute force: collect the same bounded sample, rank by handle
+    // and by (value, handle), Pearson over the rank pairs via the
+    // same closed form (builder.go:190 calcCorrelation).
+    val sample = SampleStats.sampledOrders(t)
+      .select(col("o_orderkey"), SampleStats.price.as("v"),
+        functions.TextFns.knuthCoin(col("o_orderkey")).as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(r => (r._3, r._1)).take(10000)
+    val n = sample.length.toLong
+    val byHandle = sample.map(_._1).sorted.zipWithIndex.toMap
+    val byValue = sample.sortBy(r => (r._2, r._1)).map(_._1)
+      .zipWithIndex.toMap
+    val sxy = sample.map(r =>
+      byHandle(r._1).toLong * byValue(r._1)).sum
+    val sx = n * (n - 1) / 2
+    val sx2 = (n - 1) * n * (2 * n - 1) / 6
+    val corr = (n * sxy - sx * sx).toDouble / (n * sx2 - sx * sx)
+    assert(row.getAs[Long]("n_samples") == n)
+    assert(math.abs(row.getAs[Double]("order_corr") -
+      math.round(corr * 1e6) / 1e6) < 1e-9)
+    // The partition-less rank windows are legitimate ONLY because
+    // their input is constant-bounded: the plan must carry the
+    // 10000-row limit under the window.
+    val plan = Registry.all.find(_.name == "q_stats_correlation").get
+      .run(t).queryExecution.optimizedPlan.toString
+    assert(plan.contains("GlobalLimit") && plan.contains("10000"),
+      s"rank window input is not limit-bounded:\n$plan")
+  }
+
   // --- sample-built ANALYZE (row_sampler.go + builder.go) ---
 
   test("q_analyze_sample: correction arithmetic ties out") {
