@@ -242,6 +242,80 @@ object Wave14 {
           6).as("order_corr"))
     },
 
+    // Histogram SELECTIVITY estimation (reference:
+    // statistics/selectivity.go — predicate selectivity from the
+    // column histogram drives every CBO row estimate — and
+    // statistics/scalar.go calcFraction: within the bucket a range
+    // endpoint lands in, the fraction is LINEAR interpolation
+    // between the bucket bounds). The entry builds the 8-bucket
+    // equi-depth histogram over o_totalprice (the q_stats_histogram
+    // structure), then estimates rows for `v <= 150000`: full
+    // buckets below the constant count whole, the straddling bucket
+    // contributes cnt · (C − lo)/(hi − lo) clamped to [0,1], buckets
+    // above contribute zero — and reports the estimate beside the
+    // ACTUAL count and the relative error, so the estimator's
+    // accuracy is itself part of the hash-checked contract. Both
+    // engines state the identical arithmetic; the estimate aggregate
+    // is 8 rows, the actual is one map-side filter count.
+    Q("q_selectivity", Some(s"""
+      WITH v AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+        FROM orders),
+      b AS (
+        SELECT COUNT(*) AS n_samp,
+               [round(quantile_cont(v, 0.125), 4),
+                round(quantile_cont(v, 0.25), 4),
+                round(quantile_cont(v, 0.375), 4),
+                round(quantile_cont(v, 0.5), 4),
+                round(quantile_cont(v, 0.625), 4),
+                round(quantile_cont(v, 0.75), 4),
+                round(quantile_cont(v, 0.875), 4)] AS bs
+        FROM v),
+      m AS (
+        SELECT v.v, 1 + len(list_filter(bs, x -> v.v > x)) AS bucket
+        FROM v, b),
+      h AS (
+        SELECT bucket, COUNT(*) AS cnt, MIN(v) AS lo, MAX(v) AS hi
+        FROM m GROUP BY bucket),
+      e AS (
+        SELECT SUM(CASE
+          WHEN hi <= 150000.0 THEN CAST(cnt AS DOUBLE)
+          WHEN lo > 150000.0 THEN 0.0
+          ELSE cnt * LEAST(GREATEST(COALESCE(
+            (150000.0 - lo) / NULLIF(hi - lo, 0), 1.0), 0.0), 1.0)
+          END) AS est
+        FROM h),
+      a AS (SELECT COUNT(*) AS actual FROM v WHERE v <= 150000.0)
+      SELECT 'o_totalprice <= 150000' AS predicate,
+             ROUND(est, 4) AS est_rows,
+             CAST(actual AS BIGINT) AS actual_rows,
+             ROUND(ABS(est - actual) / actual, 4) AS rel_err
+      FROM e, a
+    """)) { t =>
+      val c = lit(150000.0)
+      val vdf = t.orders.select(SampleStats.price.as("v"))
+      val bounds = SampleStats.priceBounds(t.orders)
+      val h = vdf.crossJoin(broadcast(bounds))
+        .select(col("v"), SampleStats.bucketOf.as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val e = h.agg(sum(
+        when(col("hi") <= c, col("cnt").cast("double"))
+          .when(col("lo") > c, lit(0.0))
+          .otherwise(col("cnt") * least(greatest(coalesce(
+            (c - col("lo")) / nullif(col("hi") - col("lo"), lit(0.0)),
+            lit(1.0)), lit(0.0)), lit(1.0)))).as("est"))
+      val a = vdf.filter(col("v") <= c)
+        .agg(count(lit(1)).as("actual"))
+      e.crossJoin(broadcast(a))
+        .select(lit("o_totalprice <= 150000").as("predicate"),
+          round(col("est"), 4).as("est_rows"),
+          col("actual").as("actual_rows"),
+          round(abs(col("est") - col("actual")) / col("actual"), 4)
+            .as("rel_err"))
+    },
+
     // User variables — SET/GET @var (reference:
     // expression/builtin_other.go:697 setVarFunctionClass, :880
     // BuildGetVarFunction; names lowercase at :757, store =

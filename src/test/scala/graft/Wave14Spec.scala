@@ -126,6 +126,24 @@ class Wave14Spec extends SparkSpecBase {
     StatementsSummary.clear()
   }
 
+  test("q_selectivity: interpolation estimate ties out and is accurate") {
+    val row = q("q_selectivity").collect().head
+    val c = 150000.0
+    // Recompute from the raw values: exact bucket fold with the same
+    // calcFraction interpolation.
+    val vs = t.orders.select(operators.SampleStats.price.as("v"))
+      .collect().map(_.getDouble(0)).sorted
+    val actual = vs.count(_ <= c).toLong
+    assert(row.getAs[Long]("actual_rows") == actual)
+    // Equi-depth + linear interpolation on a smooth-ish distribution:
+    // the estimate must land within 5% of the truth (the estimator's
+    // fitness, not just its arithmetic).
+    assert(row.getAs[Double]("rel_err") <= 0.05,
+      s"histogram estimate off by ${row.getAs[Double]("rel_err")}")
+    assert(math.abs(row.getAs[Double]("est_rows") - actual) <=
+      0.05 * actual + 1)
+  }
+
   test("q_stats_correlation matches a brute-force rank recompute") {
     val row = q("q_stats_correlation").collect().head
     // Brute force: collect the same bounded sample, rank by handle
