@@ -199,6 +199,31 @@ class PlanShapeSpec extends SparkSpecBase {
       s"view-only/unused columns read at the scan:\n${reads.mkString("\n")}")
   }
 
+  test("correlated scalar subquery decorrelates to one aggregate join") {
+    // executor/apply_cache.go memoizes the inner result per
+    // correlated key because the reference's APPLY executor re-runs
+    // the subquery per outer row. The Spark-native realization makes
+    // the cache unnecessary: Catalyst's subquery decorrelation
+    // rewrites the correlated scalar subquery into ONE aggregate
+    // joined on the correlation key — every group computed exactly
+    // once, no per-row re-execution to memoize.
+    t.orders.createOrReplaceTempView("orders")
+    t.customer.createOrReplaceTempView("customer")
+    val df = spark.sql("""
+      SELECT c_custkey,
+             (SELECT AVG(CAST(o.o_totalprice AS DOUBLE))
+              FROM orders o WHERE o.o_custkey = c.c_custkey) AS avg_p
+      FROM customer c WHERE c_custkey < 100""")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"),
+      s"no aggregate in decorrelated plan:\n$p")
+    assert(p.contains("Join"), s"no join in decorrelated plan:\n$p")
+    assert(!p.contains("ScalarSubquery"),
+      s"per-row scalar subquery survived decorrelation:\n$p")
+    assert(df.collect().length == df.select("c_custkey").distinct()
+      .collect().length, "outer row multiplicity changed")
+  }
+
   test("q_analyze_sample: the only un-sampled orders read is column-less") {
     // Sample-ANALYZE exists to avoid full-scan stats (row_sampler.go);
     // after the Duj1 swap the one remaining full-table input is
