@@ -598,6 +598,79 @@ object AnnQueries {
         .select(col("qid"), col("vec_id"), round(col("d"), 4).as("dp"))
     },
 
+    // BINARY QUANTIZATION (sign-bit) ANN — the 64×-compression
+    // serving kernel modern vector stores pair with a float re-rank:
+    // each 64-dim vector compresses to ONE BIGINT of sign bits, the
+    // candidate scan scores Hamming distance as a single codegen'd
+    // XOR + bit_count per pair (8 bytes/vector touched — at 100 TB
+    // the float arrays stay on disk for all but the re-ranked tail),
+    // then the top-32 Hamming candidates per query re-rank by exact
+    // cosine for the final top-5. Sign(v_i) survives the float→
+    // double cast, so the oracle states the IDENTICAL Hamming
+    // distance per-dimension from the raw floats — the packed-bit
+    // kernel is hash-checked against the definition it compresses.
+    // Ties at the Hamming cut and the final rank break on vec_id on
+    // both engines.
+    Q("s_ann_bq", Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, ev AS qv FROM e WHERE vec_id < 10),
+      ham AS (
+        SELECT qid, e.vec_id,
+               CAST(len(list_filter(range(1, 65),
+                 i -> (qv[i] >= 0) <> (ev[i] >= 0))) AS BIGINT) AS ham
+        FROM q, e WHERE e.vec_id <> qid),
+      cand AS (
+        SELECT qid, vec_id, ham,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ham, vec_id) AS hrn
+        FROM ham),
+      rr AS (
+        SELECT c.qid, c.vec_id, c.ham,
+               list_cosine_similarity(q.qv, e.ev) AS cs
+        FROM cand c
+        JOIN q ON q.qid = c.qid
+        JOIN e ON e.vec_id = c.vec_id
+        WHERE c.hrn <= 32)
+      SELECT qid, vec_id, ham, ROUND(cs, 4) AS cos FROM (
+        SELECT qid, vec_id, ham, cs,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY ROUND(cs, 8) DESC, vec_id) AS rn
+        FROM rr) z
+      WHERE rn <= 5
+    """)) { t =>
+      import org.apache.spark.sql.expressions.Window
+      val corpus = vecs(t).withColumn("code", expr(
+        "aggregate(transform(v, (x, i) -> IF(x >= CAST(0 AS DOUBLE)," +
+          " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))," +
+          " CAST(0 AS BIGINT), (a, b) -> a | b)"))
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nv").as("nq"), col("code").as("qcode"))
+      val hw = Window.partitionBy("qid")
+        .orderBy(col("ham"), col("vec_id"))
+      val cand = corpus.select("vec_id", "code")
+        .crossJoin(broadcast(queries.select("qid", "qcode")))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("ham",
+          expr("CAST(bit_count(code ^ qcode) AS BIGINT)"))
+        .withColumn("hrn", row_number().over(hw))
+        .filter(col("hrn") <= 32)
+        .select("qid", "vec_id", "ham")
+      val w = Window.partitionBy("qid")
+        .orderBy(round(col("c"), 8).desc, col("vec_id"))
+      cand
+        .join(corpus.select(col("vec_id"), col("v"), col("nv")),
+          "vec_id")
+        .join(broadcast(
+          queries.select(col("qid"), col("qv"), col("nq"))), "qid")
+        .select(col("qid"), col("vec_id"), col("ham"),
+          cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("ham"),
+          round(col("c"), 4).as("cos"))
+    },
+
     // MMR DIVERSITY RERANK — maximal marginal relevance (Carbonell-
     // Goldstein): greedily pick k results trading relevance against
     // similarity to what's already picked (the dedup-at-serving-time

@@ -96,6 +96,26 @@ class DedupAnnSpec extends SparkSpecBase {
       s"IVFPQ recall too low: $hits of ${res.length}")
   }
 
+  test("BQ ANN: packed-sign hamming prefilter recovers the exact " +
+      "top-5 at useful recall") {
+    // Random embeddings are BQ's WORST case (no cluster structure,
+    // cosine mass concentrated near 0), so the floor is modest; the
+    // kernel's exactness is already hash-proven by the oracle's
+    // per-dimension sign recount — this spec pins the retrieval
+    // quality story.
+    val brute = q("s_ann_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bqRows = q("s_ann_bq").collect()
+    val bq = bqRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bq & brute).size.toDouble / brute.size
+    assert(recall >= 0.4, s"BQ recall $recall below floor")
+    // Hamming distances are genuine bit distances in [0, 64].
+    bqRows.foreach { r =>
+      val h = r.getAs[Long]("ham")
+      assert(h >= 0 && h <= 64)
+    }
+  }
+
   test("bloom dedup: exact parity with the un-gated join, " +
       "no false negatives, both probe outcomes exercised") {
     val res = q("d_dedup_bloom").collect()
