@@ -138,6 +138,42 @@ object TextQueries {
     // perplexity filters see it. Scale: grams shuffle on (doc_id,
     // gram) with map-side partial counts — per-doc state only,
     // embarrassingly parallel across docs.
+    // Consecutive-repeat compression — the REPAIR op beside
+    // t_quality_rep's repetition MEASUREMENT (the RefinedWeb/Gopher
+    // cleanup family: collapse stutter runs like "batch batch batch"
+    // instead of dropping the whole document). Entirely a per-row
+    // codegen'd HOF — split → indexed filter keeping tokens whose
+    // predecessor differs → md5 of the re-joined text — so at 100 TB
+    // this is a map-only pass fused into the scan stage: NO shuffle,
+    // no window, no lag. Both engines state the same indexed-lambda
+    // filter (Spark 0-based with element_at(ws, i) as predecessor,
+    // DuckDB 1-based with ws[i-1]); md5 of the identically re-joined
+    // string makes the full cleaned text hash-checked without
+    // shipping it through the driver compare.
+    Q("t_dedup_runs", Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      c AS (SELECT doc_id, ws,
+                   list_filter(ws,
+                     (x, i) -> i = 1 OR x <> ws[i - 1]) AS kept
+            FROM w)
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             md5(array_to_string(kept, ' ')) AS cleaned_md5
+      FROM c
+    """)) { t =>
+      t.documents
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          expr("filter(ws, (x, i) -> " +
+            "IF(i = 0, true, x != element_at(ws, i)))").as("kept"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("kept")).cast("long").as("n_kept"),
+          md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
+    },
+
     Q("t_quality_rep", Some("""
       WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws
                  FROM documents),

@@ -19,6 +19,34 @@ class TextStatsSpec extends SparkSpecBase {
     size(regexp_extract_all(col("text"),
       lit("([A-Za-z]+|[0-9]|[^A-Za-z0-9\\s])"), lit(1))).as("r_bpe"))
 
+  test("t_dedup_runs collapses stutter runs exactly, map-only plan") {
+    val got = Registry.all.find(_.name == "t_dedup_runs").get.run(t)
+    // Brute force in Scala: keep tokens whose predecessor differs.
+    val expect = t.documents.select("doc_id", "text").collect().map {
+      r =>
+        val ws = r.getString(1).split(" ", -1)
+        val kept = ws.zipWithIndex
+          .filter { case (w, i) => i == 0 || w != ws(i - 1) }
+          .map(_._1)
+        (r.getLong(0), (ws.length.toLong, kept.length.toLong,
+          kept.mkString(" ")))
+    }.toMap
+    got.collect().foreach { r =>
+      val (nTok, nKept, cleaned) = expect(r.getLong(0))
+      assert(r.getAs[Long]("n_tokens") == nTok)
+      assert(r.getAs[Long]("n_kept") == nKept)
+      assert(r.getAs[String]("cleaned_md5") ==
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(cleaned.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }
+    // The repair is a per-row HOF: the plan must carry NO exchange —
+    // at 100 TB it fuses into the scan stage.
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"t_dedup_runs plan shuffles:\n$plan")
+  }
+
   test("kernel counters equal the regex formulation on all documents") {
     val both = t.documents
       .select(col("doc_id"), expr("text_stats(text)").as("s"))
