@@ -918,7 +918,7 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_anchors"),
           count(when(col("nd") >= 2, lit(1))).as("dup_anchors"))
     },
-  ) :+ spanContam :+ mixPlan
+  ) :+ spanContam :+ mixPlan :+ mixTemperature
 
   /** Span-level decontamination — d_contamination's surgical sibling:
     * instead of a per-doc hit COUNT, emit the merged WORD-SPAN ranges
@@ -1013,6 +1013,47 @@ object DedupQueries {
           / col("tokens"), 6).as("rate"),
         floor(lit(0.5) * col("t_all") * col("wt") / col("w_all"))
           .cast("long").as("planned_tokens"))
+  }
+
+  /** Temperature-scaled mixing weights — the multilingual-sampling
+    * convention (mT5/XLM-R: sample source i with p_i ∝ share_i^α,
+    * α = 0.3): low-resource sources are up-sampled toward uniform
+    * without the hard per-source weights d_mix_plan pins by hand.
+    * One map-combined token count per source, two 1-row broadcasts —
+    * O(|sources|) rows end to end. POWER is a transcendental, so
+    * both engines round the scaled shares to 4dp (the repo's
+    * transcendental convention); the upsample factor reports how
+    * hard each source is boosted relative to its natural share. */
+  val mixTemperature: Q = Q("d_mix_temperature", Some("""
+      WITH tok AS (
+        SELECT source, CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+               AS tokens
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS t_all FROM tok),
+      a AS (SELECT source, tokens, tokens / t_all AS p,
+                   POWER(tokens / t_all, 0.3) AS pa
+            FROM tok, tot),
+      z AS (SELECT SUM(pa) AS z_all FROM a)
+      SELECT source, tokens,
+             ROUND(p, 6) AS share_now,
+             ROUND(pa / z_all, 4) AS share_temp,
+             ROUND(pa / z_all / p, 4) AS upsample
+      FROM a, z
+    """)) { t =>
+    val tok = t.documents
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("tokens"))
+    val tot = tok.agg(sum("tokens").cast("double").as("t_all"))
+    val a = tok.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        (col("tokens") / col("t_all")).as("p"),
+        pow(col("tokens") / col("t_all"), 0.3).as("pa"))
+    val z = a.agg(sum("pa").as("z_all"))
+    a.crossJoin(broadcast(z))
+      .select(col("source"), col("tokens"),
+        round(col("p"), 6).as("share_now"),
+        round(col("pa") / col("z_all"), 4).as("share_temp"),
+        round(col("pa") / col("z_all") / col("p"), 4).as("upsample"))
   }
 
   /** Content-defined 24-gram anchors of `docs(doc_id, text)`: every

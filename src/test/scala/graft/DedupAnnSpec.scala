@@ -96,6 +96,28 @@ class DedupAnnSpec extends SparkSpecBase {
       s"IVFPQ recall too low: $hits of ${res.length}")
   }
 
+  test("d_mix_temperature flattens toward uniform, order-preserving") {
+    val rows = q("d_mix_temperature").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("tokens"),
+        r.getAs[Double]("share_now"), r.getAs[Double]("share_temp"),
+        r.getAs[Double]("upsample")))
+    // Scaled shares still form a distribution.
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-2)
+    // α < 1 flattens: below-average sources are up-sampled, above-
+    // average ones down-sampled.
+    val avg = 1.0 / rows.length
+    rows.foreach { case (s, _, now, _, up) =>
+      if (now < avg * 0.9) assert(up > 1.0, s"$s should upsample")
+      if (now > avg * 1.1) assert(up < 1.0, s"$s should downsample")
+    }
+    // Monotone: a bigger source never gets a smaller scaled share.
+    val byTokens = rows.sortBy(_._2)
+    byTokens.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._4 + 1e-9)
+      case _ =>
+    }
+  }
+
   test("BQ ANN: packed-sign hamming prefilter recovers the exact " +
       "top-5 at useful recall") {
     // Random embeddings are BQ's WORST case (no cluster structure,
