@@ -21,14 +21,10 @@ final case class Tables(spark: SparkSession, dir: String) {
   // passes ("UTC", "Etc/UTC", "GMT", "+00:00" — the driver's own
   // session may carry the JVM default, Etc/UTC on this image).
   {
-    val tz = spark.conf.get("spark.sql.session.timeZone",
-      java.util.TimeZone.getDefault.getID)
-    val rules = java.time.ZoneId.of(tz,
-      java.time.ZoneId.SHORT_IDS).getRules
-    require(rules.isFixedOffset &&
-      rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
-      s"graft.Tables requires a UTC session timezone, got '$tz' " +
-        "(timestamp policy + oracle parity depend on it)")
+    require(Tables.isUtcSession(spark),
+      s"graft.Tables requires a UTC session timezone, got " +
+        s"'${spark.conf.get("spark.sql.session.timeZone", "jvm-default")}'" +
+        " (timestamp policy + oracle parity depend on it)")
   }
   functions.GraftFunctions.register(spark)
 
@@ -94,4 +90,32 @@ final case class Tables(spark: SparkSession, dir: String) {
     * filters/pruning keep reaching parquet. */
   def fan(df: DataFrame): DataFrame =
     df.repartition(spark.sparkContext.defaultParallelism)
+
+  /** The full registered-table catalog as (name, reader) pairs — the
+    * ONE list the runtime-facts cards (q_memtable_info,
+    * q_inspection) and catalog tooling iterate, so adding a table
+    * can't silently skew one card and not the other. Sorted by name
+    * (the cards' render order). */
+  def registered: Seq[(String, DataFrame)] = Seq(
+    "customer" -> customer, "documents" -> documents,
+    "embeddings" -> embeddings, "events" -> events,
+    "lineitem" -> lineitem, "nation" -> nation,
+    "orders" -> orders, "part" -> part,
+    "region" -> region, "supplier" -> supplier)
+}
+
+object Tables {
+
+  /** True when the session timezone is a fixed zero-offset zone
+    * (any spelling: "UTC", "Etc/UTC", "GMT", "+00:00") — the ONE
+    * predicate behind the Tables constructor guard and the
+    * q_memtable_info / q_inspection runtime cards. */
+  def isUtcSession(spark: SparkSession): Boolean = {
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    val rules = java.time.ZoneId.of(tz,
+      java.time.ZoneId.SHORT_IDS).getRules
+    rules.isFixedOffset &&
+      rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+  }
 }

@@ -657,18 +657,12 @@ object AnnQueries {
         .withColumn("hrn", row_number().over(hw))
         .filter(col("hrn") <= 32)
         .select("qid", "vec_id", "ham")
-      val w = Window.partitionBy("qid")
-        .orderBy(round(col("c"), 8).desc, col("vec_id"))
-      cand
+      rerankTopK(cand
         .join(corpus.select(col("vec_id"), col("v"), col("nv")),
           "vec_id")
         .join(broadcast(
-          queries.select(col("qid"), col("qv"), col("nq"))), "qid")
-        .select(col("qid"), col("vec_id"), col("ham"),
-          cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("c"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-        .select(col("qid"), col("vec_id"), col("ham"),
-          round(col("c"), 4).as("cos"))
+          queries.select(col("qid"), col("qv"), col("nq"))), "qid"),
+        topk = 5, dedup = false, carry = Seq("ham"))
     },
 
     // MMR DIVERSITY RERANK — maximal marginal relevance (Carbonell-

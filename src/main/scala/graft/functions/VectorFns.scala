@@ -41,23 +41,27 @@ object VectorFns {
   /** Shared exact-cosine re-rank over candidate pairs carrying
     * (qid, qv, nq) × (vec_id, v, nv): score with precomputed-norm
     * cosine, keep top-k per query on the deterministic
-    * (round(c, 8) desc, vec_id) key, emit (qid, vec_id, cos@4dp).
-    * Every ANN entry (brute / LSH / IVF in-query / IVF probe) ends in
-    * this block — one definition, so a ranking-key tweak cannot
-    * silently diverge between them. `dedup` inserts the distinct that
-    * multi-bucket candidate generators (LSH tables, IVF probes) need;
-    * generators that already emit unique pairs skip its shuffle. */
+    * (round(c, 8) desc, vec_id) key, emit (qid, vec_id, [carry...],
+    * cos@4dp). Every ANN entry (brute / LSH / IVF in-query / IVF
+    * probe / BQ) ends in this block — one definition, so a
+    * ranking-key tweak cannot silently diverge between them. `dedup`
+    * inserts the distinct that multi-bucket candidate generators
+    * (LSH tables, IVF probes) need; generators that already emit
+    * unique pairs skip its shuffle. `carry` threads extra per-pair
+    * columns (e.g. BQ's hamming distance) through to the output
+    * unchanged. */
   def rerankTopK(pairs: DataFrame, topk: Int,
-      dedup: Boolean): DataFrame = {
+      dedup: Boolean, carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("qid")
       .orderBy(round(col("c"), 8).desc, col("vec_id"))
     val scored = pairs
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("c"))
+      .select(Seq(col("qid"), col("vec_id")) ++ carry.map(col) :+
+        cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("c"): _*)
     (if (dedup) scored.distinct() else scored)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topk)
-      .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))
+      .select(Seq(col("qid"), col("vec_id")) ++ carry.map(col) :+
+        round(col("c"), 4).as("cos"): _*)
   }
 }

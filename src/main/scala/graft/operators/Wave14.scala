@@ -474,12 +474,6 @@ object Wave14 {
     """)) { t =>
       import t.spark.implicits._
       val sc = t.spark.sparkContext
-      val tz = t.spark.conf.get("spark.sql.session.timeZone",
-        java.util.TimeZone.getDefault.getID)
-      val rules = java.time.ZoneId.of(tz,
-        java.time.ZoneId.SHORT_IDS).getRules
-      val utc = rules.isFixedOffset && rules
-        .getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
       val runtime = Seq(
         ("runtime", "ansi_mode",
           t.spark.conf.get("spark.sql.ansi.enabled")),
@@ -489,15 +483,11 @@ object Wave14 {
           sc.getConf.get("spark.scheduler.mode", "FIFO")),
         ("runtime", "sql_extensions",
           sc.getConf.get("spark.sql.extensions", "")),
-        ("runtime", "utc_session", utc.toString),
+        ("runtime", "utc_session",
+          Tables.isUtcSession(t.spark).toString),
         ("version", "spark",
           t.spark.version.split("\\.").take(2).mkString(".")))
-      val tables = Seq(
-        "customer" -> t.customer, "documents" -> t.documents,
-        "embeddings" -> t.embeddings, "events" -> t.events,
-        "lineitem" -> t.lineitem, "nation" -> t.nation,
-        "orders" -> t.orders, "part" -> t.part,
-        "region" -> t.region, "supplier" -> t.supplier)
+      val tables = t.registered
         .map { case (n, df) => ("table", n, df.schema.size.toString) }
       (runtime ++ tables).toDF("fact_type", "name", "value")
         .orderBy("fact_type", "name")
@@ -538,12 +528,7 @@ object Wave14 {
       val aqe = t.spark.conf.get("spark.sql.adaptive.enabled")
       val parts = t.spark.conf.get("spark.sql.shuffle.partitions")
       val partsMatch = parts == sc.defaultParallelism.toString
-      val tz = t.spark.conf.get("spark.sql.session.timeZone",
-        java.util.TimeZone.getDefault.getID)
-      val rules = java.time.ZoneId.of(tz,
-        java.time.ZoneId.SHORT_IDS).getRules
-      val utc = rules.isFixedOffset && rules
-        .getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+      val utc = Tables.isUtcSession(t.spark)
       def flag(b: Boolean) = if (b) "ok" else "warn"
       val config = Seq(
         ("config", "ansi_mode_on", flag(ansi == "true"), ansi),
@@ -551,18 +536,19 @@ object Wave14 {
         ("config", "shuffle_partitions_match_cores", flag(partsMatch),
           if (partsMatch) "match" else "mismatch"),
         ("config", "utc_session", flag(utc), utc.toString))
-      val data = Seq(
-        "customer" -> t.customer, "documents" -> t.documents,
-        "embeddings" -> t.embeddings, "events" -> t.events,
-        "lineitem" -> t.lineitem, "nation" -> t.nation,
-        "orders" -> t.orders, "part" -> t.part,
-        "region" -> t.region, "supplier" -> t.supplier)
-        .map { case (n, df) =>
-          val c = df.count() // parquet footer count, no data read
-          ("data", s"${n}_nonempty", flag(c > 0), s"rows=$c")
-        }
-      (config ++ data).toDF("rule", "item", "status", "detail")
-        .orderBy("rule", "item")
+        .toDF("rule", "item", "status", "detail")
+      // Data rules stay IN the returned plan (a union of footer-cheap
+      // count aggregates), not eager driver actions — plan-only
+      // consumers (Trace, explain tooling) must not pay 10 jobs just
+      // to construct the DataFrame.
+      val data = t.registered.map { case (n, df) =>
+        df.agg(count(lit(1)).as("c"))
+          .select(lit("data").as("rule"),
+            lit(s"${n}_nonempty").as("item"),
+            when(col("c") > 0, "ok").otherwise("warn").as("status"),
+            concat(lit("rows="), col("c")).as("detail"))
+      }.reduce(_ unionByName _)
+      config.unionByName(data).orderBy("rule", "item")
     },
 
     // SHOW PLACEMENT metadata card (reference:

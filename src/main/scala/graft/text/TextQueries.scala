@@ -130,14 +130,6 @@ object TextQueries {
           col("n_chars_p"), col("n_tokens"))
     },
 
-    // REPETITION quality signals (the Gopher filter family): type-
-    // token ratio, most-frequent-word share, most-frequent-bigram
-    // share, and the composite keep flag a pretraining pipeline
-    // gates on. Degenerate machine-generated text (keyword stuffing,
-    // template loops) shows up as a high top-gram share long before
-    // perplexity filters see it. Scale: grams shuffle on (doc_id,
-    // gram) with map-side partial counts — per-doc state only,
-    // embarrassingly parallel across docs.
     // Consecutive-repeat compression — the REPAIR op beside
     // t_quality_rep's repetition MEASUREMENT (the RefinedWeb/Gopher
     // cleanup family: collapse stutter runs like "batch batch batch"
@@ -174,6 +166,14 @@ object TextQueries {
           md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
     },
 
+    // REPETITION quality signals (the Gopher filter family): type-
+    // token ratio, most-frequent-word share, most-frequent-bigram
+    // share, and the composite keep flag a pretraining pipeline
+    // gates on. Degenerate machine-generated text (keyword stuffing,
+    // template loops) shows up as a high top-gram share long before
+    // perplexity filters see it. Scale: grams shuffle on (doc_id,
+    // gram) with map-side partial counts — per-doc state only,
+    // embarrassingly parallel across docs.
     Q("t_quality_rep", Some("""
       WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws
                  FROM documents),

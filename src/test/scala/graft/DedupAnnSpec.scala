@@ -103,17 +103,24 @@ class DedupAnnSpec extends SparkSpecBase {
         r.getAs[Double]("upsample")))
     // Scaled shares still form a distribution.
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-2)
-    // α < 1 flattens: below-average sources are up-sampled, above-
-    // average ones down-sampled.
-    val avg = 1.0 / rows.length
-    rows.foreach { case (s, _, now, _, up) =>
-      if (now < avg * 0.9) assert(up > 1.0, s"$s should upsample")
-      if (now > avg * 1.1) assert(up < 1.0, s"$s should downsample")
-    }
-    // Monotone: a bigger source never gets a smaller scaled share.
+    // α < 1 flattens, and upsample = p^(α−1)/Z is monotone
+    // DECREASING in share — so the extremes are the sound
+    // invariants (the uniform-share 1/k is NOT the crossover: under
+    // skew a source above 1/k can still legitimately upsample):
+    // the smallest source boosts, the largest damps, because
+    // Σ p·upsample = 1 forces at least one of each around the
+    // crossover and monotonicity pins them to the extremes.
     val byTokens = rows.sortBy(_._2)
+    assert(byTokens.head._5 >= 1.0 - 1e-9,
+      s"smallest source ${byTokens.head._1} should upsample")
+    assert(byTokens.last._5 <= 1.0 + 1e-9,
+      s"largest source ${byTokens.last._1} should downsample")
+    // Monotone: a bigger source never gets a smaller scaled share,
+    // and never a larger upsample factor.
     byTokens.sliding(2).foreach {
-      case Array(a, b) => assert(a._4 <= b._4 + 1e-9)
+      case Array(a, b) =>
+        assert(a._4 <= b._4 + 1e-9)
+        assert(a._5 >= b._5 - 1e-9)
       case _ =>
     }
   }
