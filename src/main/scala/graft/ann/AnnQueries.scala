@@ -67,6 +67,27 @@ object AnnQueries {
     vecs.join(packed, "vec_id")
   }
 
+  /** The s_embed_qa kernel over any (label, embedding) frame —
+    * public so the spec can drive constructed pathologies (wrong
+    * dim, NaN, zero vector) through the exact entry code. */
+  def embedQa(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), toDouble(col("embedding")).as("v"))
+      .select(col("label"),
+        (size(col("v")) =!= 64).cast("int").as("bad_dim"),
+        (size(filter(col("v"), x => isnan(x))) > 0).cast("int")
+          .as("has_nan"),
+        sqrt(dot(col("v"), col("v"))).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("bad_dim").cast("long").as("n_bad_dim"),
+        sum("has_nan").cast("long").as("n_nan"),
+        sum(when(col("nrm") === 0, 1).otherwise(0)).cast("long")
+          .as("n_zero"),
+        round(avg("nrm"), 4).as("norm_avg"),
+        round(min("nrm"), 4).as("norm_min"),
+        round(max("nrm"), 4).as("norm_max"))
+
   val all: Seq[Q] = Seq(
 
     // Brute-force cosine top-5 for query set vec_id < 10. Ranking key
@@ -351,6 +372,38 @@ object AnnQueries {
     // then ≤64-element arrays rebuild per label and the 1-row global
     // centroid broadcasts. Dimension-wise sums round to 4dp so both
     // engines' float summation order cannot surface.
+    // Embedding-corpus QA card — the audit a pipeline runs BEFORE
+    // spending an indexing pass over 100 TB of vectors: per label,
+    // wrong-dimension / NaN / zero-vector counts (any of which
+    // corrupts a cosine index silently — a zero vector makes cosine
+    // undefined, a NaN poisons every distance it touches) plus the
+    // norm distribution (mean/min/max — a wild norm spread flags
+    // unnormalized mixtures before MIPS/cosine confusion strikes).
+    // One map-side pass (dot/isnan/size are per-row codegen'd HOFs)
+    // into a |labels|-row aggregate; norms are transcendental-free
+    // but AVG is summation-ordered, so 4dp rounding on both engines.
+    Q("s_embed_qa", Some("""
+      WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      s AS (SELECT label,
+                   CAST(len(v) <> 64 AS INT) AS bad_dim,
+                   CAST(len(list_filter(v, x -> isnan(x))) > 0 AS INT)
+                     AS has_nan,
+                   sqrt(list_dot_product(v, v)) AS nrm
+            FROM e)
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(bad_dim) AS BIGINT) AS n_bad_dim,
+             CAST(SUM(has_nan) AS BIGINT) AS n_nan,
+             CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+             ROUND(AVG(nrm), 4) AS norm_avg,
+             ROUND(MIN(nrm), 4) AS norm_min,
+             ROUND(MAX(nrm), 4) AS norm_max
+      FROM s GROUP BY label
+    """)) { t =>
+      embedQa(t.embeddings)
+    },
+
     Q("s_embed_centroid", Some("""
       WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings),

@@ -125,6 +125,38 @@ class DedupAnnSpec extends SparkSpecBase {
     }
   }
 
+  test("s_embed_qa flags wrong-dim, NaN and zero vectors exactly") {
+    import spark.implicits._
+    // Constructed pathologies through the EXACT entry kernel: a
+    // healthy unit vector, a 63-dim vector, a NaN-poisoned vector
+    // and an all-zero vector, one label each.
+    val unit = Array.fill(64)(0.0f); unit(0) = 1.0f
+    val short63 = Array.fill(63)(1.0f)
+    val nan = Array.fill(64)(1.0f); nan(5) = Float.NaN
+    val zero = Array.fill(64)(0.0f)
+    val df = Seq((1, unit.toSeq), (2, short63.toSeq),
+      (3, nan.toSeq), (4, zero.toSeq))
+      .toDF("label", "embedding")
+    val got = ann.AnnQueries.embedQa(df).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got(1).getAs[Long]("n_bad_dim") == 0 &&
+      got(1).getAs[Long]("n_nan") == 0 &&
+      got(1).getAs[Long]("n_zero") == 0 &&
+      got(1).getAs[Double]("norm_avg") == 1.0)
+    assert(got(2).getAs[Long]("n_bad_dim") == 1)
+    assert(got(3).getAs[Long]("n_nan") == 1)
+    assert(got(4).getAs[Long]("n_zero") == 1 &&
+      got(4).getAs[Double]("norm_avg") == 0.0)
+    // And the real corpus is clean with sane norms.
+    q("s_embed_qa").collect().foreach { r =>
+      assert(r.getAs[Long]("n_bad_dim") == 0 &&
+        r.getAs[Long]("n_nan") == 0 && r.getAs[Long]("n_zero") == 0)
+      assert(r.getAs[Double]("norm_min") > 0 &&
+        r.getAs[Double]("norm_min") <= r.getAs[Double]("norm_avg") &&
+        r.getAs[Double]("norm_avg") <= r.getAs[Double]("norm_max"))
+    }
+  }
+
   test("BQ ANN: packed-sign hamming prefilter recovers the exact " +
       "top-5 at useful recall") {
     // Random embeddings are BQ's WORST case (no cluster structure,
