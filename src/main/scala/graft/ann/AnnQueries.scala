@@ -69,15 +69,21 @@ object AnnQueries {
 
   /** The s_embed_qa kernel over any (label, embedding) frame —
     * public so the spec can drive constructed pathologies (wrong
-    * dim, NaN, zero vector) through the exact entry code. */
+    * dim, NaN, zero and NULL vectors) through the exact entry code.
+    * NULL-vector semantics are EXPLICIT on both engines (a NULL
+    * embedding is a bad-dim row, not a silently-skipped one — the
+    * dirty input this card exists to surface); its norm stays NULL,
+    * which AVG/MIN/MAX skip identically on both engines. exists()
+    * short-circuits the NaN probe with no intermediate array. */
   def embedQa(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("label"), toDouble(col("embedding")).as("v"))
       .select(col("label"),
-        (size(col("v")) =!= 64).cast("int").as("bad_dim"),
-        (size(filter(col("v"), x => isnan(x))) > 0).cast("int")
+        coalesce((size(col("v")) =!= 64).cast("int"), lit(1))
+          .as("bad_dim"),
+        coalesce(exists(col("v"), x => isnan(x)).cast("int"), lit(0))
           .as("has_nan"),
-        sqrt(dot(col("v"), col("v"))).as("nrm"))
+        norm(col("v")).as("nrm"))
       .groupBy("label")
       .agg(count(lit(1)).cast("long").as("n"),
         sum("bad_dim").cast("long").as("n_bad_dim"),
@@ -386,9 +392,9 @@ object AnnQueries {
       WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings),
       s AS (SELECT label,
-                   CAST(len(v) <> 64 AS INT) AS bad_dim,
-                   CAST(len(list_filter(v, x -> isnan(x))) > 0 AS INT)
-                     AS has_nan,
+                   COALESCE(CAST(len(v) <> 64 AS INT), 1) AS bad_dim,
+                   COALESCE(CAST(len(list_filter(v, x -> isnan(x))) > 0
+                     AS INT), 0) AS has_nan,
                    sqrt(list_dot_product(v, v)) AS nrm
             FROM e)
       SELECT label, CAST(COUNT(*) AS BIGINT) AS n,

@@ -134,8 +134,9 @@ class DedupAnnSpec extends SparkSpecBase {
     val short63 = Array.fill(63)(1.0f)
     val nan = Array.fill(64)(1.0f); nan(5) = Float.NaN
     val zero = Array.fill(64)(0.0f)
-    val df = Seq((1, unit.toSeq), (2, short63.toSeq),
-      (3, nan.toSeq), (4, zero.toSeq))
+    val df = Seq((1, Option(unit.toSeq)), (2, Option(short63.toSeq)),
+      (3, Option(nan.toSeq)), (4, Option(zero.toSeq)),
+      (5, Option.empty[Seq[Float]]))
       .toDF("label", "embedding")
     val got = ann.AnnQueries.embedQa(df).collect()
       .map(r => r.getInt(0) -> r).toMap
@@ -147,6 +148,13 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(got(3).getAs[Long]("n_nan") == 1)
     assert(got(4).getAs[Long]("n_zero") == 1 &&
       got(4).getAs[Double]("norm_avg") == 0.0)
+    // A NULL embedding is a bad-dim row with a NULL norm — counted,
+    // never silently skipped (and the norm columns stay NULL).
+    assert(got(5).getAs[Long]("n") == 1 &&
+      got(5).getAs[Long]("n_bad_dim") == 1 &&
+      got(5).getAs[Long]("n_nan") == 0 &&
+      got(5).getAs[Long]("n_zero") == 0 &&
+      got(5).isNullAt(got(5).fieldIndex("norm_avg")))
     // And the real corpus is clean with sane norms.
     q("s_embed_qa").collect().foreach { r =>
       assert(r.getAs[Long]("n_bad_dim") == 0 &&
