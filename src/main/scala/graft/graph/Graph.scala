@@ -936,13 +936,33 @@ object Graph {
     * propagate the empty stage). */
   private[graft] def edgeSupportsWith(e: DataFrame, hubs: DataFrame,
       hasHubs: Boolean): DataFrame = {
-    val und = e.select(col("src").as("n"), col("dst").as("nbr"))
-      .union(e.select(col("dst").as("n"), col("src").as("nbr")))
+    val und = undirect(e)
     if (!hasHubs) {
       val adj = und.groupBy("n")
         .agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
       return arraySupport(e, adj)
     }
+    val adj = und.join(broadcast(hubs), Seq("n"), "left_anti")
+      .groupBy("n")
+      .agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
+    hubbySupport(e, adj, hubs)
+  }
+
+  /** Canonical undirected doubling: each edge contributes both
+    * (src→dst) and (dst→src) adjacency rows. */
+  private[graft] def undirect(e: DataFrame): DataFrame =
+    e.select(col("src").as("n"), col("dst").as("nbr"))
+      .union(e.select(col("dst").as("n"), col("src").as("nbr")))
+
+  /** The hub-aware half of [[edgeSupportsWith]], parameterized by a
+    * prebuilt NON-HUB adjacency `(n, nbrs)`: hub-free edges score via
+    * [[arraySupport]]; hub-incident edges via keyed wedge expansion
+    * from the lower-degree endpoint (rows = deg(x), never an array)
+    * with a LEFT SEMI closing-edge check — co-partitioned joins only,
+    * nothing wider than an edge shuffled. */
+  private def hubbySupport(e: DataFrame, adj: DataFrame,
+      hubs: DataFrame): DataFrame = {
+    val und = undirect(e)
     val big = broadcast(hubs)
     val flagged = e
       .join(big.select(col("n").as("src"), lit(true).as("sb")),
@@ -951,9 +971,6 @@ object Graph {
         Seq("dst"), "left")
     val small = flagged.filter(col("sb").isNull && col("db").isNull)
       .select("src", "dst")
-    val adj = und.join(big, Seq("n"), "left_anti")
-      .groupBy("n")
-      .agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
     // Hub-incident edges: expand from the non-hub endpoint when
     // exactly one end is a hub (deg ≤ cap there), else from src.
     val hubEdges = flagged
@@ -976,18 +993,52 @@ object Graph {
     arraySupport(small, adj).unionByName(hubSup)
   }
 
-  /** One-shot spelling of [[edgeSupportsWith]]: classifies hubs from
-    * `e` itself. The classification is ONE map-combined count
-    * aggregate whose result is collected — a bounded driver scalar
-    * set (only over-cap vertices survive, each one long; even a
-    * hub-heavy web graph yields thousands of rows, not |V|) — so the
-    * common hub-free case selects the lean array-only plan with no
-    * broadcast machinery left in it. */
-  def edgeSupports(e: DataFrame, degreeCap: Int = 10000): DataFrame = {
+  /** ONE-exchange adjacency card over a canonical undirected edge set:
+    * `(n, deg, nbrs)` where `nbrs` is the sorted neighbor array iff
+    * deg ≤ cap, else NULL. Memory-bounded by construction — the
+    * [[graft.functions.BoundedCollectSet]] buffer never holds more
+    * than cap+1 longs even while scanning an unbounded hub — so this
+    * single aggregate safely serves hub CLASSIFICATION
+    * (`nbrs IS NULL` ⇔ over-cap), per-vertex DEGREE output, and the
+    * adjacency ARRAYS the support kernel consumes. Replaces the
+    * count-agg + collect_set-agg pair (two |2E| exchanges over the
+    * same undirected edge set) that g_clustering paid through r11. */
+  private[graft] def adjacencyCapped(e: DataFrame, cap: Int): DataFrame =
+    undirect(e).groupBy("n").agg(
+      count(lit(1)).as("deg"),
+      graft.functions.BoundedCollectSet
+        .col(col("nbr").cast("long"), cap).as("nbrs"))
+
+  /** Per-edge support from a prebuilt [[adjacencyCapped]] frame (the
+    * caller should localCheckpoint `adj` — classification already
+    * scanned it). Hub-free (the common case): pure array path
+    * reusing `adj`, zero extra adjacency exchanges. With hubs: the
+    * same wedge-expansion hybrid as [[edgeSupportsWith]], arrays for
+    * non-hub rows taken from `adj` as-is (a non-hub's array may
+    * CONTAIN hub ids — that's correct; only rows keyed BY a hub are
+    * unusable, and those are exactly the NULL rows). */
+  private[graft] def edgeSupportsFromAdj(e: DataFrame, adj: DataFrame,
+      hubIds: Seq[Long]): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val hubIds = hubVertices(e, degreeCap)
+    if (hubIds.isEmpty) arraySupport(e, adj.select("n", "nbrs"))
+    else hubbySupport(e,
+      adj.filter(col("nbrs").isNotNull).select("n", "nbrs"),
+      hubIds.toDF("n"))
+  }
+
+  /** One-shot per-edge support: ONE bounded adjacency exchange serves
+    * both the hub classification and the array build. The
+    * classification collect is a bounded driver scalar set (only
+    * over-cap vertices have NULL arrays; even a hub-heavy web graph
+    * yields thousands of rows, not |V|), so the common hub-free case
+    * selects the lean array-only plan with no broadcast machinery
+    * left in it. */
+  def edgeSupports(e: DataFrame, degreeCap: Int = 10000): DataFrame = {
+    val adj = adjacencyCapped(e, degreeCap).localCheckpoint()
+    val hubIds = adj.filter(col("nbrs").isNull)
+      .select(col("n").cast("long"))
       .collect().map(_.getLong(0)).toSeq
-    edgeSupportsWith(e, hubIds.toDF("n"), hubIds.nonEmpty)
+    edgeSupportsFromAdj(e, adj.select("n", "nbrs"), hubIds)
   }
 }

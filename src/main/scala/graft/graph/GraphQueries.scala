@@ -529,15 +529,15 @@ object GraphQueries {
     // support kernel — work Σ_edges deg(a)+deg(b), never Σ deg²
     // wedges), then each edge's support folds onto BOTH endpoints
     // (Σ incident supports = 2·tri(v)). Supports come from the
-    // SHARED Graph.edgeSupports degree-cap hybrid (the kTruss
-    // kernel): hub vertices are excluded from the array build and
-    // their incident edges scored by keyed wedge expansion, so no
-    // row ever holds an unbounded neighborhood — Wave14Spec proves
-    // the fold's hub/array parity on a constructed hub graph.
-    // Per-vertex degrees come from the same map-combined count agg
-    // that classifies hubs. Oracle recomputes supports with the wedge join —
-    // affordable on the mod-1000 oracle graph, exactly what the
-    // engine plan avoids at scale.
+    // SHARED Graph degree-cap hybrid (the kTruss kernel): hub
+    // vertices get NULL arrays from the bounded adjacency agg and
+    // their incident edges are scored by keyed wedge expansion, so
+    // no row ever holds more than cap+1 neighbors — Wave14Spec
+    // proves the fold's hub/array parity on a constructed hub graph.
+    // Degrees, hub flags and arrays all come from the SAME bounded
+    // adjacency exchange (Graph.adjacencyCapped). Oracle recomputes
+    // supports with the wedge join — affordable on the mod-1000
+    // oracle graph, exactly what the engine plan avoids at scale.
     Q("g_clustering", Some(s"""
       $edgeCte, u AS (
         SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -561,25 +561,26 @@ object GraphQueries {
       FROM d LEFT JOIN tri ON tri.n = d.n
       WHERE d.deg >= 2
     """)) { t =>
-      import t.spark.implicits._
       val e = Graph.derived(t.orders).edges
       val u = e.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("src"),
           greatest(col("src"), col("dst")).as("dst"))
         .distinct()
-      // ONE degree aggregate serves both the hub classification and
-      // the output's deg column: checkpointed, so the tiny
-      // classification collect and the final join read the same
-      // materialized blocks instead of re-running the agg.
-      val degs = u.select(col("src").as("n"))
-        .union(u.select(col("dst").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("deg"))
         .localCheckpoint()
-      val hubIds = degs.filter(col("deg") > 10000)
+      // ONE bounded adjacency exchange (Graph.adjacencyCapped —
+      // BoundedCollectSet never buffers more than cap+1 longs, so
+      // running it BEFORE classification is memory-safe) serves hub
+      // classification (nbrs IS NULL), the output's deg column, AND
+      // the support kernel's arrays — through r11 this entry paid two
+      // |2E| exchanges (count agg + collect_set agg) for the same
+      // undirected edge set.
+      val adj = Graph.adjacencyCapped(u, 10000).localCheckpoint()
+      val hubIds = adj.filter(col("nbrs").isNull)
         .select(col("n").cast("long")).collect()
         .map(_.getLong(0)).toSeq
-      val sup = Graph.edgeSupportsWith(u, hubIds.toDF("n"),
-        hubIds.nonEmpty)
+      val degs = adj.select(col("n"), col("deg"))
+      val sup = Graph.edgeSupportsFromAdj(u,
+        adj.select("n", "nbrs"), hubIds)
       val tri = sup.select(col("src").as("node"), col("sup").as("c"))
         .union(sup.select(col("dst").as("node"), col("sup").as("c")))
         .groupBy("node")
