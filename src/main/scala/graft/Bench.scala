@@ -181,10 +181,13 @@ object Bench {
     // prevent. The builder updates or deletes the file each round.
     val regressions = {
       val f = new java.io.File("bench_note.txt")
+      // Strip ALL control chars (CR, tab, ...) after folding newlines:
+      // an unescaped <0x20 byte is invalid inside a JSON string and
+      // would silently break the gate parser on a CRLF or tabbed note.
       val note = if (f.isFile)
         new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
           .trim.replace("\\", "\\\\").replace("\"", "\\\"")
-          .replace("\n", " ")
+          .replace("\n", " ").filter(_ >= ' ')
       else ""
       "\"" + note + "\""
     }

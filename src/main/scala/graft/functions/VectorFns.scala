@@ -58,7 +58,10 @@ object VectorFns {
       .filter(col("vec_id") =!= col("qid"))
       .select(Seq(col("qid"), col("vec_id")) ++ carry.map(col) :+
         cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("c"): _*)
-    (if (dedup) scored.distinct() else scored)
+    // dropDuplicates on the PAIR key only: a distinct() over carry
+    // columns too would let duplicate (qid, vec_id) pairs with
+    // differing carry values occupy multiple top-k slots.
+    (if (dedup) scored.dropDuplicates(Seq("qid", "vec_id")) else scored)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topk)
       .select(Seq(col("qid"), col("vec_id")) ++ carry.map(col) :+

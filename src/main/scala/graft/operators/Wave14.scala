@@ -208,11 +208,12 @@ object Wave14 {
                CAST(SUM(x * y) AS BIGINT) AS sxy
         FROM r)
       SELECT 'o_totalprice' AS col, n AS n_samples,
-             ROUND(CAST(n * sxy - (n * (n - 1) // 2) * (n * (n - 1) // 2)
-                     AS DOUBLE) /
-                   (n * ((n - 1) * n * (2 * n - 1) // 6) -
-                    (n * (n - 1) // 2) * (n * (n - 1) // 2)), 6)
-               AS order_corr
+             CASE WHEN n <= 1 THEN 1.0 ELSE
+               ROUND(CAST(n * sxy - (n * (n - 1) // 2) * (n * (n - 1) // 2)
+                       AS DOUBLE) /
+                     (n * ((n - 1) * n * (2 * n - 1) // 6) -
+                      (n * (n - 1) // 2) * (n * (n - 1) // 2)), 6)
+             END AS order_corr
       FROM a
     """)) { t =>
       import org.apache.spark.sql.expressions.Window
@@ -233,13 +234,16 @@ object Wave14 {
       // Integer `div` keeps every term exact in BIGINT on both
       // engines (n·Σxy peaks ~1e16 — representable as long, NOT as
       // double), matching the oracle's `//` arithmetic bit-for-bit.
+      // n <= 1 guard: the reference's calcCorrelation returns 1 for a
+      // single-row sample (statistics/builder.go:191) — unguarded,
+      // both numerator and denominator are 0 (NaN / div-0).
       a.select(lit("o_totalprice").as("col"), col("n").as("n_samples"),
-        round(
+        when(col("n") <= 1, lit(1.0)).otherwise(round(
           expr("CAST(n * sxy - (n * (n - 1) div 2) * " +
             "(n * (n - 1) div 2) AS DOUBLE)") /
           expr("n * ((n - 1) * n * (2 * n - 1) div 6) - " +
             "(n * (n - 1) div 2) * (n * (n - 1) div 2)"),
-          6).as("order_corr"))
+          6)).as("order_corr"))
     },
 
     // Histogram SELECTIVITY estimation (reference:

@@ -88,14 +88,22 @@ object StatementsSummary {
     * exec_count, n_nodes, rows_total) — wall times vary per run, so
     * content-keying on the stable columns makes re-recording the same
     * pinned workload overwrite its own batch instead of duplicating
-    * history (the q_slow_history entry stays idempotent). Returns the
-    * batch key. The window snapshot is driver-sized (entries ×
-    * operator classes), so the write is one tiny parquet file. */
+    * history (the q_slow_history entry stays idempotent). Content
+    * keying is deliberately LOSSY for repeated real windows: two
+    * genuinely distinct windows recording identical workloads collapse
+    * into one batch. When that is not wanted, pass a caller-supplied
+    * `windowId` (e.g. a wall-clock bucket or monotonic counter) — it
+    * is mixed into the key, so distinct windows keep distinct batches
+    * while a re-record of the SAME window id stays idempotent.
+    * Returns the batch key. The window snapshot is driver-sized
+    * (entries × operator classes), so the write is one tiny parquet
+    * file. */
   def persistRotate(spark: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
+      dir: String, windowId: Option[String] = None): String = {
     val rows = localRows
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(rows.map(r => s"${r._1}|${r._2}|${r._3}|${r._4}|${r._5}")
+      .digest((windowId.toSeq ++
+          rows.map(r => s"${r._1}|${r._2}|${r._3}|${r._4}|${r._5}"))
         .mkString("\n").getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
     import spark.implicits._

@@ -123,6 +123,25 @@ class Wave14Spec extends SparkSpecBase {
     StatementsSummary.persistRotate(spark, dir)
     assert(detCols(StatementsSummary.history(spark, dir).collect())
       == detCols(hist))
+    // windowId opts OUT of the lossy collapse: the same window content
+    // under two DISTINCT window ids keeps two batches (exec counts
+    // accumulate), while a re-record of the SAME id stays idempotent.
+    val before = StatementsSummary.history(spark, dir)
+      .filter(col("entry") === "q_scan_filter")
+      .collect().head.getAs[Long]("exec_count")
+    StatementsSummary.record("q_scan_filter", t)
+    val k1 = StatementsSummary.persistRotate(spark, dir, Some("w1"))
+    StatementsSummary.record("q_scan_filter", t)
+    val k2 = StatementsSummary.persistRotate(spark, dir, Some("w2"))
+    assert(k1 != k2, "distinct window ids must key distinct batches")
+    def scanExecs() = StatementsSummary.history(spark, dir)
+      .filter(col("entry") === "q_scan_filter")
+      .collect().head.getAs[Long]("exec_count")
+    assert(scanExecs() == before + 2)
+    StatementsSummary.record("q_scan_filter", t)
+    val k1again = StatementsSummary.persistRotate(spark, dir, Some("w1"))
+    assert(k1again == k1 && scanExecs() == before + 2,
+      "same-window-id re-record must overwrite, not duplicate")
     StatementsSummary.clear()
   }
 
