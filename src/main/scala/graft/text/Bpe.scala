@@ -95,6 +95,77 @@ object Bpe {
           .as("compression"))
   }
 
+  /** DuckDB oracle for the k-round merge chain, shared by the train
+    * and apply entries. The merge REWRITE uses a delimiter trick
+    * instead of a per-element fold: encode each word's symbols as
+    * `\x1f sym \x1e` cells, so SQL `replace()` — left-to-right,
+    * non-overlapping, no rescan of replaced output — has EXACTLY the
+    * classic single-pass BPE merge semantics ([a,a,a] with merge
+    * (a,a) → [aa, a]; [a,b,a,b] → [ab, ab]); the testdata contains
+    * neither delimiter byte. Every per-round CTE is MATERIALIZED:
+    * round r is read by both round r+1's pair count and its rewrite,
+    * so DuckDB's default inlining would re-evaluate the base corpus
+    * scan 2^k times. Tie-breaks are (n DESC, a, b) binary-collation
+    * on both engines. */
+  private[text] def oracleChain(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""
+      p$r AS MATERIALIZED (
+        SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS n FROM (
+          SELECT unnest(list_transform(range(1, len(syms)),
+                   i -> {'a': syms[i], 'b': syms[i + 1]})) AS p, freq
+          FROM v${r - 1} WHERE len(syms) >= 2) z
+        GROUP BY 1, 2),
+      b$r AS MATERIALIZED (
+        SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+      v$r AS MATERIALIZED (
+        SELECT w, string_split(substring(s2, 2, len(s2) - 2),
+                 chr(30) || chr(31)) AS syms, freq
+        FROM (
+          SELECT v.w AS w, replace(
+              chr(31) || array_to_string(v.syms, chr(30) || chr(31))
+                || chr(30),
+              chr(31) || m.a || chr(30) || chr(31) || m.b || chr(30),
+              chr(31) || m.a || m.b || chr(30)) AS s2, v.freq AS freq
+          FROM v${r - 1} v, b$r m) z)"""
+    }.mkString(",")
+    s"""
+      WITH docw AS MATERIALIZED (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents) z
+        WHERE len(w) > 0 GROUP BY doc_id, w),
+      v0 AS MATERIALIZED (
+        SELECT w, string_split_regex(w, '') AS syms,
+               CAST(SUM(cnt) AS BIGINT) AS freq
+        FROM docw GROUP BY w),$rounds"""
+  }
+
+  /** Oracle for t_bpe_train: the ranked (step, left, right, pair_n)
+    * merge table from the unrolled chain. */
+  private[text] def trainOracle(k: Int): String =
+    oracleChain(k) + s"""
+      SELECT CAST(step AS INTEGER) AS step, a AS "left", b AS "right",
+             n AS pair_n
+      FROM (${(1 to k).map(r =>
+        s"SELECT $r AS step, a, b, n FROM b$r").mkString(" UNION ALL ")}) u
+      ORDER BY step"""
+
+  /** Oracle for t_bpe_apply: per-doc token counts from the final
+    * merged vocabulary joined back to the doc word counts. */
+  private[text] def applyOracle(k: Int): String =
+    oracleChain(k) + s""",
+      tok AS MATERIALIZED (
+        SELECT w, len(syms) AS n_tok, len(w) AS n_chr FROM v$k)
+      SELECT docw.doc_id AS doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_words,
+             CAST(SUM(cnt * n_chr) AS BIGINT) AS n_chars,
+             CAST(SUM(cnt * n_tok) AS BIGINT) AS n_bpe_tokens,
+             ROUND(CAST(SUM(cnt * n_chr) AS DOUBLE) /
+                   SUM(cnt * n_tok), 4) AS compression
+      FROM docw JOIN tok ON docw.w = tok.w
+      GROUP BY docw.doc_id"""
+
   /** Train `k` merges over `docs(text)`; returns (step, left, right,
     * pair_n) — the ranked merge table. */
   def trainMerges(docs: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {

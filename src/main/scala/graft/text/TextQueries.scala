@@ -753,10 +753,13 @@ object TextQueries {
     // ranked merge table). Trains on the distinct-word vocabulary,
     // never the corpus (Bpe.trainMerges has the scale contract: one
     // corpus pass, then vocab-sized iterations with an O(1) driver
-    // argmax per merge). Merge arithmetic is engine-specific
-    // (iterative rewrite) → rows-only; the spec pins the classic
+    // argmax per merge). The merge sequence is deterministic
+    // (lexicographic tie-break), so the oracle unrolls the k rounds
+    // as a materialized DuckDB CTE chain (Bpe.oracleChain — the
+    // s_ann_mmr greedy-unroll precedent) and hash-checks the full
+    // ranked table; the spec additionally pins the classic
     // low/lowest merge sequence and tie-break order.
-    Q("t_bpe_train", None) { t =>
+    Q("t_bpe_train", Some(Bpe.trainOracle(k = 6))) { t =>
       val spark = t.spark
       import spark.implicits._
       Bpe.mergesFor(t, k = 6).toDF("step", "left", "right", "pair_n")
@@ -767,10 +770,12 @@ object TextQueries {
     // number that prices a corpus in training FLOPs. Merges apply to
     // the DISTINCT-word vocabulary (map-side HOF chain), then one
     // join back to per-doc word counts — corpus text crosses one
-    // word-count shuffle total. Rows-only (merge arithmetic is
-    // engine-specific); the spec pins exact token counts on the
-    // classic corpus.
-    Q("t_bpe_apply", None) { t =>
+    // word-count shuffle total. Oracle = the same unrolled merge
+    // chain applied to the vocabulary in SQL, joined back to per-doc
+    // word counts — token counts and compression are hash-checked
+    // end to end; the spec additionally pins exact token counts on
+    // the classic corpus.
+    Q("t_bpe_apply", Some(Bpe.applyOracle(k = 6))) { t =>
       Bpe.tokenCounts(t.fan(t.documents), Bpe.mergesFor(t, k = 6))
     },
 
