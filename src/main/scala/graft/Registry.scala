@@ -30,6 +30,7 @@ object Registry {
     operators.Wave12.all,
     operators.Wave13.all,
     operators.Wave14.all,
+    operators.Wave15.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,

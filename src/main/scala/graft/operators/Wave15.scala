@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.tools.Acl
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-12 admin/observability entries: the privilege card (the last
+  * uncovered executor/ family) and metrics-schema analogs. */
+object Wave15 {
+
+  def all: Seq[Q] = Seq(
+
+    // SHOW GRANTS — the privilege surface (reference:
+    // executor/show.go:1497 fetchShowGrants; the scope-by-scope
+    // render is privilege/privileges/cache.go:1170 showGrants;
+    // executor/grant.go / revoke.go mutate the store). The engine
+    // seeds a deterministic ACL scenario in the session store and
+    // derives the statements through the REAL resolution machinery —
+    // transitive role closure (reader → analyst → alice), per-scope
+    // privilege merge across principals, canonical AllGlobalPrivs
+    // ordering, ALL-minus-revoked rendering, the USAGE convention for
+    // a grantless principal, and WITH GRANT OPTION — while the oracle
+    // pins the expected statements as literals (the q_describe
+    // pinned-catalog pattern: the hash proves the resolver, not a
+    // copy of it). Driver-sized by nature: principals × grants is an
+    // admin card, not data.
+    Q("q_show_grants", Some("""
+      SELECT * FROM (VALUES
+        ('alice', 1, 'GRANT SELECT,INSERT ON *.* TO ''alice''@''%'''),
+        ('alice', 2, 'GRANT SELECT,SHOW VIEW ON graft.* TO ''alice''@''%'''),
+        ('alice', 3, 'GRANT UPDATE ON graft.orders TO ''alice''@''%'''),
+        ('alice', 4, 'GRANT ''analyst''@''%'' TO ''alice''@''%'''),
+        ('analyst', 1, 'GRANT SELECT,SHOW VIEW ON graft.* TO ''analyst''@''%'''),
+        ('analyst', 2, 'GRANT ''reader''@''%'' TO ''analyst''@''%'''),
+        ('bob', 1, 'GRANT USAGE ON *.* TO ''bob''@''localhost'''),
+        ('carol', 1, 'GRANT SELECT,INSERT,UPDATE,CREATE,DROP,PROCESS,REFERENCES,ALTER,EXECUTE,INDEX,CREATE VIEW,SHOW VIEW,CREATE ROLE ON *.* TO ''carol''@''%'' WITH GRANT OPTION')
+      ) AS v(principal, ord, grant_stmt)
+    """)) { t =>
+      import t.spark.implicits._
+      Acl.clear()
+      // A user with direct global + table grants, inheriting a
+      // db-scope grant through a two-level role chain.
+      Acl.grant("alice", Seq("SELECT", "INSERT"))
+      Acl.grant("alice", Seq("UPDATE"), db = "graft", tbl = "orders")
+      Acl.grantRole("analyst", "alice")
+      Acl.grant("analyst", Seq("SELECT"), db = "graft")
+      Acl.grantRole("reader", "analyst")
+      Acl.grant("reader", Seq("SHOW VIEW"), db = "graft")
+      // The USAGE convention: created, never granted.
+      Acl.createUser("bob", "localhost")
+      // ALL with grant option, then a partial revoke — the render
+      // must fall back from the ALL PRIVILEGES literal to the
+      // canonical-order list minus the revoked ones.
+      Acl.grant("carol", Seq("ALL"), withGrantOption = true)
+      Acl.revoke("carol", Seq("DELETE", "DROP ROLE"))
+      Seq("alice" -> "%", "analyst" -> "%", "bob" -> "localhost",
+        "carol" -> "%")
+        .flatMap { case (u, h) =>
+          Acl.showGrants(u, h).zipWithIndex.map { case (s, i) =>
+            (u, i + 1, s)
+          }
+        }
+        .toDF("principal", "ord", "grant_stmt")
+    },
+  )
+}

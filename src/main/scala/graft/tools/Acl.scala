@@ -1,0 +1,154 @@
+package graft.tools
+
+import scala.collection.mutable
+
+/** Session-registered ACL store + SHOW GRANTS renderer — the privilege
+  * surface of the catalog family (reference: executor/show.go:1497
+  * fetchShowGrants; privilege/privileges/cache.go:1170 showGrants does
+  * the actual scope-by-scope render; executor/grant.go / revoke.go
+  * mutate the store). The store is driver-sized by nature (principals
+  * × grants — an admin card, not data), so it lives in plain JVM
+  * state like [[UserVarsStore]]/[[StatementsSummary]]; queries over it
+  * materialize tiny DataFrames.
+  *
+  * Rendering contract (cache.go:1170 + PrivToString at :1474):
+  * one GRANT line per scope — global `*.*` first (with the MySQL
+  * USAGE-fallback convention when the user exists but holds nothing),
+  * then db scopes `db.*` sorted, then table scopes `db.tbl` sorted —
+  * privileges listed in the canonical mysql.AllGlobalPrivs order,
+  * `ALL PRIVILEGES` when the full scope mask is held, `WITH GRANT
+  * OPTION` suffixed when GrantPriv is in the scope, and one
+  * `GRANT 'role'@'%' TO 'user'@'host'` line per directly-held role.
+  * Role privileges fold into the grantee's scopes via the TRANSITIVE
+  * closure (FindAllUserEffectiveRoles), cycle-safe. */
+object Acl {
+
+  /** Canonical privilege order (parser/mysql/privs.go AllGlobalPrivs
+    * prefix — the subset this card exercises). */
+  private val PrivOrder = Seq("SELECT", "INSERT", "UPDATE", "DELETE",
+    "CREATE", "DROP", "PROCESS", "REFERENCES", "ALTER", "EXECUTE",
+    "INDEX", "CREATE VIEW", "SHOW VIEW", "CREATE ROLE", "DROP ROLE")
+
+  private case class Key(user: String, host: String, db: String,
+      tbl: String)
+
+  private val privs = mutable.LinkedHashMap.empty[Key, mutable.Set[String]]
+  private val grantOption = mutable.Set.empty[Key]
+  private val users = mutable.LinkedHashSet.empty[(String, String)]
+  // role -> direct grantees (users or other roles); roles are
+  // principals with host '%' by convention.
+  private val roleEdges = mutable.LinkedHashSet.empty[(String, String)]
+
+  def clear(): Unit = synchronized {
+    privs.clear(); grantOption.clear(); users.clear(); roleEdges.clear()
+  }
+
+  /** CREATE USER / CREATE ROLE — registers the principal so SHOW
+    * GRANTS renders the USAGE convention even with zero grants. */
+  def createUser(user: String, host: String = "%"): Unit =
+    synchronized { users += ((user, host)) }
+
+  /** GRANT privs ON db.tbl TO user@host (executor/grant.go). Scope:
+    * db="*" → global; tbl="*" → whole-db. "ALL" expands to the
+    * canonical order list. */
+  def grant(user: String, privList: Seq[String], db: String = "*",
+      tbl: String = "*", host: String = "%",
+      withGrantOption: Boolean = false): Unit = synchronized {
+    users += ((user, host))
+    val k = Key(user, host, db, tbl)
+    val expanded =
+      if (privList.map(_.toUpperCase).contains("ALL")) PrivOrder
+      else privList.map(_.toUpperCase)
+    privs.getOrElseUpdate(k, mutable.Set.empty) ++= expanded
+    if (withGrantOption) grantOption += k
+  }
+
+  /** REVOKE privs ON db.tbl FROM user@host (executor/revoke.go) —
+    * removes from the exact scope; an emptied scope disappears from
+    * the render (back to USAGE if nothing else is held). */
+  def revoke(user: String, privList: Seq[String], db: String = "*",
+      tbl: String = "*", host: String = "%"): Unit = synchronized {
+    val k = Key(user, host, db, tbl)
+    privs.get(k).foreach { s =>
+      if (privList.map(_.toUpperCase).contains("ALL")) s.clear()
+      else s --= privList.map(_.toUpperCase)
+      if (s.isEmpty) { privs.remove(k); grantOption -= k }
+    }
+  }
+
+  /** GRANT 'role' TO 'user' — a role-inheritance edge. Both the role
+    * and the grantee are principals (MySQL requires the grantee to
+    * exist; roles live at host '%' by convention, and a grantee named
+    * only here gets the same default). */
+  def grantRole(role: String, user: String): Unit = synchronized {
+    users += ((role, "%"))
+    if (!users.exists(_._1 == user)) users += ((user, "%"))
+    roleEdges += ((role, user))
+  }
+
+  /** Transitive role closure for a grantee
+    * (FindAllUserEffectiveRoles) — cycle-safe BFS over role edges. */
+  private def effectiveRoles(user: String): Set[String] = {
+    val seen = mutable.Set.empty[String]
+    var frontier = roleEdges.collect { case (r, u) if u == user => r }.toSet
+    while (frontier.nonEmpty) {
+      seen ++= frontier
+      frontier = frontier.flatMap(m =>
+        roleEdges.collect { case (r, u) if u == m => r }) -- seen
+    }
+    seen.toSet
+  }
+
+  private def renderPrivs(ps: Set[String]): String =
+    if (PrivOrder.forall(ps.contains)) "ALL PRIVILEGES"
+    else PrivOrder.filter(ps.contains).mkString(",")
+
+  private def scopeSql(db: String, tbl: String): String =
+    if (db == "*") "*.*" else if (tbl == "*") s"$db.*" else s"$db.$tbl"
+
+  /** SHOW GRANTS FOR user@host — the rendered statement list, in the
+    * reference's order: global, db (sorted), table (sorted), then the
+    * directly-held role lines. */
+  def showGrants(user: String, host: String = "%"): Seq[String] =
+    synchronized {
+      if (!users.contains((user, host))) return Seq.empty
+      val sources = (user, host) +: effectiveRoles(user).toSeq.sorted
+        .map(r => (r, "%"))
+      // Fold each source principal's grants into per-scope sets.
+      val byScope = mutable.LinkedHashMap.empty[(String, String),
+        (mutable.Set[String], Array[Boolean])]
+      for ((su, sh) <- sources; (k, ps) <- privs
+           if k.user == su && k.host == sh) {
+        val slot = byScope.getOrElseUpdate((k.db, k.tbl),
+          (mutable.Set.empty[String], Array(false)))
+        slot._1 ++= ps
+        if (grantOption.contains(k)) slot._2(0) = true
+      }
+      def line(db: String, tbl: String, ps: Set[String],
+          go: Boolean): String = {
+        val suffix = if (go) " WITH GRANT OPTION" else ""
+        s"GRANT ${renderPrivs(ps)} ON ${scopeSql(db, tbl)} " +
+          s"TO '$user'@'$host'$suffix"
+      }
+      val global = byScope.get(("*", "*"))
+        .map { case (ps, go) => line("*", "*", ps.toSet, go(0)) }
+      val dbLines = byScope.collect {
+        case ((db, "*"), (ps, go)) if db != "*" =>
+          (db, line(db, "*", ps.toSet, go(0)))
+      }.toSeq.sortBy(_._1).map(_._2)
+      val tblLines = byScope.collect {
+        case ((db, tbl), (ps, go)) if db != "*" && tbl != "*" =>
+          ((db, tbl), line(db, tbl, ps.toSet, go(0)))
+      }.toSeq.sortBy(_._1).map(_._2)
+      val roleLines = roleEdges.collect { case (r, u) if u == user =>
+        s"GRANT '$r'@'%' TO '$user'@'$host'"
+      }.toSeq.sorted
+      val scoped = global.toSeq ++ dbLines ++ tblLines
+      // MySQL convention: a known principal with zero rendered scopes
+      // still answers with a USAGE line (cache.go:1218).
+      val withUsage =
+        if (scoped.isEmpty) Seq(s"GRANT USAGE ON *.* TO '$user'@'$host'")
+        else scoped
+      withUsage ++ roleLines
+    }
+}
