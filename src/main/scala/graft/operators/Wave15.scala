@@ -63,5 +63,44 @@ object Wave15 {
         }
         .toDF("principal", "ord", "grant_stmt")
     },
+
+    // METRICS_SCHEMA analog (reference: executor/metrics_reader.go:52
+    // MetricRetriever renders PromQL range queries as per-time-bucket
+    // metric rows; infoschema/metric_table_def.go holds the table
+    // shapes). A Spark session has no Prometheus — the honest source
+    // of truth is the PERSISTED statements history, where each
+    // rotated batch is one time window: the entry records a pinned
+    // workload across two windowId-keyed rotations (w1: q_scan_filter
+    // ×2 + q_sort_topn; w2: q_scan_filter ×1) and renders the
+    // per-window exec/rows/latency series via
+    // StatementsSummary.metricsSeries, with the opaque batch keys
+    // mapped back to their window labels. Wall-clock metrics make it
+    // rows-only; Wave15Spec proves the series equals an independent
+    // fold of the raw batch files and pins the deterministic
+    // exec-count series per window.
+    Q("q_metrics_schema", None) { t =>
+      val F = graft.sources.Formats
+      val dir = F.cacheDir(
+        s"/tmp/graft_metrics_${F.sanitize(t.dir)}",
+        F.contentFingerprint(t.dir))
+      // Own-dir reset, same reasoning as q_slow_history: stale
+      // batches from a previous CODE version would fold in.
+      F.deleteRecursively(new java.io.File(dir))
+      graft.tools.StatementsSummary.clear()
+      graft.tools.StatementsSummary.record("q_scan_filter", t)
+      graft.tools.StatementsSummary.record("q_scan_filter", t)
+      graft.tools.StatementsSummary.record("q_sort_topn", t)
+      val k1 = graft.tools.StatementsSummary
+        .persistRotate(t.spark, dir, Some("w1"))
+      graft.tools.StatementsSummary.record("q_scan_filter", t)
+      val k2 = graft.tools.StatementsSummary
+        .persistRotate(t.spark, dir, Some("w2"))
+      val labels = Seq((k1, "w1"), (k2, "w2"))
+      import t.spark.implicits._
+      graft.tools.StatementsSummary.metricsSeries(t.spark, dir)
+        .join(broadcast(labels.toDF("window_id", "window")), "window_id")
+        .select(col("window"), col("entry"), col("metric"), col("value"))
+        .orderBy("window", "entry", "metric")
+    },
   )
 }

@@ -135,6 +135,40 @@ object StatementsSummary {
     df
   }
 
+  /** METRICS_SCHEMA analog (reference: executor/metrics_reader.go:52
+    * MetricRetriever — the metrics tables render PromQL range queries
+    * as per-time-bucket rows; infoschema/metric_table_def.go defines
+    * the per-metric table shapes). The honest Spark-native source of
+    * truth is the persisted statements history: each rotated batch IS
+    * one time window, so the series render is (window_id, entry,
+    * metric, value) — exec/rows/latency per window — derived by
+    * folding each batch's per-op rows to entry grain (exec_count is
+    * entry-level repeated per op → max; rows_total sums across the
+    * entry's operator classes; wall columns are entry-level repeated
+    * → max) and unpivoting the four metrics with a codegen'd stack().
+    * Registered as temp view `metrics_schema`. Driver-sized by
+    * construction: windows × entries × 4. */
+  def metricsSeries(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(dir)
+      .groupBy("batch_id", "entry")
+      .agg(max("exec_count").as("exec_count"),
+        sum("rows_total").as("rows_total"),
+        max("sum_wall_ms").as("sum_wall_ms"),
+        max("max_wall_ms").as("max_wall_ms"))
+    val df = base.select(col("batch_id").cast("string").as("window_id"),
+      col("entry"),
+      expr("""stack(4,
+          'exec_count',  CAST(exec_count  AS DOUBLE),
+          'rows_total',  CAST(rows_total  AS DOUBLE),
+          'sum_wall_ms', CAST(sum_wall_ms AS DOUBLE),
+          'max_wall_ms', CAST(max_wall_ms AS DOUBLE))
+        AS (metric, value)"""))
+    df.createOrReplaceTempView("metrics_schema")
+    df
+  }
+
   /** SLOW_QUERY analog (executor/slow_query.go renders the slow log
     * as a threshold-filtered queryable table — tidb_slow_log_threshold
     * semantics): history digests whose worst recorded execution met

@@ -66,6 +66,56 @@ class Wave15Spec extends SparkSpecBase {
     Acl.clear()
   }
 
+  // --- METRICS_SCHEMA analog (metrics_reader.go:52) ---
+
+  test("metricsSeries equals an independent fold of the raw batches") {
+    import graft.tools.StatementsSummary
+    val dir = java.nio.file.Files.createTempDirectory("metrics")
+      .toString
+    StatementsSummary.clear()
+    StatementsSummary.record("q_scan_filter", t)
+    StatementsSummary.record("q_scan_filter", t)
+    StatementsSummary.record("q_sort_topn", t)
+    StatementsSummary.persistRotate(spark, dir, Some("w1"))
+    StatementsSummary.record("q_scan_filter", t)
+    StatementsSummary.persistRotate(spark, dir, Some("w2"))
+    val got = StatementsSummary.metricsSeries(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getDouble(3))).toMap
+    // Independent fold: raw batch rows, hand-aggregated per
+    // (window, entry) without going through the series code path.
+    val raw = spark.read.parquet(dir).collect().map(r =>
+      (r.getAs[String]("batch_id"), r.getAs[String]("entry"),
+        r.getAs[Long]("exec_count"), r.getAs[Long]("rows_total"),
+        r.getAs[Double]("sum_wall_ms"), r.getAs[Double]("max_wall_ms")))
+    val expect = raw.groupBy(x => (x._1, x._2)).flatMap {
+      case ((w, e), rows) => Seq(
+        ((w, e, "exec_count"), rows.map(_._3).max.toDouble),
+        ((w, e, "rows_total"), rows.map(_._4).sum.toDouble),
+        ((w, e, "sum_wall_ms"), rows.map(_._5).max),
+        ((w, e, "max_wall_ms"), rows.map(_._6).max))
+    }.toMap
+    assert(got == expect, "series diverged from the independent fold")
+    // The temp view is the information_schema read path.
+    assert(spark.table("metrics_schema").count() == got.size)
+    StatementsSummary.clear()
+  }
+
+  test("q_metrics_schema pins the deterministic exec-count series") {
+    val rows = q("q_metrics_schema").collect()
+    def execCount(w: String, e: String): Double = rows.find(r =>
+      r.getString(0) == w && r.getString(1) == e &&
+        r.getString(2) == "exec_count").get.getDouble(3)
+    // w1: scan recorded twice + topn once; w2: scan once, no topn.
+    assert(execCount("w1", "q_scan_filter") == 2.0)
+    assert(execCount("w1", "q_sort_topn") == 1.0)
+    assert(execCount("w2", "q_scan_filter") == 1.0)
+    assert(!rows.exists(r => r.getString(0) == "w2" &&
+      r.getString(1) == "q_sort_topn"))
+    // Four metrics per (window, entry): 3 pairs x 4.
+    assert(rows.length == 12)
+  }
+
   test("q_show_grants renders the pinned scenario deterministically") {
     val rows = q("q_show_grants").collect()
     assert(rows.length == 8)
