@@ -21,4 +21,10 @@ object GraftSqlShim {
   /** Column over a catalyst expression. */
   def column(e: catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** The session catalog — the same handle AnalyzeTableCommand writes
+    * statistics through; used by the LOAD STATS leg to inject a dumped
+    * stats artifact without re-running ANALYZE. */
+  def sessionCatalog(spark: SparkSession): catalyst.catalog.SessionCatalog =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalog
 }
