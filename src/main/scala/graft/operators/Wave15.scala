@@ -102,5 +102,31 @@ object Wave15 {
         .select(col("window"), col("entry"), col("metric"), col("value"))
         .orderBy("window", "entry", "metric")
     },
+
+    // Inspection PROFILE (reference: executor/inspection_profile.go:35
+    // profileBuilder — the tree-shaped cost profile where every node
+    // carries its own cost and percentages roll up the tree). The
+    // entry executes a pinned registry workload (q_tpch_q3 — a
+    // multi-join aggregate with real exchange structure), walks the
+    // FINAL adaptive plan preserving parent/child edges, and renders
+    // one row per operator: pre-order id, parent id, depth, the
+    // node's own timing-metric cost, its subtree rollup, and the
+    // subtree share of total. Wall-clock costs → rows-only;
+    // Wave15Spec pins the deterministic tree contract (single root,
+    // parent/depth consistency, rollup = self + Σ children, pct of
+    // root = 100).
+    Q("q_inspection_profile", None) { t =>
+      import t.spark.implicits._
+      val nodes = graft.tools.Trace.profile("q_tpch_q3", t)
+      val total = nodes.head.subtreeMs
+      nodes.map { n =>
+        (n.id, n.parentId, n.depth, n.name, n.rowsOut.getOrElse(-1L),
+          math.round(n.selfMs * 100) / 100.0,
+          math.round(n.subtreeMs * 100) / 100.0,
+          if (total > 0) math.round(n.subtreeMs / total * 10000) / 100.0
+          else 0.0)
+      }.toDF("id", "parent_id", "depth", "operator", "rows_out",
+        "self_ms", "subtree_ms", "pct_of_total")
+    },
   )
 }

@@ -116,6 +116,47 @@ class Wave15Spec extends SparkSpecBase {
     assert(rows.length == 12)
   }
 
+  // --- inspection profile (inspection_profile.go:35) ---
+
+  test("Trace.profile: tree contract holds on a real multi-join plan") {
+    import graft.tools.Trace
+    val nodes = Trace.profile("q_tpch_q3", t)
+    assert(nodes.nonEmpty)
+    // Pre-order ids, one root, every parent precedes its child.
+    assert(nodes.map(_.id) == nodes.indices)
+    assert(nodes.count(_.parentId == -1) == 1 && nodes.head.parentId == -1)
+    val byId = nodes.map(n => n.id -> n).toMap
+    for (n <- nodes if n.parentId >= 0) {
+      assert(n.parentId < n.id, s"parent after child: $n")
+      assert(byId(n.parentId).depth == n.depth - 1,
+        s"depth inconsistent with parent: $n")
+    }
+    // The rollup invariant: subtree = self + sum of child subtrees,
+    // exact regardless of the (nondeterministic) timing values.
+    val kids = nodes.groupBy(_.parentId)
+    for (n <- nodes) {
+      val expect = n.selfMs +
+        kids.getOrElse(n.id, Nil).map(_.subtreeMs).sum
+      assert(math.abs(n.subtreeMs - expect) < 1e-6,
+        s"rollup broke at ${n.name}: ${n.subtreeMs} vs $expect")
+    }
+    // The walk visits the same operators Trace.run reports.
+    assert(nodes.map(_.name) == Trace.run("q_tpch_q3", t).map(_.name))
+  }
+
+  test("q_inspection_profile: root share is 100 and depths are sane") {
+    val rows = q("q_inspection_profile").collect()
+    assert(rows.nonEmpty)
+    val root = rows.find(_.getAs[Int]("parent_id") == -1).get
+    assert(root.getAs[Int]("depth") == 0)
+    assert(math.abs(root.getAs[Double]("pct_of_total") - 100.0) < 0.01 ||
+      root.getAs[Double]("subtree_ms") == 0.0)
+    // Every non-root share is within [0, 100].
+    assert(rows.forall { r =>
+      val p = r.getAs[Double]("pct_of_total"); p >= 0.0 && p <= 100.001
+    })
+  }
+
   test("q_show_grants renders the pinned scenario deterministically") {
     val rows = q("q_show_grants").collect()
     assert(rows.length == 8)
