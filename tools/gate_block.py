@@ -65,6 +65,19 @@ def main() -> None:
         f"failed:[]."
     )
 
+    # Worst-5 entries straight from the shipped artifact, so the
+    # narrative never quotes a number the artifact doesn't carry
+    # (r11 lesson: SURVEY said 3.6 s where BENCH_r11 recorded 4.73).
+    tail = bench.get("tail", {})
+    worst = sorted(tail.items(),
+                   key=lambda kv: -kv[1].get("isolated",
+                                             kv[1].get("in_suite", 0)))[:5]
+    if worst:
+        print("Worst 5 (in-suite / isolated s): " + ", ".join(
+            f"{name} {v.get('in_suite', float('nan')):.2f}/"
+            f"{v.get('isolated', float('nan')):.2f}"
+            for name, v in worst) + ".")
+
 
 if __name__ == "__main__":
     main()
