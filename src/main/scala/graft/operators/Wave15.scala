@@ -128,5 +128,55 @@ object Wave15 {
       }.toDF("id", "parent_id", "depth", "operator", "rows_out",
         "self_ms", "subtree_ms", "pct_of_total")
     },
+
+    // SET CONFIG — the runtime-config mutation surface (reference:
+    // executor/set_config.go SetConfigExec pushes config changes to
+    // components at runtime, scoped to the addressed instance, while
+    // other sessions keep their settings). The Spark-native analog is
+    // SESSION-scoped SQL conf: the entry spawns a child session,
+    // flips its join-strategy config (broadcast threshold -1, AQE
+    // off), and proves BOTH halves of the contract — the child's
+    // planner obeys the scoped value (the same nation⋈region query
+    // plans SortMergeJoin in the child, BroadcastHashJoin in the
+    // parent) and the mutation does NOT leak into the parent's conf.
+    // Every fact is derived live and hash-checked against pinned
+    // literals.
+    Q("q_set_config", Some("""
+      SELECT * FROM (VALUES
+        ('child',  'broadcast_threshold', '-1'),
+        ('child',  'join_strategy', 'SortMergeJoin'),
+        ('parent', 'join_strategy', 'BroadcastHashJoin'),
+        ('parent', 'threshold_leak', 'none')
+      ) AS v(scope, fact, value)
+    """)) { t =>
+      import t.spark.implicits._
+      val parent = t.spark
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val before = parent.conf.get(key)
+      val child = parent.newSession()
+      child.conf.set(key, "-1")
+      child.conf.set("spark.sql.adaptive.enabled", "false")
+      // Each session plans the SAME query over its own scan (a
+      // Dataset is bound to its session, so the child re-reads).
+      def strategy(s: org.apache.spark.sql.SparkSession): String = {
+        val n = s.read.parquet(s"${t.dir}/nation.parquet")
+        val r = s.read.parquet(s"${t.dir}/region.parquet")
+        val p = n.join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name").agg(count(lit(1)).as("n"))
+          .queryExecution.executedPlan.toString
+        if (p.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+        else if (p.contains("SortMergeJoin")) "SortMergeJoin"
+        else "other"
+      }
+      val childStrategy = strategy(child)
+      val parentStrategy = strategy(parent)
+      val leak = if (parent.conf.get(key) == before) "none" else "LEAKED"
+      Seq(
+        ("child", "broadcast_threshold", child.conf.get(key)),
+        ("child", "join_strategy", childStrategy),
+        ("parent", "join_strategy", parentStrategy),
+        ("parent", "threshold_leak", leak))
+        .toDF("scope", "fact", "value")
+    },
   )
 }

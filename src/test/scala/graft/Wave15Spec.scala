@@ -157,6 +157,23 @@ class Wave15Spec extends SparkSpecBase {
     })
   }
 
+  // --- SET CONFIG (set_config.go) ---
+
+  test("q_set_config leaves every parent conf untouched") {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    val before = keys.map(k => k -> spark.conf.getOption(k))
+    val rows = q("q_set_config").collect()
+    assert(rows.length == 4)
+    assert(rows.exists(r => r.getString(1) == "threshold_leak" &&
+      r.getString(2) == "none"))
+    assert(keys.map(k => k -> spark.conf.getOption(k)) == before,
+      "entry mutated the parent session's conf")
+    // Idempotent: a second run sees the same pristine parent.
+    assert(q("q_set_config").collect().map(_.toSeq).toSeq ==
+      rows.map(_.toSeq).toSeq)
+  }
+
   test("q_show_grants renders the pinned scenario deterministically") {
     val rows = q("q_show_grants").collect()
     assert(rows.length == 8)
