@@ -218,6 +218,80 @@ object DedupQueries {
         .filter(col("jaccard") >= 0.5)
     },
 
+    // CONTAINMENT near-dup — the asymmetric companion to
+    // d_ngram_jaccard: C(A→B) = |A∩B| / |A| detects a document
+    // mostly CONTAINED in another (quote inclusion, boilerplate
+    // wrappers, page-in-crawl duplicates) that symmetric Jaccard
+    // misses whenever the container is much larger (|A∩B|/|A∪B|
+    // stays small while |A∩B|/|A| ≈ 1 — the Broder containment
+    // measure). Identical scale machinery as d_ngram_jaccard — ONE
+    // shingle exchange shared by df, sizes and both self-join sides
+    // via ReusedExchange, df≤1000-capped posting lists — with the
+    // unordered intersection computed ONCE (id1 < id2) and both
+    // directions derived from it, so the asymmetric score costs no
+    // extra pairing shuffle. Oracle recomputes over raw 3-gram
+    // strings (the hash-as-bandwidth-optimization argument at
+    // d_ngram_jaccard applies verbatim).
+    Q("d_dedup_containment", Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(ws) - 2),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END))
+          AS h
+        FROM toks),
+      kept AS (
+        SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM g),
+      k2 AS (SELECT doc_id, h, df FROM kept WHERE df <= 1000),
+      sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM k2
+                GROUP BY doc_id),
+      pair_gen AS (SELECT h, doc_id FROM k2 WHERE df > 1),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+        FROM pair_gen a JOIN pair_gen b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      dirs AS (
+        SELECT id1 AS src_id, id2 AS dst_id, n_inter FROM inter
+        UNION ALL SELECT id2, id1, n_inter FROM inter),
+      scored AS (
+        SELECT src_id, dst_id, CAST(n_inter AS BIGINT) AS n_inter,
+               ROUND(CAST(n_inter AS DOUBLE) / s.set_size, 4)
+                 AS containment
+        FROM dirs JOIN sizes s ON s.doc_id = src_id)
+      SELECT src_id, dst_id, n_inter, containment
+      FROM scored WHERE containment >= 0.6
+    """)) { t =>
+      val withSets = t.fan(t.documents)
+        .select(col("doc_id"),
+          array_distinct(TextFns.wordShingleHashes(col("text"), 3))
+            .as("hs"))
+      val kept = withSets.select(col("doc_id"), explode(col("hs")).as("h"))
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
+        .filter(col("df") <= 1000)
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+      val pairGen = kept.filter(col("df") > 1).select("h", "doc_id")
+      val inter = pairGen.select(col("h"), col("doc_id").as("id1"))
+        .join(pairGen.select(col("h"), col("doc_id").as("id2")), "h")
+        .filter(col("id1") < col("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
+      val both = inter.select(col("id1").as("src_id"),
+          col("id2").as("dst_id"), col("n_inter"))
+        .unionByName(inter.select(col("id2").as("src_id"),
+          col("id1").as("dst_id"), col("n_inter")))
+      both
+        .join(sizes.select(col("doc_id").as("src_id"),
+          col("set_size")), "src_id")
+        .select(col("src_id"), col("dst_id"),
+          col("n_inter").cast("long").as("n_inter"),
+          round(col("n_inter") / col("set_size"), 4).as("containment"))
+        .filter(col("containment") >= 0.6)
+    },
+
     // Embedding-cosine near-dup: pairs above a cosine threshold
     // (0.4 fits the synthetic embedding distribution; real near-dup
     // corpora use ~0.95+). Semantics are EXACT — and an exact

@@ -157,6 +157,41 @@ class Wave15Spec extends SparkSpecBase {
     })
   }
 
+  // --- containment near-dup (Broder's asymmetric measure) ---
+
+  test("containment catches small-in-large pairs that Jaccard misses") {
+    import graft.functions.TextFns
+    import spark.implicits._
+    // A 12-word quote fully embedded in a 60-word container: every
+    // shingle of the small doc appears in the big one, so
+    // C(small→big) = 1 while Jaccard stays well under the 0.5 gate.
+    val quote = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val filler = (100 to 147).map(i => s"pad$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, s"$quote $filler"))
+      .toDF("doc_id", "text")
+    val sets = docs.select(col("doc_id"),
+      array_distinct(TextFns.wordShingleHashes(col("text"), 3)).as("hs"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toSet).toMap
+    val inter = (sets(1L) & sets(2L)).size.toDouble
+    val cSmallToBig = inter / sets(1L).size
+    val cBigToSmall = inter / sets(2L).size
+    val jaccard = inter / (sets(1L) ++ sets(2L)).size
+    assert(cSmallToBig == 1.0, s"full containment expected: $cSmallToBig")
+    assert(jaccard < 0.5, s"Jaccard must miss this pair: $jaccard")
+    assert(cBigToSmall < 0.6, "asymmetry: container is not contained")
+    // Entry invariants on the real corpus: thresholded, bounded, and
+    // direction-consistent with the shared unordered intersection.
+    val rows = q("d_dedup_containment").collect()
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("containment"); c >= 0.6 && c <= 1.0001
+    })
+    val byPair = rows.map(r => (r.getAs[Long]("src_id"),
+      r.getAs[Long]("dst_id")) -> r.getAs[Long]("n_inter")).toMap
+    for (((s, d), n) <- byPair; rev <- byPair.get((d, s)))
+      assert(rev == n, s"n_inter asymmetric for pair ($s,$d)")
+  }
+
   // --- SET CONFIG (set_config.go) ---
 
   test("q_set_config leaves every parent conf untouched") {
