@@ -178,5 +178,39 @@ object Wave15 {
         ("parent", "threshold_leak", leak))
         .toDF("scope", "fact", "value")
     },
+
+    // FLASHBACK TABLE (reference: executor/ddl.go — DROP only unlinks
+    // metadata, the data stays until the GC safepoint; FLASHBACK /
+    // RECOVER TABLE re-links it within the window). The entry REALLY
+    // drops and recovers: seed a dir-table from a deterministic
+    // orders subset, DROP it through the recycle bin (an O(1) rename
+    // — unlink-not-erase, no data copied), prove the table is gone
+    // (a read now fails), FLASHBACK the newest retained entry back,
+    // and serve the recovered rows. The oracle recomputes the seed
+    // subset straight from orders, so the driver's hash compare IS
+    // the proof that drop→flashback is lossless. GC-window error
+    // semantics (flashback after gc throws) are spec-pinned.
+    Q("q_flashback", Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_price
+      FROM orders WHERE o_orderkey % 7 = 0
+    """)) { t =>
+      val F = graft.sources.Formats
+      val root = s"/tmp/graft_flashback_${F.sanitize(t.dir)}"
+      F.deleteRecursively(new java.io.File(root))
+      val tableDir = s"$root/fb_orders"
+      val binDir = s"$root/bin"
+      t.orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"),
+          Exact.dec2(col("o_totalprice")).cast("double").as("o_price"))
+        .write.parquet(tableDir)
+      graft.tools.RecycleBin.drop(tableDir, binDir)
+      // The drop is real: the table location no longer exists.
+      require(!new java.io.File(tableDir).exists(),
+        "drop left the table dir behind")
+      graft.tools.RecycleBin.flashback(binDir, "fb_orders", tableDir)
+      t.spark.read.parquet(tableDir)
+    },
   )
 }

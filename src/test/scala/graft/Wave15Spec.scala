@@ -192,6 +192,45 @@ class Wave15Spec extends SparkSpecBase {
       assert(rev == n, s"n_inter asymmetric for pair ($s,$d)")
   }
 
+  // --- FLASHBACK TABLE (executor/ddl.go recover semantics) ---
+
+  test("RecycleBin: drop retains, flashback restores newest, gc forgets") {
+    import graft.tools.RecycleBin
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("fb").toString
+    val tdir = s"$root/t"
+    def write(v: Int): Unit = Seq((1, v)).toDF("k", "v")
+      .write.mode("overwrite").parquet(tdir)
+    // Drop v1, recreate as v2, drop v2: flashback must restore the
+    // NEWEST retained version, decided by sequence, not mtime.
+    write(1); RecycleBin.drop(tdir, s"$root/bin")
+    write(2); RecycleBin.drop(tdir, s"$root/bin")
+    assert(!new java.io.File(tdir).exists())
+    RecycleBin.flashback(s"$root/bin", "t", tdir)
+    assert(spark.read.parquet(tdir).head().getInt(1) == 2)
+    // A live destination must never be clobbered.
+    intercept[IllegalStateException] {
+      RecycleBin.flashback(s"$root/bin", "t", tdir)
+    }
+    // GC past the safepoint forgets v1 permanently: nothing left.
+    RecycleBin.drop(tdir, s"$root/bin")
+    val purged = RecycleBin.gc(s"$root/bin", RecycleBin.currentSeq)
+    assert(purged == 2, s"expected v1 + re-dropped v2 purged, got $purged")
+    intercept[IllegalStateException] {
+      RecycleBin.flashback(s"$root/bin", "t", tdir)
+    }
+    // Unknown table name is the same error path.
+    intercept[IllegalStateException] {
+      RecycleBin.flashback(s"$root/bin", "never_existed", s"$root/x")
+    }
+  }
+
+  test("q_flashback round-trips the dropped table losslessly") {
+    val rows = q("q_flashback").collect()
+    val expect = t.orders.filter(col("o_orderkey") % 7 === 0).count()
+    assert(rows.length == expect && expect > 0)
+  }
+
   // --- SET CONFIG (set_config.go) ---
 
   test("q_set_config leaves every parent conf untouched") {
