@@ -212,5 +212,44 @@ object Wave15 {
       graft.tools.RecycleBin.flashback(binDir, "fb_orders", tableDir)
       t.spark.read.parquet(tableDir)
     },
+
+    // INDEX LOOKUP JOIN (reference: executor/index_lookup_join.go —
+    // the outer side's join keys are batched in memory and turned
+    // into INDEX RANGES probed against the inner table, so the inner
+    // side reads only the matching key ranges instead of scanning).
+    // The Spark-native spelling of "probe only the matching ranges":
+    // collect the small outer side's keys (bounded by the SAME
+    // contract that sizes TiDB's in-memory key batch — a require()
+    // caps it at 64k keys, loud not silent) and push them into the
+    // fact scan as an IN filter, which reaches parquet as
+    // PushedFilters In(o_custkey, ...) + row-group bloom/dictionary
+    // skipping — the scan-avoidance IS the operator. The join back to
+    // the outer row is a broadcast hash join on the same keys.
+    // PlanShapeSpec-style assert lives in Wave15Spec: the executed
+    // scan must carry the In pushdown. At 100 TB the fact side reads
+    // only row groups containing probe keys; a wide outer side fails
+    // the require instead of silently degrading the driver.
+    Q("q_join_index_lookup", Some("""
+      SELECT c.c_custkey, c.c_acctbal, o.o_orderkey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS o_price
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_acctbal > 9900
+    """)) { t =>
+      val probe = t.customer.filter(col("c_acctbal") > 9900)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val keys = probe.select("c_custkey").collect().map(_.getLong(0))
+      require(keys.length <= 65536,
+        s"index-lookup outer side too wide: ${keys.length} keys " +
+          "(the in-memory key-batch contract)")
+      val inner = t.orders
+        .filter(col("o_custkey").isin(keys.toSeq: _*))
+        .select(col("o_custkey"), col("o_orderkey"),
+          Exact.dec2(col("o_totalprice")).cast("double").as("o_price"))
+      inner.join(broadcast(probe),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("o_orderkey"), col("o_price"))
+    },
   )
 }

@@ -192,6 +192,25 @@ class Wave15Spec extends SparkSpecBase {
       assert(rev == n, s"n_inter asymmetric for pair ($s,$d)")
   }
 
+  // --- index lookup join (executor/index_lookup_join.go) ---
+
+  test("q_join_index_lookup pushes the probe keys into the fact scan") {
+    val df = Registry.byName("q_join_index_lookup").run(t)
+    val plan = df.queryExecution.executedPlan.toString
+    // The operator's point: the orders scan is keyed, not full — the
+    // IN list must reach the parquet reader as a pushed filter.
+    // A single surviving key is rewritten In -> EqualTo by the
+    // optimizer; both are the keyed pushdown this operator is about.
+    assert(plan.contains("PushedFilters") &&
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*" +
+        "(In|EqualTo)\\(o_custkey.*"),
+      s"probe keys did not reach the scan:\n$plan")
+    // And the join back is a broadcast on the tiny probe side.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"outer re-join should broadcast the probe:\n$plan")
+    assert(df.count() > 0)
+  }
+
   // --- FLASHBACK TABLE (executor/ddl.go recover semantics) ---
 
   test("RecycleBin: drop retains, flashback restores newest, gc forgets") {
