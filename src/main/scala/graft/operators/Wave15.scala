@@ -251,5 +251,90 @@ object Wave15 {
         .select(col("c_custkey"), col("c_acctbal"),
           col("o_orderkey"), col("o_price"))
     },
+
+    // Histogram MERGE — partitioned ANALYZE (reference:
+    // statistics/histogram.go:763 MergeHistograms folds per-region
+    // histograms over DISJOINT key ranges into one: concatenate the
+    // range-ordered buckets, then halve by merging ADJACENT pairs
+    // until the target bucket count — mergeBuckets(i) sums counts and
+    // keeps the right bound). This is the operational heart of
+    // ANALYZE at 100 TB: every shard builds its histogram
+    // independently where the data lives, and the table-level
+    // histogram is an O(buckets) merge — NO rescan of any shard. The
+    // entry shards orders by key range (the region analog), builds an
+    // 8-bucket equi-depth histogram per shard (the q_stats_histogram
+    // machinery: one boundary aggregate broadcast, map-side
+    // bucketing), and merges 16 range-ordered buckets into 8 by the
+    // adjacent-pair rule — pure integer arithmetic on o_orderkey, so
+    // every count and bound is hash-exact against the oracle's
+    // restatement.
+    Q("q_stats_merge", Some("""
+      WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+      s AS (
+        SELECT o_orderkey AS v,
+               CASE WHEN o_orderkey < (SELECT m // 2 FROM mx)
+                    THEN 0 ELSE 1 END AS shard
+        FROM orders),
+      b AS (
+        SELECT shard,
+               [round(quantile_cont(CAST(v AS DOUBLE), 0.125), 4),
+                round(quantile_cont(CAST(v AS DOUBLE), 0.25), 4),
+                round(quantile_cont(CAST(v AS DOUBLE), 0.375), 4),
+                round(quantile_cont(CAST(v AS DOUBLE), 0.5), 4),
+                round(quantile_cont(CAST(v AS DOUBLE), 0.625), 4),
+                round(quantile_cont(CAST(v AS DOUBLE), 0.75), 4),
+                round(quantile_cont(CAST(v AS DOUBLE), 0.875), 4)] AS bs
+        FROM s GROUP BY shard),
+      m AS (
+        SELECT s.shard AS shard, v,
+               1 + len(list_filter(b.bs, x -> CAST(s.v AS DOUBLE) > x))
+                 AS bucket
+        FROM s JOIN b ON b.shard = s.shard),
+      h AS (
+        SELECT shard, bucket, COUNT(*) AS cnt,
+               MIN(v) AS lo, MAX(v) AS hi
+        FROM m GROUP BY shard, bucket)
+      SELECT CAST((shard * 8 + bucket - 1) // 2 AS INT) AS bucket,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             MIN(lo) AS lo, MAX(hi) AS hi
+      FROM h GROUP BY 1
+    """)) { t =>
+      val qs = Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+      val split = t.orders.agg(
+        expr("max(o_orderkey) div 2").as("half"))
+      val s = t.orders.select(col("o_orderkey").as("v"))
+        .crossJoin(broadcast(split))
+        .select(col("v"),
+          when(col("v") < col("half"), 0).otherwise(1).as("shard"))
+      // Per-shard ANALYZE: ONE boundary aggregate (2 rows — one per
+      // shard/region) broadcast back, bucketing map-side.
+      val bounds = s.groupBy("shard").agg(
+        qs.zipWithIndex.map { case (q, i) =>
+          round(percentile(col("v").cast("double"), lit(q)), 4)
+            .as(s"b$i")
+        }.head,
+        qs.zipWithIndex.tail.map { case (q, i) =>
+          round(percentile(col("v").cast("double"), lit(q)), 4)
+            .as(s"b$i")
+        }: _*)
+      val bucket = qs.indices
+        .map(i => when(col("v").cast("double") > col(s"b$i"), 1)
+          .otherwise(0))
+        .reduce(_ + _) + 1
+      val perShard = s.join(broadcast(bounds), "shard")
+        .select(col("shard"), col("v"), bucket.as("bucket"))
+        .groupBy("shard", "bucket")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+      // MergeHistograms: 16 range-ordered buckets -> 8 by merging
+      // adjacent pairs (count sums, bounds widen) — O(buckets), no
+      // shard rescan; n shards merge associatively the same way.
+      perShard
+        .select(expr("(shard * 8 + bucket - 1) div 2").cast("int")
+          .as("bucket"), col("cnt"), col("lo"), col("hi"))
+        .groupBy("bucket")
+        .agg(sum("cnt").cast("long").as("n_rows"),
+          min("lo").as("lo"), max("hi").as("hi"))
+    },
   )
 }

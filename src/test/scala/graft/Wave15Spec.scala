@@ -192,6 +192,30 @@ class Wave15Spec extends SparkSpecBase {
       assert(rev == n, s"n_inter asymmetric for pair ($s,$d)")
   }
 
+  // --- histogram merge (statistics/histogram.go:763) ---
+
+  test("q_stats_merge: lossless fold, disjoint ranges, balanced depth") {
+    val rows = q("q_stats_merge").collect()
+      .sortBy(_.getAs[Int]("bucket"))
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq == (0 until 8))
+    // Merging loses no rows: the 8 merged counts refold to the table.
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == t.orders.count())
+    // Range-ordered and disjoint (the MergeHistograms precondition
+    // carried through the merge): each bucket's hi < next bucket's lo
+    // on the unique integer key.
+    for (w <- rows.sliding(2); Array(a, b) = w)
+      assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"),
+        s"merged buckets overlap: ${a.mkString(",")} / ${b.mkString(",")}")
+    // Equi-depth survives pair-merging of equi-depth halves: every
+    // merged bucket holds ~total/8, within the rounding slack of two
+    // constituent buckets.
+    val target = total / 8.0
+    assert(rows.forall(r =>
+      math.abs(r.getAs[Long]("n_rows") - target) <= target * 0.05 + 2),
+      rows.map(_.getAs[Long]("n_rows")).mkString(","))
+  }
+
   // --- index lookup join (executor/index_lookup_join.go) ---
 
   test("q_join_index_lookup pushes the probe keys into the fact scan") {
