@@ -249,6 +249,102 @@ object RankQueries {
           Window.orderBy(col("rrf").desc, col("doc_id"))))
     },
 
+    // RETRIEVE-THEN-RERANK — the cascade companion to s_hybrid_rrf's
+    // fusion: a cheap lexical retriever (BM25, query-term posting
+    // lists only) nominates top-20 candidates, then an exact
+    // embedding-cosine reranker scores ONLY those candidates and
+    // keeps top-5 — the standard two-stage RAG/serving recipe where
+    // the expensive scorer never sees the corpus. Scale shape: stage
+    // 1 touches the query terms' posting lists (broadcast query
+    // side); stage 2 is a BROADCAST of the ≤20-row candidate list
+    // keyed into the embeddings join — the index-lookup pattern, so
+    // only candidate vectors are read — and every window runs over
+    // ≤20 rows after a TakeOrdered cut. Both stages' rank keys are
+    // total orders (rounded score + doc_id), so the cascade is
+    // deterministic end to end and hash-oracled.
+    Q("s_retrieve_rerank", Some(s"""
+      WITH $toksSql,
+      dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl
+                FROM dl),
+      q(term) AS (VALUES ('join'), ('hash')),
+      contrib AS (
+        SELECT doc_id,
+               LN(1.0 + (CAST(n - df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5)) *
+               (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+               (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                 (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                   (CAST(dl AS DOUBLE) / avgdl))) AS c
+        FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+                JOIN dl USING (doc_id), stats),
+      bm AS (SELECT doc_id, ROUND(SUM(c), 4) AS bscore
+             FROM contrib GROUP BY 1),
+      bt AS (SELECT * FROM (
+               SELECT doc_id, bscore, ROW_NUMBER() OVER
+                        (ORDER BY bscore DESC, doc_id) AS r_text
+               FROM bm) WHERE r_text <= 20),
+      qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id = 0),
+      cand AS (
+        SELECT bt.doc_id AS doc_id, bt.r_text AS r_text,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv)
+                 AS c
+        FROM bt JOIN embeddings e ON e.vec_id = bt.doc_id, qv)
+      SELECT doc_id, CAST(r_text AS INT) AS r_text,
+             ROUND(c, 4) AS cos, CAST(rn AS INT) AS rn
+      FROM (SELECT *, ROW_NUMBER() OVER
+                       (ORDER BY ROUND(c, 8) DESC, doc_id) AS rn
+            FROM cand)
+      WHERE rn <= 5
+    """)) { t =>
+      import t.spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = t.fan(t.documents)
+        .select(col("doc_id"),
+          explode(split(TextFns.normalize(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      // One tokenize pass feeds dl/stats/df/scoring (the s_hybrid_rrf
+      // materialization argument applies verbatim).
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+      val q = Seq("join", "hash").toDF("term")
+      val qd = q.join(tf.groupBy("term").agg(count(lit(1)).as("df")), "term")
+      val idf = log(lit(1.0) + ((col("n") - col("df")).cast("double") + 0.5)
+        / (col("df").cast("double") + 0.5))
+      val c = idf * (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+      val bm = tf.join(broadcast(qd), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("c", c)
+        .groupBy("doc_id").agg(round(sum("c"), 4).as("bscore"))
+      val bt = bm.orderBy(col("bscore").desc, col("doc_id")).limit(20)
+        .withColumn("r_text", row_number().over(
+          Window.orderBy(col("bscore").desc, col("doc_id"))))
+        .select("doc_id", "r_text")
+      val qvRow = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      // Stage 2 reads ONLY candidate vectors: the ≤20-row list is the
+      // broadcast build side keyed into the embeddings scan.
+      val cand = broadcast(bt)
+        .join(t.embeddings.select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v")), "doc_id")
+        .crossJoin(broadcast(qvRow))
+        .select(col("doc_id"), col("r_text"),
+          (graft.functions.VectorFns.dot(col("v"), col("qv")) /
+            (sqrt(graft.functions.VectorFns.dot(col("v"), col("v"))) *
+             sqrt(graft.functions.VectorFns.dot(col("qv"), col("qv")))))
+            .as("c"))
+      cand.orderBy(round(col("c"), 8).desc, col("doc_id")).limit(5)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(round(col("c"), 8).desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_text"),
+          round(col("c"), 4).as("cos"), col("rn"))
+    },
+
     // Model-based quality filtering: a logistic scorer with pinned
     // weights over the t_quality feature family (token count, alpha
     // ratio, stopword ratio) — the shape of every learned quality

@@ -192,6 +192,27 @@ class Wave15Spec extends SparkSpecBase {
       assert(rev == n, s"n_inter asymmetric for pair ($s,$d)")
   }
 
+  // --- retrieve-then-rerank cascade ---
+
+  test("s_retrieve_rerank: rerank output is a candidate subset, cosine-ordered") {
+    val rows = q("s_retrieve_rerank").collect()
+    assert(rows.length == 5)
+    // Cascade contract: every reranked doc carries its stage-1 rank
+    // (1..20), i.e. it WAS a BM25 candidate.
+    assert(rows.forall { r =>
+      val rt = r.getAs[Int]("r_text"); rt >= 1 && rt <= 20
+    })
+    // Stage-2 order is cosine, not the lexical rank.
+    val cos = rows.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cos"))
+    assert(cos.sliding(2).forall(w => w(0) >= w(1)),
+      s"rerank not cosine-ordered: ${cos.mkString(",")}")
+    // The candidate list is the broadcast build side of the
+    // embeddings join — stage 2 never shuffles the corpus.
+    val plan = Registry.byName("s_retrieve_rerank").run(t)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   // --- histogram merge (statistics/histogram.go:763) ---
 
   test("q_stats_merge: lossless fold, disjoint ranges, balanced depth") {
