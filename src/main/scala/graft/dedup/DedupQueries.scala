@@ -53,6 +53,59 @@ object DedupQueries {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Shared df-capped 3-gram posting-list pairing behind
+    * d_ngram_jaccard (symmetric) and d_dedup_containment
+    * (asymmetric): per-doc distinct shingle-hash sets, df per shingle
+    * via ONE h-partitioned window exchange shared by every consumer
+    * (sizes and both self-join sides ride ReusedExchange), posting
+    * lists pruned at df ≤ 1000 with df = 1 skipped for pairing.
+    * Returns (sizes: doc_id → set_size, inter: unordered candidate
+    * pair → |A∩B|). One definition, so a cap/width tweak cannot
+    * silently diverge between the two entries. */
+  private def shinglePairs(t: Tables): (DataFrame, DataFrame) = {
+    val withSets = t.fan(t.documents)
+      .select(col("doc_id"),
+        array_distinct(TextFns.wordShingleHashes(col("text"), 3))
+          .as("hs"))
+    val kept = withSets.select(col("doc_id"), explode(col("hs")).as("h"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("df") <= 1000)
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val pairGen = kept.filter(col("df") > 1).select("h", "doc_id")
+    val inter = pairGen.select(col("h"), col("doc_id").as("id1"))
+      .join(pairGen.select(col("h"), col("doc_id").as("id2")), "h")
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
+    (sizes, inter)
+  }
+
+  /** The oracle twin of [[shinglePairs]]: the shared DuckDB CTE
+    * prefix (raw 3-gram strings — the hash-as-bandwidth argument at
+    * d_ngram_jaccard) ending in `sizes` and `inter`. */
+  private val shinglePairsSql = """
+      toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(ws) - 2),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END))
+          AS h
+        FROM toks),
+      kept AS (
+        SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM g),
+      k2 AS (SELECT doc_id, h, df FROM kept WHERE df <= 1000),
+      sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM k2
+                GROUP BY doc_id),
+      pair_gen AS (SELECT h, doc_id FROM k2 WHERE df > 1),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+        FROM pair_gen a JOIN pair_gen b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)"""
+
   lazy val all: Seq[Q] = Seq(
 
     // Exact dedup: group by content hash, keep the smallest id.
@@ -159,28 +212,8 @@ object DedupQueries {
     // (equal modulo 64-bit hash collisions: ~1e-9 at the gate's
     // corpus size; a collision would surface as a hash diff and be
     // investigated, which is exactly what an oracle is for).
-    Q("d_ngram_jaccard", Some("""
-      WITH toks AS (
-        SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
-        FROM documents),
-      g AS (
-        SELECT doc_id, unnest(list_distinct(
-          CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
-               ELSE list_transform(generate_series(1, len(ws) - 2),
-                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END))
-          AS h
-        FROM toks),
-      kept AS (
-        SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM g),
-      k2 AS (SELECT doc_id, h, df FROM kept WHERE df <= 1000),
-      sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM k2
-                GROUP BY doc_id),
-      pair_gen AS (SELECT h, doc_id FROM k2 WHERE df > 1),
-      inter AS (
-        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
-        FROM pair_gen a JOIN pair_gen b
-          ON a.h = b.h AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
+    Q("d_ngram_jaccard", Some(s"""
+      WITH $shinglePairsSql,
       scored AS (
         SELECT id1, id2,
                ROUND(CAST(n_inter AS DOUBLE) /
@@ -190,25 +223,7 @@ object DedupQueries {
         JOIN sizes s2 ON s2.doc_id = id2)
       SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.5
     """)) { t =>
-      val withSets = t.fan(t.documents)
-        .select(col("doc_id"),
-          array_distinct(TextFns.wordShingleHashes(col("text"), 3))
-            .as("hs"))
-      // df per shingle via a window over the h-partitioned exchange
-      // (instead of a groupBy + rejoin): every downstream consumer —
-      // sizes, both self-join sides — shares that single shuffle
-      // through ReusedExchange, so the text→shingle→hash pipeline
-      // runs once.
-      val kept = withSets.select(col("doc_id"), explode(col("hs")).as("h"))
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("h")))
-        .filter(col("df") <= 1000)
-      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-      val pairGen = kept.filter(col("df") > 1).select("h", "doc_id")
-      val inter = pairGen.select(col("h"), col("doc_id").as("id1"))
-        .join(pairGen.select(col("h"), col("doc_id").as("id2")), "h")
-        .filter(col("id1") < col("id2"))
-        .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
+      val (sizes, inter) = shinglePairs(t)
       inter
         .join(sizes.select(col("doc_id").as("id1"), col("set_size").as("sz1")), "id1")
         .join(sizes.select(col("doc_id").as("id2"), col("set_size").as("sz2")), "id2")
@@ -232,28 +247,8 @@ object DedupQueries {
     // extra pairing shuffle. Oracle recomputes over raw 3-gram
     // strings (the hash-as-bandwidth-optimization argument at
     // d_ngram_jaccard applies verbatim).
-    Q("d_dedup_containment", Some("""
-      WITH toks AS (
-        SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
-        FROM documents),
-      g AS (
-        SELECT doc_id, unnest(list_distinct(
-          CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
-               ELSE list_transform(generate_series(1, len(ws) - 2),
-                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END))
-          AS h
-        FROM toks),
-      kept AS (
-        SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM g),
-      k2 AS (SELECT doc_id, h, df FROM kept WHERE df <= 1000),
-      sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM k2
-                GROUP BY doc_id),
-      pair_gen AS (SELECT h, doc_id FROM k2 WHERE df > 1),
-      inter AS (
-        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
-        FROM pair_gen a JOIN pair_gen b
-          ON a.h = b.h AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
+    Q("d_dedup_containment", Some(s"""
+      WITH $shinglePairsSql,
       dirs AS (
         SELECT id1 AS src_id, id2 AS dst_id, n_inter FROM inter
         UNION ALL SELECT id2, id1, n_inter FROM inter),
@@ -265,20 +260,7 @@ object DedupQueries {
       SELECT src_id, dst_id, n_inter, containment
       FROM scored WHERE containment >= 0.6
     """)) { t =>
-      val withSets = t.fan(t.documents)
-        .select(col("doc_id"),
-          array_distinct(TextFns.wordShingleHashes(col("text"), 3))
-            .as("hs"))
-      val kept = withSets.select(col("doc_id"), explode(col("hs")).as("h"))
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("h")))
-        .filter(col("df") <= 1000)
-      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-      val pairGen = kept.filter(col("df") > 1).select("h", "doc_id")
-      val inter = pairGen.select(col("h"), col("doc_id").as("id1"))
-        .join(pairGen.select(col("h"), col("doc_id").as("id2")), "h")
-        .filter(col("id1") < col("id2"))
-        .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
+      val (sizes, inter) = shinglePairs(t)
       val both = inter.select(col("id1").as("src_id"),
           col("id2").as("dst_id"), col("n_inter"))
         .unionByName(inter.select(col("id2").as("src_id"),

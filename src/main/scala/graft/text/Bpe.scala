@@ -122,12 +122,21 @@ object Bpe {
         SELECT w, string_split(substring(s2, 2, len(s2) - 2),
                  chr(30) || chr(31)) AS syms, freq
         FROM (
-          SELECT v.w AS w, replace(
+          -- LEFT JOIN, not a cross join: if the argmax round is EMPTY
+          -- (vocabulary exhausted productive merges before round k),
+          -- the rewrite must be a no-op — a cross join with an empty
+          -- b$r would annihilate the vocabulary and zero the apply
+          -- oracle while the engine keeps tokenizing.
+          SELECT v.w AS w, CASE WHEN m.a IS NULL THEN
+              chr(31) || array_to_string(v.syms, chr(30) || chr(31))
+                || chr(30)
+            ELSE replace(
               chr(31) || array_to_string(v.syms, chr(30) || chr(31))
                 || chr(30),
               chr(31) || m.a || chr(30) || chr(31) || m.b || chr(30),
-              chr(31) || m.a || m.b || chr(30)) AS s2, v.freq AS freq
-          FROM v${r - 1} v, b$r m) z)"""
+              chr(31) || m.a || m.b || chr(30)) END AS s2,
+            v.freq AS freq
+          FROM v${r - 1} v LEFT JOIN b$r m ON TRUE) z)"""
     }.mkString(",")
     s"""
       WITH docw AS MATERIALIZED (

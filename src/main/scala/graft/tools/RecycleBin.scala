@@ -37,8 +37,13 @@ object RecycleBin {
     * error path) or when the destination already exists (a live
     * table must not be silently clobbered). */
   def flashback(binDir: String, name: String, restoreTo: String): Unit = {
+    // EXACT name match: the entry name minus its trailing __<seq>
+    // must equal `name` — a prefix test would let table "t__v2"'s
+    // entries shadow table "t" and restore the wrong data.
     val entries = Option(new File(binDir).listFiles()).getOrElse(Array())
-      .filter(f => f.isDirectory && f.getName.startsWith(s"${name}__"))
+      .filter(f => f.isDirectory &&
+        f.getName.matches(
+          java.util.regex.Pattern.quote(name) + "__\\d+"))
     if (entries.isEmpty) throw new IllegalStateException(
       s"flashback: no retained entry for $name in $binDir " +
         "(never dropped, or already GC'd)")

@@ -101,7 +101,11 @@ object StatementsSummary {
   def persistRotate(spark: org.apache.spark.sql.SparkSession,
       dir: String, windowId: Option[String] = None): String = {
     val rows = localRows
-    val key = java.security.MessageDigest.getInstance("MD5")
+    // The "b" prefix keeps the key non-numeric: batch_id is a
+    // PARTITION column on read, and Spark's partition-type inference
+    // would parse an all-digit hex key (leading zeros included) as
+    // LONG/DOUBLE, silently mangling it before any string compare.
+    val key = "b" + java.security.MessageDigest.getInstance("MD5")
       .digest((windowId.toSeq ++
           rows.map(r => s"${r._1}|${r._2}|${r._3}|${r._4}|${r._5}"))
         .mkString("\n").getBytes("UTF-8"))
