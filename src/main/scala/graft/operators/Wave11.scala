@@ -276,12 +276,12 @@ object Wave11 {
     Q("q_dynamic_overwrite", Some("""
       SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS yr,
              CAST(o_totalprice AS DOUBLE) AS price
-      FROM orders WHERE YEAR(o_orderdate) <> 1994
+      FROM orders WHERE YEAR(o_orderdate) <> 1996
       UNION ALL
-      SELECT o_orderkey, 1994 AS yr,
+      SELECT o_orderkey, 1996 AS yr,
              CAST(CAST(o_totalprice AS DECIMAL(18,2))
                   + CAST(0.07 AS DECIMAL(18,2)) AS DOUBLE) AS price
-      FROM orders WHERE YEAR(o_orderdate) = 1994
+      FROM orders WHERE YEAR(o_orderdate) = 1996
     """)) { t =>
       val spark = t.spark
       val base =
@@ -290,8 +290,14 @@ object Wave11 {
         year(col("o_orderdate")).cast("int").as("yr"),
         col("o_totalprice").cast("decimal(18,2)").as("price"))
       sel.write.mode("overwrite").partitionBy("yr").parquet(base)
-      val corrected = sel.filter(col("yr") === 1994)
-        .withColumn("price", col("price") + lit(BigDecimal("0.07")))
+      // Cast back to the fact's decimal(18,2): the addition widens to
+      // decimal(19,2), and a partition written with a widened type
+      // makes the mixed-schema read of the whole fact fail. (Latent
+      // until r12: the correction year previously matched zero rows,
+      // so the overwrite never actually ran.)
+      val corrected = sel.filter(col("yr") === 1996)
+        .withColumn("price", (col("price") + lit(BigDecimal("0.07")))
+          .cast("decimal(18,2)"))
       val prev = spark.conf
         .getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -336,5 +336,51 @@ object Wave15 {
         .agg(sum("cnt").cast("long").as("n_rows"),
           min("lo").as("lo"), max("hi").as("hi"))
     },
+
+    // EXCHANGE PARTITION (reference: ddl/partition.go — swap a
+    // partition's data with a standalone staging table atomically,
+    // BOTH directions). The 100 TB backfill pattern: correct one
+    // partition by writing a staging table on the side, validate,
+    // publish with O(1) renames — the fact is never rewritten (the
+    // rewrite alternative is q_dynamic_overwrite; the ORACLE here is
+    // deliberately that entry's, because exchange must produce the
+    // identical corrected table through swap mechanics instead of a
+    // write). The entry stages corrected 1994 prices, exchanges them
+    // with the yr=1994 partition, and serves the fact; the displaced
+    // old partition lands in the staging dir (spec-asserted, with
+    // both refusal paths: schema mismatch and predicate violation).
+    Q("q_exchange_partition", Some("""
+      SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS yr,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE YEAR(o_orderdate) <> 1996
+      UNION ALL
+      SELECT o_orderkey, 1996 AS yr,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  + CAST(0.07 AS DECIMAL(18,2)) AS DOUBLE) AS price
+      FROM orders WHERE YEAR(o_orderdate) = 1996
+    """)) { t =>
+      val F = graft.sources.Formats
+      val root = s"/tmp/graft_exchg_${F.sanitize(t.dir)}"
+      F.deleteRecursively(new java.io.File(root))
+      val base = s"$root/fact"
+      val stage = s"$root/stage"
+      val sel = t.orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      sel.write.partitionBy("yr").parquet(base)
+      // Staging table: the corrected partition content, WITHOUT the
+      // partition column (the dir-layout contract — partitionBy
+      // excludes it from data files).
+      sel.filter(col("yr") === 1996)
+        .select(col("o_orderkey"),
+          (col("price") + lit(BigDecimal("0.07")))
+            .cast("decimal(18,2)").as("price"))
+        .write.parquet(stage)
+      graft.sources.ExchangePartition.exchange(
+        t.spark, base, "yr=1996", stage)
+      t.spark.read.parquet(base)
+        .select(col("o_orderkey"), col("yr"),
+          col("price").cast("double").as("price"))
+    },
   )
 }

@@ -503,7 +503,7 @@ class Wave11Spec extends SparkSpecBase {
     }
   }
 
-  test("q_dynamic_overwrite: only the 1994 partition was replaced") {
+  test("q_dynamic_overwrite: only the 1996 partition was replaced") {
     val got = q("q_dynamic_overwrite").collect()
       .map(r => r.getAs[Long]("o_orderkey") ->
         (r.getAs[Int]("yr"), r.getAs[Double]("price"))).toMap
@@ -513,10 +513,14 @@ class Wave11Spec extends SparkSpecBase {
       .collect().map(r => r.getAs[Long]("o_orderkey") ->
         (r.getAs[Int]("yr"), r.getAs[Double]("p"))).toMap
     assert(got.size == base.size)
+    // The corrected year must actually exist in the data — a year
+    // that matches zero rows would silently no-op the overwrite
+    // (latent through r11 with 1994).
+    assert(base.values.exists(_._1 == 1996))
     base.foreach { case (k, (yr, price)) =>
       val (gyr, gprice) = got(k)
       assert(gyr == yr)
-      val want = if (yr == 1994) price + 0.07 else price
+      val want = if (yr == 1996) price + 0.07 else price
       assert(math.abs(gprice - want) < 1e-6)
     }
   }

@@ -197,6 +197,53 @@ class Wave15Spec extends SparkSpecBase {
       assert(rev == n, s"n_inter asymmetric for pair ($s,$d)")
   }
 
+  // --- exchange partition (ddl/partition.go) ---
+
+  test("ExchangePartition swaps both directions and refuses bad stages") {
+    import graft.sources.ExchangePartition
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("exch").toString
+    Seq((1L, "a"), (2L, "a")).toDF("k", "v")
+      .write.parquet(s"$root/fact/p=a")
+    Seq((9L, "b")).toDF("k", "v").write.parquet(s"$root/stage")
+    val (in, out) = ExchangePartition.exchange(
+      spark, s"$root/fact", "p=a", s"$root/stage",
+      validatePredicate = Some("k > 0"))
+    assert((in, out) == ((1L, 2L)))
+    // BOTH directions: the partition now serves the staged row, the
+    // staging dir now holds the displaced old partition.
+    assert(spark.read.parquet(s"$root/fact/p=a").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+    assert(spark.read.parquet(s"$root/stage").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // Predicate violation refused BEFORE anything moves.
+    Seq((-1L, "x")).toDF("k", "v").write.parquet(s"$root/stage2")
+    intercept[IllegalStateException] {
+      ExchangePartition.exchange(spark, s"$root/fact", "p=a",
+        s"$root/stage2", validatePredicate = Some("k > 0"))
+    }
+    assert(spark.read.parquet(s"$root/fact/p=a").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L), "refused swap mutated data")
+    // Schema mismatch refused.
+    Seq((1L, 2L)).toDF("k", "other").write.parquet(s"$root/stage3")
+    intercept[IllegalStateException] {
+      ExchangePartition.exchange(spark, s"$root/fact", "p=a",
+        s"$root/stage3")
+    }
+  }
+
+  test("q_exchange_partition displaces the old partition into the stage") {
+    q("q_exchange_partition").collect()
+    val F = graft.sources.Formats
+    val root = s"/tmp/graft_exchg_${F.sanitize(t.dir)}"
+    // The swap's other direction: the stage dir now holds the
+    // ORIGINAL (uncorrected) 1996 partition.
+    val displaced = spark.read.parquet(s"$root/stage")
+    val origRows = t.orders
+      .filter(year(col("o_orderdate")) === 1996).count()
+    assert(displaced.count() == origRows)
+  }
+
   // --- retrieve-then-rerank cascade ---
 
   test("s_retrieve_rerank: rerank output is a candidate subset, cosine-ordered") {
