@@ -382,5 +382,38 @@ object Wave15 {
         .select(col("o_orderkey"), col("yr"),
           col("price").cast("double").as("price"))
     },
+
+    // TTL sweep (reference: TiDB TTL tables — ttl/ttlworker deletes
+    // rows past the retention watermark as a bounded background job).
+    // The 100 TB shape is the partition split: whole days below the
+    // watermark drop by METADATA (one unlink, zero rows read), ONLY
+    // the boundary day pays a row-level rewrite (published via
+    // temp-write + atomic rename), newer days are not even opened.
+    // The entry lays events out by day, sweeps with watermark =
+    // max(ts) − 120 hours (deterministic from data, no wall clock),
+    // and serves the survivors; the oracle restates the retention
+    // filter directly, so the hash proves the sweep dropped exactly
+    // the expired rows and nothing else. Spec asserts the mechanics:
+    // dropped dirs gone, boundary rewritten, newer days' files
+    // byte-stable.
+    Q("q_ttl", Some("""
+      SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+      FROM events
+      WHERE ts >= (SELECT MAX(ts) - INTERVAL 120 HOUR FROM events)
+    """)) { t =>
+      val F = graft.sources.Formats
+      val root = s"/tmp/graft_ttl_${F.sanitize(t.dir)}"
+      F.deleteRecursively(new java.io.File(root))
+      t.events.select(col("event_id"), col("user_id"), col("value"),
+          col("ts"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .write.partitionBy("day").parquet(root)
+      val wm = t.events
+        .agg((max(col("ts")) - expr("INTERVAL 120 HOURS")).as("wm"))
+        .head().getTimestamp(0)
+      graft.sources.Ttl.sweep(t.spark, root, "ts", wm)
+      t.spark.read.parquet(root)
+        .select(col("event_id"), col("user_id"),
+          col("value").cast("double").as("value"))
+    },
   )
 }

@@ -197,6 +197,45 @@ class Wave15Spec extends SparkSpecBase {
       assert(rev == n, s"n_inter asymmetric for pair ($s,$d)")
   }
 
+  // --- TTL sweep (ttl/ttlworker) ---
+
+  test("Ttl.sweep drops whole days, rewrites only the boundary day") {
+    val rows = q("q_ttl").collect()
+    val F = graft.sources.Formats
+    val root = s"/tmp/graft_ttl_${F.sanitize(t.dir)}"
+    // Re-derive the watermark the entry used.
+    val wm = t.events
+      .agg((max(col("ts")) - expr("INTERVAL 120 HOURS")).as("wm"))
+      .head().getTimestamp(0)
+    val wmDay = wm.toInstant
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val days = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName).sorted
+    // Every surviving partition is the boundary day or newer; expired
+    // days are GONE (dropped by unlink, never scanned).
+    assert(days.forall(_.stripPrefix("day=") >= wmDay), days.mkString(","))
+    assert(days.head == s"day=$wmDay", "boundary day missing")
+    // The boundary rewrite kept exactly the unexpired rows.
+    val boundary = spark.read.parquet(s"$root/day=$wmDay")
+    assert(boundary.filter(col("ts") < wm).count() == 0)
+    assert(boundary.count() ==
+      t.events.filter(col("ts") >= wm &&
+        date_format(col("ts"), "yyyy-MM-dd") === wmDay).count())
+    // Newer days were not rewritten: a second sweep with the same
+    // watermark is a no-op (0 dropped, boundary files byte-stable).
+    def fileSet(day: String) = new java.io.File(s"$root/day=$day")
+      .listFiles().map(f => (f.getName, f.length)).toSet
+    val newest = days.last.stripPrefix("day=")
+    val before = fileSet(newest)
+    val (d2, r2) = graft.sources.Ttl.sweep(spark, root, "ts", wm)
+    assert(d2 == 0, "second sweep dropped partitions")
+    assert(fileSet(newest) == before, "sweep touched a newer day")
+    assert(r2 == 1, "boundary re-sweep should be the only rewrite")
+    // And the served survivors equal the retention filter.
+    assert(rows.length ==
+      t.events.filter(col("ts") >= wm).count())
+  }
+
   // --- exchange partition (ddl/partition.go) ---
 
   test("ExchangePartition swaps both directions and refuses bad stages") {
