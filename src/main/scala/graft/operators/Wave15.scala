@@ -415,5 +415,127 @@ object Wave15 {
         .select(col("event_id"), col("user_id"),
           col("value").cast("double").as("value"))
     },
+
+    // LOAD STATS as an entry (reference: executor/load_stats.go:32
+    // LoadStatsExec — the statement surface over the dump/load
+    // machinery LoadStatsSpec plan-proves). The entry runs the full
+    // producer→consumer cycle live: ANALYZE a managed copy of
+    // customer with column stats, DUMP the artifact, DROP and
+    // RECREATE the table (a fresh catalog entry that has never been
+    // analyzed), LOAD the artifact — no ANALYZE after the recreate —
+    // and render the hash-checked facts: the re-loaded row count and
+    // NDV come FROM THE INJECTED ARTIFACT (they equal the data's
+    // truth, which the oracle recomputes), plus the
+    // stats-present/absent transitions around the cycle.
+    Q("q_load_stats", Some("""
+      SELECT 'customer_stats' AS fact,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS row_count,
+             (SELECT CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+              FROM customer) AS seg_ndv,
+             CAST(1 AS INT) AS absent_after_recreate,
+             CAST(1 AS INT) AS present_after_load
+    """)) { t =>
+      import t.spark.implicits._
+      val spark = t.spark
+      val cat = org.apache.spark.sql.GraftSqlShim.sessionCatalog(spark)
+      def stats() = cat.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("ls_customer")).stats
+      // DROP + scrub the managed location: a previous JVM's run leaves
+      // the warehouse dir behind while the in-memory catalog forgets
+      // the table, and saveAsTable then refuses LOCATION_ALREADY_EXISTS.
+      def reset(): Unit = {
+        spark.sql("DROP TABLE IF EXISTS ls_customer")
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:"), "ls_customer")
+        if (loc.exists()) graft.sources.Formats.deleteRecursively(loc)
+      }
+      reset()
+      t.customer.write.saveAsTable("ls_customer")
+      graft.sources.Stats.analyze(spark, "ls_customer",
+        Seq("c_custkey", "c_mktsegment"))
+      val artifact = java.nio.file.Files
+        .createTempFile("ls_customer_stats", ".properties").toString
+      graft.sources.Stats.dump(spark, "ls_customer", artifact)
+      reset()
+      t.customer.write.saveAsTable("ls_customer")
+      val absent = stats().forall(_.rowCount.isEmpty)
+      graft.sources.Stats.load(spark, "ls_customer", artifact)
+      val loaded = stats().get
+      val rowCount = loaded.rowCount.get.toLong
+      val segNdv = loaded.colStats("c_mktsegment")
+        .distinctCount.get.toLong
+      Seq(("customer_stats", rowCount, segNdv,
+          if (absent) 1 else 0, if (loaded.rowCount.isDefined) 1 else 0))
+        .toDF("fact", "row_count", "seg_ndv",
+          "absent_after_recreate", "present_after_load")
+    },
+
+    // GLOBAL temporary view (reference: the temporary-table namespace
+    // split — executor/ddl.go temp tables are session-scoped
+    // (q_temp_table), while a global temp view lives in the shared
+    // `global_temp` database and is visible to EVERY session of the
+    // application until all drop it). The entry proves the exact
+    // namespace semantics live: registered in one session, read back
+    // through global_temp from a DIFFERENT session (where a plain
+    // session-temp view of the same name is invisible), both facts
+    // hash-checked.
+    Q("q_global_temp_view", Some("""
+      SELECT 'seg_counts' AS view_name,
+             (SELECT CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+              FROM customer) AS n_rows,
+             'visible' AS other_session,
+             'invisible' AS session_temp_elsewhere
+    """)) { t =>
+      import t.spark.implicits._
+      val segs = t.customer.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+      segs.createOrReplaceGlobalTempView("gtv_segs")
+      segs.createOrReplaceTempView("stv_segs")
+      val other = t.spark.newSession()
+      val viaOther = other.table("global_temp.gtv_segs").count()
+      val sessionScoped =
+        if (other.catalog.tableExists("stv_segs")) "leaked"
+        else "invisible"
+      Seq(("seg_counts", viaOther,
+          if (viaOther > 0) "visible" else "empty", sessionScoped))
+        .toDF("view_name", "n_rows", "other_session",
+          "session_temp_elsewhere")
+    },
+
+    // Named WINDOW clause (reference: parser WindowSpec naming —
+    // `WINDOW w AS (PARTITION BY ...)` lets several over-clauses
+    // share one spec; planner/core resolves all of them onto a
+    // single window operator). The Spark SQL surface is identical;
+    // the point worth pinning at scale is the PLAN: three functions
+    // over the same named spec must produce ONE Window operator over
+    // ONE exchange, not three (spec-asserted). Oracle restates the
+    // inline-window spelling.
+    Q("q_window_named", Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(rnk AS BIGINT) AS rnk,
+             CAST(cnt AS BIGINT) AS cnt,
+             CAST(share AS DOUBLE) AS share
+      FROM (
+        SELECT o_custkey, o_orderkey,
+               RANK() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey) AS rnk,
+               COUNT(*) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderkey) AS cnt,
+               ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderkey), 4) AS share
+        FROM orders) z
+      WHERE o_custkey < 50
+    """)) { t =>
+      t.orders.createOrReplaceTempView("wn_orders")
+      t.spark.sql("""
+        SELECT o_custkey, o_orderkey,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER w AS BIGINT) AS cnt,
+               ROUND(PERCENT_RANK() OVER w, 4) AS share
+        FROM wn_orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      """).filter(col("o_custkey") < 50)
+    },
   )
 }

@@ -197,6 +197,30 @@ class Wave15Spec extends SparkSpecBase {
       assert(rev == n, s"n_inter asymmetric for pair ($s,$d)")
   }
 
+  // --- named WINDOW clause ---
+
+  test("q_window_named: three functions share ONE window operator") {
+    val df = Registry.byName("q_window_named").run(t)
+    val plan = df.queryExecution.executedPlan.toString
+    // All three over-clauses ride the same named spec, so the plan
+    // must hold a single Window operator (one sort, one exchange),
+    // never three.
+    val windows = "(?m)^\\s*(?:[+:]-\\s*)?Window ".r
+      .findAllIn(plan).length
+    assert(windows == 1, s"expected 1 Window operator, got $windows:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  // --- LOAD STATS entry (load_stats.go statement surface) ---
+
+  test("q_load_stats: injected NDV equals the artifact's, not a re-scan") {
+    val row = q("q_load_stats").collect().head
+    assert(row.getAs[Int]("absent_after_recreate") == 1,
+      "recreated table unexpectedly had stats before the load")
+    assert(row.getAs[Int]("present_after_load") == 1)
+    assert(row.getAs[Long]("row_count") == t.customer.count())
+  }
+
   // --- TTL sweep (ttl/ttlworker) ---
 
   test("Ttl.sweep drops whole days, rewrites only the boundary day") {
