@@ -267,9 +267,9 @@ object Wave11 {
     // DYNAMIC PARTITION OVERWRITE — the idempotent backfill write
     // (re-run yesterday's batch: ONLY the partitions present in the
     // batch are replaced; untouched history survives). Stages a
-    // year-partitioned copy, overwrites 1994 with corrected rows
+    // year-partitioned copy, overwrites 1996 with corrected rows
     // under partitionOverwriteMode=dynamic, serves the result; the
-    // oracle states base-minus-1994 ∪ corrected-1994, so the hash
+    // oracle states base-minus-1996 ∪ corrected-1996, so the hash
     // compare proves surgical replacement. The same write is how a
     // 100 TB fact table takes daily corrections without rewriting
     // the table (partition dirs = the unit of idempotency).

@@ -345,8 +345,8 @@ object Wave15 {
     // rewrite alternative is q_dynamic_overwrite; the ORACLE here is
     // deliberately that entry's, because exchange must produce the
     // identical corrected table through swap mechanics instead of a
-    // write). The entry stages corrected 1994 prices, exchanges them
-    // with the yr=1994 partition, and serves the fact; the displaced
+    // write). The entry stages corrected 1996 prices, exchanges them
+    // with the yr=1996 partition, and serves the fact; the displaced
     // old partition lands in the staging dir (spec-asserted, with
     // both refusal paths: schema mismatch and predicate violation).
     Q("q_exchange_partition", Some("""
@@ -457,6 +457,7 @@ object Wave15 {
       val artifact = java.nio.file.Files
         .createTempFile("ls_customer_stats", ".properties").toString
       graft.sources.Stats.dump(spark, "ls_customer", artifact)
+      new java.io.File(artifact).deleteOnExit()
       reset()
       t.customer.write.saveAsTable("ls_customer")
       val absent = stats().forall(_.rowCount.isEmpty)

@@ -43,20 +43,34 @@ object ExchangePartition {
       s"exchange refused: staged schema $stageSchema does not match " +
         s"partition schema $partSchema")
     validatePredicate.foreach { p =>
-      val bad = staged.filter(s"NOT ($p)").count()
+      // NULL counts as a violation: NOT(NULL) is NULL and would slip
+      // through a bare NOT filter, but a row whose partition
+      // expression is NULL does not satisfy the partition definition
+      // (TiDB's exchange validation rejects it too).
+      val bad = staged.filter(s"($p) IS NULL OR NOT ($p)").count()
       if (bad > 0) throw new IllegalStateException(
         s"exchange refused: $bad staged rows violate partition " +
           s"definition ($p)")
     }
     val in = staged.count()
     val out = part.count()
-    // Three renames publish the swap; a crash between them leaves
-    // complete directories (never partial files), and the tmp name is
-    // dotted so a concurrent reader of `base` ignores it.
+    // Three renames publish the swap; every directory stays complete
+    // (never partial files), and the tmp name is dotted so a
+    // concurrent reader of `base` ignores it. If the second rename
+    // fails (e.g. stageDir on a different filesystem rejects
+    // ATOMIC_MOVE), the first is ROLLED BACK so the fact never loses
+    // the partition — without this, the old data would sit invisible
+    // in the dotted tmp dir forever.
     val tmp = Paths.get(base, s".exchange_tmp_${System.nanoTime()}")
     Files.move(Paths.get(partDir), tmp, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(stageDir), Paths.get(partDir),
+    try Files.move(Paths.get(stageDir), Paths.get(partDir),
       StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: Throwable =>
+      Files.move(tmp, Paths.get(partDir), StandardCopyOption.ATOMIC_MOVE)
+      throw new IllegalStateException(
+        s"exchange aborted and rolled back: staging table could not " +
+          s"be published (${e.getMessage})", e)
+    }
     Files.move(tmp, Paths.get(stageDir), StandardCopyOption.ATOMIC_MOVE)
     (in, out)
   }

@@ -41,13 +41,26 @@ object Ttl {
         Formats.deleteRecursively(d)
         dropped += 1
       } else if (day == wmDay) {
-        val tmp = new File(base, s".ttl_tmp_${System.nanoTime()}")
-        spark.read.parquet(d.toString)
-          .filter(col(tsCol) >= watermark)
-          .write.parquet(tmp.toString)
-        Formats.deleteRecursively(d)
-        Files.move(tmp.toPath, d.toPath, StandardCopyOption.ATOMIC_MOVE)
-        rewritten += 1
+        val boundary = spark.read.parquet(d.toString)
+        // Skip the rewrite when nothing in the boundary day expired:
+        // an hourly TTL job whose watermark stays inside one day must
+        // not churn that day's files on every invocation.
+        if (boundary.filter(col(tsCol) < watermark).isEmpty) ()
+        else {
+          val tmp = new File(base, s".ttl_tmp_${System.nanoTime()}")
+          boundary.filter(col(tsCol) >= watermark)
+            .write.parquet(tmp.toString)
+          // Publish atomically: old day renamed aside first (readers
+          // see the complete old day or the complete new one, never a
+          // half-deleted dir), then the swap, then the trash delete.
+          val trash = new File(base, s".ttl_trash_${System.nanoTime()}")
+          Files.move(d.toPath, trash.toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+          Files.move(tmp.toPath, d.toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+          Formats.deleteRecursively(trash)
+          rewritten += 1
+        }
       }
       // day > wmDay: untouched — not opened, not listed, not
       // rewritten (spec-asserted via file-name stability).
