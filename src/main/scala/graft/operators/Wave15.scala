@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   * uncovered executor/ family) and metrics-schema analogs. */
 object Wave15 {
 
+  /** The derived-graph edge CTE (the GraphQueries convention: edges
+    * from orders via mod-1000 arithmetic, reproducible in DuckDB). */
+  private val edgeCteSql = """
+      WITH e AS (
+        SELECT DISTINCT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst
+        FROM orders)"""
+
   def all: Seq[Q] = Seq(
 
     // SHOW GRANTS — the privilege surface (reference:
@@ -537,6 +544,62 @@ object Wave15 {
         FROM wn_orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
       """).filter(col("o_custkey") < 50)
+    },
+
+    // Edge RECIPROCITY — the directed-graph symmetry metric (what
+    // fraction of directed edges are reciprocated), the first
+    // summary any directed-graph engine reports beside degree and
+    // assortativity (executor/graph.go edge scans; reciprocity is
+    // the directed complement of g_assortativity's card). Engine
+    // plan: ONE keyed self-join — the edge list left-semi-joined to
+    // its own (dst, src) flip on the composite key — so work is
+    // co-partitioned equi-join work, never |E|² (nothing wider than
+    // an edge shuffles); both counts ride 1-row broadcast aggregates.
+    Q("g_reciprocity", Some(s"""
+      $edgeCteSql, d AS (
+        SELECT src, dst FROM e WHERE src <> dst),
+      r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_recip
+            FROM d a JOIN d b ON a.src = b.dst AND a.dst = b.src)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_edges,
+             (SELECT n_recip FROM r) AS n_recip,
+             ROUND(CAST((SELECT n_recip FROM r) AS DOUBLE) /
+                   (SELECT COUNT(*) FROM d), 4) AS reciprocity
+    """)) { t =>
+      val e = graft.graph.Graph.derived(t.orders).edges
+        .filter(col("src") =!= col("dst"))
+      val flipped = e.select(col("dst").as("src"), col("src").as("dst"))
+      val recip = e.join(flipped, Seq("src", "dst"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_recip"))
+      val total = e.agg(count(lit(1)).cast("long").as("n_edges"))
+      total.crossJoin(broadcast(recip))
+        .select(col("n_edges"), col("n_recip"),
+          round(col("n_recip").cast("double") / col("n_edges"), 4)
+            .as("reciprocity"))
+    },
+
+    // SHOW PARTITIONS / information_schema.PARTITIONS (reference:
+    // infoschema/tables.go tablePartitions + executor/show.go — one
+    // row per physical partition with its cardinality and bounds).
+    // Renders the registered ship-month layout's partition card: the
+    // partition value, its row count, and the actual day bounds
+    // inside it — derived by READING THE LAYOUT (so a layout-builder
+    // drift fails the hash), while the oracle recomputes the same
+    // card from the base table. Scale: one scan of the partitioned
+    // fact, counts map-combined per partition dir; the pruning
+    // behavior of the same layout is q_scan_partition's entry.
+    Q("q_show_partitions", Some("""
+      SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS partition,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(CAST(l_shipdate AS DATE)) AS min_day,
+             MAX(CAST(l_shipdate AS DATE)) AS max_day
+      FROM lineitem GROUP BY 1
+    """)) { t =>
+      graft.sources.PartitionedFact
+        .lineitemByShipMonth(t.spark, t.dir)
+        .groupBy(col("shipmonth").as("partition"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_shipdate").cast("date")).as("min_day"),
+          max(col("l_shipdate").cast("date")).as("max_day"))
     },
   )
 }

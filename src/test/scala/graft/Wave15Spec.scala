@@ -197,6 +197,37 @@ class Wave15Spec extends SparkSpecBase {
       assert(rev == n, s"n_inter asymmetric for pair ($s,$d)")
   }
 
+  // --- reciprocity + SHOW PARTITIONS ---
+
+  test("g_reciprocity: brute-force parity and bounds") {
+    val row = q("g_reciprocity").collect().head
+    val (nE, nR, ratio) = (row.getAs[Long]("n_edges"),
+      row.getAs[Long]("n_recip"), row.getAs[Double]("reciprocity"))
+    assert(nR >= 0 && nR <= nE)
+    assert(math.abs(ratio - (nR.toDouble / nE)) < 1e-4 + 1e-9)
+    // Brute force on the collected edge set.
+    val edges = graph.Graph.derived(t.orders).edges
+      .filter(col("src") =!= col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = edges.count { case (a, b) => edges.contains((b, a)) }
+    assert(nR == brute, s"engine $nR vs brute $brute")
+    assert(nE == edges.size)
+  }
+
+  test("q_show_partitions: one row per layout partition dir") {
+    val rows = q("q_show_partitions").collect()
+    val layout = graft.sources.PartitionedFact
+      .lineitemByShipMonth(spark, t.dir)
+    val dirs = layout.select("shipmonth").distinct().count()
+    assert(rows.length == dirs)
+    // Bounds live inside their partition month.
+    rows.foreach { r =>
+      val p = r.getAs[String]("partition")
+      assert(r.getAs[java.sql.Date]("min_day").toString.startsWith(p))
+      assert(r.getAs[java.sql.Date]("max_day").toString.startsWith(p))
+    }
+  }
+
   // --- named WINDOW clause ---
 
   test("q_window_named: three functions share ONE window operator") {
