@@ -1027,6 +1027,43 @@ object Graph {
       hubIds.toDF("n"))
   }
 
+  /** CORENESS decomposition — every vertex's k-core number in one
+    * pass family (vs [[Graph.kCore]]'s fixed-k subgraph): the h-index
+    * fixpoint iteration (Lü, Zhou, Zhang & Stanley 2016 — c₀ = deg;
+    * c_{t+1}(v) = h-index of {c_t(u) : u ∈ N(v)}; converges to the
+    * exact coreness monotonically from above, and is IDEMPOTENT at
+    * the fixpoint, so a fixed-round unrolled oracle states the same
+    * result — the kCore/kTruss convergence contract). Per round: one
+    * window over the undirected edge ends (rank neighbors by current
+    * estimate) + one map-combined max(least(rank, c)) aggregate —
+    * nothing wider than an edge shuffles, no adjacency arrays at all,
+    * so coreness is hub-safe WITHOUT the degree-cap machinery. Early
+    * exit on a stable estimate count (one driver scalar per round,
+    * the graph-loop convention). Input: canonical undirected edges
+    * (src < dst, distinct, no self-loops); output (n, deg, coreness). */
+  private[graft] def coreness(e: DataFrame, maxRounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = undirect(e).localCheckpoint()
+    var c = und.groupBy("n").agg(count(lit(1)).as("c")).localCheckpoint()
+    val degs = c.select(col("n"), col("c").as("deg"))
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = und
+        .join(c.select(col("n").as("nbr"), col("c")), "nbr")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("n").orderBy(col("c").desc)))
+        .groupBy("n")
+        .agg(max(least(col("rn"), col("c"))).as("c"))
+        .localCheckpoint()
+      converged = next.join(c.withColumnRenamed("c", "prev"), "n")
+        .filter(col("c") =!= col("prev")).isEmpty
+      c = next
+      rounds += 1
+    }
+    degs.join(c.withColumnRenamed("c", "coreness"), "n")
+  }
+
   /** One-shot per-edge support: ONE bounded adjacency exchange serves
     * both the hub classification and the array build. The
     * classification collect is a bounded driver scalar set (only

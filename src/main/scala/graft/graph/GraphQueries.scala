@@ -497,6 +497,27 @@ object GraphQueries {
       Graph.derived(t.orders).kCore(3, 8)
     },
 
+    // CORENESS decomposition — every vertex's k-core number (the
+    // whole onion, vs g_kcore's fixed-k shell): the h-index fixpoint
+    // iteration (Lü et al. 2016), per round one edge-ends window +
+    // one map-combined fold, NO adjacency arrays — hub-safe without
+    // the degree-cap machinery, nothing wider than an edge shuffled.
+    // Idempotent at the fixpoint, so the oracle unrolls a fixed 30
+    // rounds (MATERIALIZED — und is read every round) and states the
+    // identical result whether the engine converged early or not (the
+    // kCore/kTruss convergence contract). Spec brute-forces classic
+    // min-degree peeling for parity.
+    Q("g_coreness", Some(corenessOracle(30))) { t =>
+      val e = Graph.derived(t.orders).edges
+      val u = e.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .distinct()
+      Graph.coreness(u, 30)
+        .select(col("n").as("node"), col("deg").cast("long").as("deg"),
+          col("coreness").cast("long").as("coreness"))
+    },
+
     // Triangle count (undirected): the oriented a<b<c wedge join —
     // each edge stored once in canonical order, so wedge generation
     // is bounded by the ordered degrees (the standard distributed
@@ -935,6 +956,36 @@ object GraphQueries {
         JOIN d$rounds b ON b.x = t.v AND b.y = a.y
         GROUP BY t.u, t.v)
       SELECT u AS src, v AS dst, CAST(sup AS BIGINT) AS sup FROM fin
+    """
+  }
+
+  /** Unrolled h-index coreness chain for g_coreness: c0 = degree,
+    * round r ranks each vertex's neighbors by c_{r-1} descending and
+    * takes MAX(LEAST(rank, c)) — the h-index. Every CTE is
+    * MATERIALIZED: `und` is read by all `rounds` rounds, and DuckDB's
+    * default inlining would otherwise re-derive it per round. */
+  private def corenessOracle(rounds: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      s"""
+      c$r AS MATERIALIZED (
+        SELECT n, CAST(MAX(LEAST(rn, c)) AS BIGINT) AS c FROM (
+          SELECT und.x AS n, p.c AS c,
+                 ROW_NUMBER() OVER (PARTITION BY und.x
+                                    ORDER BY p.c DESC) AS rn
+          FROM und JOIN c${r - 1} p ON p.n = und.y) z
+        GROUP BY n)"""
+    }.mkString(",")
+    s"""
+      $edgeCte, u AS MATERIALIZED (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+      und AS MATERIALIZED (SELECT a AS x, b AS y FROM u
+              UNION ALL SELECT b, a FROM u),
+      c0 AS MATERIALIZED (
+        SELECT x AS n, CAST(COUNT(*) AS BIGINT) AS c
+        FROM und GROUP BY x),$chain
+      SELECT c0.n AS node, c0.c AS deg, cf.c AS coreness
+      FROM c0 JOIN c$rounds cf ON cf.n = c0.n
     """
   }
 

@@ -601,5 +601,48 @@ object Wave15 {
           min(col("l_shipdate").cast("date")).as("min_day"),
           max(col("l_shipdate").cast("date")).as("max_day"))
     },
+
+    // OPTIMIZER HINTS (reference: planner/core hint family —
+    // HASH_JOIN / MERGE_JOIN / BROADCAST_JOIN / read-from-storage
+    // hints steer the planner per statement without touching global
+    // config; the q_plan_binding entry persists them, THIS entry is
+    // the inline statement surface). The same orders⋈customer query
+    // is planned three ways under AQE-off: unhinted (size estimates
+    // pick broadcast for the small dim), MERGE-hinted (forces a
+    // SortMergeJoin against the estimate), and BROADCAST-hinted on
+    // the FACT side (forces the big side to build). Each plan's
+    // executed join strategy is derived live and hash-checked — the
+    // contract that hints OVERRIDE costing, per hint, per statement.
+    Q("q_optimizer_hints", Some("""
+      SELECT * FROM (VALUES
+        ('unhinted',        'BroadcastHashJoin'),
+        ('merge_hint',      'SortMergeJoin'),
+        ('broadcast_fact',  'BroadcastHashJoin')
+      ) AS v(variant, join_strategy)
+    """)) { t =>
+      import t.spark.implicits._
+      val spark = t.spark
+      t.orders.createOrReplaceTempView("oh_orders")
+      t.customer.limit(200).createOrReplaceTempView("oh_customer")
+      def strategy(hint: String): String = {
+        val plan = spark.sql(s"""
+          SELECT $hint c.c_mktsegment, COUNT(*) AS n
+          FROM oh_orders o JOIN oh_customer c
+            ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment""")
+          .queryExecution.executedPlan.toString
+        if (plan.contains("SortMergeJoin")) "SortMergeJoin"
+        else if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+        else "other"
+      }
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try Seq(
+        ("unhinted", strategy("")),
+        ("merge_hint", strategy("/*+ MERGE(c) */")),
+        ("broadcast_fact", strategy("/*+ BROADCAST(o) */")))
+        .toDF("variant", "join_strategy")
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    },
   )
 }

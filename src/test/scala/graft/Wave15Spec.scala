@@ -197,6 +197,41 @@ class Wave15Spec extends SparkSpecBase {
       assert(rev == n, s"n_inter asymmetric for pair ($s,$d)")
   }
 
+  // --- coreness decomposition (h-index fixpoint) ---
+
+  test("g_coreness equals classic min-degree peeling") {
+    val got = q("g_coreness").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // Classic peeling on the collected edge set: repeatedly remove a
+    // minimum-degree vertex; its coreness is the running max of the
+    // degree at removal time (Batagelj-Zaversnik).
+    val edges = graph.Graph.derived(t.orders).edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    for ((a, b) <- edges) {
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val expectDeg = adj.map { case (v, ns) => v -> ns.size.toLong }.toMap
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      val (v, ns) = adj.minBy { case (_, ns) => ns.size }
+      k = math.max(k, ns.size.toLong)
+      core(v) = k
+      ns.foreach(u => adj.get(u).foreach(_ -= v))
+      adj.remove(v)
+    }
+    assert(got.keySet == core.keySet)
+    for ((v, (deg, c)) <- got) {
+      assert(deg == expectDeg(v), s"deg mismatch at $v")
+      assert(c == core(v), s"coreness mismatch at $v: engine $c, peel ${core(v)}")
+    }
+  }
+
   // --- reciprocity + SHOW PARTITIONS ---
 
   test("g_reciprocity: brute-force parity and bounds") {
