@@ -53,6 +53,62 @@ object DedupQueries {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** MinHash-LSH candidate pairs with signature-estimated Jaccard —
+    * the d_dedup_minhash pipeline body, shared with d_dedup_eval so
+    * the evaluated detector IS the shipped detector. Candidates via
+    * banded self-join (codegen hash join on the band hash) carrying
+    * the signatures along — no per-bucket nested-lambda pair
+    * expansion, no re-join back to the signature table. Agreement
+    * scoring is the codegen SigAgreement kernel (the interpreted
+    * zip_with fold was ~3 s of the sf0.1 bench). */
+  private def minhashPairs(t: Tables): DataFrame = {
+    val sigs = minhashSigs(t.fan(t.documents))
+    val banded = sigs.select(col("doc_id"), col("sigs"),
+        posexplode(expr(
+          "transform(sequence(0, 15), j -> xxhash64(j, slice(sigs, j * 4 + 1, 4)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+    val a = banded.select(col("band"), col("bhash"),
+      col("doc_id").as("id1"), col("sigs").as("s1"))
+    val b = banded.select(col("band"), col("bhash"),
+      col("doc_id").as("id2"), col("sigs").as("s2"))
+    a.join(b, Seq("band", "bhash")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(org.apache.spark.sql.GraftSqlShim.column(
+          graft.functions.SigAgreement(
+            org.apache.spark.sql.GraftSqlShim.expr(col("s1")),
+            org.apache.spark.sql.GraftSqlShim.expr(col("s2")))) / 64.0,
+          4).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** EXACT Jaccard over the same 5-char shingle-hash sets the MinHash
+    * signatures sketch — the ground truth for d_dedup_eval. Same
+    * df-capped posting-list pairing shape as [[shinglePairs]], on
+    * char-5 hashes instead of word 3-grams. */
+  private def exactCharJaccard(t: Tables): DataFrame = {
+    val kept = t.fan(t.documents)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          TextFns.charShingleHashes(col("text"), 5))).as("h"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("df") <= 1000)
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val pairGen = kept.filter(col("df") > 1).select("h", "doc_id")
+    val inter = pairGen.select(col("h"), col("doc_id").as("id1"))
+      .join(pairGen.select(col("h"), col("doc_id").as("id2")), "h")
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id1"),
+        col("set_size").as("sz1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"),
+        col("set_size").as("sz2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("n_inter") /
+          (col("sz1") + col("sz2") - col("n_inter"))).as("jaccard"))
+  }
+
   /** Shared df-capped 3-gram posting-list pairing behind
     * d_ngram_jaccard (symmetric) and d_dedup_containment
     * (asymmetric): per-doc distinct shingle-hash sets, df per shingle
@@ -153,30 +209,38 @@ object DedupQueries {
     // engine-specific (xxhash64) → rows-only; the spec cross-checks
     // estimates against exact shingle Jaccard on a sample.
     Q("d_dedup_minhash", None) { t =>
-      val sigs = minhashSigs(t.fan(t.documents))
-      // Candidates via banded self-join (codegen hash join on the
-      // band hash) carrying the signatures along — no per-bucket
-      // nested-lambda pair expansion, no re-join back to the
-      // signature table. Agreement scoring is the codegen
-      // SigAgreement kernel (the interpreted zip_with fold was ~3 s
-      // of the sf0.1 bench).
-      val banded = sigs.select(col("doc_id"), col("sigs"),
-          posexplode(expr(
-            "transform(sequence(0, 15), j -> xxhash64(j, slice(sigs, j * 4 + 1, 4)))")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
-      val a = banded.select(col("band"), col("bhash"),
-        col("doc_id").as("id1"), col("sigs").as("s1"))
-      val b = banded.select(col("band"), col("bhash"),
-        col("doc_id").as("id2"), col("sigs").as("s2"))
-      a.join(b, Seq("band", "bhash")).filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          round(org.apache.spark.sql.GraftSqlShim.column(
-            graft.functions.SigAgreement(
-              org.apache.spark.sql.GraftSqlShim.expr(col("s1")),
-              org.apache.spark.sql.GraftSqlShim.expr(col("s2")))) / 64.0,
-            4).as("est_jaccard"))
-        .distinct()
-        .filter(col("est_jaccard") >= 0.35)
+      minhashPairs(t).filter(col("est_jaccard") >= 0.35)
+    },
+
+    // DEDUP-QUALITY EVALUATION — precision/recall of the MinHash-LSH
+    // detector against exact ground truth, the measurement every
+    // production dedup pipeline ships with its threshold choice (you
+    // tune bands/rows/τ against THIS card). Truth = exact Jaccard
+    // over the SAME 5-char shingle sets the signatures sketch
+    // (distinct-hash posting lists, df-capped like every pairing
+    // pass), predicted = the d_dedup_minhash pipeline at the same
+    // τ = 0.35; the full-outer pair join scores tp/fp/fn. At scale
+    // both sides are the bounded pairing passes they already are —
+    // the eval adds one ≤pairs-sized join. Signature arithmetic is
+    // engine-specific → rows-only; the spec recomputes exact truth in
+    // Scala and reproduces the confusion counts.
+    Q("d_dedup_eval", None) { t =>
+      import t.spark.implicits._
+      val pred = minhashPairs(t).filter(col("est_jaccard") >= 0.35)
+        .select(col("id1"), col("id2"), lit(1).as("p"))
+      val truth = exactCharJaccard(t).filter(col("jaccard") >= 0.35)
+        .select(col("id1"), col("id2"), lit(1).as("tr"))
+      val joined = pred.join(truth, Seq("id1", "id2"), "full_outer")
+      joined.agg(
+          sum(coalesce(col("tr"), lit(0))).cast("long").as("n_truth"),
+          sum(coalesce(col("p"), lit(0))).cast("long").as("n_pred"),
+          sum(when(col("p").isNotNull && col("tr").isNotNull, 1)
+            .otherwise(0)).cast("long").as("tp"))
+        .select(col("n_truth"), col("n_pred"), col("tp"),
+          round(col("tp").cast("double") /
+            greatest(col("n_pred"), lit(1L)), 4).as("precision"),
+          round(col("tp").cast("double") /
+            greatest(col("n_truth"), lit(1L)), 4).as("recall"))
     },
 
     // SimHash near-dup: hamming ≤ 3 found via 4×16-bit bands

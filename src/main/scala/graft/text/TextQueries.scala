@@ -779,6 +779,54 @@ object TextQueries {
       Bpe.tokenCounts(t.fan(t.documents), Bpe.mergesFor(t, k = 6))
     },
 
+    // BLOCKLIST safety filter — the deny-term screening pass every
+    // production corpus runs before training (NSFW/PII-adjacent/
+    // banned-source term lists; the fastText/blocklist stage of
+    // CCNet-class pipelines). The blocklist rides a LITERAL in the
+    // plan (a real deployment broadcasts a 10k-term list — same
+    // shape): per doc, total whole-word hits, distinct blocked terms,
+    // hit density per 1k words, and the keep decision at density
+    // < 20/1k — flag-don't-drop, so downstream mixing can weight
+    // instead of discard. Pure scan→project, zero exchanges at any
+    // corpus size; both engines state the same token-equality count
+    // (no regex-boundary ambiguity).
+    Q("t_safety_filter", Some("""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(CASE WHEN w IN ('dup', 'error', 'spill')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(COUNT(DISTINCT CASE WHEN w IN ('dup', 'error', 'spill')
+                        THEN w END) AS BIGINT) AS n_terms
+        FROM w WHERE w <> '' GROUP BY doc_id)
+      SELECT doc_id, n_words, n_hits, n_terms,
+             ROUND(CAST(n_hits AS DOUBLE) * 1000 / n_words, 4)
+               AS hits_per_1k,
+             CAST(CAST(n_hits AS DOUBLE) * 1000 / n_words < 20 AS INT)
+               AS keep
+      FROM h
+    """)) { t =>
+      val blocked = Seq("dup", "error", "spill")
+      val isBlocked = col("w").isin(blocked: _*)
+      t.fan(t.documents)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(isBlocked, 1).otherwise(0)).cast("long").as("n_hits"),
+          countDistinct(when(isBlocked, col("w"))).as("n_terms"))
+        .select(col("doc_id"), col("n_words"), col("n_hits"),
+          col("n_terms"),
+          round(col("n_hits").cast("double") * 1000 / col("n_words"), 4)
+            .as("hits_per_1k"),
+          (col("n_hits").cast("double") * 1000 / col("n_words") < 20)
+            .cast("int").as("keep"))
+    },
+
     // Lexical-entropy quality signals (CCNet/Gopher-class filters:
     // low word entropy = repetitive/boilerplate, low char entropy =
     // degenerate byte soup, low TTR = template text). The engine

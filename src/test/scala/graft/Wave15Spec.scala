@@ -197,6 +197,42 @@ class Wave15Spec extends SparkSpecBase {
       assert(rev == n, s"n_inter asymmetric for pair ($s,$d)")
   }
 
+  // --- dedup-quality evaluation ---
+
+  test("d_dedup_eval confusion counts match a Scala recompute") {
+    import graft.functions.TextFns
+    val row = q("d_dedup_eval").collect().head
+    // Exact truth recomputed independently: distinct 5-char shingle
+    // hash sets per doc, pairwise Jaccard >= 0.35 (no df machinery —
+    // brute force over the collected sets).
+    val sets = t.documents.select(col("doc_id"),
+        array_distinct(TextFns.charShingleHashes(col("text"), 5))
+          .as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .filter(_._2.nonEmpty)
+    val truth = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (a, sa) = sets(i); (b, sb) = sets(j)
+      inter = (sa & sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= 0.35
+    } yield (math.min(a, b), math.max(a, b))).toSet
+    assert(row.getAs[Long]("n_truth") == truth.size,
+      s"truth ${row.getAs[Long]("n_truth")} vs brute ${truth.size}")
+    // Arithmetic invariants: tp <= both sides, ratios consistent.
+    val (nT, nP, tp) = (row.getAs[Long]("n_truth"),
+      row.getAs[Long]("n_pred"), row.getAs[Long]("tp"))
+    assert(tp <= nT && tp <= nP)
+    assert(math.abs(row.getAs[Double]("precision") -
+      tp.toDouble / math.max(nP, 1)) < 1e-4 + 1e-9)
+    assert(math.abs(row.getAs[Double]("recall") -
+      tp.toDouble / math.max(nT, 1)) < 1e-4 + 1e-9)
+    // The banding (16 bands x 4 rows) must catch essentially every
+    // true pair at this tau — the recall floor the card exists to
+    // watch.
+    assert(row.getAs[Double]("recall") >= 0.9,
+      s"LSH recall collapsed: ${row.getAs[Double]("recall")}")
+  }
+
   // --- coreness decomposition (h-index fixpoint) ---
 
   test("g_coreness equals classic min-degree peeling") {
