@@ -109,6 +109,61 @@ object EventQueries {
           col("ck.ts").as("click_ts"), col("ck.value").as("click_value"))
     },
 
+    // LAST-TOUCH ATTRIBUTION — the marketing-analytics staple over
+    // the as-of machinery: every purchase credits its most recent
+    // click within a 7-day window, and the report INVERTS to the
+    // touchpoint grain — per click, how many conversions it earned
+    // and their exact revenue. Same ONE user-partitioned window pass
+    // as e_asof (no range join: the candidate click rides the
+    // running last-click struct), plus the attribution-window bound
+    // e_asof doesn't have; revenue sums in DECIMAL so the credit is
+    // hash-exact. A click with no conversions earns no row — the
+    // report is the credited touchpoints.
+    Q("e_attribution", Some("""
+      WITH u AS (
+        SELECT user_id, event_id, ts, value, event_type,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      m AS (
+        SELECT *,
+               last_value(CASE WHEN is_click = 1 THEN ts END IGNORE NULLS)
+                 OVER w AS click_ts,
+               last_value(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
+                 OVER w AS click_id
+        FROM u
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts, is_click DESC, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      conv AS (
+        SELECT * FROM m
+        WHERE event_type = 'purchase' AND click_id IS NOT NULL
+          AND click_ts >= ts - INTERVAL 7 DAY)
+      SELECT click_id, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_conversions,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS attr_value
+      FROM conv GROUP BY click_id, user_id
+    """)) { t =>
+      val u = t.fan(t.events)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("is_click",
+          when(col("event_type") === "click", 1).otherwise(0))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_click").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("ck",
+          last(when(col("is_click") === 1,
+            struct(col("ts"), col("event_id"))), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("ck").isNotNull &&
+          col("ck.ts") >= col("ts") - expr("INTERVAL 7 DAYS"))
+        .groupBy(col("ck.event_id").as("click_id"), col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_conversions"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("attr_value"))
+    },
+
     // FORWARD as-of join: each purchase picks the EARLIEST click of
     // the same user at-or-after its timestamp (the "next follow-up
     // event" direction — attribution windows, next-error-after-deploy

@@ -779,6 +779,51 @@ object TextQueries {
       Bpe.tokenCounts(t.fan(t.documents), Bpe.mergesFor(t, k = 6))
     },
 
+    // Deterministic TOKEN-DROPOUT augmentation — the word-dropout
+    // recipe of small-data finetuning (augment by deleting ~10% of
+    // tokens), with the pipeline requirement the stock random()
+    // version can't meet: REPRODUCIBILITY. The coin is the shared
+    // Knuth multiplicative hash on (doc_id·100003 + token_index), so
+    // the augmented corpus is a pure function of the input — re-runs,
+    // retries and the DuckDB oracle regenerate the identical text
+    // (t_shuffle's determinism argument, applied per token). One
+    // map-side indexed-HOF pass, zero exchanges; md5 of the rebuilt
+    // text hash-checks the full augmented output without shipping it.
+    // Spark lambda indexes are 0-based, DuckDB's 1-based — the +1
+    // below aligns them.
+    Q("t_augment", Some(s"""
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      a AS (
+        SELECT doc_id, ws,
+               list_filter(
+                 list_transform(ws, (x, i) -> {'w': x,
+                   'c': ${TextFns.knuthCoinSql("(doc_id * 100003 + i)")}}),
+                 s -> s.c >= 429496730) AS aug
+        FROM w)
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(len(ws) - len(aug) AS BIGINT) AS n_dropped,
+             MD5(array_to_string(list_transform(aug, s -> s.w), ' '))
+               AS aug_fp
+      FROM a
+    """)) { t =>
+      t.fan(t.documents)
+        .withColumn("ws", expr("filter(split(text, ' '), x -> x <> '')"))
+        .withColumn("aug", expr(s"""
+          filter(
+            transform(ws, (x, i) -> named_struct('w', x,
+              'c', ${TextFns.knuthCoinSql("(doc_id * 100003 + i + 1)")})),
+            s -> s.c >= 429496730)"""))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          (size(col("ws")) - size(col("aug"))).cast("long")
+            .as("n_dropped"),
+          md5(concat_ws(" ",
+            expr("transform(aug, s -> s.w)")).cast("binary")).as("aug_fp"))
+    },
+
     // BLOCKLIST safety filter — the deny-term screening pass every
     // production corpus runs before training (NSFW/PII-adjacent/
     // banned-source term lists; the fastText/blocklist stage of
