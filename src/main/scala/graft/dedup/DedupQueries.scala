@@ -61,8 +61,8 @@ object DedupQueries {
     * expansion, no re-join back to the signature table. Agreement
     * scoring is the codegen SigAgreement kernel (the interpreted
     * zip_with fold was ~3 s of the sf0.1 bench). */
-  private def minhashPairs(t: Tables): DataFrame = {
-    val sigs = minhashSigs(t.fan(t.documents))
+  private def minhashPairs(docs: DataFrame): DataFrame = {
+    val sigs = minhashSigs(docs)
     val banded = sigs.select(col("doc_id"), col("sigs"),
         posexplode(expr(
           "transform(sequence(0, 15), j -> xxhash64(j, slice(sigs, j * 4 + 1, 4)))")))
@@ -85,8 +85,8 @@ object DedupQueries {
     * signatures sketch — the ground truth for d_dedup_eval. Same
     * df-capped posting-list pairing shape as [[shinglePairs]], on
     * char-5 hashes instead of word 3-grams. */
-  private def exactCharJaccard(t: Tables): DataFrame = {
-    val kept = t.fan(t.documents)
+  private def exactCharJaccard(docs: DataFrame): DataFrame = {
+    val kept = docs
       .select(col("doc_id"),
         explode(array_distinct(
           TextFns.charShingleHashes(col("text"), 5))).as("h"))
@@ -209,7 +209,7 @@ object DedupQueries {
     // engine-specific (xxhash64) → rows-only; the spec cross-checks
     // estimates against exact shingle Jaccard on a sample.
     Q("d_dedup_minhash", None) { t =>
-      minhashPairs(t).filter(col("est_jaccard") >= 0.35)
+      minhashPairs(t.fan(t.documents)).filter(col("est_jaccard") >= 0.35)
     },
 
     // DEDUP-QUALITY EVALUATION — precision/recall of the MinHash-LSH
@@ -226,9 +226,19 @@ object DedupQueries {
     // Scala and reproduces the confusion counts.
     Q("d_dedup_eval", None) { t =>
       import t.spark.implicits._
-      val pred = minhashPairs(t).filter(col("est_jaccard") >= 0.35)
+      // Evaluate on a deterministic CONSTANT-SIZE doc sample (the
+      // 200 smallest by the Knuth hash coin — the q_stats_correlation
+      // TakeOrdered cap): the truth side is an exact all-pairs
+      // Jaccard, quadratic in sample size by nature, so the eval cost
+      // must not grow with the corpus — at any real scale this card
+      // runs on a fixed-size sample, and the sampled detector IS the
+      // shipped pipeline applied to the sampled docs.
+      val sample = t.fan(t.documents
+        .orderBy(TextFns.knuthCoin(col("doc_id")), col("doc_id"))
+        .limit(200))
+      val pred = minhashPairs(sample).filter(col("est_jaccard") >= 0.35)
         .select(col("id1"), col("id2"), lit(1).as("p"))
-      val truth = exactCharJaccard(t).filter(col("jaccard") >= 0.35)
+      val truth = exactCharJaccard(sample).filter(col("jaccard") >= 0.35)
         .select(col("id1"), col("id2"), lit(1).as("tr"))
       val joined = pred.join(truth, Seq("id1", "id2"), "full_outer")
       joined.agg(

@@ -202,10 +202,14 @@ class Wave15Spec extends SparkSpecBase {
   test("d_dedup_eval confusion counts match a Scala recompute") {
     import graft.functions.TextFns
     val row = q("d_dedup_eval").collect().head
-    // Exact truth recomputed independently: distinct 5-char shingle
-    // hash sets per doc, pairwise Jaccard >= 0.35 (no df machinery —
-    // brute force over the collected sets).
-    val sets = t.documents.select(col("doc_id"),
+    // Exact truth recomputed independently over the entry's own
+    // 200-doc hash-ordered sample: distinct 5-char shingle hash sets
+    // per doc, pairwise Jaccard >= 0.35 (no df machinery — brute
+    // force over the collected sets).
+    val sets = t.documents
+      .orderBy(TextFns.knuthCoin(col("doc_id")), col("doc_id"))
+      .limit(200)
+      .select(col("doc_id"),
         array_distinct(TextFns.charShingleHashes(col("text"), 5))
           .as("hs"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
