@@ -1049,12 +1049,21 @@ object Graph {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
+      // h-index without ranking the raw edge ends: h = max over the
+      // OBSERVED estimate values c of min(c, |{u : c(u) ≥ c}|) — the
+      // standard identity (taking c = the h-th largest value attains
+      // h; no value exceeds it). So the |2E|-row pass is a
+      // map-COMBINED (n, c)-count whose shuffle carries only the
+      // distinct estimate values per vertex, and the suffix counts +
+      // fold run over that much smaller frame.
       val next = und
         .join(c.select(col("n").as("nbr"), col("c")), "nbr")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("n").orderBy(col("c").desc)))
+        .groupBy("n", "c").agg(count(lit(1)).as("k"))
+        .withColumn("ge", sum("k").over(
+          Window.partitionBy("n").orderBy(col("c").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("n")
-        .agg(max(least(col("rn"), col("c"))).as("c"))
+        .agg(max(least(col("c"), col("ge"))).as("c"))
         .localCheckpoint()
       converged = next.join(c.withColumnRenamed("c", "prev"), "n")
         .filter(col("c") =!= col("prev")).isEmpty
