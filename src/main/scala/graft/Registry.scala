@@ -35,6 +35,7 @@ object Registry {
     operators.Lookups.all,
     operators.TpchFull.all,
     graph.GraphQueries.all,
+    graph.CatalogQueries.all,
     dedup.DedupQueries.all,
     ann.AnnQueries.all,
     text.TextQueries.all,

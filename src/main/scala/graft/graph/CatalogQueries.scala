@@ -1,0 +1,112 @@
+package graft.graph
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** MATCH over the DECLARED graph catalog (typed vertex/edge tables),
+  * beside GraphQueries' derived-edge-list suite. Reference anchors:
+  * ddl/db_test.go:7662 (people1 + friend1/friend2 DDL),
+  * planner/core/logical_plan_builder.go:6567/6619 (each hop's edge
+  * table resolved by name, destination vertex from its EdgeOptions),
+  * parser/parser_test.go:6512 (chained `.out(label).(vertex)` syntax
+  * with per-element WHERE).
+  */
+object CatalogQueries {
+
+  private val ctes = GraphCatalog.oracleCtes
+
+  val all: Seq[Q] = Seq(
+
+    // Per-label edge-table scan with edge-property predicates — the
+    // reference's `select * from f2 where src = 1 and dst = 2` read
+    // path (executor/write_test.go:4270) generalized: the label picks
+    // ONE edge table, property predicates prune it at the scan, and
+    // the OTHER edge types are never touched (no union-of-labels).
+    Q("g_catalog_edges", Some(s"""
+      $ctes
+      SELECT src, dst, since, strength
+      FROM knows
+      WHERE strength >= 95 AND src <= 200
+    """)) { t =>
+      val d = GraphCatalog.declared(t).edge("knows")
+      d.edges.filter(col("strength") >= 95 && col("src") <= 200)
+        .select("src", "dst", "since", "strength")
+    },
+
+    // Vertex-property + chosen-edge-table profile: person vertices
+    // filtered on their OWN properties, out-degree counted over ONE
+    // selected edge type (knows), invited untouched.
+    Q("g_catalog_vertex", Some(s"""
+      $ctes
+      SELECT p.vertex_id AS vertex_id, p.nation AS nation,
+             COUNT(*) AS out_deg
+      FROM person p JOIN knows k ON k.src = p.vertex_id
+      WHERE p.acctbal > 5000
+      GROUP BY 1, 2
+    """)) { t =>
+      val cat = GraphCatalog.declared(t)
+      val p = cat.vertex("person").filter(col("acctbal") > 5000)
+      p.join(cat.edge("knows").edges, p("vertex_id") === col("src"))
+        .groupBy("vertex_id", "nation")
+        .agg(count(lit(1)).as("out_deg"))
+    },
+
+    // Heterogeneous typed-edge chain MATCH:
+    //   match (person as a where a.nation < 5)
+    //     .out(knows   as k where k.since >= '1996-01-01' and k.strength > 50)
+    //     .(person as b)
+    //     .out(invited as i where i.amount > 150000)
+    //     .(person as c where c.acctbal > 0)
+    // Hop 1 and hop 2 traverse DIFFERENT edge tables, each selected by
+    // label and pruned on its own property columns BEFORE its join
+    // (the planner's prefix-pruning rule). All joins are keyed on the
+    // pattern variable — co-partitioned, never |E|².
+    Q("g_match_typed", Some(s"""
+      $ctes
+      SELECT a.vertex_id AS a, COUNT(*) AS n_paths,
+             CAST(COUNT(DISTINCT c.vertex_id) AS BIGINT) AS n_c
+      FROM person a
+      JOIN knows k   ON k.src = a.vertex_id
+      JOIN person b  ON b.vertex_id = k.dst
+      JOIN invited i ON i.src = b.vertex_id
+      JOIN person c  ON c.vertex_id = i.dst
+      WHERE a.nation < 5 AND k.since >= DATE '1996-01-01'
+        AND k.strength > 50 AND i.amount > 150000 AND c.acctbal > 0
+      GROUP BY 1
+    """)) { t =>
+      GraphCatalog.declared(t)
+        .from("person", "a", col("a_nation") < 5)
+        .out("knows", "k",
+          col("k_since") >= lit("1996-01-01").cast("date") &&
+            col("k_strength") > 50,
+          "b")
+        .out("invited", "i", col("i_amount") > 150000,
+          "c", col("c_acctbal") > 0)
+        .frame
+        .groupBy(col("a_vertex_id").as("a"))
+        .agg(count(lit(1)).as("n_paths"),
+          countDistinct(col("c_vertex_id")).as("n_c"))
+    },
+
+    // Label choice is semantic, not cosmetic: the SAME pattern shape
+    // anchored on the SAME vertex predicate but traversing `invited`
+    // (its `prio` property in the predicate) — a per-edge-table
+    // selection proof that lives in the correctness gate itself.
+    Q("g_match_choice", Some(s"""
+      $ctes
+      SELECT a.vertex_id AS a, i.prio AS prio, COUNT(*) AS n_b
+      FROM person a
+      JOIN invited i ON i.src = a.vertex_id
+      JOIN person b  ON b.vertex_id = i.dst
+      WHERE a.nation < 5 AND i.prio < '3'
+      GROUP BY 1, 2
+    """)) { t =>
+      GraphCatalog.declared(t)
+        .from("person", "a", col("a_nation") < 5)
+        .out("invited", "i", col("i_prio") < "3", "b")
+        .frame
+        .groupBy(col("a_vertex_id").as("a"), col("i_prio").as("prio"))
+        .agg(count(lit(1)).as("n_b"))
+    },
+  )
+}

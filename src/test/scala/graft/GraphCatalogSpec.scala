@@ -1,0 +1,90 @@
+package graft
+
+import graft.graph.GraphCatalog
+import org.apache.spark.sql.functions._
+
+/** The declared graph catalog (typed vertex/edge tables — the Spark
+  * analog of ddl/db_test.go:7662's people1 + friend1/friend2 DDL):
+  * per-edge-table selection, property schemas, referential closure,
+  * and keyed-join-only MATCH plans. */
+class GraphCatalogSpec extends SparkSpecBase {
+
+  private lazy val cat = GraphCatalog.declared(t)
+
+  test("two heterogeneous edge tables with distinct property schemas") {
+    val knows = cat.edge("knows")
+    val invited = cat.edge("invited")
+    assert(knows.source == "person" && knows.destination == "person")
+    assert(invited.source == "person" && invited.destination == "person")
+    assert(knows.edges.columns.toSeq == Seq("src", "dst", "since", "strength"))
+    assert(invited.edges.columns.toSeq == Seq("src", "dst", "amount", "prio"))
+  }
+
+  test("unknown vertex/edge table names throw, never degrade") {
+    intercept[IllegalArgumentException](cat.edge("friend9"))
+    intercept[IllegalArgumentException](cat.vertex("people9"))
+  }
+
+  test("edge endpoints resolve inside the declared vertex domain") {
+    val vids = cat.vertex("person").select("vertex_id")
+    for (label <- Seq("knows", "invited")) {
+      val dangling = cat.edge(label).edges
+        .select(col("src").as("vertex_id"))
+        .union(cat.edge(label).edges.select(col("dst").as("vertex_id")))
+        .join(vids, Seq("vertex_id"), "left_anti")
+        .count()
+      assert(dangling == 0, s"$label has $dangling dangling endpoints")
+    }
+  }
+
+  test("one edge row per (src, dst) — the reference's edge identity") {
+    for (label <- Seq("knows", "invited")) {
+      val e = cat.edge(label).edges
+      assert(e.count() == e.select("src", "dst").distinct().count(), label)
+    }
+  }
+
+  test("MATCH selects edge tables BY LABEL: same anchor, different hop") {
+    val srcs = cat.vertex("person").filter(col("vertex_id") <= 20)
+    val overKnows = cat.from("person", "a", col("a_vertex_id") <= 20)
+      .out("knows", "k", lit(true), "b")
+      .frame.select(col("a_vertex_id"), col("b_vertex_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overInvited = cat.from("person", "a", col("a_vertex_id") <= 20)
+      .out("invited", "i", lit(true), "b")
+      .frame.select(col("a_vertex_id"), col("b_vertex_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(overKnows.nonEmpty && overInvited.nonEmpty)
+    assert(overKnows != overInvited,
+      "traversing a different edge table must bind different neighbors")
+    // Each hop reproduces its own edge table exactly — no leakage
+    // from the other label.
+    val rawKnows = cat.edge("knows").edges.filter(col("src") <= 20)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(overKnows == rawKnows)
+    assert(srcs.count() > 0)
+  }
+
+  test("edge-property predicate prunes the chosen table only") {
+    val strong = cat.from("person", "a", col("a_vertex_id") <= 100)
+      .out("knows", "k", col("k_strength") >= 90, "b")
+      .frame
+    val rows = strong.select("k_strength").collect().map(_.getLong(0))
+    assert(rows.nonEmpty && rows.forall(_ >= 90))
+  }
+
+  test("typed-chain MATCH plan is keyed joins only — no cartesian") {
+    val plan = GraphCatalog.declared(t)
+      .from("person", "a", col("a_nation") < 5)
+      .out("knows", "k", col("k_strength") > 50, "b")
+      .out("invited", "i", col("i_amount") > 150000, "c")
+      .frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // The only nested-loop join allowed is the 1-row broadcast of the
+    // max-custkey scalar that folds destination keys into the vertex
+    // domain.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 2, s"expected only the scalar broadcasts, got $bnlj")
+  }
+}
