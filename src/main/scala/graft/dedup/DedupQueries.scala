@@ -434,13 +434,16 @@ object DedupQueries {
              CAST(a = MIN(b) AS INT) AS is_canonical
       FROM r GROUP BY a
     """)) { t =>
+      // ONE scan of the text column builds all three blocking keys
+      // (explode over a key array) — the union-of-three-selects shape
+      // read and hashed the full text three times (gapped r13
+      // re-measures pinned the entry's stable cost at ~4.0 s, all of
+      // it ahead of the CC loop).
       val d = t.documents
-      val k = d.select(col("doc_id"),
-          md5(col("text").cast("binary")).as("key"))
-        .union(d.select(col("doc_id"),
-          md5(TextFns.normalize(col("text")).cast("binary")).as("key")))
-        .union(d.select(col("doc_id"),
-          concat_ws(":", col("lang"), col("n_chars")).as("key")))
+      val k = d.select(col("doc_id"), explode(array(
+          md5(col("text").cast("binary")),
+          md5(TextFns.normalize(col("text")).cast("binary")),
+          concat_ws(":", col("lang"), col("n_chars")))).as("key"))
       val rep = k.groupBy("key").agg(min(col("doc_id")).as("rep"))
       val edges = k.join(rep, "key")
         .select(col("doc_id").as("src"), col("rep").as("dst"))
