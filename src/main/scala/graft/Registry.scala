@@ -31,6 +31,7 @@ object Registry {
     operators.Wave13.all,
     operators.Wave14.all,
     operators.Wave15.all,
+    operators.Wave16.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,

@@ -35,9 +35,11 @@ object Acl {
   private val privs = mutable.LinkedHashMap.empty[Key, mutable.Set[String]]
   private val grantOption = mutable.Set.empty[Key]
   private val users = mutable.LinkedHashSet.empty[(String, String)]
-  // role -> direct grantees (users or other roles); roles are
-  // principals with host '%' by convention.
-  private val roleEdges = mutable.LinkedHashSet.empty[(String, String)]
+  // (role, grantee, granteeHost) — the grantee is identified by its
+  // FULL user@host principal (host is part of identity everywhere
+  // else in this store); roles themselves live at host '%' by
+  // convention.
+  private val roleEdges = mutable.LinkedHashSet.empty[(String, String, String)]
 
   def clear(): Unit = synchronized {
     privs.clear(); grantOption.clear(); users.clear(); roleEdges.clear()
@@ -76,25 +78,31 @@ object Acl {
     }
   }
 
-  /** GRANT 'role' TO 'user' — a role-inheritance edge. Both the role
-    * and the grantee are principals (MySQL requires the grantee to
-    * exist; roles live at host '%' by convention, and a grantee named
-    * only here gets the same default). */
-  def grantRole(role: String, user: String): Unit = synchronized {
-    users += ((role, "%"))
-    if (!users.exists(_._1 == user)) users += ((user, "%"))
-    roleEdges += ((role, user))
-  }
+  /** GRANT 'role' TO 'user'@'host' — a role-inheritance edge keyed by
+    * the grantee's FULL principal (host included: a role granted to
+    * 'u'@'10.0.0.1' must NOT fold into 'u'@'%'). Roles live at host
+    * '%' by convention, and a grantee named only here gets the same
+    * default. */
+  def grantRole(role: String, user: String, host: String = "%"): Unit =
+    synchronized {
+      users += ((role, "%"))
+      users += ((user, host))
+      roleEdges += ((role, user, host))
+    }
 
-  /** Transitive role closure for a grantee
-    * (FindAllUserEffectiveRoles) — cycle-safe BFS over role edges. */
-  private def effectiveRoles(user: String): Set[String] = {
+  /** Transitive role closure for a grantee principal
+    * (FindAllUserEffectiveRoles) — cycle-safe BFS over role edges.
+    * The first hop matches the grantee's (user, host) identity; role-
+    * to-role edges live at the '%' convention host. */
+  private def effectiveRoles(user: String, host: String): Set[String] = {
     val seen = mutable.Set.empty[String]
-    var frontier = roleEdges.collect { case (r, u) if u == user => r }.toSet
+    var frontier = roleEdges.collect {
+      case (r, u, h) if u == user && h == host => r
+    }.toSet
     while (frontier.nonEmpty) {
       seen ++= frontier
       frontier = frontier.flatMap(m =>
-        roleEdges.collect { case (r, u) if u == m => r }) -- seen
+        roleEdges.collect { case (r, u, h) if u == m && h == "%" => r }) -- seen
     }
     seen.toSet
   }
@@ -112,7 +120,7 @@ object Acl {
   def showGrants(user: String, host: String = "%"): Seq[String] =
     synchronized {
       if (!users.contains((user, host))) return Seq.empty
-      val sources = (user, host) +: effectiveRoles(user).toSeq.sorted
+      val sources = (user, host) +: effectiveRoles(user, host).toSeq.sorted
         .map(r => (r, "%"))
       // Fold each source principal's grants into per-scope sets.
       val byScope = mutable.LinkedHashMap.empty[(String, String),
@@ -140,8 +148,9 @@ object Acl {
         case ((db, tbl), (ps, go)) if db != "*" && tbl != "*" =>
           ((db, tbl), line(db, tbl, ps.toSet, go(0)))
       }.toSeq.sortBy(_._1).map(_._2)
-      val roleLines = roleEdges.collect { case (r, u) if u == user =>
-        s"GRANT '$r'@'%' TO '$user'@'$host'"
+      val roleLines = roleEdges.collect {
+        case (r, u, h) if u == user && h == host =>
+          s"GRANT '$r'@'%' TO '$user'@'$host'"
       }.toSeq.sorted
       val scoped = global.toSeq ++ dbLines ++ tblLines
       // MySQL convention: a known principal with zero rendered scopes
@@ -151,4 +160,37 @@ object Acl {
         else scoped
       withUsage ++ roleLines
     }
+
+  /** RequestVerification analog (privilege/privileges/privileges.go:
+    * 111 — every executor calls it before touching a table): does
+    * user@host hold `priv` on db.tbl, directly or through the
+    * transitive role closure, at ANY covering scope — global `*.*`,
+    * whole-db `db.*`, or the exact table? This is the same closure
+    * and the same scope lattice SHOW GRANTS renders; enforcement and
+    * display cannot drift. */
+  def verify(user: String, host: String, db: String, tbl: String,
+      priv: String): Boolean = synchronized {
+    val p = priv.toUpperCase
+    val sources = (user, host) +: effectiveRoles(user, host).toSeq
+      .map(r => (r, "%"))
+    val scopes = Seq(("*", "*"), (db, "*"), (db, tbl))
+    sources.exists { case (su, sh) =>
+      scopes.exists { case (sd, st) =>
+        privs.get(Key(su, sh, sd, st)).exists(_.contains(p))
+      }
+    }
+  }
+
+  /** The guarded read path: a SELECT that passes RequestVerification
+    * returns the UNALTERED reader (identical rows/plan to the
+    * unguarded read — the check is plan-time, free at scale); a
+    * denied principal throws the reference's ErrTableaccessDenied
+    * shape (errno 1142) instead of returning rows. */
+  def guardedRead[A](user: String, host: String, db: String,
+      tbl: String)(read: => A): A = {
+    if (!verify(user, host, db, tbl, "SELECT"))
+      throw new SecurityException(
+        s"SELECT command denied to user '$user'@'$host' for table '$db'.'$tbl'")
+    read
+  }
 }
