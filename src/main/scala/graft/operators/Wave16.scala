@@ -47,5 +47,39 @@ object Wave16 {
         .agg(count(lit(1)).as("n_cust"),
           sum(col("c_nationkey")).cast("long").as("sum_nation"))
     },
+
+    // ALTER TABLE MODIFY COLUMN type widening (reference:
+    // ddl/column.go:841 onModifyColumn — INT -> BIGINT grows the type
+    // with a reorg/backfill in TiDB). The Spark-native translation is
+    // reorg-FREE: generation 1 stays INT32 on disk forever, generation
+    // 2 writes INT64, and ONE scan with the widened read schema serves
+    // both — Spark 4's parquet reader applies the INT32 -> INT64
+    // widening promotion inside the scan, so old generations are cast
+    // at read time and never rewritten (the q_schema_evolution
+    // machinery's other half; at 100 TB a backfill of the old
+    // generation is exactly the rewrite this avoids). Gen-2 values
+    // overflow INT32 on purpose — the widened type is load-bearing,
+    // not cosmetic. Wave16Spec proves gen 1's files are untouched by
+    // the widened read and still narrow on disk.
+    Q("q_modify_column", Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey < 300 THEN CAST(o_custkey AS BIGINT)
+                  ELSE o_custkey * 100000000000 END AS val,
+             CAST(o_orderkey >= 300 AS INT) AS gen2
+      FROM orders WHERE o_orderkey < 600
+    """)) { t =>
+      val dir = s"/tmp/graft_widen_${graft.sources.Formats.sanitize(t.dir)}"
+      t.orders.filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"), col("o_custkey").cast("int").as("val"))
+        .write.mode("overwrite").parquet(s"$dir/gen=1")
+      t.orders.filter(col("o_orderkey") >= 300 && col("o_orderkey") < 600)
+        .select(col("o_orderkey"),
+          (col("o_custkey") * 100000000000L).as("val"))
+        .write.mode("overwrite").parquet(s"$dir/gen=2")
+      t.spark.read.schema("o_orderkey BIGINT, val BIGINT, gen INT")
+        .parquet(dir)
+        .select(col("o_orderkey"), col("val"),
+          (col("gen") === 2).cast("int").as("gen2"))
+    },
   )
 }

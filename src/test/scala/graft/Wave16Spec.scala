@@ -60,6 +60,44 @@ class Wave16Spec extends SparkSpecBase {
     Acl.clear()
   }
 
+  test("modify-column widening: gen 1 served by cast, never rewritten") {
+    // Entry run writes the two generations (gen 1 INT32, gen 2 INT64).
+    Registry.byName("q_modify_column").run(t)
+      .write.format("noop").mode("overwrite").save()
+    val dir = s"/tmp/graft_widen_${graft.sources.Formats.sanitize(t.dir)}"
+    // Generation 1 is NARROW on disk...
+    val gen1Raw = spark.read.parquet(s"$dir/gen=1")
+    assert(gen1Raw.schema("val").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // ...and the widened READ must serve it without rewriting a byte.
+    def footprint() = new java.io.File(s"$dir/gen=1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1).toSeq
+    val before = footprint()
+    // The merged frame is WIDE everywhere, with gen-2 values that
+    // cannot fit INT32 — the promotion is load-bearing.
+    val merged = spark.read.schema("o_orderkey BIGINT, val BIGINT, gen INT")
+      .parquet(dir)
+    assert(merged.schema("val").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(merged.filter(col("gen") === 2 &&
+      col("val") > Int.MaxValue.toLong).count() > 0)
+    // gen-1 rows round-trip exactly through the widening cast
+    val viaWide = merged.filter(col("gen") === 1)
+      .select("o_orderkey", "val").orderBy("o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val viaNarrow = gen1Raw.select("o_orderkey", "val")
+      .orderBy("o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+    assert(viaWide.sameElements(viaNarrow))
+    // One scan serves both generations (no per-generation union)
+    val scans = "FileScan|Scan parquet".r
+      .findAllIn(merged.queryExecution.executedPlan.toString).length
+    assert(scans == 1, s"expected ONE merged scan, got $scans")
+    val after = footprint()
+    assert(after == before, "widened read must not rewrite generation 1")
+  }
+
   test("revoke closes the enforcement gate it opened") {
     Acl.clear()
     Acl.grant("tmp", Seq("SELECT"), db = "graft", tbl = "customer")
