@@ -19,6 +19,9 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // See Verify: sound because writeBucketed guarantees one file
+      // per bucket (Spark re-verifies before trusting the order).
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,7 +59,10 @@ object Bench {
         // partitioned facts, the IVF index via s_ann_ivf_probe).
         "s_ann_pq_probe",
         // The composed IVFPQ index is its own lazy layout too.
-        "s_ann_ivfpq_probe")
+        "s_ann_ivfpq_probe",
+        // r13: the bucketed+sorted co-located pair is a lazy layout
+        // (session catalog + warehouse files).
+        "q_join_index_merge")
         .contains(q.name))
     }
     warmup.foreach { q =>

@@ -18,6 +18,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Bucketed scans expose their sortBy order as plan ordering
+      // (the zero-Sort co-located merge join). Sound here because
+      // Bucketing.writeBucketed guarantees one file per bucket, and
+      // Spark re-verifies that before trusting the order.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

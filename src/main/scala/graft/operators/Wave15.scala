@@ -245,12 +245,20 @@ object Wave15 {
     """)) { t =>
       val probe = t.customer.filter(col("c_acctbal") > 9900)
         .select(col("c_custkey"), col("c_acctbal"))
-      val keys = probe.select("c_custkey").collect().map(_.getLong(0))
-      require(keys.length <= 65536,
-        s"index-lookup outer side too wide: ${keys.length} keys " +
-          "(the in-memory key-batch contract)")
-      val inner = t.orders
-        .filter(col("o_custkey").isin(keys.toSeq: _*))
+      // 64k key-batch cap: past it, degrade to the plain join (the
+      // IN pushdown stops paying when the probe isn't selective)
+      // instead of aborting — a fixed registry entry must not become
+      // scale-factor-fragile.
+      val cap = 65536
+      val keyRows = probe.select("c_custkey").limit(cap + 1).collect()
+      val pushed =
+        if (keyRows.length > cap) {
+          System.err.println(s"q_join_index_lookup: probe exceeds " +
+            s"$cap keys; falling back to the unpushed join")
+          t.orders
+        } else t.orders.filter(
+          col("o_custkey").isin(keyRows.map(_.getLong(0)).toSeq: _*))
+      val inner = pushed
         .select(col("o_custkey"), col("o_orderkey"),
           Exact.dec2(col("o_totalprice")).cast("double").as("o_price"))
       inner.join(broadcast(probe),

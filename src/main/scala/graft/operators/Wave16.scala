@@ -81,5 +81,45 @@ object Wave16 {
         .select(col("o_orderkey"), col("val"),
           (col("gen") === 2).cast("int").as("gen2"))
     },
+
+    // Index-lookup MERGE join (reference:
+    // executor/index_lookup_merge_join.go:51 IndexLookUpMergeJoin —
+    // the ordered variant of the index lookup join: outer rows keep
+    // their key order, inner rows are fetched by key range, and the
+    // join is a MERGE, not a hash build). Spark-native translation:
+    // both sides live in the bucketed+sorted co-located layout
+    // (sources/Bucketing — the TiKV-range-storage analog), the probe
+    // keys are collected and PUSHED into the fact scan as an IN
+    // filter (the "fetch inner rows by key ranges" leg, visible in
+    // PushedFilters), and the SMJ REUSES the layout's bucket sort
+    // order — Wave16Spec plan-asserts ZERO Exchange and ZERO Sort
+    // below the SortMergeJoin. Past the 64k key-batch cap the entry
+    // degrades to the same co-located SMJ without the IN pushdown
+    // (scan-everything is the correct plan when the probe isn't
+    // selective) instead of failing.
+    Q("q_join_index_merge", Some("""
+      SELECT c.c_custkey, c.c_acctbal, o.o_orderkey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS o_price
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_acctbal > 9900
+    """)) { t =>
+      val (bo, bc) = graft.sources.Bucketing
+        .ordersCustomerBucketed(t.spark, t.dir)
+      val probe = bc.filter(col("c_acctbal") > 9900)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val cap = 65536
+      val keyRows = probe.select("c_custkey").limit(cap + 1).collect()
+      val fact =
+        if (keyRows.length > cap) {
+          System.err.println(s"q_join_index_merge: probe exceeds $cap " +
+            "keys; falling back to the unpushed co-located merge join")
+          bo
+        } else bo.filter(col("o_custkey").isin(keyRows.map(_.getLong(0)).toSeq: _*))
+      probe.hint("merge")
+        .join(fact.hint("merge"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_acctbal"), col("o_orderkey"),
+          Exact.dec2(col("o_totalprice")).cast("double").as("o_price"))
+    },
   )
 }

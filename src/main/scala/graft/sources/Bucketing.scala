@@ -12,13 +12,63 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
+  /** Always repartitions on the bucket key first: repartition's hash
+    * IS the bucket hash (both `pmod(murmur3, n)` — the identity that
+    * makes bucketed joins shuffle-free), so task i holds exactly
+    * bucket i and every bucket lands as ONE file. Single-file buckets
+    * are what lets the scan expose the sortBy order as plan
+    * `outputOrdering` (Spark re-verifies one-file-per-bucket before
+    * trusting it, under the legacy.bucketedTableScan.outputOrdering
+    * conf the session builders set) — the zero-Sort merge-join path. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
 
   def table(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
+
+  /** Bucket count of the lazily-built co-located pair below. */
+  val PairBuckets = 8
+
+  /** Lazily-built co-located (orders, customer) pair, both bucketed
+    * AND per-bucket sorted on the customer key with ONE file per
+    * bucket (the repartition before the write guarantees it) — the
+    * layout under the index-lookup MERGE join: Spark's bucketed scan
+    * only exposes the files' sort order as plan `outputOrdering` when
+    * each bucket is a single file, and that is what lets a downstream
+    * SMJ run with ZERO Exchange and ZERO Sort. Keyed by the source
+    * data fingerprint (regenerated testdata → rebuilt tables); within
+    * a session the catalog check makes every call after the first
+    * free. */
+  def ordersCustomerBucketed(spark: SparkSession,
+      dataDir: String): (DataFrame, DataFrame) = {
+    val fp = Formats.contentFingerprint(s"$dataDir/orders.parquet")
+    // Table names must be bare SQL identifiers: [A-Za-z0-9_] only.
+    val suffix = s"${Formats.sanitize(dataDir)}_$fp"
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    val oTbl = s"graft_b_orders_$suffix"
+    val cTbl = s"graft_b_customer_$suffix"
+    if (!spark.catalog.tableExists(oTbl) ||
+        !spark.catalog.tableExists(cTbl)) {
+      // Evict EVERY on-disk generation of the pair, current suffix
+      // included: the session catalog is in-memory, so a fresh JVM
+      // sees orphaned table directories from the previous one, and
+      // saveAsTable refuses to adopt an existing location.
+      val wh = new java.io.File(java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      Option(wh.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_b_orders_") ||
+          f.getName.startsWith("graft_b_customer_"))
+        .foreach(Formats.deleteRecursively)
+      writeBucketed(spark.read.parquet(s"$dataDir/orders.parquet"),
+        oTbl, "o_custkey", PairBuckets)
+      writeBucketed(spark.read.parquet(s"$dataDir/customer.parquet"),
+        cTbl, "c_custkey", PairBuckets)
+    }
+    (spark.table(oTbl), spark.table(cTbl))
+  }
 }

@@ -17,6 +17,9 @@ object SparkSpecBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Match the Verify/Bench sessions: bucketed scans expose their
+      // sortBy order (sound — writeBucketed gives 1 file per bucket).
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

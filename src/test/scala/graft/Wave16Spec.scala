@@ -98,6 +98,29 @@ class Wave16Spec extends SparkSpecBase {
     assert(after == before, "widened read must not rewrite generation 1")
   }
 
+  test("q_join_index_merge: pushed keys + SMJ reusing the bucket sort " +
+      "order — zero Exchange, zero Sort") {
+    val df = Registry.byName("q_join_index_merge").run(t)
+    val plan = df.queryExecution.executedPlan.toString
+    // Ordered variant: the join is a MERGE...
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // ...that reuses the bucketed layout's order — no shuffle, no sort.
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"co-located SMJ must not shuffle:\n$plan")
+    assert(!"(?m)^\\s*[+:]?-?\\s*\\*?\\(?\\d*\\)?\\s*Sort ".r
+      .findFirstIn(plan).isDefined,
+      s"SMJ must reuse the layout's sort order, found a Sort:\n$plan")
+    // ...and the probe keys reached the fact scan (In -> EqualTo when
+    // one key survives).
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*" +
+      "(In|EqualTo)\\(o_custkey.*"),
+      s"probe keys did not reach the fact scan:\n$plan")
+    // Result parity with the plain unbucketed join.
+    val expected = t.customer.filter(col("c_acctbal") > 9900)
+      .join(t.orders, col("o_custkey") === col("c_custkey")).count()
+    assert(df.count() == expected)
+  }
+
   test("revoke closes the enforcement gate it opened") {
     Acl.clear()
     Acl.grant("tmp", Seq("SELECT"), db = "graft", tbl = "customer")
