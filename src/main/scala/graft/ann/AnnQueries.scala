@@ -159,10 +159,7 @@ object AnnQueries {
       // (acceptable for a dev cache — IvfIndexSpec cross-checks
       // probe == fresh build).
       val (c, iters) = (16, 2)
-      val F = graft.sources.Formats
-      val dir = F.cacheDir(
-        s"/tmp/graft_ivf_c${c}_i${iters}_${F.sanitize(t.dir)}",
-        F.contentFingerprint(s"${t.dir}/embeddings.parquet"))
+      val dir = IvfIndex.sharedCacheDir(t.dir, c, iters)
       if (!new java.io.File(s"$dir/centroids/_SUCCESS").exists())
         IvfIndex.writeIndex(vecs(t), dir, c = c, iters = iters)
       IvfIndex.probeIndex(t.spark, dir,
@@ -252,8 +249,18 @@ object AnnQueries {
       // partition-pruning analog: non-probed cells never join); the
       // shared ADC candidate generator's LUT over the RESIDUAL
       // codebooks supplies the dot(q, v−c) term.
-      val (cells, centroids, codes, cent) = IvfPqIndex.build(
-        corpus, c = 16, iters = 2, m = 8, s = 8, k = 16)
+      //
+      // The COARSE quantizer is not retrained here: it is the exact
+      // same (c=16, iters=2) training s_ann_ivf_probe persists, so
+      // this entry loads it from that shared content-fingerprint
+      // cache (writing it lazily on first touch) and spends its
+      // in-query training budget only on the COMPOSED leg — the
+      // residual PQ codebooks. Amortizing the coarse k-means is also
+      // the production shape: one coarse quantizer serves every
+      // downstream index variant built over it.
+      val (cells, centroids) = IvfPqIndex.coarseFromSharedCache(t, corpus)
+      val (codes, cent) = IvfPqIndex.residualPq(
+        cells, centroids, m = 8, s = 8, k = 16, iters = 2)
       val queries = corpus.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("nv").as("nq"))

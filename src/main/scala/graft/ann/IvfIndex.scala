@@ -86,6 +86,17 @@ object IvfIndex {
     * the on-disk shape of the IVF inverted lists — at 100 TB each
     * cell directory is a self-contained shard and probing k of C
     * cells reads k/C of the bytes. */
+  /** The ONE spelling of the persisted-IVF cache location (build
+    * parameters + content fingerprint of the source), shared by
+    * s_ann_ivf_probe and IvfPqIndex.coarseFromSharedCache so the two
+    * can never key the same index differently. */
+  def sharedCacheDir(dataDir: String, c: Int, iters: Int): String = {
+    val F = graft.sources.Formats
+    F.cacheDir(
+      s"/tmp/graft_ivf_c${c}_i${iters}_${F.sanitize(dataDir)}",
+      F.contentFingerprint(s"$dataDir/embeddings.parquet"))
+  }
+
   def writeIndex(corpus: DataFrame, dir: String, c: Int,
       iters: Int): Unit = {
     val (cells, centroids) = build(corpus, c, iters)

@@ -36,14 +36,36 @@ object IvfPqIndex {
     // candidate cell restriction — materialize the one corpus pass
     // (only the columns downstream reads).
     val cells = cells0.select("vec_id", "cell", "v").localCheckpoint()
-    // Residuals rounded to 6dp — the IvfIndex/PqIndex float-order
-    // rule, so a re-run cannot flip a code assignment.
+    val (codes, cent) = residualPq(cells, centroids, m, s, k, iters)
+    (cells, centroids, codes, cent)
+  }
+
+  /** The COMPOSED leg alone: PQ codebooks trained on the residuals
+    * v − c(v) of an already-trained coarse quantizer. Residuals
+    * rounded to 6dp — the IvfIndex/PqIndex float-order rule, so a
+    * re-run cannot flip a code assignment. */
+  def residualPq(cells: DataFrame, centroids: DataFrame, m: Int,
+      s: Int, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val resid = cells.join(broadcast(centroids), "cell")
       .select(col("vec_id"),
         expr("transform(zip_with(v, cv, (a, b) -> a - b)," +
           " x -> round(x, 6))").as("v"))
-    val (codes, cent) = PqIndex.build(resid, m, s, k, iters)
-    (cells, centroids, codes, cent)
+    PqIndex.build(resid, m, s, k, iters)
+  }
+
+  /** The coarse quantizer from [[IvfIndex]]'s shared persisted cache
+    * (same parameters, same content-fingerprint key as
+    * s_ann_ivf_probe — written lazily on first touch): (cells with
+    * vectors, centroids). One coarse training serves every index
+    * variant composed over it. */
+  def coarseFromSharedCache(t: graft.Tables, corpus: => DataFrame,
+      c: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
+    val dir = IvfIndex.sharedCacheDir(t.dir, c, iters)
+    if (!new java.io.File(s"$dir/centroids/_SUCCESS").exists())
+      IvfIndex.writeIndex(corpus, dir, c = c, iters = iters)
+    (t.spark.read.parquet(s"$dir/cells")
+       .select(col("vec_id"), col("cell"), col("v")),
+     t.spark.read.parquet(s"$dir/centroids"))
   }
 
   /** The per-(query, probed cell) exact dot(q, c) term; doubles as

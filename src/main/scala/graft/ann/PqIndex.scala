@@ -40,15 +40,23 @@ object PqIndex {
   /** Nearest-centroid assignment per (vec_id, m): L2 via the
     * precomputed-norm identity |a-c|² = |a|² + |c|² - 2a·c (one dot
     * per pair); argmin through a struct MIN so ties break on cid
-    * deterministically. */
-  private def assign(subv: DataFrame, cent: DataFrame): DataFrame =
-    subv.join(broadcast(cent), "m")
-      .select(col("vec_id"), col("m"), col("sv"),
-        struct((col("nsv2") + col("nc2") - lit(2.0) * dot(col("sv"), col("c")))
-          .as("dist"), col("cid")).as("dc"))
-      .groupBy("vec_id", "m")
-      .agg(min(col("dc")).as("mn"), first(col("sv")).as("sv"))
+    * deterministically.
+    *
+    * MAP-SIDE: each subspace's whole K-row codebook is packed into
+    * ONE broadcast array row, and the argmin is array_min over a
+    * transform — same arithmetic, same (dist, cid) tie-break as the
+    * old explode-pairs + groupBy formulation, but with no K× row
+    * blowup and NO shuffle per Lloyd round (the groupBy argmin was
+    * the training loop's dominant exchange). */
+  private def assign(subv: DataFrame, cent: DataFrame): DataFrame = {
+    val packs = cent.groupBy("m").agg(
+      collect_list(struct(col("cid"), col("c"), col("nc2"))).as("cents"))
+    subv.join(broadcast(packs), "m")
+      .withColumn("mn", array_min(transform(col("cents"), cn =>
+        struct((col("nsv2") + cn("nc2") - lit(2.0) * dot(col("sv"), cn("c")))
+          .as("dist"), cn("cid").as("cid")))))
       .select(col("vec_id"), col("m"), col("mn.cid").as("cid"), col("sv"))
+  }
 
   /** Per-(m, cid) mean of member sub-vectors, rounded to 6dp — one
     * groupBy carrying `s` per-dimension AVG aggregates (the
