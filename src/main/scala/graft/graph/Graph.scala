@@ -1046,29 +1046,39 @@ object Graph {
     val und = undirect(e).localCheckpoint()
     var c = und.groupBy("n").agg(count(lit(1)).as("c")).localCheckpoint()
     val degs = c.select(col("n"), col("c").as("deg"))
+    // h-index without ranking the raw edge ends: h = max over the
+    // OBSERVED estimate values c of min(c, |{u : c(u) ≥ c}|) — the
+    // standard identity (taking c = the h-th largest value attains
+    // h; no value exceeds it). So the |2E|-row pass is a
+    // map-COMBINED (n, c)-count whose shuffle carries only the
+    // distinct estimate values per vertex, and the suffix counts +
+    // fold run over that much smaller frame.
+    def round(cur: DataFrame): DataFrame = und
+      .join(cur.select(col("n").as("nbr"), col("c")), "nbr")
+      .groupBy("n", "c").agg(count(lit(1)).as("k"))
+      .withColumn("ge", sum("k").over(
+        Window.partitionBy("n").orderBy(col("c").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("n")
+      .agg(max(least(col("c"), col("ge"))).as("c"))
+    // Estimates are positive and per-vertex MONOTONE NON-INCREASING,
+    // so Σc strictly decreases until the fixpoint — one cheap scalar
+    // aggregate per materialization instead of a join/diff against
+    // the previous state, and TWO rounds chain per job/checkpoint
+    // (the connectedComponents trick: the fixpoint is idempotent, so
+    // an extra round past convergence changes nothing while halving
+    // the driver scheduling on the way there — the loop's cost at
+    // this graph size IS the materialization count).
     var rounds = 0
+    var prevSum = c.agg(sum(col("c"))).head().getLong(0)
     var converged = false
     while (!converged && rounds < maxRounds) {
-      // h-index without ranking the raw edge ends: h = max over the
-      // OBSERVED estimate values c of min(c, |{u : c(u) ≥ c}|) — the
-      // standard identity (taking c = the h-th largest value attains
-      // h; no value exceeds it). So the |2E|-row pass is a
-      // map-COMBINED (n, c)-count whose shuffle carries only the
-      // distinct estimate values per vertex, and the suffix counts +
-      // fold run over that much smaller frame.
-      val next = und
-        .join(c.select(col("n").as("nbr"), col("c")), "nbr")
-        .groupBy("n", "c").agg(count(lit(1)).as("k"))
-        .withColumn("ge", sum("k").over(
-          Window.partitionBy("n").orderBy(col("c").desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("n")
-        .agg(max(least(col("c"), col("ge"))).as("c"))
-        .localCheckpoint()
-      converged = next.join(c.withColumnRenamed("c", "prev"), "n")
-        .filter(col("c") =!= col("prev")).isEmpty
+      val next = round(round(c)).localCheckpoint()
+      val nextSum = next.agg(sum(col("c"))).head().getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       c = next
-      rounds += 1
+      rounds += 2
     }
     degs.join(c.withColumnRenamed("c", "coreness"), "n")
   }
