@@ -121,5 +121,46 @@ object Wave16 {
         .select(col("c_custkey"), col("c_acctbal"), col("o_orderkey"),
           Exact.dec2(col("o_totalprice")).cast("double").as("o_price"))
     },
+
+    // Charset conversion — CONVERT(... USING binary / utf8mb4)
+    // (reference: expression/builtin_convert_charset.go, the
+    // to-binary and to-charset legs; expression/collation.go's
+    // binary-vs-utf8 compare split). The Spark translation:
+    // encode(s, 'UTF-8') IS the to-binary conversion (compares by
+    // bytes — 'VIEW' and 'view' distinct), decode back is the
+    // utf8mb4 leg (lossless round trip, checked as a hash-proven
+    // column), and the byte/char length split over MULTI-BYTE text
+    // (accented vowels staged exactly as q_func_collate2 does) pins
+    // the charset awareness: n_bytes > n_chars iff the string left
+    // ASCII. Map-side until the final count — no new exchange shape.
+    Q("q_func_convert", Some("""
+      WITH m AS (
+        SELECT CASE event_id % 3
+                 WHEN 0 THEN upper(event_type)
+                 WHEN 1 THEN translate(event_type, 'aeo', 'áéó')
+                 ELSE event_type
+               END AS s
+        FROM events WHERE event_id < 600)
+      SELECT hex(encode(s)) AS bytes_hex,
+             CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+             CAST(length(s) AS BIGINT) AS n_chars,
+             CAST(decode(encode(s)) = s AS INT) AS roundtrip,
+             COUNT(*) AS n
+      FROM m GROUP BY 1, 2, 3, 4
+    """)) { t =>
+      val s = when(col("event_id") % 3 === 0, upper(col("event_type")))
+        .when(col("event_id") % 3 === 1,
+          translate(col("event_type"), "aeo", "áéó"))
+        .otherwise(col("event_type"))
+      val bin = encode(col("s"), "UTF-8")
+      t.events.filter(col("event_id") < 600)
+        .select(s.as("s"))
+        .groupBy(
+          hex(bin).as("bytes_hex"),
+          length(bin).cast("long").as("n_bytes"),
+          length(col("s")).cast("long").as("n_chars"),
+          (decode(bin, "UTF-8") === col("s")).cast("int").as("roundtrip"))
+        .agg(count(lit(1)).as("n"))
+    },
   )
 }

@@ -121,6 +121,38 @@ class Wave16Spec extends SparkSpecBase {
     assert(df.count() == expected)
   }
 
+  test("UNICODE_CI ordering parity: case folds, accents and bytes don't") {
+    import spark.implicits._
+    // Binary (byte) compare vs UNICODE_CI — the collation split of
+    // expression/collation.go: 'B' < 'a' by bytes, 'a' < 'B' under CI.
+    val r = Seq(("a", "B")).toDF("x", "y")
+      .select(
+        (col("x") < col("y")).as("bin_lt"),
+        (collate(col("x"), "UNICODE_CI") <
+          collate(col("y"), "UNICODE_CI")).as("ci_lt"),
+        (collate(lit("VIEW"), "UNICODE_CI") ===
+          collate(lit("view"), "UNICODE_CI")).as("ci_case_eq"),
+        (collate(lit("vïew"), "UNICODE_CI") ===
+          collate(lit("view"), "UNICODE_CI")).as("ci_accent_eq"))
+      .head()
+    assert(!r.getBoolean(0), "byte order: 'B'(0x42) sorts before 'a'(0x61)")
+    assert(r.getBoolean(1), "UNICODE_CI: letters sort alphabetically")
+    assert(r.getBoolean(2), "UNICODE_CI folds case")
+    assert(!r.getBoolean(3), "UNICODE_CI stays accent-SENSITIVE")
+    // ICU ordering: accent is a secondary difference — 'á' lands
+    // between 'a' and 'b', where byte order throws it past 'z'.
+    val sorted = Seq("b", "á", "a").toDF("s")
+      .orderBy(collate(col("s"), "UNICODE_CI"))
+      .collect().map(_.getString(0)).toSeq
+    assert(sorted == Seq("a", "á", "b"), s"ICU order violated: $sorted")
+    // The conversion entry's round-trip column is all-1 (lossless
+    // utf8 encode/decode both directions).
+    val rt = Registry.byName("q_func_convert").run(t)
+    assert(rt.filter(col("roundtrip") =!= 1).count() == 0)
+    assert(rt.filter(col("n_bytes") > col("n_chars")).count() > 0,
+      "multi-byte rows must exist — the charset-awareness pin")
+  }
+
   test("revoke closes the enforcement gate it opened") {
     Acl.clear()
     Acl.grant("tmp", Seq("SELECT"), db = "graft", tbl = "customer")
