@@ -52,6 +52,14 @@ object VectorFns {
     * unchanged. */
   def rerankTopK(pairs: DataFrame, topk: Int,
       dedup: Boolean, carry: Seq[String] = Nil): DataFrame = {
+    // dedup keeps an ARBITRARY row among duplicate (qid, vec_id)
+    // pairs: combined with carry columns whose values can differ per
+    // candidate route (e.g. a per-probe distance) the emitted carry
+    // value would be nondeterministic — refuse the combination until
+    // a caller defines which row wins.
+    require(carry.isEmpty || !dedup,
+      "rerankTopK: dedup=true with carry columns is nondeterministic " +
+        "(dropDuplicates keeps an arbitrary row per pair)")
     val w = Window.partitionBy("qid")
       .orderBy(round(col("c"), 8).desc, col("vec_id"))
     val scored = pairs

@@ -6,8 +6,14 @@ import org.apache.spark.sql.SparkSession
 
 /** ALTER TABLE ... EXCHANGE PARTITION (reference: ddl/partition.go +
   * executor DDL path — swap a partition's data with a standalone
-  * staging table ATOMICALLY, both directions: the staged data becomes
-  * the partition, the old partition becomes the staging table). The
+  * staging table, both directions: the staged data becomes the
+  * partition, the old partition becomes the staging table). The
+  * guarantee here is NO PARTIAL DIRECTORIES — each of the three
+  * publishing renames is atomic — not a single atomic two-way swap:
+  * a concurrent reader can see the partition briefly absent between
+  * renames 1 and 2, and a rename-3 failure leaves the displaced
+  * partition in a dotted tmp dir (surfaced in the error for manual
+  * recovery; the published fact itself is already consistent). The
   * warehouse pattern this serves at 100 TB: backfill/correct one
   * partition by writing a staging table on the side, validate it,
   * then publish with O(1) metadata renames — the fact is never
@@ -54,13 +60,18 @@ object ExchangePartition {
     }
     val in = staged.count()
     val out = part.count()
-    // Three renames publish the swap; every directory stays complete
-    // (never partial files), and the tmp name is dotted so a
-    // concurrent reader of `base` ignores it. If the second rename
-    // fails (e.g. stageDir on a different filesystem rejects
-    // ATOMIC_MOVE), the first is ROLLED BACK so the fact never loses
-    // the partition — without this, the old data would sit invisible
-    // in the dotted tmp dir forever.
+    // Three renames publish the swap. The guarantee is "no partial
+    // directories", NOT a single atomic two-way swap: between rename
+    // 1 and rename 2 a concurrent reader of the fact sees the
+    // partition briefly ABSENT (each rename is itself atomic; the
+    // tmp name is dotted so directory listings of `base` skip it).
+    // If rename 2 fails (e.g. stageDir on a different filesystem
+    // rejects ATOMIC_MOVE), rename 1 is ROLLED BACK so the fact
+    // never loses the partition. If rename 3 fails the swap has
+    // already been published — the fact is consistent — but the
+    // DISPLACED partition would be stranded in the dotted tmp dir,
+    // so the error surfaces that path for manual recovery instead of
+    // hiding it.
     val tmp = Paths.get(base, s".exchange_tmp_${System.nanoTime()}")
     Files.move(Paths.get(partDir), tmp, StandardCopyOption.ATOMIC_MOVE)
     try Files.move(Paths.get(stageDir), Paths.get(partDir),
@@ -71,7 +82,12 @@ object ExchangePartition {
         s"exchange aborted and rolled back: staging table could not " +
           s"be published (${e.getMessage})", e)
     }
-    Files.move(tmp, Paths.get(stageDir), StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(tmp, Paths.get(stageDir), StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: Throwable =>
+      throw new IllegalStateException(
+        s"exchange PUBLISHED but the displaced partition is stranded " +
+          s"at $tmp — move it to $stageDir to finish (${e.getMessage})", e)
+    }
     (in, out)
   }
 }

@@ -20,12 +20,25 @@ object RecycleBin {
   /** DROP TABLE with retention: move `tableDir` into
     * `binDir/<name>__<seq>`; returns the bin entry path. The table
     * dir no longer exists afterwards — reads fail exactly like a
-    * dropped table — but the data was renamed, not erased. */
+    * dropped table — but the data was renamed, not erased.
+    *
+    * The sequence is process-local but a bin directory OUTLIVES the
+    * JVM (that's the GC-window model), so each drop first raises the
+    * counter above the highest sequence already persisted in THIS
+    * bin — otherwise a post-restart drop would reuse low sequences,
+    * colliding with retained entries and letting flashback restore a
+    * stale pre-restart entry as "newest". */
   def drop(tableDir: String, binDir: String): String = {
     val src = new File(tableDir)
     require(src.isDirectory, s"no table at $tableDir")
     Files.createDirectories(Paths.get(binDir))
-    val entry = s"$binDir/${src.getName}__${seq.incrementAndGet()}"
+    val persistedMax = Option(new File(binDir).listFiles())
+      .getOrElse(Array.empty)
+      .map(_.getName.split("__").last)
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .foldLeft(0L)((m, s) => math.max(m, s.toLong))
+    val n = seq.updateAndGet(cur => math.max(cur, persistedMax) + 1)
+    val entry = s"$binDir/${src.getName}__$n"
     Files.move(src.toPath, Paths.get(entry),
       StandardCopyOption.ATOMIC_MOVE)
     entry

@@ -153,6 +153,28 @@ class Wave16Spec extends SparkSpecBase {
       "multi-byte rows must exist — the charset-awareness pin")
   }
 
+  test("RecycleBin survives a bin that outlives the JVM: drop sequences " +
+      "past persisted entries") {
+    import graft.tools.RecycleBin
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("rb16").toString
+    val bin = s"$root/bin"
+    // A retained entry from a "previous JVM" with a high sequence.
+    new java.io.File(s"$bin/t__50").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$bin/t__50/marker.txt"), "stale")
+    // A fresh-process drop must land ABOVE it, not at 1.
+    Seq((1, 2)).toDF("k", "v").write.parquet(s"$root/t")
+    val entry = RecycleBin.drop(s"$root/t", bin)
+    assert(entry.split("__").last.toLong > 50,
+      s"post-restart drop must sequence past retained entries: $entry")
+    // Flashback restores the NEW drop, not the stale pre-restart one.
+    RecycleBin.flashback(bin, "t", s"$root/t")
+    assert(!new java.io.File(s"$root/t/marker.txt").exists(),
+      "flashback restored the stale pre-restart entry")
+    assert(spark.read.parquet(s"$root/t").count() == 1)
+  }
+
   test("revoke closes the enforcement gate it opened") {
     Acl.clear()
     Acl.grant("tmp", Seq("SELECT"), db = "graft", tbl = "customer")
