@@ -1051,6 +1051,39 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_anchors"),
           count(when(col("nd") >= 2, lit(1))).as("dup_anchors"))
     },
+
+    // CROSS-SOURCE dedup with source priority — when several crawls/
+    // dumps are merged, exact duplicates keep the copy from the
+    // PREFERRED source (here: lexicographically smallest source name,
+    // standing in for the crawl-priority map), tie-broken by min
+    // doc_id — the standard "dedup across snapshots, prefer the
+    // curated dump" pipeline pass. Two-level plan: fingerprint
+    // aggregate picks the winning source per hash, then ONE keyed
+    // join selects the kept doc — only 32-hex fingerprints cross the
+    // exchanges, text never moves, state is |distinct hashes| rows.
+    Q("d_cross_dedup", Some("""
+      WITH k AS (SELECT doc_id, source, MD5(text) AS fp FROM documents),
+      agg AS (
+        SELECT fp, MIN(source) AS src,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM k GROUP BY fp)
+      SELECT agg.fp AS fp, agg.src AS src, MIN(k.doc_id) AS kept_doc,
+             agg.n_copies AS n_copies, agg.n_sources AS n_sources
+      FROM agg JOIN k ON k.fp = agg.fp AND k.source = agg.src
+      GROUP BY 1, 2, 4, 5
+    """)) { t =>
+      val k = t.documents.select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("fp"))
+      val agg = k.groupBy("fp").agg(min(col("source")).as("src"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("source")).as("n_sources"))
+      agg.join(k, agg("fp") === k("fp") && agg("src") === k("source"))
+        .groupBy(agg("fp").as("fp"), agg("src").as("src"),
+          col("n_copies"), col("n_sources"))
+        .agg(min(col("doc_id")).as("kept_doc"))
+        .select("fp", "src", "kept_doc", "n_copies", "n_sources")
+    },
   ) :+ spanContam :+ mixPlan :+ mixTemperature
 
   /** Span-level decontamination — d_contamination's surgical sibling:

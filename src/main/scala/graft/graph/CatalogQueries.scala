@@ -108,5 +108,72 @@ object CatalogQueries {
         .groupBy(col("a_vertex_id").as("a"), col("i_prio").as("prio"))
         .agg(count(lit(1)).as("n_b"))
     },
+
+    // HETEROGENEOUS-vertex MATCH: the hop's destination table is
+    // resolved from the EDGE's declaration, not assumed equal to the
+    // source (reference: logical_plan_builder.go:6639 — destination
+    // schema from edgeTableInfo.EdgeOptions.Destination) — person
+    // anchors, `bought` hops into the PRODUCT vertex table, and the
+    // pattern filters on properties of all three element types.
+    Q("g_match_hetero", Some(s"""
+      $ctes
+      SELECT a.vertex_id AS a, COUNT(*) AS n_products,
+             CAST(COUNT(DISTINCT p.brand) AS BIGINT) AS n_brands
+      FROM person a
+      JOIN bought b  ON b.src = a.vertex_id
+      JOIN product p ON p.vertex_id = b.dst
+      WHERE a.acctbal > 8000 AND b.qty >= 60 AND p.size < 25
+      GROUP BY 1
+    """)) { t =>
+      GraphCatalog.declared(t)
+        .from("person", "a", col("a_acctbal") > 8000)
+        .out("bought", "b", col("b_qty") >= 60,
+          "p", col("p_size") < 25)
+        .frame
+        .groupBy(col("a_vertex_id").as("a"))
+        .agg(count(lit(1)).as("n_products"),
+          countDistinct(col("p_brand")).as("n_brands"))
+    },
+
+    // ANY SHORTEST over a CHOSEN typed edge table (reference:
+    // logical_plan_builder.go:6709 buildGraphPathAnyShortest — the
+    // path-typed MATCH variant, one OUT edge table with a bound
+    // destination). Multi-source level-synchronized BFS over `knows`
+    // edges PRUNED on an edge property before traversal; ≤4 hops; per
+    // (source, level): reachable-node counts. The levels chain in ONE
+    // lazy plan (4 keyed joins — the g_closeness shape) and the
+    // distance fold is a (source, node) min — state is |sources|·|V|
+    // bounded, never paths.
+    Q("g_catalog_shortest", Some(s"""
+      ${ctes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      ke AS (SELECT src, dst FROM knows WHERE strength >= 30),
+      srcs AS (SELECT vertex_id FROM person WHERE vertex_id <= 20),
+      w(a, node, d) AS (
+        SELECT vertex_id, vertex_id, 0 FROM srcs
+        UNION
+        SELECT w.a, ke.dst, w.d + 1
+        FROM w JOIN ke ON ke.src = w.node WHERE w.d < 4)
+      SELECT a, dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM (SELECT a, node, MIN(d) AS dist FROM w GROUP BY 1, 2)
+      GROUP BY 1, 2
+    """)) { t =>
+      val cat = GraphCatalog.declared(t)
+      val ke = cat.edge("knows").edges.filter(col("strength") >= 30)
+        .select("src", "dst")
+      val seed = cat.vertex("person").filter(col("vertex_id") <= 20)
+        .select(col("vertex_id").as("a"), col("vertex_id").as("node"),
+          lit(0).as("d"))
+      var levels = List(seed)
+      for (d <- 1 to 4) {
+        val f = levels.head.select("a", "node")
+        levels ::= f.join(ke, f("node") === ke("src"))
+          .select(col("a"), col("dst").as("node")).distinct()
+          .select(col("a"), col("node"), lit(d).as("d"))
+      }
+      levels.reduce(_ union _)
+        .groupBy("a", "node").agg(min(col("d")).as("dist"))
+        .groupBy("a", "dist")
+        .agg(count(lit(1)).as("n_nodes"))
+    },
   )
 }

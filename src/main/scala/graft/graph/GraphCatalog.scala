@@ -108,6 +108,20 @@ object GraphCatalog {
     val person = t.customer.select(
       col("c_custkey").as("vertex_id"), col("c_name").as("name"),
       col("c_nationkey").as("nation"), col("c_acctbal").as("acctbal"))
+    // A SECOND vertex type: edges may reference different source and
+    // destination tables (the reference resolves each end from the
+    // edge's own EdgeOptions — logical_plan_builder.go:6639).
+    val product = t.part.select(
+      col("p_partkey").as("vertex_id"), col("p_name").as("name"),
+      col("p_brand").as("brand"), col("p_size").as("size"),
+      col("p_retailprice").as("price"))
+    // person -> product purchases, one row per (customer, part) with
+    // aggregate properties — the heterogeneous-endpoint edge table.
+    val bought = t.lineitem.join(t.orders,
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      .agg(sum(col("l_quantity")).as("qty"),
+        max(col("l_extendedprice")).as("price"))
     val mx = t.customer.agg(max(col("c_custkey")).as("m"))
     val knows = t.orders.crossJoin(broadcast(mx))
       .select(col("o_custkey").as("src"),
@@ -125,10 +139,11 @@ object GraphCatalog {
       .agg(max(col("o_totalprice")).as("amount"),
         min(col("o_orderpriority")).as("prio"))
     GraphCatalog(
-      vertexTables = Map("person" -> person),
+      vertexTables = Map("person" -> person, "product" -> product),
       edgeTables = Map(
         "knows" -> EdgeDecl("knows", "person", "person", knows),
-        "invited" -> EdgeDecl("invited", "person", "person", invited)))
+        "invited" -> EdgeDecl("invited", "person", "person", invited),
+        "bought" -> EdgeDecl("bought", "person", "product", bought)))
   }
 
   /** The catalog's construction as DuckDB CTEs — prepended to every
@@ -150,5 +165,14 @@ object GraphCatalog {
              o_custkey AS dst,
              MAX(o_totalprice) AS amount,
              MIN(o_orderpriority) AS prio
-      FROM orders, mx GROUP BY 1, 2)"""
+      FROM orders, mx GROUP BY 1, 2),
+    product AS (
+      SELECT p_partkey AS vertex_id, p_name AS name, p_brand AS brand,
+             p_size AS size, p_retailprice AS price
+      FROM part),
+    bought AS (
+      SELECT o_custkey AS src, l_partkey AS dst,
+             SUM(l_quantity) AS qty, MAX(l_extendedprice) AS price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2)"""
 }

@@ -162,5 +162,40 @@ object Wave16 {
           (decode(bin, "UTF-8") === col("s")).cast("int").as("roundtrip"))
         .agg(count(lit(1)).as("n"))
     },
+
+    // SHOW CHARACTER SET (reference: executor/show.go
+    // fetchShowCharset; charset/charset.go holds the descriptor
+    // table: name, default collation, maxlen). The card is DERIVED,
+    // not transcribed: per charset the engine ENCODES that charset's
+    // widest probe character through the real codec and measures the
+    // byte length (maxlen), and round-trips an ASCII probe (MySQL
+    // charsets are ASCII-transparent) — the oracle pins the
+    // descriptor literals the probes must reproduce. Driver-sized
+    // catalog card (4 rows).
+    Q("q_show_charset", Some("""
+      SELECT * FROM (VALUES
+        ('ascii',   'ascii_bin',       1, 1),
+        ('latin1',  'latin1_bin',      1, 1),
+        ('utf8',    'utf8_general_ci', 3, 1),
+        ('utf8mb4', 'utf8mb4_bin',     4, 1)
+      ) AS v(charset, default_collation, maxlen, ascii_safe)
+    """)) { t =>
+      import t.spark.implicits._
+      // (mysql charset, jvm codec, widest probe char, default
+      // collation per the reference's descriptor table)
+      Seq(
+        ("ascii", "US-ASCII", "a", "ascii_bin"),
+        ("latin1", "ISO-8859-1", "é", "latin1_bin"),
+        ("utf8", "UTF-8", "€", "utf8_general_ci"),
+        ("utf8mb4", "UTF-8", "😀", "utf8mb4_bin"))
+        .map { case (cs, codec, probe, coll) =>
+          Seq((cs, coll)).toDF("charset", "default_collation")
+            .select(col("charset"), col("default_collation"),
+              length(encode(lit(probe), codec)).cast("int").as("maxlen"),
+              (decode(encode(lit("Az"), codec), codec) === "Az")
+                .cast("int").as("ascii_safe"))
+        }
+        .reduce(_ union _)
+    },
   )
 }

@@ -25,23 +25,37 @@ class GraphCatalogSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](cat.vertex("people9"))
   }
 
-  test("edge endpoints resolve inside the declared vertex domain") {
-    val vids = cat.vertex("person").select("vertex_id")
-    for (label <- Seq("knows", "invited")) {
-      val dangling = cat.edge(label).edges
-        .select(col("src").as("vertex_id"))
-        .union(cat.edge(label).edges.select(col("dst").as("vertex_id")))
-        .join(vids, Seq("vertex_id"), "left_anti")
-        .count()
-      assert(dangling == 0, s"$label has $dangling dangling endpoints")
+  test("edge endpoints resolve inside their DECLARED vertex tables") {
+    for (label <- cat.edgeTables.keys.toSeq.sorted) {
+      val d = cat.edge(label)
+      val srcDangling = d.edges.select(col("src").as("vertex_id"))
+        .join(cat.vertex(d.source).select("vertex_id"),
+          Seq("vertex_id"), "left_anti").count()
+      val dstDangling = d.edges.select(col("dst").as("vertex_id"))
+        .join(cat.vertex(d.destination).select("vertex_id"),
+          Seq("vertex_id"), "left_anti").count()
+      assert(srcDangling == 0 && dstDangling == 0,
+        s"$label dangling: src=$srcDangling dst=$dstDangling")
     }
   }
 
   test("one edge row per (src, dst) — the reference's edge identity") {
-    for (label <- Seq("knows", "invited")) {
+    for (label <- cat.edgeTables.keys.toSeq.sorted) {
       val e = cat.edge(label).edges
       assert(e.count() == e.select("src", "dst").distinct().count(), label)
     }
+  }
+
+  test("heterogeneous hop binds the edge's declared destination table") {
+    val d = cat.edge("bought")
+    assert(d.source == "person" && d.destination == "product")
+    val hop = cat.from("person", "a", col("a_vertex_id") <= 50)
+      .out("bought", "b", lit(true), "p")
+      .frame
+    // Destination variable carries PRODUCT properties, not person's.
+    assert(hop.columns.contains("p_brand") &&
+      hop.columns.contains("p_size") && !hop.columns.contains("p_nation"))
+    assert(hop.count() > 0)
   }
 
   test("MATCH selects edge tables BY LABEL: same anchor, different hop") {
