@@ -778,6 +778,47 @@ object AnnQueries {
     Q("s_embed_pca", None) { t =>
       Pca.scores(t)
     },
+
+    // k-NN GRAPH with mutual-edge marking — the support structure of
+    // graph-based pipelines (SemDeDup neighborhoods, mutual-kNN
+    // clustering, HNSW-style navigation layers all start from it).
+    // Exact top-3 edges over a bounded pool (the correctness
+    // baseline, like s_ann_brute; the scale path swaps the pairing
+    // for the LSH/IVF bucket join the other entries already
+    // exercise), then one self-join marks RECIPROCAL edges — the
+    // mutual-kNN filter that separates core members from hub
+    // attractors. Hash-oracled: exact cosine, deterministic
+    // (round 8, vec_id) tie-break, left-join flag.
+    Q("s_knn_graph", Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 200),
+      pairs AS (
+        SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+               list_cosine_similarity(a.v, b.v) AS c
+        FROM v a, v b WHERE a.vec_id <> b.vec_id),
+      knn AS (
+        SELECT qid, vec_id, ROUND(c, 4) AS cos FROM (
+          SELECT qid, vec_id, c,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY ROUND(c, 8) DESC, vec_id) AS rn
+          FROM pairs) t WHERE rn <= 3)
+      SELECT k.qid AS src, k.vec_id AS dst, k.cos AS cos,
+             CAST(r.qid IS NOT NULL AS INT) AS mutual
+      FROM knn k LEFT JOIN knn r
+        ON r.qid = k.vec_id AND r.vec_id = k.qid
+    """)) { t =>
+      val pool = vecs(t).filter(col("vec_id") < 200).localCheckpoint()
+      val qs = pool.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nv").as("nq"))
+      val knn = rerankTopK(pool.crossJoin(broadcast(qs)), topk = 3,
+        dedup = false).localCheckpoint()
+      knn.join(
+          knn.select(col("qid").as("r_dst"), col("vec_id").as("r_src")),
+          col("qid") === col("r_src") && col("vec_id") === col("r_dst"),
+          "left")
+        .select(col("qid").as("src"), col("vec_id").as("dst"),
+          col("cos"), col("r_src").isNotNull.cast("int").as("mutual"))
+    },
   )
 
   /** Unrolled MMR oracle (oracled since r8): the greedy selection is

@@ -1084,6 +1084,34 @@ object DedupQueries {
         .agg(min(col("doc_id")).as("kept_doc"))
         .select("fp", "src", "kept_doc", "n_copies", "n_sources")
     },
+
+    // LSH banding TUNER — the parameter card behind d_dedup_minhash's
+    // (bands, rows) choice: for n = b·r minhashes, a pair with true
+    // Jaccard s becomes a candidate with p = 1 − (1 − s^r)^b, and the
+    // curve's threshold sits at (1/b)^(1/r). The card evaluates the
+    // S-curve over the (b, r) splits of a 64-hash budget × a Jaccard
+    // grid — how an operator picks banding for a recall/cost target
+    // BEFORE burning a corpus pass. Pure arithmetic on a constant
+    // grid (zero table scans); 4dp rounding absorbs pow()'s
+    // engine-specific libm tails.
+    Q("d_lsh_tune", Some("""
+      SELECT b, r, CAST(s AS DOUBLE) AS s,
+             ROUND(1 - POWER(1 - POWER(CAST(s AS DOUBLE), r), b), 4)
+               AS p_cand,
+             ROUND(POWER(1.0 / b, 1.0 / r), 4) AS threshold
+      FROM (VALUES (32, 2), (16, 4), (8, 8), (4, 16)) v(b, r),
+           (VALUES (0.1), (0.2), (0.3), (0.4), (0.5), (0.6), (0.7),
+                   (0.8), (0.9)) g(s)
+    """)) { t =>
+      import t.spark.implicits._
+      val grid = Seq((32, 2), (16, 4), (8, 8), (4, 16)).toDF("b", "r")
+        .crossJoin((1 to 9).map(_ / 10.0).toDF("s"))
+      grid.select(col("b"), col("r"), col("s"),
+        round(lit(1.0) - pow(lit(1.0) - pow(col("s"), col("r")),
+          col("b")), 4).as("p_cand"),
+        round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 4)
+          .as("threshold"))
+    },
   ) :+ spanContam :+ mixPlan :+ mixTemperature
 
   /** Span-level decontamination — d_contamination's surgical sibling:
