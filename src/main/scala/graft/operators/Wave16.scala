@@ -197,5 +197,88 @@ object Wave16 {
         }
         .reduce(_ union _)
     },
+
+    // ADMIN SHOW DDL JOBS (reference: executor/executor.go:442
+    // DDLJobRetriever, :466 appendJobToChunk — one row per queued DDL
+    // job: id, table, type, schema state, row count, state). The
+    // entry RUNS four real warehouse-layout DDL operations — a
+    // partitioned CREATE, an ADD COLUMN generation write, a MODIFY
+    // COLUMN widening generation, an EXCHANGE PARTITION swap, then a
+    // recycle-bin DROP — journaling each with its actual affected row
+    // count, and renders the job history. The oracle restates every
+    // row count as the COUNT the operation must have moved, so the
+    // hash proves the journal recorded the real work, not a
+    // transcript. Wall-clock columns are deliberately absent (the
+    // q_statements_summary rows-only lesson, inverted: drop the
+    // nondeterminism, keep the hash).
+    Q("q_ddl_jobs", Some("""
+      SELECT 1 AS job_id, 'graft' AS db_name, 'jobs_base' AS table_name,
+             'create table' AS job_type, 'public' AS schema_state,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey < 300) AS row_count,
+             'synced' AS state
+      UNION ALL
+      SELECT 2, 'graft', 'jobs_base', 'add column', 'public',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey >= 300 AND o_orderkey < 600), 'synced'
+      UNION ALL
+      SELECT 3, 'graft', 'jobs_base', 'modify column', 'public',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey >= 600 AND o_orderkey < 900), 'synced'
+      UNION ALL
+      SELECT 4, 'graft', 'jobs_base', 'exchange partition', 'public',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey >= 900 AND o_orderkey < 1200), 'synced'
+      UNION ALL
+      SELECT 5, 'graft', 'jobs_stage', 'drop table', 'public',
+             CAST(0 AS BIGINT), 'synced'
+    """)) { t =>
+      import t.spark.implicits._
+      val F = graft.sources.Formats
+      val root = s"/tmp/graft_ddljobs_${F.sanitize(t.dir)}"
+      F.deleteRecursively(new java.io.File(root))
+      graft.tools.DdlJournal.clear()
+      def slice(lo: Int, hi: Int) = t.orders
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate"))
+      // 1: CREATE TABLE jobs_base PARTITION BY year
+      val base = slice(0, 300).withColumn("yr", year(col("o_orderdate")))
+      base.write.partitionBy("yr").parquet(s"$root/base")
+      graft.tools.DdlJournal.record("graft", "jobs_base",
+        "create table", base.count())
+      // 2: ADD COLUMN — a new generation carrying the added column
+      val gen2 = slice(300, 600).withColumn("note", lit("g2"))
+      gen2.write.parquet(s"$root/addcol")
+      graft.tools.DdlJournal.record("graft", "jobs_base",
+        "add column", gen2.count())
+      // 3: MODIFY COLUMN — the widened generation (INT -> BIGINT key)
+      val gen3 = slice(600, 900)
+        .withColumn("o_orderkey", col("o_orderkey").cast("long"))
+      gen3.write.parquet(s"$root/widen")
+      graft.tools.DdlJournal.record("graft", "jobs_base",
+        "modify column", gen3.count())
+      // 4: EXCHANGE PARTITION — swap one year partition with a staged
+      // table; the journal records the rows that ARRIVED (the
+      // exchange's own audit counts).
+      val pickYr = new java.io.File(s"$root/base").listFiles()
+        .filter(_.getName.startsWith("yr=")).map(_.getName)
+        .min.stripPrefix("yr=")
+      slice(900, 1200).write.parquet(s"$root/stage")
+      val (in, _) = graft.sources.ExchangePartition.exchange(
+        t.spark, s"$root/base", s"yr=$pickYr", s"$root/stage")
+      graft.tools.DdlJournal.record("graft", "jobs_base",
+        "exchange partition", in)
+      // 5: DROP TABLE through the recycle bin (unlink, not erase)
+      graft.tools.RecycleBin.drop(s"$root/stage", s"$root/bin")
+      graft.tools.DdlJournal.record("graft", "jobs_stage",
+        "drop table", 0L)
+      graft.tools.DdlJournal.history()
+        .map(j => (j.id, j.db, j.table, j.jobType, j.schemaState,
+          j.rowCount, j.state))
+        .toDF("job_id", "db_name", "table_name", "job_type",
+          "schema_state", "row_count", "state")
+        .withColumn("job_id", col("job_id").cast("int"))
+    },
   )
 }

@@ -112,4 +112,36 @@ class OptimizerControlSpec extends SparkSpecBase {
         Seq("LeftOuter"))
     }
   }
+
+  test("parquet AGGREGATE pushdown: count/min/max answered from footers") {
+    // The TiKV-coprocessor-aggregation analog (tidb pushes partial
+    // aggregates into the storage layer; Spark's lever is the DSv2
+    // parquet reader's statistics pushdown): a bare count/min/max
+    // never scans data pages — the scan node itself answers from
+    // row-group footers, and the plan says so via PushedAggregation.
+    // At 100 TB this is the difference between a metadata pass and a
+    // full-table read for the most common audit queries.
+    def withConf[A](key: String, v: String)(f: => A): A = {
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, v)
+      try f finally old match {
+        case Some(x) => spark.conf.set(key, x)
+        case None => spark.conf.unset(key)
+      }
+    }
+    def q() = spark.read.parquet(s"${t.dir}/orders.parquet")
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn"),
+        max(col("o_orderkey")).as("mx"))
+    val baseline = q().head()
+    withConf("spark.sql.sources.useV1SourceList", "") {
+      withConf("spark.sql.parquet.aggregatePushdown", "true") {
+        val plan = q().queryExecution.executedPlan.toString
+        assert(plan.contains("PushedAggregation") &&
+          plan.contains("COUNT(*)") && plan.contains("MIN(o_orderkey)"),
+          s"aggregates did not reach the scan:\n$plan")
+        assert(q().head() == baseline,
+          "footer-answered aggregates must equal the scanned ones")
+      }
+    }
+  }
 }

@@ -175,6 +175,25 @@ class Wave16Spec extends SparkSpecBase {
     assert(spark.read.parquet(s"$root/t").count() == 1)
   }
 
+  test("q_ddl_jobs journals the real work: counts match an independent recount") {
+    val rows = Registry.byName("q_ddl_jobs").run(t)
+      .orderBy("job_id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5),
+      "job ids must be queue-monotonic")
+    // Every journaled row count equals the slice the op moved.
+    def cnt(lo: Int, hi: Int) = t.orders
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi).count()
+    assert(rows(0).getLong(5) == cnt(0, 300))
+    assert(rows(3).getLong(5) == cnt(900, 1200),
+      "exchange must journal the exchange's own audit count")
+    assert(rows(4).getString(3) == "drop table" && rows(4).getLong(5) == 0L)
+    // The drop retained the displaced partition in the bin (unlink,
+    // not erase).
+    val root = s"/tmp/graft_ddljobs_${graft.sources.Formats.sanitize(t.dir)}"
+    val binEntries = new java.io.File(s"$root/bin").listFiles()
+    assert(binEntries != null && binEntries.nonEmpty)
+  }
+
   test("revoke closes the enforcement gate it opened") {
     Acl.clear()
     Acl.grant("tmp", Seq("SELECT"), db = "graft", tbl = "customer")
