@@ -1073,8 +1073,12 @@ object DedupQueries {
       FROM agg JOIN k ON k.fp = agg.fp AND k.source = agg.src
       GROUP BY 1, 2, 4, 5
     """)) { t =>
+      // k feeds BOTH the winner aggregate and the kept-doc join on
+      // different shuffle keys (no exchange reuse) — checkpoint the
+      // two-narrow-column frame so the text is read and hashed ONCE
+      // (the d_dedup_cluster single-scan lesson).
       val k = t.documents.select(col("doc_id"), col("source"),
-        md5(col("text").cast("binary")).as("fp"))
+        md5(col("text").cast("binary")).as("fp")).localCheckpoint()
       val agg = k.groupBy("fp").agg(min(col("source")).as("src"),
         count(lit(1)).as("n_copies"),
         countDistinct(col("source")).as("n_sources"))

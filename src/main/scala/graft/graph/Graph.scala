@@ -1069,12 +1069,18 @@ object Graph {
     // an extra round past convergence changes nothing while halving
     // the driver scheduling on the way there — the loop's cost at
     // this graph size IS the materialization count).
+    // SUM over zero rows is NULL — fold it to 0 so an empty edge set
+    // converges on the first check instead of NPE-ing.
+    def estSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("c"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var rounds = 0
-    var prevSum = c.agg(sum(col("c"))).head().getLong(0)
+    var prevSum = estSum(c)
     var converged = false
     while (!converged && rounds < maxRounds) {
       val next = round(round(c)).localCheckpoint()
-      val nextSum = next.agg(sum(col("c"))).head().getLong(0)
+      val nextSum = estSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
       c = next

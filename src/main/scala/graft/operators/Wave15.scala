@@ -245,19 +245,14 @@ object Wave15 {
     """)) { t =>
       val probe = t.customer.filter(col("c_acctbal") > 9900)
         .select(col("c_custkey"), col("c_acctbal"))
-      // 64k key-batch cap: past it, degrade to the plain join (the
-      // IN pushdown stops paying when the probe isn't selective)
-      // instead of aborting — a fixed registry entry must not become
-      // scale-factor-fragile.
-      val cap = 65536
-      val keyRows = probe.select("c_custkey").limit(cap + 1).collect()
-      val pushed =
-        if (keyRows.length > cap) {
-          System.err.println(s"q_join_index_lookup: probe exceeds " +
-            s"$cap keys; falling back to the unpushed join")
-          t.orders
-        } else t.orders.filter(
-          col("o_custkey").isin(keyRows.map(_.getLong(0)).toSeq: _*))
+      // Shared key-batch contract (IndexLookup): within the cap the
+      // keys push into the fact scan; past it the entry degrades to
+      // the plain join instead of aborting.
+      val pushed = IndexLookup
+        .probeKeys(probe, "c_custkey", "q_join_index_lookup") match {
+          case Some(keys) => t.orders.filter(col("o_custkey").isin(keys: _*))
+          case None => t.orders
+        }
       val inner = pushed
         .select(col("o_custkey"), col("o_orderkey"),
           Exact.dec2(col("o_totalprice")).cast("double").as("o_price"))

@@ -108,14 +108,11 @@ object Wave16 {
         .ordersCustomerBucketed(t.spark, t.dir)
       val probe = bc.filter(col("c_acctbal") > 9900)
         .select(col("c_custkey"), col("c_acctbal"))
-      val cap = 65536
-      val keyRows = probe.select("c_custkey").limit(cap + 1).collect()
-      val fact =
-        if (keyRows.length > cap) {
-          System.err.println(s"q_join_index_merge: probe exceeds $cap " +
-            "keys; falling back to the unpushed co-located merge join")
-          bo
-        } else bo.filter(col("o_custkey").isin(keyRows.map(_.getLong(0)).toSeq: _*))
+      val fact = IndexLookup
+        .probeKeys(probe, "c_custkey", "q_join_index_merge") match {
+          case Some(keys) => bo.filter(col("o_custkey").isin(keys: _*))
+          case None => bo
+        }
       probe.hint("merge")
         .join(fact.hint("merge"), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_acctbal"), col("o_orderkey"),
@@ -242,22 +239,26 @@ object Wave16 {
         .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
         .select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderdate"))
+      // Row counts journal what LANDED: a footer-metadata count of
+      // the written files, not a second scan of orders.
+      def writtenRows(dir: String): Long =
+        t.spark.read.parquet(dir).count()
       // 1: CREATE TABLE jobs_base PARTITION BY year
-      val base = slice(0, 300).withColumn("yr", year(col("o_orderdate")))
-      base.write.partitionBy("yr").parquet(s"$root/base")
+      slice(0, 300).withColumn("yr", year(col("o_orderdate")))
+        .write.partitionBy("yr").parquet(s"$root/base")
       graft.tools.DdlJournal.record("graft", "jobs_base",
-        "create table", base.count())
+        "create table", writtenRows(s"$root/base"))
       // 2: ADD COLUMN — a new generation carrying the added column
-      val gen2 = slice(300, 600).withColumn("note", lit("g2"))
-      gen2.write.parquet(s"$root/addcol")
+      slice(300, 600).withColumn("note", lit("g2"))
+        .write.parquet(s"$root/addcol")
       graft.tools.DdlJournal.record("graft", "jobs_base",
-        "add column", gen2.count())
+        "add column", writtenRows(s"$root/addcol"))
       // 3: MODIFY COLUMN — the widened generation (INT -> BIGINT key)
-      val gen3 = slice(600, 900)
+      slice(600, 900)
         .withColumn("o_orderkey", col("o_orderkey").cast("long"))
-      gen3.write.parquet(s"$root/widen")
+        .write.parquet(s"$root/widen")
       graft.tools.DdlJournal.record("graft", "jobs_base",
-        "modify column", gen3.count())
+        "modify column", writtenRows(s"$root/widen"))
       // 4: EXCHANGE PARTITION — swap one year partition with a staged
       // table; the journal records the rows that ARRIVED (the
       // exchange's own audit counts).

@@ -46,23 +46,29 @@ object Bucketing {
     * free. */
   def ordersCustomerBucketed(spark: SparkSession,
       dataDir: String): (DataFrame, DataFrame) = {
-    val fp = Formats.contentFingerprint(s"$dataDir/orders.parquet")
+    // The pair caches BOTH tables, so the key fingerprints both
+    // sources — a regenerated customer.parquet with byte-identical
+    // orders must still rebuild.
+    val fp = Formats.contentFingerprint(s"$dataDir/orders.parquet") +
+      Formats.contentFingerprint(s"$dataDir/customer.parquet")
     // Table names must be bare SQL identifiers: [A-Za-z0-9_] only.
-    val suffix = s"${Formats.sanitize(dataDir)}_$fp"
-      .replaceAll("[^A-Za-z0-9_]", "_")
+    val dirTag = Formats.sanitize(dataDir).replaceAll("[^A-Za-z0-9_]", "_")
+    val suffix = s"${dirTag}_$fp".replaceAll("[^A-Za-z0-9_]", "_")
     val oTbl = s"graft_b_orders_$suffix"
     val cTbl = s"graft_b_customer_$suffix"
     if (!spark.catalog.tableExists(oTbl) ||
         !spark.catalog.tableExists(cTbl)) {
-      // Evict EVERY on-disk generation of the pair, current suffix
-      // included: the session catalog is in-memory, so a fresh JVM
-      // sees orphaned table directories from the previous one, and
-      // saveAsTable refuses to adopt an existing location.
+      // Evict only THIS dataDir's generations: stale-fingerprint
+      // siblings plus current-suffix orphans (the session catalog is
+      // in-memory, so a fresh JVM sees orphaned directories from the
+      // previous one, and saveAsTable refuses to adopt an existing
+      // location). Pairs built for OTHER data dirs — possibly live in
+      // this very session's catalog — are never touched.
       val wh = new java.io.File(java.net.URI.create(
         spark.conf.get("spark.sql.warehouse.dir")).getPath)
       Option(wh.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("graft_b_orders_") ||
-          f.getName.startsWith("graft_b_customer_"))
+        .filter(f => f.getName.startsWith(s"graft_b_orders_$dirTag") ||
+          f.getName.startsWith(s"graft_b_customer_$dirTag"))
         .foreach(Formats.deleteRecursively)
       writeBucketed(spark.read.parquet(s"$dataDir/orders.parquet"),
         oTbl, "o_custkey", PairBuckets)
