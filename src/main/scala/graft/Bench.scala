@@ -60,9 +60,9 @@ object Bench {
         "s_ann_pq_probe",
         // The composed IVFPQ index is its own lazy layout too.
         "s_ann_ivfpq_probe",
-        // r13: the bucketed+sorted co-located pair is a lazy layout
-        // (session catalog + warehouse files).
-        "q_join_index_merge")
+        // r13: the bucketed+sorted co-located pair and the two-level
+        // range-columns layout are lazy layouts.
+        "q_join_index_merge", "q_scan_partition_rangecol")
         .contains(q.name))
     }
     warmup.foreach { q =>

@@ -281,5 +281,44 @@ object Wave16 {
           "schema_state", "row_count", "state")
         .withColumn("job_id", col("job_id").cast("int"))
     },
+
+    // Multi-column partition pruning — PARTITION BY RANGE COLUMNS
+    // (reference: planner/core/rule_partition_processor.go:822
+    // pruneRangeColumnsPartition, :1467 makeRangeColumnPruner — the
+    // pruner walks EACH partitioning column's predicate). Spark twin:
+    // a two-level directory layout (yr / priority class); predicates
+    // on BOTH partition columns become PartitionFilters and prune to
+    // one leaf directory family before a row is read (Wave16Spec
+    // plan-asserts both columns in the scan's PartitionFilters).
+    // Lazily written once per source fingerprint, like the other
+    // partitioned-fact layouts.
+    Q("q_scan_partition_rangecol", Some("""
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders
+      WHERE year(o_orderdate) = 1995
+        AND substring(o_orderpriority, 1, 1) = '1'
+      GROUP BY 1
+    """)) { t =>
+      val F = graft.sources.Formats
+      val dir = F.cacheDir(
+        s"/tmp/graft_rc_orders_${F.sanitize(t.dir)}",
+        F.contentFingerprint(s"${t.dir}/orders.parquet"))
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        F.write(
+          t.orders
+            .withColumn("yr", year(col("o_orderdate")))
+            .withColumn("pclass",
+              substring(col("o_orderpriority"), 1, 1)),
+          "parquet", dir, partitionBy = Seq("yr", "pclass"))
+      }
+      t.spark.read.parquet(dir)
+        .filter(col("yr") === 1995 && col("pclass") === "1")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Exact.sum2(col("o_totalprice")).as("total"))
+    },
   )
 }

@@ -194,6 +194,19 @@ class Wave16Spec extends SparkSpecBase {
     assert(binEntries != null && binEntries.nonEmpty)
   }
 
+  test("q_scan_partition_rangecol prunes BOTH partition columns at the scan") {
+    val df = Registry.byName("q_scan_partition_rangecol").run(t)
+    df.write.format("noop").mode("overwrite").save()
+    val pf = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("yr") && pf.contains("pclass"),
+      s"both partition columns must prune at the scan: $pf")
+    // Parity with the unpartitioned predicate.
+    val expected = t.orders.filter(year(col("o_orderdate")) === 1995 &&
+      substring(col("o_orderpriority"), 1, 1) === "1").count()
+    assert(df.agg(sum("n")).head().getLong(0) == expected)
+  }
+
   test("revoke closes the enforcement gate it opened") {
     Acl.clear()
     Acl.grant("tmp", Seq("SELECT"), db = "graft", tbl = "customer")
