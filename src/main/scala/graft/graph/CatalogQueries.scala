@@ -175,5 +175,76 @@ object CatalogQueries {
         .groupBy("a", "dist")
         .agg(count(lit(1)).as("n_nodes"))
     },
+
+    // WEIGHTED PageRank over a declared edge table — the typed-graph
+    // twin of g_pagerank: rank mass flows proportional to the edge's
+    // OWN weight property (knows.strength + 1), w_uv / W_u instead of
+    // 1/deg(u). Same loop discipline as Graph.pageRank (weight-fused
+    // edge table hash-partitioned on src and checkpointed once; per
+    // round the |E| side stays in place and only the |V|-row rank
+    // state shuffles; NO forced broadcast — AQE picks it while the
+    // rank side is measured-small). Weights are integer-valued so
+    // W_u is exact in double on both engines; 6 rounds, 6dp at the
+    // end only (the g_pagerank float discipline).
+    Q("g_catalog_pagerank", Some(weightedPageRankOracle(6))) { t =>
+      val cat = GraphCatalog.declared(t)
+      val e = cat.edge("knows").edges
+        .select(col("src"), col("dst"),
+          (col("strength") + 1).cast("double").as("w"))
+        .localCheckpoint()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .localCheckpoint()
+      val ew = e.join(
+          e.groupBy(col("src").as("d_node")).agg(sum(col("w")).as("wsum")),
+          col("src") === col("d_node"))
+        .select(col("src"), col("dst"), col("w"), col("wsum"))
+        .repartition(col("src"))
+        .localCheckpoint()
+      var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
+        .localCheckpoint()
+      for (_ <- 1 to 6) {
+        val contrib = ranks.join(ew, col("node") === col("src"))
+          .select(col("dst").as("cn"),
+            (col("rank") * col("w") / col("wsum")).as("c"))
+          .groupBy("cn").agg(sum(col("c")).as("c"))
+        ranks = nodes.join(contrib, col("node") === col("cn"), "left")
+          .select(col("node"),
+            (lit(0.15) + lit(0.85) * coalesce(col("c"), lit(0.0)))
+              .as("rank"))
+          .localCheckpoint()
+      }
+      ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+    },
   )
+
+  /** Unrolled weighted-PageRank oracle over the declared `knows`
+    * table (the pageRankOracle shape with w_uv / W_u shares; every
+    * shared CTE MATERIALIZED so DuckDB doesn't re-derive the catalog
+    * per round). */
+  private def weightedPageRankOracle(iters: Int): String = {
+    val stages = (1 to iters).map { i =>
+      s"""r$i AS (
+        SELECT n.node, 0.15 + 0.85 * COALESCE(s.c, 0) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM(r.rank * e.w / d.wsum) AS c
+          FROM r${i - 1} r
+          JOIN wdeg d ON d.node = r.node
+          JOIN e ON e.src = r.node
+          GROUP BY e.dst) s ON n.node = s.node)"""
+    }.mkString(",\n      ")
+    s"""
+      ${ctes.replace(" AS (", " AS MATERIALIZED (")},
+      e AS MATERIALIZED (
+        SELECT src, dst, CAST(strength + 1 AS DOUBLE) AS w FROM knows),
+      nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e) x),
+      wdeg AS MATERIALIZED (
+        SELECT src AS node, CAST(SUM(w) AS DOUBLE) AS wsum
+        FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+      $stages
+      SELECT node, ROUND(rank, 6) AS rank FROM r$iters
+    """
+  }
 }

@@ -88,6 +88,44 @@ class GraphCatalogSpec extends SparkSpecBase {
     assert(rows.nonEmpty && rows.forall(_ >= 90))
   }
 
+  test("weighted catalog PageRank: floor respected, weights load-bearing") {
+    val pr = Registry.byName("g_catalog_pagerank").run(t)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.nonEmpty)
+    // Teleport floor: nobody falls below 0.15 (a no-in-edge vertex
+    // sits exactly on it).
+    assert(pr.values.forall(_ >= 0.15 - 1e-9))
+    val noIn = {
+      val e = cat.edge("knows").edges
+      val dsts = e.select("dst").collect().map(_.getLong(0)).toSet
+      pr.keySet -- dsts
+    }
+    noIn.foreach(n => assert(math.abs(pr(n) - 0.15) < 1e-9,
+      s"vertex $n has no in-edges but rank ${pr(n)}"))
+    // Weights are load-bearing: flattening them to 1 changes ranks.
+    val e1 = cat.edge("knows").edges
+      .select(col("src"), col("dst"), lit(1.0).as("w"))
+    val nodes = e1.select(col("src").as("node"))
+      .union(e1.select(col("dst").as("node"))).distinct()
+    val ew = e1.join(e1.groupBy(col("src").as("d_node"))
+        .agg(sum(col("w")).as("wsum")), col("src") === col("d_node"))
+      .select(col("src"), col("dst"), col("w"), col("wsum"))
+    var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
+    for (_ <- 1 to 6) {
+      val contrib = ranks.join(ew, col("node") === col("src"))
+        .select(col("dst").as("cn"),
+          (col("rank") * col("w") / col("wsum")).as("c"))
+        .groupBy("cn").agg(sum(col("c")).as("c"))
+      ranks = nodes.join(contrib, col("node") === col("cn"), "left")
+        .select(col("node"), (lit(0.15) + lit(0.85) *
+          coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    val flat = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keys.exists(n => math.abs(pr(n) - flat(n)) > 1e-6),
+      "weighted ranks must differ from the flat-weight ranks")
+  }
+
   test("typed-chain MATCH plan is keyed joins only — no cartesian") {
     val plan = GraphCatalog.declared(t)
       .from("person", "a", col("a_nation") < 5)
