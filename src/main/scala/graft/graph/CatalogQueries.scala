@@ -176,6 +176,158 @@ object CatalogQueries {
         .agg(count(lit(1)).as("n_nodes"))
     },
 
+    // ALL SHORTEST over a declared edge table (reference:
+    // parser/ast/graph.go:70 GraphPathPatternTypeAllShortestPath;
+    // executor/graph_shortest.go:192 computeShortestAll — distance
+    // AND shortest-path multiplicity, not just reachability). The
+    // typed twin of g_shortest_all: the `knows` edge table is chosen
+    // by label and pruned on its OWN strength property BEFORE the
+    // traversal, then the level-synchronous path-count BFS runs the
+    // same |V|-bounded recurrence (a node first reached at depth d
+    // counts Σ n_paths of its depth-(d−1) predecessors) — state is
+    // (node, dist, n_paths) rows, never path enumerations.
+    Q("g_catalog_allshortest", Some(s"""
+      ${ctes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      ke AS (SELECT src, dst FROM knows WHERE strength >= 40),
+      w(node, d) AS (
+        SELECT CAST(1 AS BIGINT), 0
+        UNION ALL
+        SELECT ke.dst, w.d + 1 FROM w JOIN ke ON ke.src = w.node
+        WHERE w.d < 4),
+      m AS (SELECT node, MIN(d) AS md FROM w GROUP BY node)
+      SELECT w.node, CAST(m.md AS INT) AS dist, COUNT(*) AS n_paths
+      FROM w JOIN m ON w.node = m.node AND w.d = m.md
+      GROUP BY w.node, m.md
+    """)) { t =>
+      Graph(catalogEdges(t, "knows", col("strength") >= 40))
+        .shortestPathCounts(1L, "out", maxHops = 4)
+    },
+
+    // TOP-K SHORTEST paths over a declared edge table (reference:
+    // parser/ast/graph.go:71 GraphPathPatternTypeTopKShortestPath).
+    // The target is DERIVED, not pinned: the smallest vertex at
+    // exact BFS distance 3 from the anchor in the pruned typed graph
+    // — SF-invariant by construction (a fixed literal target drifts
+    // out of reach as |V| grows with SF). That distance probe is the
+    // same level-chained BFS every shortest entry runs; its result
+    // folds to ONE driver scalar (the g_coreness convergence-scalar
+    // discipline — bounded O(1) collect, never rows). Enumeration
+    // then rides the shared distance-pruned simple-path machinery
+    // with the k early-exit (g_topk_paths core) over the
+    // label-selected, property-pruned edge table.
+    Q("g_catalog_topk", Some(s"""
+      ${ctes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      ke AS (SELECT src, dst FROM knows WHERE strength >= 40),
+      wd(node, d) AS (
+        SELECT CAST(1 AS BIGINT), 0
+        UNION
+        SELECT ke.dst, wd.d + 1 FROM wd JOIN ke ON ke.src = wd.node
+        WHERE wd.d < 3),
+      tgt AS (SELECT MIN(node) AS tv
+              FROM (SELECT node, MIN(d) AS md FROM wd GROUP BY node)
+              WHERE md = 3),
+      p(node, path, len) AS (
+        SELECT CAST(1 AS BIGINT), '1', 0
+        UNION ALL
+        SELECT ke.dst, p.path || '->' || ke.dst, p.len + 1
+        FROM p JOIN ke ON ke.src = p.node, tgt
+        WHERE p.len < 4 AND p.node <> tgt.tv
+          AND instr('->' || p.path || '->', '->' || ke.dst || '->') = 0)
+      SELECT CAST(len AS INT) AS len, path
+      FROM p, tgt WHERE node = tgt.tv ORDER BY len, path LIMIT 3
+    """)) { t =>
+      val ke = catalogEdges(t, "knows", col("strength") >= 40)
+      val g = Graph(ke)
+      g.topKShortestPaths(1L, derivedTarget(g), k = 3, maxHops = 4)
+    },
+
+    // ALL bounded paths over a declared edge table (reference:
+    // parser/ast/graph.go:72 GraphPathPatternTypeAllPath — the bare
+    // ALL quantifier): every simple path anchor→target within the
+    // hop budget, rendered. Same derived target and the same
+    // enumeration core as g_catalog_topk minus the k cut; the
+    // distance-to-target prune stays exact for full enumeration.
+    // Tractable WITHOUT a degree cap here because the typed
+    // strength-prune bounds the frontier (measured ≤ ~10k partial
+    // paths at every shipped SF) — the property predicate does the
+    // job g_allpaths needs its per-source cap for.
+    Q("g_catalog_allpaths", Some(s"""
+      ${ctes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      ke AS (SELECT src, dst FROM knows WHERE strength >= 40),
+      wd(node, d) AS (
+        SELECT CAST(1 AS BIGINT), 0
+        UNION
+        SELECT ke.dst, wd.d + 1 FROM wd JOIN ke ON ke.src = wd.node
+        WHERE wd.d < 3),
+      tgt AS (SELECT MIN(node) AS tv
+              FROM (SELECT node, MIN(d) AS md FROM wd GROUP BY node)
+              WHERE md = 3),
+      p(node, path, len) AS (
+        SELECT CAST(1 AS BIGINT), '1', 0
+        UNION ALL
+        SELECT ke.dst, p.path || '->' || ke.dst, p.len + 1
+        FROM p JOIN ke ON ke.src = p.node, tgt
+        WHERE p.len < 4 AND p.node <> tgt.tv
+          AND instr('->' || p.path || '->', '->' || ke.dst || '->') = 0)
+      SELECT CAST(len AS INT) AS len, path
+      FROM p, tgt WHERE node = tgt.tv ORDER BY len, path
+    """)) { t =>
+      val ke = catalogEdges(t, "knows", col("strength") >= 40)
+      val g = Graph(ke)
+      g.allPaths(1L, derivedTarget(g), maxHops = 4)
+    },
+
+    // WEIGHTED shortest over a declared edge table — cost = the
+    // edge's OWN strength property (+1 so no zero-cost cycles), the
+    // typed twin of g_shortest_weighted (reference: graph_shortest.go
+    // tracks hop counts; the edge-property weight generalizes it the
+    // way knows.strength weights g_catalog_pagerank). |V|-bounded
+    // Bellman-Ford relaxation with the (rows, Σdist) early stop —
+    // the tentative-distance table shuffles on node, never paths.
+    Q("g_catalog_wshortest", Some(s"""
+      ${ctes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      we AS (SELECT src, dst, strength + 1 AS w FROM knows),
+      p(node, cost, hops) AS (
+        SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+        UNION ALL
+        SELECT we.dst, p.cost + we.w, p.hops + 1
+        FROM p JOIN we ON we.src = p.node WHERE p.hops < 4)
+      SELECT node, MIN(cost) AS wdist FROM p GROUP BY node
+    """)) { t =>
+      val cat = GraphCatalog.declared(t)
+      val e = cat.edge("knows").edges
+      val we = e.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        (col("strength") + 1).cast("long").as("w"))
+      Graph(we.select("src", "dst")).weightedShortest(we, 1L, maxHops = 4)
+    },
+
+    // Connected components WITHIN a declared edge table under a
+    // per-label property filter — "communities inside knows with
+    // strength ≥ 90" (reference: ddl/db_test.go:7662 typed-graph DDL
+    // + the CC analytics users run on typed graphs). The Graph.cc
+    // kernel (min-label propagation, label-sum convergence, two
+    // rounds per checkpoint) runs unchanged against the
+    // label-selected, property-pruned edge table; the threshold is
+    // chosen where the typed graph actually FRAGMENTS (5 / 41
+    // components at sf0.001 / sf0.01 — not one giant blob), so the
+    // labels carry information. Oracle materializes the quadratic
+    // closure — oracle-scale only; the |V|-row propagation is the
+    // form that scales.
+    Q("g_catalog_components", Some(s"""
+      ${ctes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      ke AS (SELECT src, dst FROM knows WHERE strength >= 90),
+      u AS (SELECT src, dst FROM ke UNION SELECT dst, src FROM ke),
+      r(a, b) AS (
+        SELECT src, src FROM u
+        UNION
+        SELECT r.a, u.dst FROM r JOIN u ON u.src = r.b)
+      SELECT a AS node, MIN(b) AS component FROM r GROUP BY a
+    """)) { t =>
+      Graph(catalogEdges(t, "knows", col("strength") >= 90))
+        .connectedComponents()
+    },
+
     // WEIGHTED PageRank over a declared edge table — the typed-graph
     // twin of g_pagerank: rank mass flows proportional to the edge's
     // OWN weight property (knows.strength + 1), w_uv / W_u instead of
@@ -217,6 +369,31 @@ object CatalogQueries {
       ranks.select(col("node"), round(col("rank"), 6).as("rank"))
     },
   )
+
+  /** The label-selected, property-pruned (src, dst) edge list every
+    * typed path-pattern entry traverses: ONE spelling of "resolve
+    * the edge table by label, apply its WHERE before the hop" so the
+    * six pattern types cannot prune differently. Long-typed ids —
+    * the path kernels render/seed BIGINT nodes. */
+  private def catalogEdges(t: Tables, label: String,
+      edgeWhere: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    GraphCatalog.declared(t).edge(label).edges
+      .filter(edgeWhere)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+
+  /** The SF-invariant path target: MIN vertex at exact BFS distance
+    * 3 from anchor 1 in the pruned typed graph. One bounded driver
+    * scalar (a 1-row aggregate collect — the convergence-scalar
+    * pattern, not a row collect); throws rather than degrades when
+    * the frontier is empty, because a missing target means the
+    * catalog data itself changed shape. */
+  private def derivedTarget(g: Graph): Long = {
+    val r = g.shortestDistances(1L, "out", maxHops = 3)
+      .filter(col("dist") === 3).agg(min(col("node"))).head()
+    require(!r.isNullAt(0), "no vertex at distance 3 from anchor 1")
+    r.getLong(0)
+  }
 
   /** Unrolled weighted-PageRank oracle over the declared `knows`
     * table (the pageRankOracle shape with w_uv / W_u shares; every

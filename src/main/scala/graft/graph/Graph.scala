@@ -1078,7 +1078,10 @@ object Graph {
     var rounds = 0
     var prevSum = estSum(c)
     var converged = false
-    while (!converged && rounds < maxRounds) {
+    // rounds + 2 <= maxRounds: each pass chains TWO h-index rounds,
+    // so the guard must budget both — with the old `rounds <
+    // maxRounds` form an odd maxRounds executed maxRounds + 1 rounds.
+    while (!converged && rounds + 2 <= maxRounds) {
       val next = round(round(c)).localCheckpoint()
       val nextSum = estSum(next)
       converged = nextSum == prevSum

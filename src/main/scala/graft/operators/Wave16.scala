@@ -69,6 +69,10 @@ object Wave16 {
       FROM orders WHERE o_orderkey < 600
     """)) { t =>
       val dir = s"/tmp/graft_widen_${graft.sources.Formats.sanitize(t.dir)}"
+      // Reset the whole layout root first: the widened read scans the
+      // ROOT, so a stale subdirectory from an older code version
+      // would silently fold into the hashed result otherwise.
+      graft.sources.Formats.deleteRecursively(new java.io.File(dir))
       t.orders.filter(col("o_orderkey") < 300)
         .select(col("o_orderkey"), col("o_custkey").cast("int").as("val"))
         .write.mode("overwrite").parquet(s"$dir/gen=1")

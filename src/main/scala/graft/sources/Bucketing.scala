@@ -66,9 +66,12 @@ object Bucketing {
       // this very session's catalog — are never touched.
       val wh = new java.io.File(java.net.URI.create(
         spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      // Trailing '_' pins the FULL dirTag: without it a tag that
+      // prefixes another (sf1 vs sf10) would evict the longer tag's
+      // live tables while still registered in the session catalog.
       Option(wh.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(s"graft_b_orders_$dirTag") ||
-          f.getName.startsWith(s"graft_b_customer_$dirTag"))
+        .filter(f => f.getName.startsWith(s"graft_b_orders_${dirTag}_") ||
+          f.getName.startsWith(s"graft_b_customer_${dirTag}_"))
         .foreach(Formats.deleteRecursively)
       writeBucketed(spark.read.parquet(s"$dataDir/orders.parquet"),
         oTbl, "o_custkey", PairBuckets)

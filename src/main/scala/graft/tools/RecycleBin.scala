@@ -28,7 +28,11 @@ object RecycleBin {
     * bin — otherwise a post-restart drop would reuse low sequences,
     * colliding with retained entries and letting flashback restore a
     * stale pre-restart entry as "newest". */
-  def drop(tableDir: String, binDir: String): String = {
+  def drop(tableDir: String, binDir: String): String = synchronized {
+    // The whole list→bump→move sequence is one critical section:
+    // two concurrent drops into the SAME bin must not both read the
+    // persisted max before either has moved its entry, or they mint
+    // the same sequence and the second ATOMIC_MOVE fails.
     val src = new File(tableDir)
     require(src.isDirectory, s"no table at $tableDir")
     Files.createDirectories(Paths.get(binDir))
