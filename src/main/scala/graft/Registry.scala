@@ -32,6 +32,7 @@ object Registry {
     operators.Wave14.all,
     operators.Wave15.all,
     operators.Wave16.all,
+    operators.Wave17.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,

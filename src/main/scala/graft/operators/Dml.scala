@@ -302,16 +302,22 @@ object Dml {
     * delta. Factored out so q_admin_check (operators/Wave9.scala) can
     * cross-verify this DERIVED layout against its base table — the
     * executor/admin.go index↔table consistency analog. */
+  /** The MV snapshot's on-disk location — ONE spelling shared with
+    * q_admin_recover, which corrupts/rebuilds this exact layout. */
+  def mvDir(t: Tables): String = {
+    val F = graft.sources.Formats
+    F.cacheDir(
+      s"/tmp/graft_mv_${F.sanitize(t.dir)}",
+      F.contentFingerprint(s"${t.dir}/orders.parquet"))
+  }
+
   def mvMerged(t: Tables): org.apache.spark.sql.DataFrame = {
     val split = "1997-01-01"
     def partial(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
-    val F = graft.sources.Formats
-    val mvDir = F.cacheDir(
-      s"/tmp/graft_mv_${F.sanitize(t.dir)}",
-      F.contentFingerprint(s"${t.dir}/orders.parquet"))
+    val mvDir = Dml.mvDir(t)
     if (!new java.io.File(s"$mvDir/_SUCCESS").exists())
       partial(t.orders.filter(col("o_orderdate") < split))
         .write.mode("overwrite").parquet(mvDir)

@@ -182,13 +182,11 @@ object Wave16 {
       ) AS v(charset, default_collation, maxlen, ascii_safe)
     """)) { t =>
       import t.spark.implicits._
-      // (mysql charset, jvm codec, widest probe char, default
-      // collation per the reference's descriptor table)
-      Seq(
-        ("ascii", "US-ASCII", "a", "ascii_bin"),
-        ("latin1", "ISO-8859-1", "é", "latin1_bin"),
-        ("utf8", "UTF-8", "€", "utf8_general_ci"),
-        ("utf8mb4", "UTF-8", "😀", "utf8mb4_bin"))
+      // The SHARED charset descriptor table (Charsets in Wave17.scala
+      // — also feeds SHOW COLLATION's is_default column, so the two
+      // cards cannot drift): (mysql charset, jvm codec, widest probe
+      // char, default collation per the reference's descriptor table).
+      Charsets.descriptors
         .map { case (cs, codec, probe, coll) =>
           Seq((cs, coll)).toDF("charset", "default_collation")
             .select(col("charset"), col("default_collation"),

@@ -1,0 +1,300 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.tools.Acl
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The charset descriptor table (reference: charset/charset.go
+  * charsetInfos — name, default collation, maxlen), factored out so
+  * the SHOW CHARACTER SET and SHOW COLLATION cards derive their
+  * default-collation facts from ONE place and cannot drift. Each row:
+  * (mysql charset, jvm codec, widest probe char, default collation).
+  */
+object Charsets {
+  val descriptors: Seq[(String, String, String, String)] = Seq(
+    ("ascii", "US-ASCII", "a", "ascii_bin"),
+    ("latin1", "ISO-8859-1", "é", "latin1_bin"),
+    ("utf8", "UTF-8", "€", "utf8_general_ci"),
+    ("utf8mb4", "UTF-8", "😀", "utf8mb4_bin"))
+
+  /** charset → its default collation, including the pseudo-charset
+    * `binary` (whose only collation is its own default —
+    * charset.go's CharsetBin descriptor). */
+  val defaultCollation: Map[String, String] =
+    descriptors.map(d => d._1 -> d._4).toMap + ("binary" -> "binary")
+}
+
+/** Round-14 entries: SET ROLE activation semantics, the SHOW
+  * COLLATION descriptor card, SHOW INDEX over the registered
+  * physical layouts, and the ADMIN RECOVER repair leg. */
+object Wave17 {
+
+  def all: Seq[Q] = Seq(
+
+    // SET ROLE / SET DEFAULT ROLE activation (reference:
+    // executor/simple.go:154 SetRoleStmt, :158 SetDefaultRoleStmt;
+    // privilege/privileges role activation — a fresh TiDB session
+    // has activated NO roles, SET DEFAULT ROLE picks what a login
+    // activates, SET ROLE flips the live set). The card drives one
+    // principal through the whole activation lifecycle and records
+    // the activation-honoring RequestVerification verdict per stage
+    // — every cell is a real Acl.verify(honorActiveRoles = true)
+    // call, so the oracle hash pins the privilege FLIP when a
+    // granted role is deactivated (the enforcement fact SET ROLE
+    // exists for). The final row pins the store's fold-all COMPAT
+    // default (the 5-arg verify) against the same grants — the
+    // documented divergence the existing grants hashes rely on.
+    Q("q_set_role", Some("""
+      SELECT * FROM (VALUES
+        ('1_login_no_default',  0, 0),
+        ('2_set_role_readers',  1, 0),
+        ('3_set_role_all',      1, 1),
+        ('4_set_role_none',     0, 0),
+        ('5_default_writers_relogin', 0, 1),
+        ('6_fold_all_compat',   1, 1)
+      ) AS v(stage, customer_select, orders_select)
+    """)) { t =>
+      import t.spark.implicits._
+      Acl.clear()
+      Acl.grant("readers", Seq("SELECT"), db = "graft", tbl = "customer")
+      Acl.grant("writers", Seq("SELECT"), db = "graft", tbl = "orders")
+      Acl.grantRole("readers", "ana")
+      Acl.grantRole("writers", "ana")
+      def can(tbl: String, active: Boolean = true): Int =
+        if (Acl.verify("ana", "%", "graft", tbl, "SELECT",
+          honorActiveRoles = active)) 1 else 0
+      def row(stage: String) = (stage, can("customer"), can("orders"))
+      val out = Seq.newBuilder[(String, Int, Int)]
+      Acl.login("ana", "%") // no default set -> activate NONE
+      out += row("1_login_no_default")
+      Acl.setRole("ana", "%", Seq("readers"))
+      out += row("2_set_role_readers")
+      Acl.setRoleAll("ana", "%")
+      out += row("3_set_role_all")
+      Acl.setRoleNone("ana", "%") // the deactivation FLIP
+      out += row("4_set_role_none")
+      Acl.setDefaultRole("ana", "%", Seq("writers"))
+      Acl.login("ana", "%") // defaults apply at authentication
+      out += row("5_default_writers_relogin")
+      out += (("6_fold_all_compat",
+        can("customer", active = false), can("orders", active = false)))
+      out.result()
+        .toDF("stage", "customer_select", "orders_select")
+    },
+
+    // SHOW COLLATION (reference: executor/show.go:1402
+    // fetchShowCollation; charset/charset.go collation table — the
+    // per-collation sibling of q_show_charset's charset card). The
+    // sensitivity columns are DERIVED, not transcribed: each
+    // collation maps to the engine comparator the collate entries
+    // actually run (binary/_bin → UTF8_BINARY, general_ci →
+    // UTF8_LCASE per q_func_collate, unicode_ci → UNICODE_CI_AI per
+    // q_func_collate2), and case/accent sensitivity come from REAL
+    // comparisons ('a' vs 'A', 'e' vs 'é') through that collator;
+    // sortlen mirrors MySQL's 1-for-binary / 8-for-ci weighting,
+    // derived from the same probe. is_default joins the SHARED
+    // charset descriptor table ([[Charsets]]) so this card and
+    // q_show_charset cannot disagree about defaults. Driver-sized
+    // catalog card (9 rows).
+    Q("q_show_collation", Some("""
+      SELECT * FROM (VALUES
+        ('ascii_bin',          'ascii',   65,  1, 1, 1, 1),
+        ('binary',             'binary',  63,  1, 1, 1, 1),
+        ('latin1_bin',         'latin1',  47,  1, 1, 1, 1),
+        ('utf8_bin',           'utf8',    83,  0, 1, 1, 1),
+        ('utf8_general_ci',    'utf8',    33,  1, 8, 0, 1),
+        ('utf8_unicode_ci',    'utf8',    192, 0, 8, 0, 0),
+        ('utf8mb4_bin',        'utf8mb4', 46,  1, 1, 1, 1),
+        ('utf8mb4_general_ci', 'utf8mb4', 45,  0, 8, 0, 1),
+        ('utf8mb4_unicode_ci', 'utf8mb4', 224, 0, 8, 0, 0)
+      ) AS v(collation_name, charset, id, is_default, sortlen,
+             case_sensitive, accent_sensitive)
+    """)) { t =>
+      // (collation, charset, mysql collation id, engine collator)
+      val rows = Seq(
+        ("ascii_bin", "ascii", 65, "UTF8_BINARY"),
+        ("binary", "binary", 63, "UTF8_BINARY"),
+        ("latin1_bin", "latin1", 47, "UTF8_BINARY"),
+        ("utf8_bin", "utf8", 83, "UTF8_BINARY"),
+        ("utf8_general_ci", "utf8", 33, "UTF8_LCASE"),
+        ("utf8_unicode_ci", "utf8", 192, "UNICODE_CI_AI"),
+        ("utf8mb4_bin", "utf8mb4", 46, "UTF8_BINARY"),
+        ("utf8mb4_general_ci", "utf8mb4", 45, "UTF8_LCASE"),
+        ("utf8mb4_unicode_ci", "utf8mb4", 224, "UNICODE_CI_AI"))
+      rows.map { case (coll, cs, id, collator) =>
+        import t.spark.implicits._
+        val caseSens =
+          (collate(lit("a"), collator) =!= collate(lit("A"), collator))
+            .cast("int")
+        val accentSens =
+          (collate(lit("e"), collator) =!= collate(lit("é"), collator))
+            .cast("int")
+        Seq((coll, cs, id)).toDF("collation_name", "charset", "id")
+          .select(col("collation_name"), col("charset"), col("id"),
+            lit(if (Charsets.defaultCollation(cs) == coll) 1 else 0)
+              .as("is_default"),
+            when(caseSens === 1, 1).otherwise(8).as("sortlen"),
+            caseSens.as("case_sensitive"),
+            accentSens.as("accent_sensitive"))
+      }.reduce(_ union _)
+    },
+
+    // SHOW INDEX / information_schema.STATISTICS (reference:
+    // executor/show.go:592 fetchShowIndex — one row per index with
+    // its key columns and shape). The engine's "indexes" are its
+    // PHYSICAL LAYOUTS — the bucketed+sorted pair, the
+    // range/hash/list partitioned facts, the z-order layout, the IVF
+    // coarse index — and this card is derived by READING each
+    // registered layout's on-disk metadata (bucket files, partition
+    // directories, persisted centroid rows), never by echoing
+    // constants: the oracle restates every partition count as the
+    // COUNT the source data dictates, so a layout that lost or
+    // doubled a partition fails the hash (the q_ddl_jobs
+    // journal-vs-restated-count pattern pointed at index metadata).
+    // All listings are driver-side directory metadata — no data
+    // files are read.
+    Q("q_show_index", Some("""
+      SELECT 'embeddings_ivf' AS table_name, 'ivf_cell' AS key_name,
+             'IVF' AS index_type, 'embedding' AS key_cols,
+             CAST(16 AS INT) AS n_partitions
+      UNION ALL SELECT 'events_zorder', 'zorder', 'ZORDER',
+             'event_id, ts', 8
+      UNION ALL SELECT 'graft_b_customer', 'bucket', 'BUCKETED SORTED',
+             'c_custkey', 8
+      UNION ALL SELECT 'graft_b_orders', 'bucket', 'BUCKETED SORTED',
+             'o_custkey', 8
+      UNION ALL SELECT 'lineitem_shipmonth', 'range', 'RANGE COLUMNS',
+             'shipmonth',
+             (SELECT CAST(COUNT(DISTINCT strftime(l_shipdate, '%Y-%m'))
+                     AS INT) FROM lineitem)
+      UNION ALL SELECT 'orders_custhash', 'hash', 'HASH', 'o_custkey',
+             (SELECT CAST(COUNT(DISTINCT o_custkey % 16) AS INT)
+              FROM orders)
+      UNION ALL SELECT 'orders_prioritylist', 'list', 'LIST COLUMNS',
+             'o_orderpriority',
+             (SELECT CAST(COUNT(DISTINCT CASE
+                WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'p_urgent'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'p_normal'
+                ELSE 'p_low' END) AS INT) FROM orders)
+    """)) { t =>
+      import t.spark.implicits._
+      val B = graft.sources.Bucketing
+      val P = graft.sources.PartitionedFact
+      def children(dir: String, prefix: String): Int =
+        Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+          .count(_.getName.startsWith(prefix))
+      // Ensure every rendered layout exists (all lazily built, all
+      // fingerprint-cached — free after first touch).
+      B.ordersCustomerBucketed(t.spark, t.dir)
+      P.lineitemByShipMonth(t.spark, t.dir)
+      P.ordersByCustHash(t.spark, t.dir)
+      P.ordersByPriorityList(t.spark, t.dir)
+      val ivfDir = graft.ann.IvfIndex.sharedCacheDir(t.dir, 16, 2)
+      if (!new java.io.File(s"$ivfDir/centroids/_SUCCESS").exists())
+        graft.ann.IvfIndex.writeIndex(
+          t.fan(t.embeddings).select(col("vec_id"),
+            graft.functions.VectorFns.toDouble(col("embedding")).as("v")),
+          ivfDir, c = 16, iters = 2)
+      val zDir = eventsZOrderDir(t)
+      val (oTbl, cTbl) = B.pairTableNames(t.dir)
+      val wh = new java.io.File(java.net.URI.create(
+        t.spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      // Centroid-table cardinality read back from the PERSISTED
+      // index (C rows by construction — one per cell, empty or not).
+      val ivfCells = t.spark.read.parquet(s"$ivfDir/centroids")
+        .count().toInt
+      Seq(
+        ("embeddings_ivf", "ivf_cell", "IVF", "embedding", ivfCells),
+        ("events_zorder", "zorder", "ZORDER", "event_id, ts",
+          children(zDir, "part-")),
+        ("graft_b_customer", "bucket", "BUCKETED SORTED", "c_custkey",
+          children(s"$wh/$cTbl", "part-")),
+        ("graft_b_orders", "bucket", "BUCKETED SORTED", "o_custkey",
+          children(s"$wh/$oTbl", "part-")),
+        ("lineitem_shipmonth", "range", "RANGE COLUMNS", "shipmonth",
+          children(P.lineitemShipMonthDir(t.dir), "shipmonth=")),
+        ("orders_custhash", "hash", "HASH", "o_custkey",
+          children(P.ordersCustHashDir(t.dir), "pbucket=")),
+        ("orders_prioritylist", "list", "LIST COLUMNS",
+          "o_orderpriority",
+          children(P.ordersPriorityListDir(t.dir), "plist=")))
+        .toDF("table_name", "key_name", "index_type", "key_cols",
+          "n_partitions")
+    },
+
+    // ADMIN RECOVER INDEX — the REPAIR leg of the admin story
+    // (reference: executor/admin.go:177 RecoverIndexExec — re-ingest
+    // the index from the base table; q_admin_check is the :52
+    // CheckTableExec DETECT half). The entry injects real corruption
+    // into the persisted MV snapshot (one group's money sum
+    // perturbed, one group unlinked — the divergent AND missing-key
+    // cases), proves the admin check goes RED (require, before any
+    // repair), then rebuilds the derived layout FROM BASE through
+    // the same maintained-MV build path and returns the re-verified
+    // check. The oracle is the base recompute with consistent=TRUE
+    // everywhere, so the hash proves the repair lossless — detect →
+    // repair → green, driver-visible. Scale: repair cost is the MV
+    // build itself (one base scan into |groups| rows), exactly what
+    // RecoverIndexExec pays.
+    Q("q_admin_recover", Some("""
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             TRUE AS consistent
+      FROM orders GROUP BY o_orderpriority
+    """)) { t =>
+      val F = graft.sources.Formats
+      def base = t.orders
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+      def checked = AdminCheck.check(base, Dml.mvMerged(t),
+        Seq("o_orderpriority"))
+      val dir = Dml.mvDir(t)
+      Dml.mvMerged(t) // ensure the snapshot exists before corrupting
+      // Materialize the snapshot BEFORE overwriting its own files.
+      val snap = t.spark.read.parquet(dir).localCheckpoint()
+      snap.filter(col("o_orderpriority") =!= "5-LOW")
+        .withColumn("rev", when(col("o_orderpriority") === "1-URGENT",
+          col("rev") + 100).otherwise(col("rev")))
+        .write.mode("overwrite").parquet(dir)
+      val red = checked.filter(!col("consistent")).count()
+      require(red > 0,
+        "repair hole: injected corruption but ADMIN CHECK stayed green")
+      // RECOVER: drop the corrupt derived layout, rebuild from base
+      // through the SAME lazily-maintained MV path, re-verify.
+      F.deleteRecursively(new java.io.File(dir))
+      checked
+    },
+  )
+
+  /** Z-ordered events layout (event_id × ts) — the physical layout
+    * behind q_show_placement's `events_zorder` row, now actually
+    * built (lazily, fingerprint-keyed like every warehouse layout)
+    * so q_show_index derives its file count from disk. The key
+    * bounds fold to one 1-row aggregate (bounded driver scalars, the
+    * convergence-scalar discipline). */
+  private[operators] def eventsZOrderDir(t: Tables): String = {
+    val F = graft.sources.Formats
+    val Z = graft.sources.ZOrder
+    val dir = F.cacheDir(
+      s"/tmp/graft_zorder_events_${F.sanitize(t.dir)}",
+      F.contentFingerprint(s"${t.dir}/events.parquet"))
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      val r = t.events.agg(max(col("event_id")),
+        min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+        .head()
+      val (maxId, t0, t1) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      Z.write(t.events,
+        Z.bucketed(col("event_id"), math.max(maxId, 1L)),
+        Z.bucketed(unix_timestamp(col("ts")) - t0,
+          math.max(t1 - t0, 1L)),
+        dir, nFiles = 8)
+    }
+    dir
+  }
+}

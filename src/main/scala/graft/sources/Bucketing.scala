@@ -44,18 +44,24 @@ object Bucketing {
     * data fingerprint (regenerated testdata → rebuilt tables); within
     * a session the catalog check makes every call after the first
     * free. */
-  def ordersCustomerBucketed(spark: SparkSession,
-      dataDir: String): (DataFrame, DataFrame) = {
-    // The pair caches BOTH tables, so the key fingerprints both
-    // sources — a regenerated customer.parquet with byte-identical
-    // orders must still rebuild.
+  /** The pair's registered table names — the ONE spelling shared
+    * with q_show_index, which lists the backing warehouse
+    * directories to derive the bucket-file counts. The key
+    * fingerprints BOTH sources: a regenerated customer.parquet with
+    * byte-identical orders must still rebuild. Table names must be
+    * bare SQL identifiers: [A-Za-z0-9_] only. */
+  def pairTableNames(dataDir: String): (String, String) = {
     val fp = Formats.contentFingerprint(s"$dataDir/orders.parquet") +
       Formats.contentFingerprint(s"$dataDir/customer.parquet")
-    // Table names must be bare SQL identifiers: [A-Za-z0-9_] only.
     val dirTag = Formats.sanitize(dataDir).replaceAll("[^A-Za-z0-9_]", "_")
     val suffix = s"${dirTag}_$fp".replaceAll("[^A-Za-z0-9_]", "_")
-    val oTbl = s"graft_b_orders_$suffix"
-    val cTbl = s"graft_b_customer_$suffix"
+    (s"graft_b_orders_$suffix", s"graft_b_customer_$suffix")
+  }
+
+  def ordersCustomerBucketed(spark: SparkSession,
+      dataDir: String): (DataFrame, DataFrame) = {
+    val dirTag = Formats.sanitize(dataDir).replaceAll("[^A-Za-z0-9_]", "_")
+    val (oTbl, cTbl) = pairTableNames(dataDir)
     if (!spark.catalog.tableExists(oTbl) ||
         !spark.catalog.tableExists(cTbl)) {
       // Evict only THIS dataDir's generations: stale-fingerprint

@@ -30,11 +30,25 @@ object PartitionedFact {
   /** Ship-month-partitioned lineitem (partition column `shipmonth` =
     * 'yyyy-MM' of l_shipdate). Lazily written once per source-data
     * fingerprint; returns the partition-aware reader. */
+  /** The ONE spelling of each layout's on-disk location — shared by
+    * the builders below and the index-metadata card (q_show_index),
+    * which derives its partition counts by LISTING these
+    * directories. */
+  def lineitemShipMonthDir(dataDir: String): String = Formats.cacheDir(
+    s"/tmp/graft_part_lineitem_${Formats.sanitize(dataDir)}",
+    Formats.contentFingerprint(s"$dataDir/lineitem.parquet"))
+
+  def ordersCustHashDir(dataDir: String): String = Formats.cacheDir(
+    s"/tmp/graft_hash_orders_${Formats.sanitize(dataDir)}",
+    Formats.contentFingerprint(s"$dataDir/orders.parquet"))
+
+  def ordersPriorityListDir(dataDir: String): String = Formats.cacheDir(
+    s"/tmp/graft_list_orders_${Formats.sanitize(dataDir)}",
+    Formats.contentFingerprint(s"$dataDir/orders.parquet"))
+
   def lineitemByShipMonth(spark: SparkSession, dataDir: String): DataFrame = {
     val src = s"$dataDir/lineitem.parquet"
-    val dir = Formats.cacheDir(
-      s"/tmp/graft_part_lineitem_${Formats.sanitize(dataDir)}",
-      Formats.contentFingerprint(src))
+    val dir = lineitemShipMonthDir(dataDir)
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       Formats.write(
         spark.read.parquet(src)
@@ -61,9 +75,7 @@ object PartitionedFact {
     * into PartitionFilters (static directory pruning). */
   def ordersByCustHash(spark: SparkSession, dataDir: String): DataFrame = {
     val src = s"$dataDir/orders.parquet"
-    val dir = Formats.cacheDir(
-      s"/tmp/graft_hash_orders_${Formats.sanitize(dataDir)}",
-      Formats.contentFingerprint(src))
+    val dir = ordersCustHashDir(dataDir)
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       Formats.write(
         spark.read.parquet(src)
@@ -99,9 +111,7 @@ object PartitionedFact {
     * is the named partition of the row's o_orderpriority. */
   def ordersByPriorityList(spark: SparkSession, dataDir: String): DataFrame = {
     val src = s"$dataDir/orders.parquet"
-    val dir = Formats.cacheDir(
-      s"/tmp/graft_list_orders_${Formats.sanitize(dataDir)}",
-      Formats.contentFingerprint(src))
+    val dir = ordersPriorityListDir(dataDir)
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       val plist = PriorityLists.foldLeft(lit(null).cast("string")) {
         case (acc, (v, p)) =>

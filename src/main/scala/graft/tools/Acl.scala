@@ -37,12 +37,24 @@ object Acl {
   private val users = mutable.LinkedHashSet.empty[(String, String)]
   // (role, grantee, granteeHost) — the grantee is identified by its
   // FULL user@host principal (host is part of identity everywhere
-  // else in this store); roles themselves live at host '%' by
-  // convention.
+  // else in this store; NOTE the deliberate drift from MySQL's
+  // wildcard host matching — a grant at host '%' is NOT honored for
+  // the same user at a concrete host, hosts compare EXACTLY. This is
+  // what q_priv_enforce's wrong-host denial pins, and it is stricter
+  // than the reference's RequestVerification, never looser); roles
+  // themselves live at host '%' by convention.
   private val roleEdges = mutable.LinkedHashSet.empty[(String, String, String)]
+  // SET ROLE session state (executor/simple.go:154 SetRoleStmt, :158
+  // SetDefaultRoleStmt): the per-principal ACTIVE role set, and the
+  // stored DEFAULT set a login() activates. A principal absent from
+  // activeRoles has activated NOTHING — the reference's session
+  // default.
+  private val activeRoles = mutable.Map.empty[(String, String), Set[String]]
+  private val defaultRoles = mutable.Map.empty[(String, String), Set[String]]
 
   def clear(): Unit = synchronized {
     privs.clear(); grantOption.clear(); users.clear(); roleEdges.clear()
+    activeRoles.clear(); defaultRoles.clear()
   }
 
   /** CREATE USER / CREATE ROLE — registers the principal so SHOW
@@ -90,15 +102,21 @@ object Acl {
       roleEdges += ((role, user, host))
     }
 
-  /** Transitive role closure for a grantee principal
-    * (FindAllUserEffectiveRoles) — cycle-safe BFS over role edges.
-    * The first hop matches the grantee's (user, host) identity; role-
-    * to-role edges live at the '%' convention host. */
-  private def effectiveRoles(user: String, host: String): Set[String] = {
-    val seen = mutable.Set.empty[String]
-    var frontier = roleEdges.collect {
+  /** Roles granted DIRECTLY to a principal (one role-edge hop). */
+  private def directRoles(user: String, host: String): Set[String] =
+    roleEdges.collect {
       case (r, u, h) if u == user && h == host => r
     }.toSet
+
+  /** Cycle-safe transitive closure from a seed role set through the
+    * role-to-role edges (which live at the '%' convention host) —
+    * the BFS core shared by the fold-all default and the SET ROLE
+    * activation path (activating a role activates everything it
+    * inherits, exactly like FindAllUserEffectiveRoles from an
+    * explicit active set). */
+  private def roleClosure(seed: Set[String]): Set[String] = {
+    val seen = mutable.Set.empty[String]
+    var frontier = seed
     while (frontier.nonEmpty) {
       seen ++= frontier
       frontier = frontier.flatMap(m =>
@@ -106,6 +124,66 @@ object Acl {
     }
     seen.toSet
   }
+
+  /** Transitive role closure for a grantee principal
+    * (FindAllUserEffectiveRoles) — cycle-safe BFS over role edges.
+    * The first hop matches the grantee's (user, host) identity. */
+  private def effectiveRoles(user: String, host: String): Set[String] =
+    roleClosure(directRoles(user, host))
+
+  /** SET ROLE r1, r2, … (executor/simple.go:154 SetRoleStmt):
+    * activates EXACTLY the named roles for the principal's session.
+    * Every named role must be directly granted — the reference
+    * raises ErrRoleNotGranted (3530) otherwise, and so does this. */
+  def setRole(user: String, host: String, roles: Seq[String]): Unit =
+    synchronized {
+      val granted = directRoles(user, host)
+      val missing = roles.filterNot(granted.contains)
+      require(missing.isEmpty,
+        s"role ${missing.mkString(", ")} has not been granted to " +
+          s"'$user'@'$host'")
+      activeRoles((user, host)) = roles.toSet
+    }
+
+  /** SET ROLE ALL — activate every directly granted role. */
+  def setRoleAll(user: String, host: String): Unit = synchronized {
+    activeRoles((user, host)) = directRoles(user, host)
+  }
+
+  /** SET ROLE NONE — deactivate everything. */
+  def setRoleNone(user: String, host: String): Unit = synchronized {
+    activeRoles((user, host)) = Set.empty
+  }
+
+  /** SET DEFAULT ROLE r1, … TO user@host (executor/simple.go:158
+    * SetDefaultRoleStmt): stores the set a future [[login]]
+    * activates; does NOT touch the current session's active set
+    * (the reference's semantics — defaults apply at authentication).
+    * Named roles must be granted, same as [[setRole]]. */
+  def setDefaultRole(user: String, host: String,
+      roles: Seq[String]): Unit = synchronized {
+    val granted = directRoles(user, host)
+    val missing = roles.filterNot(granted.contains)
+    require(missing.isEmpty,
+      s"role ${missing.mkString(", ")} has not been granted to " +
+        s"'$user'@'$host'")
+    defaultRoles((user, host)) = roles.toSet
+  }
+
+  /** Session start for a principal: activates its stored DEFAULT
+    * roles — or NOTHING when none were set, which is the reference's
+    * activate-none login default (privilege/privileges role
+    * activation). */
+  def login(user: String, host: String): Unit = synchronized {
+    activeRoles((user, host)) =
+      defaultRoles.getOrElse((user, host), Set.empty)
+  }
+
+  /** The principal's currently ACTIVE roles (post-closure seed):
+    * empty when no SET ROLE / login ever ran — TiDB's session
+    * default. */
+  private def activeSet(user: String, host: String): Set[String] =
+    activeRoles.getOrElse((user, host), Set.empty)
 
   private def renderPrivs(ps: Set[String]): String =
     if (PrivOrder.forall(ps.contains)) "ALL PRIVILEGES"
@@ -116,11 +194,31 @@ object Acl {
 
   /** SHOW GRANTS FOR user@host — the rendered statement list, in the
     * reference's order: global, db (sorted), table (sorted), then the
-    * directly-held role lines. */
+    * directly-held role lines.
+    *
+    * DIVERGENCE (deliberate, compat-pinned): this default folds ALL
+    * granted roles into the scopes — the reference folds only the
+    * session's ACTIVE roles, and a fresh TiDB session has activated
+    * NONE. The fold-all default is what every existing grants/verify
+    * hash pins; the activation-honoring semantics are the
+    * `honorActiveRoles = true` overload. */
   def showGrants(user: String, host: String = "%"): Seq[String] =
+    showGrants(user, host, honorActiveRoles = false)
+
+  /** SHOW GRANTS honoring SET ROLE state: with `honorActiveRoles`
+    * true only the closure of the session's ACTIVE roles folds into
+    * the rendered scopes (the reference's actual semantics); false
+    * is the fold-all compat default above. Role lines render either
+    * way — role GRANTS are identity facts, activation only gates
+    * their privilege folding. */
+  def showGrants(user: String, host: String,
+      honorActiveRoles: Boolean): Seq[String] =
     synchronized {
       if (!users.contains((user, host))) return Seq.empty
-      val sources = (user, host) +: effectiveRoles(user, host).toSeq.sorted
+      val folded =
+        if (honorActiveRoles) roleClosure(activeSet(user, host))
+        else effectiveRoles(user, host)
+      val sources = (user, host) +: folded.toSeq.sorted
         .map(r => (r, "%"))
       // Fold each source principal's grants into per-scope sets.
       val byScope = mutable.LinkedHashMap.empty[(String, String),
@@ -169,10 +267,24 @@ object Acl {
     * and the same scope lattice SHOW GRANTS renders; enforcement and
     * display cannot drift. */
   def verify(user: String, host: String, db: String, tbl: String,
-      priv: String): Boolean = synchronized {
+      priv: String): Boolean =
+    verify(user, host, db, tbl, priv, honorActiveRoles = false)
+
+  /** RequestVerification honoring SET ROLE activation: privileges
+    * held directly always count; role-inherited privileges count
+    * only through the closure of the ACTIVE role set (empty until
+    * SET ROLE / [[login]] — the reference's activate-none session
+    * default). The 5-arg form above stays fold-all — a deliberate,
+    * compat-pinned divergence (every existing grants/verify hash
+    * assumes it); host matching is EXACT on both forms (see the
+    * [[roleEdges]] note). */
+  def verify(user: String, host: String, db: String, tbl: String,
+      priv: String, honorActiveRoles: Boolean): Boolean = synchronized {
     val p = priv.toUpperCase
-    val sources = (user, host) +: effectiveRoles(user, host).toSeq
-      .map(r => (r, "%"))
+    val folded =
+      if (honorActiveRoles) roleClosure(activeSet(user, host))
+      else effectiveRoles(user, host)
+    val sources = (user, host) +: folded.toSeq.map(r => (r, "%"))
     val scopes = Seq(("*", "*"), (db, "*"), (db, tbl))
     sources.exists { case (su, sh) =>
       scopes.exists { case (sd, st) =>
