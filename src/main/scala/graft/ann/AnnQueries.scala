@@ -819,6 +819,46 @@ object AnnQueries {
         .select(col("qid").as("src"), col("vec_id").as("dst"),
           col("cos"), col("r_src").isNotNull.cast("int").as("mutual"))
     },
+
+    // k-NN GRAPH, the SCALE leg: the same mutual-edge marking riding
+    // IVF bucket candidates over the FULL corpus instead of
+    // s_knn_graph's bounded-pool crossJoin. Every vector is a query:
+    // probe assignment is a map pass against the broadcast 16-row
+    // centroid table (shared persisted index — the s_ann_ivf cache),
+    // candidates come from an EQUI-join of the probe list against
+    // the cell-partitioned corpus (shuffle on cell id, Σ |cell|·
+    // probes pairs — never corpus², no crossJoin/broadcast of the
+    // query side, which IS the corpus here), exact cosine re-rank
+    // inside the probed cells, then the same reciprocal-edge left
+    // join. k-means floats are engine-specific → rows-only; the spec
+    // pins edge recall ≥ 0.9 against the exact-pool graph. nprobe is
+    // HIGH (12 of 16 cells, measured recall 0.96 / 0.92 / 0.74 at
+    // nprobe 12 / 10 / 6) because this synthetic corpus is near-
+    // isotropic — nearest neighbors sit at cos ≈ 0.5 and spread
+    // across cells (the d_dedup_embed observation); a clustered
+    // production corpus hits the same floor probing far fewer cells,
+    // and the plan SHAPE (equi-join on cell, Σ|cell|·nprobe pairs)
+    // is what this entry pins.
+    Q("s_knn_graph_ivf", None) { t =>
+      val (c, iters, nprobe) = (16, 2, 12)
+      val dir = IvfIndex.sharedCacheDir(t.dir, c, iters)
+      if (!new java.io.File(s"$dir/centroids/_SUCCESS").exists())
+        IvfIndex.writeIndex(vecs(t), dir, c = c, iters = iters)
+      val centroids = t.spark.read.parquet(s"$dir/centroids")
+      val cells = t.spark.read.parquet(s"$dir/cells")
+        .withColumn("nv", norm(col("v")))
+      val queries = cells.select(col("vec_id").as("qid"),
+        col("v").as("qv"), col("nv").as("nq"))
+      val probed = IvfIndex.probes(queries, centroids, nprobe)
+      val knn = rerankTopK(probed.join(cells, "cell"), topk = 3,
+        dedup = true).localCheckpoint()
+      knn.join(
+          knn.select(col("qid").as("r_dst"), col("vec_id").as("r_src")),
+          col("qid") === col("r_src") && col("vec_id") === col("r_dst"),
+          "left")
+        .select(col("qid").as("src"), col("vec_id").as("dst"),
+          col("cos"), col("r_src").isNotNull.cast("int").as("mutual"))
+    },
   )
 
   /** Unrolled MMR oracle (oracled since r8): the greedy selection is

@@ -96,6 +96,34 @@ class DedupAnnSpec extends SparkSpecBase {
       s"IVFPQ recall too low: $hits of ${res.length}")
   }
 
+  test("s_knn_graph_ivf: bucket-candidate edges recover >= 0.9 of " +
+    "the exact kNN graph, mutual flags exact") {
+    import graft.functions.VectorFns
+    val approx = q("s_knn_graph_ivf").collect()
+    val aEdges = approx.map(r =>
+      (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    // Exact top-3 graph over the SAME full corpus (crossJoin is fine
+    // at spec scale; the entry exists so production never runs it).
+    val pool = t.fan(t.embeddings)
+      .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
+      .withColumn("nv", VectorFns.norm(col("v")))
+    val qs = pool.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nv").as("nq"))
+    val exact = VectorFns.rerankTopK(pool.crossJoin(broadcast(qs)),
+        topk = 3, dedup = false)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+      .toSet
+    val recall = (aEdges & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF kNN-graph edge recall $recall < 0.9")
+    // Mutual marking is internally exact: mutual=1 iff the reverse
+    // edge is in the approximate graph.
+    approx.foreach { r =>
+      val rev = aEdges((r.getAs[Long]("dst"), r.getAs[Long]("src")))
+      assert(r.getAs[Int]("mutual") == (if (rev) 1 else 0),
+        s"mutual flag wrong for ${r}")
+    }
+  }
+
   test("d_mix_temperature flattens toward uniform, order-preserving") {
     val rows = q("d_mix_temperature").collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("tokens"),

@@ -139,4 +139,63 @@ class GraphCatalogSpec extends SparkSpecBase {
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
     assert(bnlj <= 2, s"expected only the scalar broadcasts, got $bnlj")
   }
+
+  test("typed path-pattern family plans: keyed joins only, and the " +
+    "property prune sits under the hop join") {
+    // Every level/relaxation/propagation join in the path kernels is
+    // an equi-join on the pattern variable — a cartesian anywhere
+    // would be |frontier|·|E|. The 1-row mx scalar broadcast from
+    // the catalog construction is the only nested loop allowed.
+    for (name <- Seq("g_catalog_allshortest", "g_catalog_wshortest",
+      "g_catalog_components")) {
+      val plan = Registry.byName(name).run(t)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), name)
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      assert(bnlj <= 2, s"$name: expected only scalar broadcasts, $bnlj")
+    }
+  }
+
+  test("catalog TOP-K / ALL-path agree with each other and reach the " +
+    "derived target") {
+    val topk = Registry.byName("g_catalog_topk").run(t).collect()
+    val all = Registry.byName("g_catalog_allpaths").run(t).collect()
+    assert(topk.nonEmpty && all.nonEmpty)
+    assert(topk.length <= 3)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Int]("len"), r.getAs[String]("path"))
+    // top-k is exactly the (len, path)-first slice of the full
+    // enumeration — same machinery, same ordering, k cut only.
+    assert(topk.map(key).toSeq ==
+      all.map(key).sorted.take(topk.length).toSeq)
+    // Every enumerated path starts at the anchor and is simple.
+    all.foreach { r =>
+      val nodes = r.getAs[String]("path").split("->")
+      assert(nodes.head == "1", r.toString)
+      assert(nodes.distinct.length == nodes.length,
+        s"non-simple path: ${r.getAs[String]("path")}")
+    }
+  }
+
+  test("g_catalog_components: labels are a fixpoint partition of the " +
+    "pruned typed graph") {
+    val comp = Registry.byName("g_catalog_components").run(t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = cat.edge("knows").edges
+      .filter(col("strength") >= 90).select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.nonEmpty && edges.nonEmpty)
+    // Fixpoint: every edge joins two nodes of the SAME component.
+    edges.foreach { case (s, d) =>
+      assert(comp(s) == comp(d), s"edge ($s,$d) crosses components")
+    }
+    // Labels are canonical minima: each component's label is its
+    // smallest member, and more than one component exists at the
+    // chosen threshold (the fragmentation the entry pins).
+    val byComp = comp.groupBy(_._2)
+    byComp.foreach { case (label, members) =>
+      assert(members.keys.min == label, s"component $label not minimal")
+    }
+    assert(byComp.size > 1, "threshold no longer fragments the graph")
+  }
 }
