@@ -62,7 +62,10 @@ object Bench {
         "s_ann_ivfpq_probe",
         // r13: the bucketed+sorted co-located pair and the two-level
         // range-columns layout are lazy layouts.
-        "q_join_index_merge", "q_scan_partition_rangecol")
+        "q_join_index_merge", "q_scan_partition_rangecol",
+        // r14: the z-ordered events layout is a lazy build too
+        // (q_show_index constructs it before listing it).
+        "q_show_index")
         .contains(q.name))
     }
     warmup.foreach { q =>

@@ -135,6 +135,51 @@ object CatalogQueries {
           countDistinct(col("p_brand")).as("n_brands"))
     },
 
+    // MULTI-PATH MATCH (reference: parser/ast/graph.go:62
+    // GraphPattern.Paths — one MATCH holds SEVERAL path patterns;
+    // planner/core/logical_plan_builder.go:6484 buildGraph plans each
+    // path independently and combines them with LogicalUnionAll at
+    // :6499, buildProjection4Union aligning the schemas). THREE path
+    // children: two over `knows` with OVERLAPPING property
+    // predicates (every strength>90 binding is also a strength>=85
+    // binding, so it appears twice — the multiplicity column pins
+    // the reference's UNION-ALL bag semantics; a UNION-distinct
+    // would hash-differ on exactly those pairs) and one over
+    // `invited` (per-label selection inside one MATCH). Each path
+    // prunes its own edge table on its own properties before its
+    // hop join.
+    Q("g_match_multipath", Some(s"""
+      $ctes,
+      p1 AS (
+        SELECT a.vertex_id AS a, k.dst AS b
+        FROM person a JOIN knows k ON k.src = a.vertex_id
+        WHERE a.nation < 5 AND k.strength > 90),
+      p2 AS (
+        SELECT a.vertex_id AS a, k.dst AS b
+        FROM person a JOIN knows k ON k.src = a.vertex_id
+        WHERE a.nation < 5 AND k.strength >= 85),
+      p3 AS (
+        SELECT a.vertex_id AS a, i.dst AS b
+        FROM person a JOIN invited i ON i.src = a.vertex_id
+        WHERE a.nation < 5 AND i.prio < '3')
+      SELECT a, b, COUNT(*) AS multiplicity
+      FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+            UNION ALL SELECT * FROM p3)
+      GROUP BY 1, 2
+    """)) { t =>
+      val cat = GraphCatalog.declared(t)
+      def path(label: String, ew: org.apache.spark.sql.Column) = cat
+        .from("person", "a", col("a_nation") < 5)
+        .out(label, "e", ew, "b")
+        .frame
+        .select(col("a_vertex_id").as("a"), col("b_vertex_id").as("b"))
+      path("knows", col("e_strength") > 90)
+        .union(path("knows", col("e_strength") >= 85))
+        .union(path("invited", col("e_prio") < "3"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("multiplicity"))
+    },
+
     // ANY SHORTEST over a CHOSEN typed edge table (reference:
     // logical_plan_builder.go:6709 buildGraphPathAnyShortest — the
     // path-typed MATCH variant, one OUT edge table with a bound
@@ -275,6 +320,34 @@ object CatalogQueries {
       val ke = catalogEdges(t, "knows", col("strength") >= 40)
       val g = Graph(ke)
       g.allPaths(1L, derivedTarget(g), maxHops = 4)
+    },
+
+    // ANY-path reachability over a declared edge table, BOTH
+    // direction (reference: parser/ast/graph.go:68
+    // GraphPathPatternTypeAnyPath + ast/graph.go
+    // GraphEdgeDirectionBoth) — with this row the typed catalog
+    // covers ALL SIX pattern types the parser enumerates (Simple =
+    // g_match_typed, AnyPath here, AnyShortest = g_catalog_shortest,
+    // AllShortest, TopK, AllPath). The strength-pruned knows table
+    // is symmetrized ONCE (union-distinct, checkpointed) and the
+    // whole multi-source expansion is one lazy level chain — the
+    // shared Graph.reach kernel, distinct-bounded per level.
+    Q("g_catalog_reach", Some(s"""
+      ${ctes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      ke AS (SELECT src, dst FROM knows WHERE strength >= 60),
+      u AS (SELECT src, dst FROM ke UNION SELECT dst, src FROM ke),
+      r(node, d) AS (
+        SELECT vertex_id, 0 FROM person WHERE vertex_id <= 10
+        UNION
+        SELECT u.dst, r.d + 1 FROM r JOIN u ON u.src = r.node
+        WHERE r.d < 3)
+      SELECT DISTINCT node FROM r
+    """)) { t =>
+      val cat = GraphCatalog.declared(t)
+      val sources = cat.vertex("person").filter(col("vertex_id") <= 10)
+        .select(col("vertex_id").cast("long").as("src"))
+      Graph(catalogEdges(t, "knows", col("strength") >= 60))
+        .reach(sources, "both", maxHops = 3)
     },
 
     // WEIGHTED shortest over a declared edge table — cost = the
