@@ -441,7 +441,64 @@ object CatalogQueries {
       }
       ranks.select(col("node"), round(col("rank"), 6).as("rank"))
     },
+
+    // Graph DML over the declared catalog — DELETE edges by
+    // predicate, then INSERT IGNORE a derived edge batch, and a
+    // MATCH-style degree profile reads the POST-state (reference:
+    // executor/write_test.go:4246 TestWriteGraph — inserts into
+    // typed edge tables, `delete from f2 where src = 1 and dst = 3`
+    // at :4278, reads reflecting the mutation; edge identity is
+    // (src, dst), so re-inserting an existing pair is ignored, the
+    // insert.go duplicate-key-IGNORE path). Statement order is the
+    // reference's: the delete lands first, the insert batch reads
+    // the post-delete state. The batch is the REVERSE of strong
+    // edges (strength >= 98) — reciprocity injection, the mutation a
+    // social-graph pipeline actually runs. Scale: the delete is a
+    // scan-time filter, the insert-ignore is one (src, dst)-keyed
+    // anti join of batch against table — co-partitioned, |batch|
+    // bounded by the strong-edge count, never |E|².
+    Q("g_catalog_mutate", Some(s"""
+      $ctes,
+      knows2 AS (SELECT * FROM knows WHERE strength >= 5),
+      ins AS (
+        SELECT k.dst AS src, k.src AS dst, k.since, k.strength
+        FROM knows2 k
+        WHERE k.strength >= 98
+          AND NOT EXISTS (SELECT 1 FROM knows2 e
+                          WHERE e.src = k.dst AND e.dst = k.src)),
+      post AS (SELECT * FROM knows2 UNION ALL SELECT * FROM ins)
+      SELECT src AS vertex_id, CAST(COUNT(*) AS BIGINT) AS out_deg,
+             MAX(strength) AS max_strength,
+             CAST(MIN(since) AS DATE) AS first_since
+      FROM post WHERE src <= 300 GROUP BY 1
+    """)) { t =>
+      mutatedKnows(GraphCatalog.declared(t).edge("knows").edges)
+        .filter(col("src") <= 300)
+        .groupBy(col("src").as("vertex_id"))
+        .agg(count(lit(1)).as("out_deg"),
+          max(col("strength")).as("max_strength"),
+          min(col("since")).as("first_since"))
+    },
   )
+
+  /** g_catalog_mutate's statement pair over any knows-shaped edge
+    * table (src, dst, since, strength): DELETE strength < 5, then
+    * INSERT IGNORE the reverse of strength >= 98 edges — the insert
+    * batch reads the POST-delete state (a weak reverse edge no
+    * longer blocks the insert), and the (src, dst) anti join is the
+    * duplicate-key-IGNORE path. Factored out so the spec can drive
+    * it over a synthetic table where both corners are constructed. */
+  private[graft] def mutatedKnows(
+      knows: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val knows2 = knows.filter(col("strength") >= 5)
+    val ins = knows2.filter(col("strength") >= 98)
+      .select(col("dst").as("src"), col("src").as("dst"),
+        col("since"), col("strength"))
+      .join(knows2.select("src", "dst"), Seq("src", "dst"),
+        "left_anti")
+    knows2.unionByName(ins)
+  }
 
   /** The label-selected, property-pruned (src, dst) edge list every
     * typed path-pattern entry traverses: ONE spelling of "resolve

@@ -294,6 +294,97 @@ object Dml {
                AS revenue
       FROM orders GROUP BY o_orderpriority
     """)) { t => mvMerged(t) },
+
+    // Multi-table UPDATE with matched-once semantics (reference:
+    // executor/update.go:123-132 — "Each matched row is updated once,
+    // even if it matches the conditions multiple times"; the
+    // HandleMap dedup). `UPDATE orders o JOIN lineitem l ON
+    // o_orderkey = l_orderkey AND l_returnflag = 'R' SET
+    // o_totalprice = o_totalprice - 50, o_orderstatus = 'R'`: an
+    // order with k matching lineitems joins k times but the price
+    // drops ONCE. q_update's join arm matches on a UNIQUE key set,
+    // so this dedup never fires there — here the join side is a
+    // multi-matching fact and the engine must collapse it. Spark leg:
+    // the matched key set is DISTINCT-reduced (map-side combine — the
+    // HandleMap analog) BEFORE the left join back into the base, so
+    // the fix-up join is 1:1 by construction; at 100 TB both sides
+    // shuffle once on the order key and the distinct folds inside the
+    // same exchange. SET references only the updated row's own
+    // columns — values pulled from one of SEVERAL matching join rows
+    // are engine-order-dependent in MySQL/TiDB and un-oracle-able.
+    Q("q_update_multi", Some("""
+      SELECT o.o_orderkey,
+             CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_orderkey = o.o_orderkey
+                                 AND l.l_returnflag = 'R')
+                  THEN 'R' ELSE o.o_orderstatus END AS o_orderstatus,
+             CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_orderkey = o.o_orderkey
+                                 AND l.l_returnflag = 'R')
+                  THEN o.o_totalprice - 50.0 ELSE o.o_totalprice
+             END AS o_totalprice
+      FROM orders o
+    """)) { t =>
+      val matched = t.lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k")).distinct()
+        .withColumn("hit", lit(1))
+      t.orders
+        .join(matched, col("o_orderkey") === col("k"), "left")
+        .select(col("o_orderkey"),
+          when(col("hit") === 1, "R").otherwise(col("o_orderstatus"))
+            .as("o_orderstatus"),
+          when(col("hit") === 1, col("o_totalprice") - 50.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+    },
+
+    // Multi-table DELETE — one statement deletes from SEVERAL tables
+    // (reference: executor/delete.go:159 composeTblRowMap — the
+    // joined row is split per-table into handle maps, each table's
+    // rows removed once). `DELETE o, l FROM orders o JOIN lineitem l
+    // ON o_orderkey = l_orderkey JOIN customer/nation WHERE n_name =
+    // 'NATION_3' AND o_orderdate < 1996-06` — both the order and ALL its
+    // lineitems go; an order with NO lineitems never joins, so it
+    // survives (inner-join semantics, exactly the reference's joined-
+    // row source). Output = the per-table deleted handle sets (tbl,
+    // k1, k2), the engine-neutral statement of the cascade. Scale:
+    // dims broadcast into the orders scan, ONE orderkey-partitioned
+    // semi/inner join pair against lineitem, handle dedup folds into
+    // the exchange (distinct on the already-partitioned key).
+    Q("q_delete_multi", Some("""
+      WITH doomed AS (
+        SELECT o.o_orderkey FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+          AND o.o_orderdate < TIMESTAMP '1996-06-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey))
+      SELECT 'orders' AS tbl, o_orderkey AS k1, CAST(0 AS BIGINT) AS k2
+      FROM doomed
+      UNION ALL
+      SELECT 'lineitem', l_orderkey, CAST(l_linenumber AS BIGINT)
+      FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM doomed)
+    """)) { t =>
+      val dim = t.customer
+        .join(broadcast(t.nation.filter(col("n_name") === "NATION_3")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val doomed = t.orders
+        .filter(col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .select("o_orderkey")
+        .join(t.lineitem.select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+      val delLines = t.lineitem
+        .join(doomed, col("l_orderkey") === col("o_orderkey"),
+          "left_semi")
+        .select(lit("lineitem").as("tbl"), col("l_orderkey").as("k1"),
+          col("l_linenumber").cast("long").as("k2"))
+      doomed.select(lit("orders").as("tbl"),
+          col("o_orderkey").as("k1"), lit(0L).as("k2"))
+        .unionByName(delLines)
+    },
   )
 
   /** The incrementally-maintained MV behind q_mv_refresh: a lazily

@@ -270,7 +270,120 @@ object Wave17 {
       F.deleteRecursively(new java.io.File(dir))
       checked
     },
+
+    // ADMIN CLEANUP INDEX — the DANGLING-entry leg of the admin
+    // story (reference: executor/admin.go:521 CleanupIndexExec —
+    // scan the index, batch-get each handle from the table, DELETE
+    // index entries whose handle has no row; admin.go:570
+    // deleteDanglingIdx). Where q_admin_recover re-ingests MISSING
+    // entries from base, cleanup only REMOVES orphans — it never
+    // rewrites surviving entries (the spec pins that divergent
+    // values are NOT repaired by this path). The entry injects
+    // phantom groups into the persisted MV snapshot (index rows
+    // whose key no base row produces), REQUIREs the admin check
+    // goes red, deletes exactly the dangling entries by anti-
+    // joining the derived layout against the base key set (the
+    // batch-get-miss set), and returns the re-verified check.
+    // Scale: cleanup cost is one key-only semi join — the index
+    // scan + batched table lookups CleanupIndexExec pays, never a
+    // rebuild.
+    Q("q_admin_cleanup", Some("""
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             TRUE AS consistent
+      FROM orders GROUP BY o_orderpriority
+    """)) { t =>
+      import t.spark.implicits._
+      def base = t.orders
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+      def checked = AdminCheck.check(base, Dml.mvMerged(t),
+        Seq("o_orderpriority"))
+      val dir = Dml.mvDir(t)
+      Dml.mvMerged(t) // ensure the snapshot exists before corrupting
+      val snap = t.spark.read.parquet(dir).localCheckpoint()
+      // Dangling entries: keys no base row produces (phantom
+      // priorities). Values are arbitrary non-null — cleanup must
+      // remove them by KEY-MISS alone, never by value compare.
+      val phantoms = Seq(("9-PHANTOM", 7L), ("8-GHOST", 3L))
+        .toDF("o_orderpriority", "n_orders")
+        .select(col("o_orderpriority"), col("n_orders"),
+          lit(123.45).cast(snap.schema("rev").dataType).as("rev"))
+      snap.unionByName(phantoms).write.mode("overwrite").parquet(dir)
+      val red = checked.filter(!col("consistent")).count()
+      require(red > 0,
+        "cleanup hole: injected dangling entries but ADMIN CHECK " +
+          "stayed green")
+      // CLEANUP: drop exactly the dangling entries — semi join the
+      // derived layout against the base key set (the handles that
+      // batch-get finds); surviving rows flow through untouched.
+      val baseKeys = t.orders.select("o_orderpriority").distinct()
+      val cleaned = t.spark.read.parquet(dir).localCheckpoint()
+        .join(baseKeys, Seq("o_orderpriority"), "left_semi")
+        .localCheckpoint()
+      cleaned.write.mode("overwrite").parquet(dir)
+      checked
+    },
+
+    // ALTER TABLE ... DROP PARTITION + TRUNCATE PARTITION (reference:
+    // ddl/partition.go onDropTablePartition / onTruncateTablePartition
+    // — both are METADATA-ONLY state transitions: the partition's
+    // rows cease to be visible without touching any surviving
+    // partition; drop removes the partition definition, truncate
+    // keeps the definition and swaps in a fresh empty physical
+    // partition). The entry builds a private year-partitioned orders
+    // layout, DROPs oyear=1996 (directory and definition gone) and
+    // TRUNCATEs oyear=1998 (directory stays, data files go), then
+    // reads the post-state back THROUGH the partitioned layout. The
+    // two ops are directory-level — zero surviving-row rewrite, the
+    // spec pins surviving partitions' files untouched. At 100 TB
+    // that's the entire point: retiring a day partition is O(1)
+    // metadata, never a table rewrite.
+    Q("q_partition_mgmt", Some("""
+      SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS oyear,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders
+      WHERE YEAR(o_orderdate) NOT IN (1996, 1998)
+      GROUP BY 1
+    """)) { t =>
+      val root = partitionMgmtLayout(t)
+      // DROP PARTITION oyear=1996: definition and data both go.
+      graft.sources.Formats.deleteRecursively(
+        new java.io.File(s"$root/oyear=1996"))
+      // TRUNCATE PARTITION oyear=1998: the partition survives empty —
+      // only its data files are replaced (with nothing).
+      val p95 = new java.io.File(s"$root/oyear=1998")
+      Option(p95.listFiles()).getOrElse(Array.empty).foreach(f =>
+        graft.sources.Formats.deleteRecursively(f))
+      t.spark.read.parquet(root)
+        .groupBy(col("oyear").cast("long").as("oyear"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+    },
   )
+
+  /** The private year-partitioned orders layout q_partition_mgmt
+    * mutates — rebuilt FRESH each run (the entry drops/truncates
+    * partitions in place, so a cached layout would start corrupt).
+    * One file per partition: the partition column is the shuffle
+    * key, so the write is one exchange. */
+  private def partitionMgmtLayout(t: Tables): String = {
+    val F = graft.sources.Formats
+    val root = s"/tmp/graft_partmgmt_${F.sanitize(t.dir)}"
+    F.deleteRecursively(new java.io.File(root))
+    t.orders
+      .withColumn("oyear", year(col("o_orderdate")))
+      .repartition(col("oyear"))
+      .write.partitionBy("oyear").mode("overwrite").parquet(root)
+    root
+  }
 
   /** Z-ordered events layout (event_id × ts) — the physical layout
     * behind q_show_placement's `events_zorder` row, now actually

@@ -198,4 +198,34 @@ class GraphCatalogSpec extends SparkSpecBase {
     }
     assert(byComp.size > 1, "threshold no longer fragments the graph")
   }
+
+  test("g_catalog_mutate: delete lands before insert (a weak reverse " +
+    "edge no longer blocks), existing pairs are insert-IGNOREd, weak " +
+    "edges are gone") {
+    import spark.implicits._
+    // (src, dst, since, strength) — four corners:
+    //   (1,2,99) strong, reverse (2,1,3) WEAK -> delete first, then
+    //            the reverse insert of (1,2) lands as (2,1,99);
+    //   (3,4,98) strong, reverse (4,3,50) EXISTS -> insert ignored;
+    //   (5,6,97) below the reciprocity bar -> no insert;
+    //   (7,8,2)  weak -> deleted outright.
+    val d0 = java.sql.Date.valueOf("1995-01-01")
+    val knows = Seq(
+      (1L, 2L, d0, 99L), (2L, 1L, d0, 3L),
+      (3L, 4L, d0, 98L), (4L, 3L, d0, 50L),
+      (5L, 6L, d0, 97L), (7L, 8L, d0, 2L))
+      .toDF("src", "dst", "since", "strength")
+    val post = graft.graph.CatalogQueries.mutatedKnows(knows)
+      .select("src", "dst", "strength")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(post == Set(
+      (1L, 2L, 99L), (2L, 1L, 99L),          // reverse inserted
+      (3L, 4L, 98L), (4L, 3L, 50L),          // existing pair kept as-is
+      (5L, 6L, 97L)))                        // weak edges gone
+    // The driver-facing entry runs the same pipeline end-to-end
+    // over the declared catalog and respects edge identity.
+    val res = Registry.byName("g_catalog_mutate").run(t)
+    assert(res.count() > 0)
+  }
 }

@@ -139,4 +139,118 @@ class Wave17Spec extends SparkSpecBase {
     val again = q("q_admin_check").collect()
     assert(again.forall(_.getAs[Boolean]("consistent")))
   }
+
+  // --- ADMIN CLEANUP INDEX (executor/admin.go:521) ---
+
+  test("q_admin_cleanup removes the dangling entries and leaves the " +
+    "MV byte-consistent: fresh check after the entry is all-green") {
+    val rows = q("q_admin_cleanup").collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("consistent")))
+    assert(!rows.exists(
+      _.getAs[String]("o_orderpriority").contains("PHANTOM")))
+    val again = q("q_admin_check").collect()
+    assert(again.forall(_.getAs[Boolean]("consistent")))
+  }
+
+  test("cleanup repairs dangling entries ONLY — a divergent value " +
+    "survives the cleanup pass (that repair is RECOVER's job)") {
+    import graft.operators.Dml
+    val F = graft.sources.Formats
+    val dir = Dml.mvDir(t)
+    Dml.mvMerged(t).count() // materialize a clean snapshot
+    val snap = spark.read.parquet(dir).localCheckpoint()
+    // Divergent value (key exists in base, value wrong) — the
+    // corruption class CleanupIndexExec does NOT touch.
+    snap.withColumn("rev",
+        when(col("o_orderpriority") === "1-URGENT", col("rev") + 42)
+          .otherwise(col("rev")))
+      .write.mode("overwrite").parquet(dir)
+    val res = q("q_admin_cleanup").collect()
+    // The entry's detect leg fired on the divergence, its cleanup
+    // leg removed only its own phantoms — the divergent 1-URGENT
+    // row is still red after cleanup.
+    assert(res.exists(r => !r.getAs[Boolean]("consistent") &&
+      r.getAs[String]("o_orderpriority") == "1-URGENT"))
+    assert(res.filter(!_.getAs[Boolean]("consistent")).length == 1)
+    // Repair for the next suite: drop the corrupt snapshot (it is
+    // lazily rebuilt clean on next touch).
+    F.deleteRecursively(new java.io.File(dir))
+    val green = q("q_admin_check").collect()
+    assert(green.forall(_.getAs[Boolean]("consistent")))
+  }
+
+  // --- DROP / TRUNCATE PARTITION (ddl/partition.go) ---
+
+  test("q_partition_mgmt: DROP removes the partition directory, " +
+    "TRUNCATE leaves it present but empty, survivors keep their rows") {
+    val res = q("q_partition_mgmt").collect()
+    val root = s"/tmp/graft_partmgmt_" +
+      graft.sources.Formats.sanitize(t.dir)
+    assert(!new java.io.File(s"$root/oyear=1996").exists())
+    val p95 = new java.io.File(s"$root/oyear=1998")
+    assert(p95.isDirectory)
+    assert(Option(p95.listFiles()).getOrElse(Array.empty)
+      .forall(f => f.getName.startsWith(".") || f.getName.startsWith("_")))
+    val years = res.map(_.getAs[Long]("oyear")).toSet
+    assert(!years.contains(1996L) && !years.contains(1998L))
+    // Surviving partitions are intact: per-year counts equal the
+    // base table's, recomputed independently.
+    val base = t.orders.groupBy(year(col("o_orderdate")).as("y"))
+      .count().collect()
+      .map(r => r.getAs[Int]("y").toLong -> r.getAs[Long]("count"))
+      .toMap
+    res.foreach { r =>
+      assert(r.getAs[Long]("n_orders") == base(r.getAs[Long]("oyear")))
+    }
+    assert(years == base.keySet -- Set(1996L, 1998L))
+  }
+
+  // --- multi-table DML (executor/update.go:132, delete.go:159) ---
+
+  test("q_update_multi: an order with several matching lineitems is " +
+    "updated ONCE; unmatched orders flow through unchanged") {
+    val res = q("q_update_multi")
+    val multi = t.lineitem.filter(col("l_returnflag") === "R")
+      .groupBy("l_orderkey").count().filter(col("count") >= 2)
+      .agg(min("l_orderkey")).head().getLong(0)
+    val before = t.orders.filter(col("o_orderkey") === multi)
+      .head().getAs[Double]("o_totalprice")
+    val after = res.filter(col("o_orderkey") === multi).head()
+    assert(after.getAs[String]("o_orderstatus") == "R")
+    assert(math.abs(
+      after.getAs[Double]("o_totalprice") - (before - 50.0)) < 1e-6)
+    // An order with NO matching lineitem keeps status and price.
+    val unmatched = t.orders.join(
+        t.lineitem.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .agg(min("o_orderkey")).head().getLong(0)
+    val kept = res.filter(col("o_orderkey") === unmatched).head()
+    val base = t.orders.filter(col("o_orderkey") === unmatched).head()
+    assert(kept.getAs[String]("o_orderstatus") ==
+      base.getAs[String]("o_orderstatus"))
+    assert(kept.getAs[Double]("o_totalprice") ==
+      base.getAs[Double]("o_totalprice"))
+  }
+
+  test("q_delete_multi: the cascade is exact — every deleted lineitem " +
+    "belongs to a deleted order, and every lineitem of a deleted " +
+    "order is deleted") {
+    val res = q("q_delete_multi").localCheckpoint()
+    val doomed = res.filter(col("tbl") === "orders")
+      .select(col("k1").as("dk"))
+    assert(doomed.count() > 0)
+    // No ORDER handle deleted twice (the HandleMap dedup). The
+    // lineitem side is a bag on purpose: the synthetic data has
+    // duplicate (l_orderkey, l_linenumber) pairs (1401 at sf0.001),
+    // so that pair is NOT a unique handle — every physical row of a
+    // doomed order is its own delete.
+    assert(doomed.distinct().count() == doomed.count())
+    val delLines = res.filter(col("tbl") === "lineitem")
+    assert(delLines.join(doomed, col("k1") === col("dk"), "left_anti")
+      .count() == 0)
+    val expected = t.lineitem.join(doomed,
+      col("l_orderkey") === col("dk"), "left_semi").count()
+    assert(delLines.count() == expected)
+  }
 }
