@@ -850,8 +850,16 @@ object AnnQueries {
       val queries = cells.select(col("vec_id").as("qid"),
         col("v").as("qv"), col("nv").as("nq"))
       val probed = IvfIndex.probes(queries, centroids, nprobe)
-      val knn = rerankTopK(probed.join(cells, "cell"), topk = 3,
-        dedup = true).localCheckpoint()
+      // No dedup needed HERE: every vector lives in exactly ONE IVF
+      // cell (argmin assignment), so a (qid, vec_id) pair arises at
+      // most once — iff vec's cell is among qid's probes. And because
+      // the candidate set is corpus × probed-cells (the LARGEST pair
+      // set in the suite), the re-rank runs through the map-side-
+      // combining TopKByRank aggregate instead of the window form:
+      // only 3 rows per (query, partition) reach the exchange, not
+      // every candidate pair (spec-pinned equal to rerankTopK).
+      val knn = graft.functions.VectorFns.rerankTopKAgg(
+        probed.join(cells, "cell"), topk = 3).localCheckpoint()
       knn.join(
           knn.select(col("qid").as("r_dst"), col("vec_id").as("r_src")),
           col("qid") === col("r_src") && col("vec_id") === col("r_dst"),

@@ -75,4 +75,25 @@ object VectorFns {
       .select(Seq(col("qid"), col("vec_id")) ++ carry.map(col) :+
         round(col("c"), 4).as("cos"): _*)
   }
+
+  /** [[rerankTopK]] re-expressed through the map-side-combining
+    * [[TopKByRank]] aggregate — IDENTICAL output (same scoring, same
+    * rank-desc/vec_id-asc key, same 4dp rounding; equality is
+    * spec-pinned), different exchange: the window form shuffles every
+    * candidate pair to rank it, this form exchanges only k rows per
+    * (group, partition). Use it when the candidate set is the large
+    * side of the plan (corpus-as-queries kNN graphs); the window form
+    * stays for the small bounded-pool entries and for `dedup`/`carry`
+    * callers. */
+  def rerankTopKAgg(pairs: DataFrame, topk: Int): DataFrame = {
+    pairs.filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosinePre(col("qv"), col("v"), col("nq"), col("nv")).as("c"))
+      .groupBy("qid")
+      .agg(TopKByRank.col(round(col("c"), 8), col("vec_id"), col("c"),
+        topk).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("e"))
+      .select(col("qid"), col("e.id").as("vec_id"),
+        round(col("e.payload"), 4).as("cos"))
+  }
 }

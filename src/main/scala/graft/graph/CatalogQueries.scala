@@ -507,10 +507,17 @@ object CatalogQueries {
     * the path kernels render/seed BIGINT nodes. */
   private def catalogEdges(t: Tables, label: String,
       edgeWhere: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    // Materialized ONCE: every caller hands these edges to an
+    // iterative Graph kernel (BFS levels, relaxation rounds, label
+    // propagation), and without the checkpoint each level's job
+    // would re-run the whole declared-table build (orders scan +
+    // groupBy) — the derived-target probe plus a 4-hop enumeration
+    // was paying the knows build 7+ times.
     GraphCatalog.declared(t).edge(label).edges
       .filter(edgeWhere)
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
+      .localCheckpoint()
 
   /** The SF-invariant path target: MIN vertex at exact BFS distance
     * 3 from anchor 1 in the pruned typed graph. One bounded driver

@@ -124,6 +124,49 @@ class DedupAnnSpec extends SparkSpecBase {
     }
   }
 
+  test("rerankTopKAgg (map-side-combining TopKByRank) is row-for-row " +
+    "identical to the window rerankTopK, ties included") {
+    import graft.functions.VectorFns
+    // Full corpus-as-queries cross pairing — the exact shape
+    // s_knn_graph_ivf runs the aggregate over, plus genuine rank
+    // ties (duplicate vectors exist in the synthetic corpus).
+    val pool = t.fan(t.embeddings)
+      .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
+      .withColumn("nv", VectorFns.norm(col("v")))
+    val qs = pool.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nv").as("nq"))
+    val pairs = pool.crossJoin(broadcast(qs))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"))
+    val win = VectorFns.rerankTopK(pairs, topk = 3, dedup = false)
+      .collect().map(key).toSet
+    val agg = VectorFns.rerankTopKAgg(pairs, topk = 3)
+      .collect().map(key).toSet
+    assert(win == agg,
+      s"agg/window divergence: ${(win diff agg) ++ (agg diff win)}")
+    // The point of the aggregate: candidate rows must NOT cross an
+    // exchange — every shuffle output is the k-bounded buffer column,
+    // never the raw (qid, vec_id, c) pair stream.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = VectorFns.rerankTopKAgg(pairs, topk = 3)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "the final per-group merge shuffles")
+      // (The corpus pool itself may repartition — that's input-sized.
+      // What must never shuffle is the SCORED pair stream, whose
+      // marker is the per-pair score column `c`.)
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name.toLowerCase)
+        assert(!names.contains("c"),
+          s"scored candidate pairs crossed an exchange: ${names.mkString(",")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("d_mix_temperature flattens toward uniform, order-preserving") {
     val rows = q("d_mix_temperature").collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("tokens"),
