@@ -33,6 +33,7 @@ object Registry {
     operators.Wave15.all,
     operators.Wave16.all,
     operators.Wave17.all,
+    operators.Wave18.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.tools.Acl
+import org.apache.spark.sql.functions._
+
+/** Round-14 second-half entries: the REVOKE lifecycle and the
+  * CREATE/ALTER/DROP USER account-administration card. */
+object Wave18 {
+
+  def all: Seq[Q] = Seq(
+
+    // REVOKE — privilege and role removal, the GRANT mirror
+    // (reference: executor/revoke.go:59 RevokeExec — :179 revokePriv
+    // routes to the global/db/table scope records; executor/simple.go
+    // executeRevokeRole drops the inheritance edge). The card drives
+    // one principal through the whole removal ladder and records the
+    // RequestVerification verdict + the SHOW GRANTS line count per
+    // stage, so the oracle hash pins each FLIP: a partial revoke
+    // removes one privilege from a multi-privilege scope (the scope
+    // line survives), a role revoke cuts inherited privileges
+    // without touching direct ones, and revoking the rest collapses
+    // the render to the bare USAGE line (an emptied scope disappears
+    // from storage, cache.go:1218's convention answers). Every cell
+    // is a real Acl call — nothing is transcribed.
+    Q("q_revoke", Some("""
+      SELECT * FROM (VALUES
+        ('1_granted',       1, 1, 1, 3),
+        ('2_revoke_insert', 1, 0, 1, 3),
+        ('3_revoke_role',   1, 0, 0, 1),
+        ('4_revoke_all',    0, 0, 0, 1)
+      ) AS v(stage, customer_select, customer_insert, orders_select,
+             grant_lines)
+    """)) { t =>
+      import t.spark.implicits._
+      Acl.clear()
+      Acl.grant("vic", Seq("SELECT", "INSERT", "UPDATE"),
+        db = "graft", tbl = "customer")
+      Acl.grant("aud_r", Seq("SELECT"), db = "graft", tbl = "orders")
+      Acl.grantRole("aud_r", "vic")
+      def can(tbl: String, priv: String): Int =
+        if (Acl.verify("vic", "%", "graft", tbl, priv)) 1 else 0
+      def row(stage: String) = (stage, can("customer", "SELECT"),
+        can("customer", "INSERT"), can("orders", "SELECT"),
+        Acl.showGrants("vic", "%").size)
+      val out = Seq.newBuilder[(String, Int, Int, Int, Int)]
+      out += row("1_granted")
+      Acl.revoke("vic", Seq("INSERT"), db = "graft", tbl = "customer")
+      out += row("2_revoke_insert")
+      Acl.revokeRole("aud_r", "vic")
+      out += row("3_revoke_role")
+      Acl.revoke("vic", Seq("ALL"), db = "graft", tbl = "customer")
+      out += row("4_revoke_all")
+      out.result().toDF("stage", "customer_select", "customer_insert",
+        "orders_select", "grant_lines")
+    },
+
+    // CREATE USER / ALTER USER / DROP USER — account administration
+    // with REAL credential storage (reference: executor/simple.go:137
+    // executeCreateUser, :139 executeAlterUser, :141 executeDropUser;
+    // parser/auth EncodePassword — mysql_native_password stores
+    // '*' + HEX(SHA1(SHA1(password))) in mysql.user's
+    // authentication_string). The entry creates three accounts,
+    // rotates one password with ALTER USER, drops one account, and
+    // returns the surviving user card: principal, plugin, the stored
+    // auth string COMPUTED by the engine's own double-SHA1 (the
+    // oracle restates the RFC 3174 constants, so a broken digest or
+    // hex rendering fails the hash), plus two live authentication
+    // probes per row — the rotated account must reject its old
+    // password and accept the new one at the instant ALTER lands.
+    Q("q_user_admin", Some("""
+      SELECT * FROM (VALUES
+        ('app_ro', '%', 'mysql_native_password',
+         '*1A69BB68199D90F14D683C64DC315BC686A71EF9', 0, 0),
+        ('app_rw', '10.0.0.%', 'mysql_native_password',
+         '*A33AFD60F06EB99FD2DD8615388688E9F679662A', 0, 1)
+      ) AS v(user, host, plugin, auth_string,
+             pw_secret123_ok, pw_newpass456_ok)
+    """)) { t =>
+      import t.spark.implicits._
+      Acl.clear()
+      Acl.createUser("app_rw", "10.0.0.%", "secret123")
+      Acl.createUser("app_ro", "%", "s3cure!")
+      Acl.createUser("tmp", "%", "newpass456")
+      Acl.alterUserPassword("app_rw", "10.0.0.%", "newpass456")
+      Acl.dropUser("tmp", "%")
+      Seq(("app_ro", "%"), ("app_rw", "10.0.0.%"))
+        .map { case (u, h) =>
+          (u, h, "mysql_native_password", Acl.authString(u, h),
+            if (Acl.checkPassword(u, h, "secret123")) 1 else 0,
+            if (Acl.checkPassword(u, h, "newpass456")) 1 else 0)
+        }
+        .toDF("user", "host", "plugin", "auth_string",
+          "pw_secret123_ok", "pw_newpass456_ok")
+    },
+  )
+}

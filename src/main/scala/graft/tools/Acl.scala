@@ -54,13 +54,96 @@ object Acl {
 
   def clear(): Unit = synchronized {
     privs.clear(); grantOption.clear(); users.clear(); roleEdges.clear()
-    activeRoles.clear(); defaultRoles.clear()
+    activeRoles.clear(); defaultRoles.clear(); auth.clear()
   }
 
   /** CREATE USER / CREATE ROLE — registers the principal so SHOW
     * GRANTS renders the USAGE convention even with zero grants. */
   def createUser(user: String, host: String = "%"): Unit =
     synchronized { users += ((user, host)) }
+
+  // (user, host) -> mysql_native_password authentication_string
+  // (executor/simple.go executeCreateUser/executeAlterUser store the
+  // parser/auth EncodePassword result into mysql.user).
+  private val auth = mutable.LinkedHashMap.empty[(String, String), String]
+
+  /** parser/auth EncodePassword: mysql_native_password's stored form
+    * `'*' + HEX(SHA1(SHA1(password)))`. */
+  def encodePassword(pw: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val twice = md.digest(md.digest(pw.getBytes("UTF-8")))
+    "*" + twice.map(b => f"$b%02X").mkString
+  }
+
+  /** CREATE USER ... IDENTIFIED BY (executor/simple.go:137
+    * executeCreateUser) — errors on a duplicate principal, exactly
+    * like the statement without IF NOT EXISTS. */
+  def createUser(user: String, host: String, password: String): Unit =
+    synchronized {
+      require(!users.contains((user, host)),
+        s"Operation CREATE USER failed for '$user'@'$host'")
+      users += ((user, host))
+      auth((user, host)) = encodePassword(password)
+    }
+
+  /** ALTER USER ... IDENTIFIED BY (executor/simple.go:139
+    * executeAlterUser) — replaces the stored auth string; the old
+    * password stops verifying at that instant. */
+  def alterUserPassword(user: String, host: String,
+      password: String): Unit = synchronized {
+    require(users.contains((user, host)),
+      s"Operation ALTER USER failed for '$user'@'$host'")
+    auth((user, host)) = encodePassword(password)
+  }
+
+  /** Authentication probe: does `pw` encode to the stored string?
+    * (the CheckScrambledPassword outcome without the wire scramble —
+    * an unregistered principal verifies nothing). */
+  def checkPassword(user: String, host: String, pw: String): Boolean =
+    synchronized {
+      auth.get((user, host)).contains(encodePassword(pw))
+    }
+
+  /** The stored authentication_string, empty for password-less
+    * principals (roles, bare createUser). */
+  def authString(user: String, host: String): String = synchronized {
+    auth.getOrElse((user, host), "")
+  }
+
+  /** DROP USER / DROP ROLE (executor/simple.go:141 executeDropUser):
+    * removes the principal row AND every record keyed by it — its
+    * privilege scopes, grant options, auth string, session role
+    * state, role edges where it is the GRANTEE, and (when the
+    * dropped principal is a role at the '%' convention host) edges
+    * where it is the ROLE — the mysql.user/db/tables_priv/role_edges
+    * cascade. */
+  def dropUser(user: String, host: String = "%"): Unit = synchronized {
+    require(users.contains((user, host)),
+      s"Operation DROP USER failed for '$user'@'$host'")
+    users -= ((user, host))
+    privs.keys.filter(k => k.user == user && k.host == host)
+      .toSeq.foreach(privs.remove)
+    grantOption.filterInPlace(k => !(k.user == user && k.host == host))
+    roleEdges.filterInPlace { case (r, u, h) =>
+      !(u == user && h == host) && !(r == user && host == "%")
+    }
+    auth -= ((user, host))
+    activeRoles -= ((user, host))
+    defaultRoles -= ((user, host))
+  }
+
+  /** REVOKE 'role' FROM user@host (executor/simple.go
+    * executeRevokeRole): drops the inheritance edge and scrubs the
+    * role from the grantee's ACTIVE and DEFAULT sets — a revoked
+    * role must stop contributing immediately, even mid-session. */
+  def revokeRole(role: String, user: String, host: String = "%"): Unit =
+    synchronized {
+      roleEdges -= ((role, user, host))
+      activeRoles.get((user, host)).foreach(s =>
+        activeRoles((user, host)) = s - role)
+      defaultRoles.get((user, host)).foreach(s =>
+        defaultRoles((user, host)) = s - role)
+    }
 
   /** GRANT privs ON db.tbl TO user@host (executor/grant.go). Scope:
     * db="*" → global; tbl="*" → whole-db. "ALL" expands to the
