@@ -93,5 +93,64 @@ object Wave18 {
         .toDF("user", "host", "plugin", "auth_string",
           "pw_secret123_ok", "pw_newpass456_ok")
     },
+
+    // SELECT ... FOR UPDATE / LOCK IN SHARE MODE — pessimistic row
+    // locks (reference: executor/executor.go:881 SelectLockExec:
+    // every row key from the source executor is locked NOWAIT-style;
+    // a key already locked by another transaction rolls the
+    // statement back). The card drives three transactions through
+    // the whole conflict lattice — X blocks S, S coexists with S,
+    // held S blocks another txn's X upgrade, commit releases — and
+    // every acquired/conflict count is restated by the oracle as a
+    // COUNT over the same key predicates, so the lock table's
+    // bookkeeping is hash-checked against the data. Key sets are
+    // collected driver-side exactly as SelectLockExec buffers
+    // `e.keys` in the transaction: bounded by statement selectivity.
+    Q("q_select_lock", Some("""
+      WITH ka AS (SELECT o_orderkey AS k FROM orders
+                  WHERE o_orderkey % 97 = 0),
+      kb AS (SELECT k FROM ka WHERE k % 2 = 0),
+      kc AS (SELECT o_orderkey AS k FROM orders
+             WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0)
+      SELECT '1_a_for_update' AS stage, 'A' AS txn, 'X' AS mode,
+             CAST((SELECT COUNT(*) FROM ka) AS BIGINT) AS acquired,
+             CAST(0 AS BIGINT) AS conflicts
+      UNION ALL SELECT '2_b_share_blocked', 'B', 'S', 0,
+             (SELECT COUNT(*) FROM kb)
+      UNION ALL SELECT '3_b_share_disjoint', 'B', 'S',
+             (SELECT COUNT(*) FROM kc), 0
+      UNION ALL SELECT '4_c_share_coexists', 'C', 'S',
+             (SELECT COUNT(*) FROM kc), 0
+      UNION ALL SELECT '5_c_upgrade_blocked', 'C', 'X', 0,
+             (SELECT COUNT(*) FROM kc)
+      UNION ALL SELECT '6_b_x_after_commit', 'B', 'X',
+             (SELECT COUNT(*) FROM kb), 0
+    """)) { t =>
+      import t.spark.implicits._
+      val L = graft.tools.RowLocks
+      L.clear()
+      def keys(p: org.apache.spark.sql.Column): Seq[Long] =
+        t.orders.filter(p).select("o_orderkey")
+          .collect().map(_.getLong(0)).toSeq
+      val ka = keys(col("o_orderkey") % 97 === 0)
+      val kb = ka.filter(_ % 2 == 0)
+      val kc = keys(col("o_orderkey") % 89 === 0 &&
+        col("o_orderkey") % 97 =!= 0)
+      def row(stage: String, txn: String, x: Boolean,
+          ks: Seq[Long]): (String, String, String, Long, Long) = {
+        val (a, c) = L.acquire(txn, "orders", ks, exclusive = x)
+        (stage, txn, if (x) "X" else "S", a, c)
+      }
+      val out = Seq.newBuilder[(String, String, String, Long, Long)]
+      out += row("1_a_for_update", "A", x = true, ka)
+      out += row("2_b_share_blocked", "B", x = false, kb)
+      out += row("3_b_share_disjoint", "B", x = false, kc)
+      out += row("4_c_share_coexists", "C", x = false, kc)
+      out += row("5_c_upgrade_blocked", "C", x = true, kc)
+      L.commit("A") // buffered keys flush, locks drop
+      out += row("6_b_x_after_commit", "B", x = true, kb)
+      out.result()
+        .toDF("stage", "txn", "mode", "acquired", "conflicts")
+    },
   )
 }

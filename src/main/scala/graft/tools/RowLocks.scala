@@ -1,0 +1,68 @@
+package graft.tools
+
+import scala.collection.mutable
+
+/** Pessimistic row-lock registry — the SELECT ... FOR UPDATE /
+  * LOCK IN SHARE MODE analog (reference: executor/executor.go:881
+  * SelectLockExec — "locks every row key from source Executor…the
+  * keys are buffered in transaction…If there is any key already
+  * locked by another transaction, the transaction will rollback and
+  * retry"). The store keeps per-(table, key) lock state: at most one
+  * EXCLUSIVE owner, or any number of SHARED owners; acquisition is
+  * NOWAIT all-or-nothing (a statement that hits any conflicting key
+  * acquires nothing — the rollback-and-retry unit is the statement).
+  *
+  * Memory contract: keys are buffered per transaction exactly as
+  * SelectLockExec buffers `e.keys` in the txn — bounded by the
+  * locking statement's selectivity, never by table size; commit
+  * (or rollback) releases the buffer.
+  */
+object RowLocks {
+
+  // (table, key) -> exclusive owner
+  private val excl = mutable.Map.empty[(String, Long), String]
+  // (table, key) -> shared owners
+  private val shared = mutable.Map.empty[(String, Long), mutable.Set[String]]
+
+  def clear(): Unit = synchronized { excl.clear(); shared.clear() }
+
+  /** NOWAIT acquire of `keys` on `table` for `txn`. Exclusive mode
+    * conflicts with any OTHER owner (exclusive or shared); shared
+    * mode conflicts only with another txn's exclusive. A txn's own
+    * locks never conflict (re-lock / S→X upgrade by the sole holder
+    * succeeds). Returns (acquired, conflicts): all-or-nothing, so
+    * one of the two is always zero. */
+  def acquire(txn: String, table: String, keys: Seq[Long],
+      exclusive: Boolean): (Long, Long) = synchronized {
+    val conflicts = keys.count { k =>
+      val kk = (table, k)
+      val otherX = excl.get(kk).exists(_ != txn)
+      val otherS = (shared.getOrElse(kk, mutable.Set.empty) - txn).nonEmpty
+      if (exclusive) otherX || otherS else otherX
+    }
+    if (conflicts > 0) (0L, conflicts.toLong)
+    else {
+      keys.foreach { k =>
+        val kk = (table, k)
+        if (exclusive) { excl(kk) = txn; shared.get(kk).foreach(_ -= txn) }
+        else shared.getOrElseUpdate(kk, mutable.Set.empty) += txn
+      }
+      (keys.size.toLong, 0L)
+    }
+  }
+
+  /** COMMIT / ROLLBACK: release every lock `txn` holds — the
+    * buffered keys go to KV (or nowhere) and the locks drop either
+    * way. */
+  def commit(txn: String): Unit = synchronized {
+    excl.filterInPlace { case (_, owner) => owner != txn }
+    shared.values.foreach(_ -= txn)
+    shared.filterInPlace { case (_, owners) => owners.nonEmpty }
+  }
+
+  /** Held-lock count for a txn (spec surface). */
+  def held(txn: String): Long = synchronized {
+    excl.count(_._2 == txn).toLong +
+      shared.count(_._2.contains(txn)).toLong
+  }
+}

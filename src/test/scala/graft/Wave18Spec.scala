@@ -98,4 +98,60 @@ class Wave18Spec extends SparkSpecBase {
     assert(q("q_revoke").count() == 4)
     assert(q("q_user_admin").count() == 2)
   }
+
+  // --- RowLocks (executor/executor.go:881 SelectLockExec) ---
+
+  test("RowLocks: sole share holder upgrades S->X; another txn's " +
+    "share blocks the upgrade") {
+    import graft.tools.RowLocks
+    RowLocks.clear()
+    assert(RowLocks.acquire("t1", "orders", Seq(1L, 2L),
+      exclusive = false) == (2L, 0L))
+    // Sole holder: own shares never conflict, upgrade lands.
+    assert(RowLocks.acquire("t1", "orders", Seq(1L, 2L),
+      exclusive = true) == (2L, 0L))
+    // After the upgrade the keys are exclusively held.
+    assert(RowLocks.acquire("t2", "orders", Seq(2L),
+      exclusive = false) == (0L, 1L))
+    RowLocks.clear()
+    RowLocks.acquire("t1", "orders", Seq(5L), exclusive = false)
+    RowLocks.acquire("t2", "orders", Seq(5L), exclusive = false)
+    // t2's share blocks t1's upgrade.
+    assert(RowLocks.acquire("t1", "orders", Seq(5L),
+      exclusive = true) == (0L, 1L))
+    RowLocks.clear()
+  }
+
+  test("RowLocks: NOWAIT is all-or-nothing and commit releases only " +
+    "the committer's locks") {
+    import graft.tools.RowLocks
+    RowLocks.clear()
+    RowLocks.acquire("a", "orders", Seq(10L), exclusive = true)
+    // b requests {10 (conflicting), 11 (free)}: acquires NOTHING.
+    assert(RowLocks.acquire("b", "orders", Seq(10L, 11L),
+      exclusive = true) == (0L, 1L))
+    // 11 stayed free: c takes it.
+    assert(RowLocks.acquire("c", "orders", Seq(11L),
+      exclusive = true) == (1L, 0L))
+    RowLocks.commit("a")
+    // a's lock on 10 is gone; c's on 11 survives.
+    assert(RowLocks.acquire("b", "orders", Seq(10L),
+      exclusive = true) == (1L, 0L))
+    assert(RowLocks.acquire("b", "orders", Seq(11L),
+      exclusive = true) == (0L, 1L))
+    assert(RowLocks.held("a") == 0L)
+    RowLocks.clear()
+  }
+
+  test("q_select_lock: stage counts tie to the key predicates") {
+    val rows = q("q_select_lock").collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("acquired"), r.getAs[Long]("conflicts"))).toMap
+    val ka = t.orders.filter(org.apache.spark.sql.functions
+      .col("o_orderkey") % 97 === 0).count()
+    assert(rows("1_a_for_update") == (ka, 0L))
+    assert(rows("2_b_share_blocked")._1 == 0L)
+    assert(rows("5_c_upgrade_blocked")._1 == 0L)
+    assert(rows("6_b_x_after_commit")._2 == 0L)
+  }
 }
