@@ -152,5 +152,81 @@ object Wave18 {
       out.result()
         .toDF("stage", "txn", "mode", "acquired", "conflicts")
     },
+
+    // BEGIN / ROLLBACK / COMMIT — the transaction-buffer lifecycle
+    // (reference: executor/simple.go CommitStmt/RollbackStmt over the
+    // membuffer that q_union_scan reads through; commit sends the
+    // buffered mutations to storage, rollback discards them). Three
+    // sections of ONE card: (1) in-txn, reads see base+buffer merged
+    // (the UnionScan view — delete %29, re-status %13, insert %53
+    // appends); (2) after ROLLBACK, the same aggregate over a fresh
+    // read equals pure base — the buffer left no trace; (3) after
+    // COMMIT, the merged state is PERSISTED (written as the next
+    // snapshot and read BACK from disk before aggregating —
+    // durability is part of the hash, not an in-memory replay).
+    // Scale: commit cost is the q_upsert merge write; rollback is
+    // free (drop the buffer).
+    Q("q_txn_rollback", Some("""
+      WITH merged AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        FROM orders
+        WHERE o_orderkey % 29 <> 3
+          AND NOT (o_orderkey % 13 = 4 AND o_orderkey % 29 <> 3)
+        UNION ALL
+        SELECT o_orderkey, 'T',
+               CAST(o_totalprice AS DECIMAL(18,2)) + 25
+        FROM orders WHERE o_orderkey % 13 = 4 AND o_orderkey % 29 <> 3
+        UNION ALL
+        SELECT o_orderkey + 30000000, 'I', CAST(2.0 AS DECIMAL(18,2))
+        FROM orders WHERE o_orderkey % 53 = 9),
+      base AS (
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM orders GROUP BY 1),
+      m AS (
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(p) AS DOUBLE) AS total
+        FROM merged GROUP BY 1)
+      SELECT '1_in_txn' AS stage, * FROM m
+      UNION ALL SELECT '2_after_rollback', * FROM base
+      UNION ALL SELECT '3_after_commit', * FROM m
+    """)) { t =>
+      val F = graft.sources.Formats
+      val b = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
+        Exact.dec2(col("o_totalprice")).as("p"))
+      // The transaction's buffered mutations.
+      val delKeys = b.filter(col("o_orderkey") % 29 === 3)
+        .select("o_orderkey")
+      val upd = b.filter(col("o_orderkey") % 13 === 4 &&
+          col("o_orderkey") % 29 =!= 3)
+        .select(col("o_orderkey"), lit("T").as("o_orderstatus"),
+          (col("p") + 25).as("p"))
+      val ins = b.filter(col("o_orderkey") % 53 === 9)
+        .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+          lit("I").as("o_orderstatus"), Exact.dec2(lit(2.0)).as("p"))
+      val touched = delKeys.union(upd.select("o_orderkey"))
+      val merged = b
+        .join(broadcast(touched), Seq("o_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("p").cast(upd.schema("p").dataType))
+        .union(upd).union(ins)
+      def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("p")).cast("double").as("total"))
+          .select(lit(stage).as("stage"), col("o_orderstatus"),
+            col("cnt"), col("total"))
+      // COMMIT: the merged state becomes the next persisted snapshot
+      // — written, then read BACK from disk for its section.
+      val dir = s"/tmp/graft_txn_${F.sanitize(t.dir)}"
+      F.deleteRecursively(new java.io.File(dir))
+      merged.write.mode("overwrite").parquet(dir)
+      val committed = t.spark.read.parquet(dir)
+      agg(merged, "1_in_txn")
+        .unionByName(agg(b, "2_after_rollback"))
+        .unionByName(agg(committed, "3_after_commit"))
+    },
   )
 }

@@ -154,4 +154,27 @@ class Wave18Spec extends SparkSpecBase {
     assert(rows("5_c_upgrade_blocked")._1 == 0L)
     assert(rows("6_b_x_after_commit")._2 == 0L)
   }
+
+  test("q_txn_rollback: committed section re-reads the persisted " +
+    "snapshot and equals the in-txn view; rollback equals pure base") {
+    import org.apache.spark.sql.functions._
+    val res = q("q_txn_rollback").collect()
+    def section(s: String) = res.filter(_.getAs[String]("stage") == s)
+      .map(r => (r.getAs[String]("o_orderstatus"),
+        r.getAs[Long]("cnt"), r.getAs[Double]("total"))).toSet
+    assert(section("1_in_txn") == section("3_after_commit"))
+    assert(section("1_in_txn") != section("2_after_rollback"))
+    // The rollback section is the untouched base table, recomputed
+    // independently.
+    val base = t.orders.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+      .collect().map(r => (r.getAs[String]("o_orderstatus"),
+        r.getAs[Long]("cnt"), r.getAs[Double]("total"))).toSet
+    assert(section("2_after_rollback") == base)
+    // Durability: the commit snapshot really is on disk.
+    val dir = s"/tmp/graft_txn_${graft.sources.Formats.sanitize(t.dir)}"
+    assert(new java.io.File(s"$dir/_SUCCESS").exists())
+  }
 }
