@@ -228,5 +228,63 @@ object Wave18 {
         .unionByName(agg(b, "2_after_rollback"))
         .unionByName(agg(committed, "3_after_commit"))
     },
+
+    // GRANT ... WITH GRANT OPTION — delegated administration
+    // (reference: executor/grant.go privilege-checks the GRANTOR
+    // before writing any record: granting what you hold requires
+    // holding it WITH GRANT OPTION; ERROR 1044/1142 otherwise). The
+    // card walks the delegation chain: a mid-tier admin re-grants
+    // what it holds, a plain grantee cannot re-grant, granting a
+    // privilege the grantor lacks fails atomically (nothing partial
+    // lands), and REVOKE GRANT OPTION stops FUTURE delegation while
+    // every already-made grant survives — the exact asymmetry the
+    // option flag exists for. Every cell is a real Acl.grantAs /
+    // verify call.
+    Q("q_grant_option", Some("""
+      SELECT * FROM (VALUES
+        ('1_admin_grants_mid',   1, 0, 0),
+        ('2_mid_grants_leaf',    1, 1, 0),
+        ('3_leaf_regrant_denied',0, 1, 0),
+        ('4_mid_lacks_update',   0, 1, 0),
+        ('5_option_revoked',     0, 1, 0)
+      ) AS v(stage, grant_ok, leaf_select, leaf2_select)
+    """)) { t =>
+      import t.spark.implicits._
+      Acl.clear()
+      def leafSel: Int =
+        if (Acl.verify("leaf", "%", "graft", "customer", "SELECT")) 1
+        else 0
+      def tryGrant(f: => Unit): Int =
+        try { f; 1 } catch { case _: IllegalArgumentException => 0 }
+      def leaf2Sel: Int =
+        if (Acl.verify("leaf2", "%", "graft", "customer", "SELECT")) 1
+        else 0
+      val out = Seq.newBuilder[(String, Int, Int, Int)]
+      // Bootstrap (superuser path): mid holds SELECT, INSERT on
+      // graft.customer WITH GRANT OPTION.
+      Acl.grant("mid", Seq("SELECT", "INSERT"), db = "graft",
+        tbl = "customer", withGrantOption = true)
+      out += (("1_admin_grants_mid", 1, leafSel, leaf2Sel))
+      out += (("2_mid_grants_leaf", tryGrant(
+        Acl.grantAs("mid", "%", "leaf", Seq("SELECT"),
+          db = "graft", tbl = "customer")), leafSel, leaf2Sel))
+      // leaf holds SELECT but NOT the option: re-granting denies.
+      out += (("3_leaf_regrant_denied", tryGrant(
+        Acl.grantAs("leaf", "%", "other", Seq("SELECT"),
+          db = "graft", tbl = "customer")), leafSel, leaf2Sel))
+      // mid cannot delegate UPDATE — it does not hold it at all; the
+      // denial is atomic (SELECT in the same statement lands nowhere).
+      out += (("4_mid_lacks_update", tryGrant(
+        Acl.grantAs("mid", "%", "leaf", Seq("SELECT", "UPDATE"),
+          db = "graft", tbl = "customer")), leafSel, leaf2Sel))
+      Acl.revokeGrantOption("mid", db = "graft", tbl = "customer")
+      // Existing grants survive the option revoke; only FUTURE
+      // delegation stops — leaf2 stays empty-handed.
+      out += (("5_option_revoked", tryGrant(
+        Acl.grantAs("mid", "%", "leaf2", Seq("SELECT"),
+          db = "graft", tbl = "customer")), leafSel, leaf2Sel))
+      out.result()
+        .toDF("stage", "grant_ok", "leaf_select", "leaf2_select")
+    },
   )
 }

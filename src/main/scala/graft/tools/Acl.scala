@@ -132,6 +132,45 @@ object Acl {
     defaultRoles -= ((user, host))
   }
 
+  /** Does the principal hold `priv` WITH GRANT OPTION at a scope
+    * covering db.tbl? Direct scopes only, through the grant-option
+    * lattice — the executor/grant.go grantor check (MySQL's
+    * "you need the GRANT OPTION to give what you hold"). */
+  private def holdsWithGrantOption(user: String, host: String,
+      db: String, tbl: String, priv: String): Boolean =
+    Seq(Key(user, host, "*", "*"), Key(user, host, db, "*"),
+      Key(user, host, db, tbl)).exists(k =>
+      grantOption.contains(k) && privs.get(k).exists(_.contains(priv)))
+
+  /** GRANT executed AS a non-superuser grantor (reference:
+    * executor/grant.go — the statement is privilege-checked before
+    * any record is written: the grantor must hold EVERY granted
+    * privilege WITH GRANT OPTION at a covering scope, else ERROR
+    * 1044/1142 and NOTHING is granted). The plain [[grant]] stays
+    * the bootstrap/superuser path. */
+  def grantAs(grantorUser: String, grantorHost: String, user: String,
+      privList: Seq[String], db: String = "*", tbl: String = "*",
+      host: String = "%", withGrantOption: Boolean = false): Unit =
+    synchronized {
+      val expanded =
+        if (privList.map(_.toUpperCase).contains("ALL")) PrivOrder
+        else privList.map(_.toUpperCase)
+      val missing = expanded.filterNot(p =>
+        holdsWithGrantOption(grantorUser, grantorHost, db, tbl, p))
+      require(missing.isEmpty,
+        s"Access denied: '$grantorUser'@'$grantorHost' lacks GRANT " +
+          s"OPTION for ${missing.mkString(", ")} on " +
+          scopeSql(db, tbl))
+      grant(user, expanded, db, tbl, host, withGrantOption)
+    }
+
+  /** REVOKE GRANT OPTION ON db.tbl FROM user@host — strips the
+    * option flag only; the privileges themselves stay held. */
+  def revokeGrantOption(user: String, db: String = "*",
+      tbl: String = "*", host: String = "%"): Unit = synchronized {
+    grantOption -= Key(user, host, db, tbl)
+  }
+
   /** REVOKE 'role' FROM user@host (executor/simple.go
     * executeRevokeRole): drops the inheritance edge and scrubs the
     * role from the grantee's ACTIVE and DEFAULT sets — a revoked

@@ -155,6 +155,34 @@ class Wave18Spec extends SparkSpecBase {
     assert(rows("6_b_x_after_commit")._2 == 0L)
   }
 
+  test("grantAs denial is atomic and revokeGrantOption keeps the " +
+    "privileges themselves") {
+    Acl.clear()
+    Acl.grant("mid", Seq("SELECT"), db = "graft", tbl = "customer",
+      withGrantOption = true)
+    // Mixed statement where one privilege lacks the option: NOTHING
+    // lands (executor/grant.go checks before writing records).
+    intercept[IllegalArgumentException] {
+      Acl.grantAs("mid", "%", "leaf", Seq("SELECT", "DELETE"),
+        db = "graft", tbl = "customer")
+    }
+    assert(!Acl.verify("leaf", "%", "graft", "customer", "SELECT"))
+    // Option at a COVERING scope delegates a narrower one.
+    Acl.grant("dba", Seq("SELECT"), db = "graft",
+      withGrantOption = true)
+    Acl.grantAs("dba", "%", "leaf", Seq("SELECT"),
+      db = "graft", tbl = "customer")
+    assert(Acl.verify("leaf", "%", "graft", "customer", "SELECT"))
+    // Stripping the option keeps the privilege itself.
+    Acl.revokeGrantOption("mid", db = "graft", tbl = "customer")
+    assert(Acl.verify("mid", "%", "graft", "customer", "SELECT"))
+    intercept[IllegalArgumentException] {
+      Acl.grantAs("mid", "%", "x", Seq("SELECT"),
+        db = "graft", tbl = "customer")
+    }
+    Acl.clear()
+  }
+
   test("q_txn_rollback: committed section re-reads the persisted " +
     "snapshot and equals the in-txn view; rollback equals pure base") {
     import org.apache.spark.sql.functions._
