@@ -1078,10 +1078,16 @@ object Graph {
     var rounds = 0
     var prevSum = estSum(c)
     var converged = false
-    // rounds + 2 <= maxRounds: each pass chains TWO h-index rounds,
-    // so the guard must budget both — with the old `rounds <
-    // maxRounds` form an odd maxRounds executed maxRounds + 1 rounds.
-    while (!converged && rounds + 2 <= maxRounds) {
+    // Each pass chains TWO h-index rounds, so the budget is rounded
+    // DOWN to even — with a floor of one pass, so tiny maxRounds
+    // still refines instead of returning raw degrees as "coreness"
+    // (maxRounds < 2 would otherwise run the body zero times). The
+    // old `rounds < maxRounds` form overran odd budgets by one
+    // round; round-down is the safe direction, since an UNDER-run
+    // past the converged gate only happens pre-fixpoint where the
+    // estimates are still upper bounds either way.
+    val budget = math.max(maxRounds - maxRounds % 2, 2)
+    while (!converged && rounds + 2 <= budget) {
       val next = round(round(c)).localCheckpoint()
       val nextSum = estSum(next)
       converged = nextSum == prevSum

@@ -258,16 +258,26 @@ object Wave17 {
       Dml.mvMerged(t) // ensure the snapshot exists before corrupting
       // Materialize the snapshot BEFORE overwriting its own files.
       val snap = t.spark.read.parquet(dir).localCheckpoint()
-      snap.filter(col("o_orderpriority") =!= "5-LOW")
-        .withColumn("rev", when(col("o_orderpriority") === "1-URGENT",
-          col("rev") + 100).otherwise(col("rev")))
-        .write.mode("overwrite").parquet(dir)
-      val red = checked.filter(!col("consistent")).count()
-      require(red > 0,
-        "repair hole: injected corruption but ADMIN CHECK stayed green")
-      // RECOVER: drop the corrupt derived layout, rebuild from base
-      // through the SAME lazily-maintained MV path, re-verify.
-      F.deleteRecursively(new java.io.File(dir))
+      // From the corrupt write onward, ANY failure must not strand
+      // the poisoned snapshot: the cache key is the SOURCE
+      // fingerprint (unchanged by the corruption), so an abandoned
+      // corrupt dir would feed every later q_mv_refresh/q_admin_check
+      // with no pointer back to this entry. Deleting the dir on the
+      // error path restores the lazily-rebuilt-clean invariant.
+      try {
+        snap.filter(col("o_orderpriority") =!= "5-LOW")
+          .withColumn("rev", when(col("o_orderpriority") === "1-URGENT",
+            col("rev") + 100).otherwise(col("rev")))
+          .write.mode("overwrite").parquet(dir)
+        val red = checked.filter(!col("consistent")).count()
+        require(red > 0,
+          "repair hole: injected corruption but ADMIN CHECK stayed green")
+      } finally {
+        // RECOVER: drop the corrupt derived layout (on success AND on
+        // failure), rebuild from base through the SAME
+        // lazily-maintained MV path, re-verify.
+        F.deleteRecursively(new java.io.File(dir))
+      }
       checked
     },
 
@@ -313,19 +323,29 @@ object Wave17 {
         .toDF("o_orderpriority", "n_orders")
         .select(col("o_orderpriority"), col("n_orders"),
           lit(123.45).cast(snap.schema("rev").dataType).as("rev"))
-      snap.unionByName(phantoms).write.mode("overwrite").parquet(dir)
-      val red = checked.filter(!col("consistent")).count()
-      require(red > 0,
-        "cleanup hole: injected dangling entries but ADMIN CHECK " +
-          "stayed green")
-      // CLEANUP: drop exactly the dangling entries — semi join the
-      // derived layout against the base key set (the handles that
-      // batch-get finds); surviving rows flow through untouched.
-      val baseKeys = t.orders.select("o_orderpriority").distinct()
-      val cleaned = t.spark.read.parquet(dir).localCheckpoint()
-        .join(baseKeys, Seq("o_orderpriority"), "left_semi")
-        .localCheckpoint()
-      cleaned.write.mode("overwrite").parquet(dir)
+      // Same stranded-corruption bound as q_admin_recover: if any
+      // leg between the phantom write and the healed rewrite throws,
+      // drop the poisoned dir so the fingerprint-keyed cache rebuilds
+      // clean instead of feeding corrupt data to later entries.
+      try {
+        snap.unionByName(phantoms).write.mode("overwrite").parquet(dir)
+        val red = checked.filter(!col("consistent")).count()
+        require(red > 0,
+          "cleanup hole: injected dangling entries but ADMIN CHECK " +
+            "stayed green")
+        // CLEANUP: drop exactly the dangling entries — semi join the
+        // derived layout against the base key set (the handles that
+        // batch-get finds); surviving rows flow through untouched.
+        val baseKeys = t.orders.select("o_orderpriority").distinct()
+        val cleaned = t.spark.read.parquet(dir).localCheckpoint()
+          .join(baseKeys, Seq("o_orderpriority"), "left_semi")
+          .localCheckpoint()
+        cleaned.write.mode("overwrite").parquet(dir)
+      } catch {
+        case e: Throwable =>
+          graft.sources.Formats.deleteRecursively(new java.io.File(dir))
+          throw e
+      }
       checked
     },
 

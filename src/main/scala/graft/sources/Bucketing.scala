@@ -72,12 +72,19 @@ object Bucketing {
       // this very session's catalog — are never touched.
       val wh = new java.io.File(java.net.URI.create(
         spark.conf.get("spark.sql.warehouse.dir")).getPath)
-      // Trailing '_' pins the FULL dirTag: without it a tag that
-      // prefixes another (sf1 vs sf10) would evict the longer tag's
-      // live tables while still registered in the session catalog.
+      // Full-name match pins the EXACT dirTag: the table name is
+      // graft_b_<tbl>_<dirTag>_<16-hex-fp>, so requiring the suffix
+      // after the tag to be pure hex rejects both a tag that merely
+      // prefixes another (sf1 vs sf10) AND a tag this one extends
+      // with an underscore segment (data_x vs data_x_0, whose
+      // remainder '0_<fp>' is not hex) — either would otherwise have
+      // its live, catalog-registered tables deleted.
+      // (pure-hex, any length: the pair fingerprint concatenates both
+      // sources' 16-hex digests)
+      val mine = java.util.regex.Pattern.compile(
+        s"graft_b_(orders|customer)_${java.util.regex.Pattern.quote(dirTag)}_[0-9a-f]+")
       Option(wh.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(s"graft_b_orders_${dirTag}_") ||
-          f.getName.startsWith(s"graft_b_customer_${dirTag}_"))
+        .filter(f => mine.matcher(f.getName).matches())
         .foreach(Formats.deleteRecursively)
       writeBucketed(spark.read.parquet(s"$dataDir/orders.parquet"),
         oTbl, "o_custkey", PairBuckets)

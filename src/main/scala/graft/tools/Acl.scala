@@ -127,6 +127,15 @@ object Acl {
     roleEdges.filterInPlace { case (r, u, h) =>
       !(u == user && h == host) && !(r == user && host == "%")
     }
+    // Dropping a ROLE also scrubs its NAME from every principal's
+    // active/default sets — otherwise a later re-created role of the
+    // same name would silently resurrect privileges for grantees who
+    // were never re-granted it (the revokeRole scrub, applied to the
+    // stronger removal).
+    if (host == "%") {
+      activeRoles.mapValuesInPlace((_, s) => s - user)
+      defaultRoles.mapValuesInPlace((_, s) => s - user)
+    }
     auth -= ((user, host))
     activeRoles -= ((user, host))
     defaultRoles -= ((user, host))

@@ -45,7 +45,11 @@ object RowLocks {
       keys.foreach { k =>
         val kk = (table, k)
         if (exclusive) { excl(kk) = txn; shared.get(kk).foreach(_ -= txn) }
-        else shared.getOrElseUpdate(kk, mutable.Set.empty) += txn
+        // S on a key the txn already holds X on is a no-op: the
+        // stronger lock subsumes it (and registering both would
+        // double-count the key in held()).
+        else if (!excl.get(kk).contains(txn))
+          shared.getOrElseUpdate(kk, mutable.Set.empty) += txn
       }
       (keys.size.toLong, 0L)
     }

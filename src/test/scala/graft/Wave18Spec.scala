@@ -113,6 +113,11 @@ class Wave18Spec extends SparkSpecBase {
     // After the upgrade the keys are exclusively held.
     assert(RowLocks.acquire("t2", "orders", Seq(2L),
       exclusive = false) == (0L, 1L))
+    // S on own X is subsumed, not double-registered: the statement
+    // succeeds but held() still counts each key once.
+    assert(RowLocks.acquire("t1", "orders", Seq(1L),
+      exclusive = false) == (1L, 0L))
+    assert(RowLocks.held("t1") == 2L)
     RowLocks.clear()
     RowLocks.acquire("t1", "orders", Seq(5L), exclusive = false)
     RowLocks.acquire("t2", "orders", Seq(5L), exclusive = false)
