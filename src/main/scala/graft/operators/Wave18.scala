@@ -286,5 +286,61 @@ object Wave18 {
       out.result()
         .toDF("stage", "grant_ok", "leaf_select", "leaf2_select")
     },
+
+    // Non-strict sql_mode coercions vs the strict/ANSI path
+    // (reference: types/convert.go:367 getValidIntPrefix — a string
+    // cast to integer parses its LEADING numeric prefix and warns,
+    // '12kg' → 12, pure alpha → 0; :118 ConvertIntToInt — out-of-
+    // range values CLAMP to the column bound; ErrTruncated /
+    // stmtctx warnings count each coercion). One row per customer
+    // carries BOTH modes side by side: the lenient columns are the
+    // MySQL defaults expressed as declarative Spark (regexp prefix
+    // extract, least/greatest clamp, substr truncation — all
+    // codegen'd, no UDF), the strict columns are the ANSI TRY form
+    // (NULL where strict mode would error), and `warnings` counts
+    // the coercions the row needed — the statement-context warning
+    // counter made hashable. Scale: pure per-row expressions inside
+    // the scan stage.
+    Q("q_sql_mode", Some("""
+      SELECT c_custkey,
+             CAST(c_custkey AS BIGINT) AS lenient_kg,
+             TRY_CAST(c_custkey || 'kg' AS BIGINT) AS strict_kg,
+             CAST(0 AS BIGINT) AS lenient_seg,
+             TRY_CAST(c_mktsegment AS BIGINT) AS strict_seg,
+             CAST(LEAST(GREATEST(c_custkey % 400 - 100, -128), 127)
+               AS BIGINT) AS tiny_clamped,
+             SUBSTR(c_name || '_' || c_mktsegment, 1, 12) AS vc12,
+             CAST(2 + CASE WHEN c_custkey % 400 - 100 > 127
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN LENGTH(c_name || '_' || c_mktsegment)
+                           > 12 THEN 1 ELSE 0 END AS BIGINT)
+               AS warnings
+      FROM customer WHERE c_custkey < 300
+    """)) { t =>
+      val kgRaw = concat(col("c_custkey").cast("string"), lit("kg"))
+      // getValidIntPrefix: optional sign + leading digits; no valid
+      // prefix parses as 0 (with a truncation warning).
+      def prefixInt(s: org.apache.spark.sql.Column) =
+        coalesce(
+          nullif(regexp_extract(s, "^\\s*([+-]?[0-9]+)", 1), lit("")),
+          lit("0")).cast("long")
+      val tinyIn = col("c_custkey") % 400 - 100
+      val vcRaw = concat(col("c_name"), lit("_"), col("c_mktsegment"))
+      t.customer.filter(col("c_custkey") < 300)
+        .select(col("c_custkey"),
+          prefixInt(kgRaw).as("lenient_kg"),
+          expr("try_cast(c_custkey || 'kg' AS BIGINT)").as("strict_kg"),
+          prefixInt(col("c_mktsegment")).as("lenient_seg"),
+          expr("try_cast(c_mktsegment AS BIGINT)").as("strict_seg"),
+          least(greatest(tinyIn, lit(-128)), lit(127)).cast("long")
+            .as("tiny_clamped"),
+          substring(vcRaw, 1, 12).as("vc12"),
+          // Warning counter: the 'kg' parse and the alpha parse each
+          // warn on every row; the clamp and the truncation warn
+          // when they changed the value.
+          (lit(2) + when(tinyIn > 127, 1).otherwise(0) +
+            when(length(vcRaw) > 12, 1).otherwise(0)).cast("long")
+            .as("warnings"))
+    },
   )
 }
