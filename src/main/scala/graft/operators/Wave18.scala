@@ -342,5 +342,70 @@ object Wave18 {
             when(length(vcRaw) > 12, 1).otherwise(0)).cast("long")
             .as("warnings"))
     },
+
+    // SELECT ... INTO OUTFILE — the exact BYTE FORMAT (reference:
+    // executor/select_into.go:91 escapeField + :131 enclose/null
+    // rendering): FIELDS TERMINATED BY ';' OPTIONALLY ENCLOSED BY
+    // '"' ESCAPED BY '\\', LINES TERMINATED BY '\n'. The rules the
+    // hash pins, straight from the reference: NULL renders as
+    // <escape>N (backslash-N); with OPTIONALLY ENCLOSED only
+    // string-typed fields get the quotes; inside a field the escape
+    // char and the line terminator's first byte are ALWAYS escaped,
+    // the field terminator only when NOT enclosed, and escaping
+    // prefixes the ORIGINAL byte (an embedded newline becomes
+    // backslash + newline byte, not backslash-n); the enclose byte
+    // itself is NOT escaped (select_into.go escapes exactly four
+    // byte classes — verified against the switch at :97). Decimals
+    // render through DECIMAL(18,2) text (the MyDecimal.String()
+    // path), never double formatting. The probe names embed the
+    // field sep, the quote, the escape char, and a real newline, so
+    // every rule fires. Output = one rendered line per row (the
+    // driver hash compares embedded-newline strings exactly); the
+    // byte stream is also written as the OUTFILE for the spec.
+    Q("q_select_into", Some("""
+      WITH src AS (
+        SELECT c_custkey,
+               c_name || CASE CAST(c_custkey % 4 AS INT)
+                 WHEN 0 THEN ';x'
+                 WHEN 1 THEN '"q'
+                 WHEN 2 THEN '\x' || chr(10) || 'y'
+                 ELSE '' END AS nm,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal
+        FROM customer WHERE c_custkey < 400)
+      SELECT c_custkey,
+             CAST(c_custkey AS VARCHAR) || ';' ||
+             '"' || replace(replace(nm, '\', '\\'),
+                            chr(10), '\' || chr(10)) || '"' || ';' ||
+             COALESCE(CAST(bal AS VARCHAR), '\N') AS line
+      FROM src
+    """)) { t =>
+      val F = graft.sources.Formats
+      val nm = concat(col("c_name"),
+        when(col("c_custkey") % 4 === 0, ";x")
+          .when(col("c_custkey") % 4 === 1, "\"q")
+          .when(col("c_custkey") % 4 === 2, "\\x\ny")
+          .otherwise(""))
+      val bal = when(col("c_custkey") % 7 === 0, lit(null))
+        .otherwise(col("c_acctbal").cast("decimal(18,2)"))
+      // escapeField for an ENCLOSED string field: escape char first,
+      // then the line terminator; the field terminator stays bare
+      // (enclosed), the enclose byte stays bare (reference escapes
+      // exactly four byte classes, the quote is not one of them).
+      def escEnclosed(s: org.apache.spark.sql.Column) =
+        regexp_replace(regexp_replace(s, "\\\\", "\\\\\\\\"),
+          "\n", "\\\\\n")
+      val line = concat(
+        col("c_custkey").cast("string"), lit(";"),
+        lit("\""), escEnclosed(nm), lit("\""), lit(";"),
+        coalesce(bal.cast("string"), lit("\\N"))).as("line")
+      val out = t.customer.filter(col("c_custkey") < 400)
+        .select(col("c_custkey"), line)
+      // The OUTFILE itself: each row + the '\n' line terminator.
+      val dir = s"/tmp/graft_outfile_${F.sanitize(t.dir)}"
+      F.deleteRecursively(new java.io.File(dir))
+      out.select(col("line")).write.mode("overwrite").text(dir)
+      out
+    },
   )
 }

@@ -188,6 +188,30 @@ class Wave18Spec extends SparkSpecBase {
     Acl.clear()
   }
 
+  test("q_select_into renders the reference's OUTFILE byte format " +
+    "and writes the stream") {
+    import org.apache.spark.sql.functions._
+    val res = q("q_select_into")
+    // Hand-computed probe: key%4==2 embeds backslash+newline, %7!=0
+    // keeps the balance. Pick such a key and rebuild its line.
+    val row = res.filter(col("c_custkey") % 4 === 2 &&
+      col("c_custkey") % 7 =!= 0).orderBy("c_custkey").head()
+    val k = row.getAs[Long]("c_custkey")
+    val base = t.customer.filter(col("c_custkey") === k).head()
+    val nm = base.getAs[String]("c_name") + "\\x\ny"
+    val esc = nm.replace("\\", "\\\\").replace("\n", "\\\n")
+    val bal = new java.math.BigDecimal(base.getAs[Double]("c_acctbal"))
+      .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+    assert(row.getAs[String]("line") == s"""$k;"$esc";$bal""")
+    // NULL renders as backslash-N, unquoted.
+    val n7 = res.filter(col("c_custkey") % 7 === 0).head()
+      .getAs[String]("line")
+    assert(n7.endsWith(";\\N"))
+    // The OUTFILE byte stream is on disk.
+    val dir = s"/tmp/graft_outfile_${graft.sources.Formats.sanitize(t.dir)}"
+    assert(new java.io.File(s"$dir/_SUCCESS").exists())
+  }
+
   test("q_txn_rollback: committed section re-reads the persisted " +
     "snapshot and equals the in-txn view; rollback equals pure base") {
     import org.apache.spark.sql.functions._
