@@ -519,4 +519,29 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(winIdx < aggIdx,
       s"window must consume the aggregated vocab, not raw tokens:\n$p")
   }
+
+  test("q_update_multi's matched-key dedup folds map-side: partial " +
+    "aggregate below the exchange, 1:1 join above it") {
+    val p = plan("q_update_multi")
+    // The HandleMap analog is a distinct on the already-filtered
+    // lineitem keys: partial_ mode must appear (map-side combine
+    // before the shuffle), and the fix-up join must not be a
+    // nested-loop (keyed 1:1 by construction).
+    assert(p.contains("partial_") || p.contains("HashAggregate"),
+      s"no map-side combine for the matched-key distinct:\n$p")
+    assert(!p.contains("NestedLoop"), s"fix-up join degraded:\n$p")
+    // The returnflag prune reaches the lineitem scan.
+    assert(p.contains("PushedFilters") && p.contains("l_returnflag"),
+      s"returnflag not pushed to the scan:\n$p")
+  }
+
+  test("q_delete_multi broadcasts the dims and keeps the fact joins " +
+    "keyed semi joins") {
+    val p = plan("q_delete_multi")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dims should broadcast into the orders scan:\n$p")
+    assert(p.contains("LeftSemi"), s"cascade should semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"unkeyed join in the cascade:\n$p")
+  }
 }
