@@ -407,5 +407,49 @@ object Wave18 {
       out.select(col("line")).write.mode("overwrite").text(dir)
       out
     },
+
+    // SHOW WARNINGS / SHOW COUNT(*) WARNINGS after a non-strict
+    // statement (reference: executor/show.go:179 fetchShowWarnings;
+    // the stmtctx warning classes q_sql_mode's per-row counter
+    // rolls up). The card aggregates the SAME coercion probe into
+    // MySQL's per-code warning totals — 1292 truncated-incorrect-
+    // value (both string→int prefix parses fire on every row), 1264
+    // out-of-range (the TINYINT clamp), 1265 data-truncated (the
+    // VARCHAR(12) cut) — every count DERIVED from the data by the
+    // engine and restated by the oracle from the same predicates.
+    // The rollup is one map-combined aggregate over the probe scan.
+    Q("q_show_warnings", Some("""
+      SELECT 'Warning' AS level, 1264 AS code,
+             'Out of range value for column' AS message,
+             CAST(COUNT(CASE WHEN c_custkey % 400 - 100 > 127
+                             THEN 1 END) AS BIGINT) AS n
+      FROM customer WHERE c_custkey < 300
+      UNION ALL
+      SELECT 'Warning', 1265, 'Data truncated for column',
+             CAST(COUNT(CASE WHEN LENGTH(c_name || '_' || c_mktsegment)
+                             > 12 THEN 1 END) AS BIGINT)
+      FROM customer WHERE c_custkey < 300
+      UNION ALL
+      SELECT 'Warning', 1292, 'Truncated incorrect INTEGER value',
+             CAST(2 * COUNT(*) AS BIGINT)
+      FROM customer WHERE c_custkey < 300
+    """)) { t =>
+      import t.spark.implicits._
+      val tinyIn = col("c_custkey") % 400 - 100
+      val vcRaw = concat(col("c_name"), lit("_"), col("c_mktsegment"))
+      val probe = t.customer.filter(col("c_custkey") < 300)
+        .agg(sum(when(tinyIn > 127, 1L).otherwise(0L)).as("oor"),
+          sum(when(length(vcRaw) > 12, 1L).otherwise(0L)).as("trunc"),
+          (lit(2L) * count(lit(1))).as("badint"))
+        .head()
+      Seq(
+        ("Warning", 1264, "Out of range value for column",
+          probe.getAs[Long]("oor")),
+        ("Warning", 1265, "Data truncated for column",
+          probe.getAs[Long]("trunc")),
+        ("Warning", 1292, "Truncated incorrect INTEGER value",
+          probe.getAs[Long]("badint")))
+        .toDF("level", "code", "message", "n")
+    },
   )
 }
