@@ -34,6 +34,7 @@ object Registry {
     operators.Wave16.all,
     operators.Wave17.all,
     operators.Wave18.all,
+    operators.Wave19.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,

@@ -137,10 +137,22 @@ final class TopKBuffer(val k: Int) {
   val payloads = new Array[Double](k)
   var size = 0
 
-  private def beats(r: Double, i: Long, pos: Int): Boolean =
-    r > ranks(pos) || (r == ranks(pos) && i < ids(pos))
+  // Rank order MUST match Spark's DESC sort (the window form this
+  // aggregate is row-for-row interchangeable with): NaN sorts ABOVE
+  // every finite double there, so compare through Double.compare
+  // (which orders NaN highest) instead of > / == — a zero-norm
+  // vector's 0/0 cosine would otherwise never beat anything and be
+  // silently dropped once the buffer is contested.
+  private def beats(r: Double, i: Long, pos: Int): Boolean = {
+    val c = java.lang.Double.compare(r, ranks(pos))
+    c > 0 || (c == 0 && i < ids(pos))
+  }
 
-  def insert(r: Double, i: Long, p: Double): Unit = {
+  def insert(r0: Double, i: Long, p: Double): Unit = {
+    // Spark's sort normalizes -0.0 to 0.0 before comparing;
+    // Double.compare orders -0.0 < 0.0 — normalize at entry so a
+    // 0.0-vs-(-0.0) tie breaks on id exactly like the window form.
+    val r = if (r0 == 0.0) 0.0 else r0
     if (size == k && !beats(r, i, size - 1)) return
     var pos = if (size < k) size else k - 1
     while (pos > 0 && beats(r, i, pos - 1)) {

@@ -135,6 +135,40 @@ object CatalogQueries {
           countDistinct(col("p_brand")).as("n_brands"))
     },
 
+    // IN-direction typed hop (reference: parser/ast/graph.go:76
+    // GraphEdgeDirectionIn; the planner resolves the SAME declared
+    // edge table and flips which end binds — "who invited me", not
+    // "whom I invited"). The pattern composes IN with OUT in one
+    // chain: anchor a, hop IN-ward over `invited` to the INVITER b
+    // (frame key joins the edge's dst; b binds the edge's declared
+    // SOURCE table), then OUT-ward over `knows` from b to c —
+    // closing the direction matrix on the typed side the way
+    // g_catalog_reach closed BOTH for the kernel side. Every join is
+    // keyed on the pattern variable (plan-asserted: no cartesian).
+    Q("g_match_in", Some(s"""
+      $ctes
+      SELECT a.vertex_id AS a, COUNT(*) AS n_paths,
+             CAST(COUNT(DISTINCT b.vertex_id) AS BIGINT) AS n_inviters,
+             CAST(COUNT(DISTINCT c.vertex_id) AS BIGINT) AS n_c
+      FROM person a
+      JOIN invited i ON i.dst = a.vertex_id
+      JOIN person b  ON b.vertex_id = i.src
+      JOIN knows k   ON k.src = b.vertex_id
+      JOIN person c  ON c.vertex_id = k.dst
+      WHERE a.nation < 5 AND i.amount > 150000 AND k.strength > 80
+      GROUP BY 1
+    """)) { t =>
+      GraphCatalog.declared(t)
+        .from("person", "a", col("a_nation") < 5)
+        .in("invited", "i", col("i_amount") > 150000, "b")
+        .out("knows", "k", col("k_strength") > 80, "c")
+        .frame
+        .groupBy(col("a_vertex_id").as("a"))
+        .agg(count(lit(1)).as("n_paths"),
+          countDistinct(col("b_vertex_id")).as("n_inviters"),
+          countDistinct(col("c_vertex_id")).as("n_c"))
+    },
+
     // MULTI-PATH MATCH (reference: parser/ast/graph.go:62
     // GraphPattern.Paths — one MATCH holds SEVERAL path patterns;
     // planner/core/logical_plan_builder.go:6484 buildGraph plans each

@@ -83,6 +83,29 @@ final class PathMatch private[graph] (cat: GraphCatalog,
       col(s"${edgeAlias}_dst") === col(s"${destAlias}_vertex_id"))
     new PathMatch(cat, out, s"${destAlias}_vertex_id")
   }
+
+  /** One `.in(<edgeTable> as e where ep).(<srcVertex> as v where vp)`
+    * hop — the IN direction (reference: parser/ast/graph.go:76
+    * GraphEdgeDirectionIn; the planner resolves the SAME edge table
+    * and flips which end binds). The bound frame's key joins the
+    * edge's `dst`, and the NEW variable binds the edge's declared
+    * SOURCE vertex table: "who invited me", not "whom I invited".
+    * Identical keyed-equi-join shape to [[out]] — co-partitioned on
+    * the join key, never |E|². */
+  def in(label: String, edgeAlias: String, edgeWhere: Column,
+      srcAlias: String, srcWhere: Column = lit(true)): PathMatch = {
+    val d = cat.edge(label)
+    val e = d.edges
+      .select(d.edges.columns.map(c => col(c).as(s"${edgeAlias}_$c")): _*)
+      .filter(edgeWhere)
+    val hopped = frame.join(e, col(lastKey) === col(s"${edgeAlias}_dst"))
+    val v = cat.vertex(d.source)
+    val bound = v.select(v.columns.map(c => col(c).as(s"${srcAlias}_$c")): _*)
+      .filter(srcWhere)
+    val out = hopped.join(bound,
+      col(s"${edgeAlias}_src") === col(s"${srcAlias}_vertex_id"))
+    new PathMatch(cat, out, s"${srcAlias}_vertex_id")
+  }
 }
 
 object GraphCatalog {

@@ -122,22 +122,32 @@ object Wave17 {
         ("utf8mb4_bin", "utf8mb4", 46, "UTF8_BINARY"),
         ("utf8mb4_general_ci", "utf8mb4", 45, "UTF8_LCASE"),
         ("utf8mb4_unicode_ci", "utf8mb4", 224, "UNICODE_CI_AI"))
-      rows.map { case (coll, cs, id, collator) =>
-        import t.spark.implicits._
-        val caseSens =
-          (collate(lit("a"), collator) =!= collate(lit("A"), collator))
-            .cast("int")
-        val accentSens =
-          (collate(lit("e"), collator) =!= collate(lit("é"), collator))
-            .cast("int")
-        Seq((coll, cs, id)).toDF("collation_name", "charset", "id")
-          .select(col("collation_name"), col("charset"), col("id"),
-            lit(if (Charsets.defaultCollation(cs) == coll) 1 else 0)
-              .as("is_default"),
-            when(caseSens === 1, 1).otherwise(8).as("sortlen"),
-            caseSens.as("case_sensitive"),
-            accentSens.as("accent_sensitive"))
-      }.reduce(_ union _)
+      // ONE 9-row local DataFrame, probes selected per row — not a
+      // 9-plan union (the O(n)-plans shape if the list ever widens).
+      // Each branch is still a REAL collate comparison through the
+      // named engine collator.
+      import t.spark.implicits._
+      def caseProbe(c: String) =
+        (collate(lit("a"), c) =!= collate(lit("A"), c)).cast("int")
+      def accentProbe(c: String) =
+        (collate(lit("e"), c) =!= collate(lit("é"), c)).cast("int")
+      def per(f: String => org.apache.spark.sql.Column) =
+        when(col("collator") === "UTF8_BINARY", f("UTF8_BINARY"))
+          .when(col("collator") === "UTF8_LCASE", f("UTF8_LCASE"))
+          .otherwise(f("UNICODE_CI_AI"))
+      // is_default still derives from the ONE shared descriptor
+      // table (Charsets), folded to a per-row expression.
+      val defExpr = Charsets.defaultCollation.toSeq.sortBy(_._1)
+        .foldLeft(lit(null).cast("string")) { case (acc, (cs, coll)) =>
+          when(col("charset") === cs, lit(coll)).otherwise(acc)
+        }
+      rows.toDF("collation_name", "charset", "id", "collator")
+        .select(col("collation_name"), col("charset"), col("id"),
+          (col("collation_name") === defExpr).cast("int")
+            .as("is_default"),
+          when(per(caseProbe) === 1, 1).otherwise(8).as("sortlen"),
+          per(caseProbe).as("case_sensitive"),
+          per(accentProbe).as("accent_sensitive"))
     },
 
     // SHOW INDEX / information_schema.STATISTICS (reference:

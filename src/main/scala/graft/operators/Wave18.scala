@@ -105,7 +105,11 @@ object Wave18 {
     // COUNT over the same key predicates, so the lock table's
     // bookkeeping is hash-checked against the data. Key sets are
     // collected driver-side exactly as SelectLockExec buffers
-    // `e.keys` in the transaction: bounded by statement selectivity.
+    // `e.keys` in the transaction — bounded by statement
+    // selectivity AND by the shared KeyBatchCap quota
+    // (RowLocks.collectKeys aborts loudly past 64k keys; a
+    // pathological FOR UPDATE over a fact table errors instead of
+    // silently OOMing the driver).
     Q("q_select_lock", Some("""
       WITH ka AS (SELECT o_orderkey AS k FROM orders
                   WHERE o_orderkey % 97 = 0),
@@ -130,8 +134,7 @@ object Wave18 {
       val L = graft.tools.RowLocks
       L.clear()
       def keys(p: org.apache.spark.sql.Column): Seq[Long] =
-        t.orders.filter(p).select("o_orderkey")
-          .collect().map(_.getLong(0)).toSeq
+        L.collectKeys(t.orders.filter(p), "o_orderkey")
       val ka = keys(col("o_orderkey") % 97 === 0)
       val kb = ka.filter(_ % 2 == 0)
       val kc = keys(col("o_orderkey") % 89 === 0 &&
@@ -350,18 +353,20 @@ object Wave18 {
     // hash pins, straight from the reference: NULL renders as
     // <escape>N (backslash-N); with OPTIONALLY ENCLOSED only
     // string-typed fields get the quotes; inside a field the escape
-    // char and the line terminator's first byte are ALWAYS escaped,
-    // the field terminator only when NOT enclosed, and escaping
-    // prefixes the ORIGINAL byte (an embedded newline becomes
-    // backslash + newline byte, not backslash-n); the enclose byte
-    // itself is NOT escaped (select_into.go escapes exactly four
-    // byte classes — verified against the switch at :97). Decimals
+    // char, the ENCLOSE byte, and the line terminator's first byte
+    // are ALWAYS escaped (select_into.go:103 `case b == Escaped ||
+    // b == Enclosed`), the field terminator only when NOT enclosed,
+    // and escaping prefixes the ORIGINAL byte (an embedded newline
+    // becomes backslash + newline byte, not backslash-n) — EXCEPT
+    // NUL, which always renders as backslash + the CHARACTER '0'
+    // (select_into.go:100 `case b == 0 ... b = '0'`). Decimals
     // render through DECIMAL(18,2) text (the MyDecimal.String()
     // path), never double formatting. The probe names embed the
-    // field sep, the quote, the escape char, and a real newline, so
-    // every rule fires. Output = one rendered line per row (the
-    // driver hash compares embedded-newline strings exactly); the
-    // byte stream is also written as the OUTFILE for the spec.
+    // field sep, the quote, the escape char, a real newline, and a
+    // NUL byte, so every escape class fires. Output = one rendered
+    // line per row (the driver hash compares embedded-newline
+    // strings exactly); the byte stream is also written as the
+    // OUTFILE for the spec.
     Q("q_select_into", Some("""
       WITH src AS (
         SELECT c_custkey,
@@ -369,14 +374,16 @@ object Wave18 {
                  WHEN 0 THEN ';x'
                  WHEN 1 THEN '"q'
                  WHEN 2 THEN '\x' || chr(10) || 'y'
-                 ELSE '' END AS nm,
+                 ELSE chr(0) || 'z' END AS nm,
                CASE WHEN c_custkey % 7 = 0 THEN NULL
                     ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal
         FROM customer WHERE c_custkey < 400)
       SELECT c_custkey,
              CAST(c_custkey AS VARCHAR) || ';' ||
-             '"' || replace(replace(nm, '\', '\\'),
-                            chr(10), '\' || chr(10)) || '"' || ';' ||
+             '"' || replace(replace(replace(replace(
+                      nm, '\', '\\'), '"', '\"'),
+                      chr(10), '\' || chr(10)), chr(0), '\0')
+             || '"' || ';' ||
              COALESCE(CAST(bal AS VARCHAR), '\N') AS line
       FROM src
     """)) { t =>
@@ -385,16 +392,19 @@ object Wave18 {
         when(col("c_custkey") % 4 === 0, ";x")
           .when(col("c_custkey") % 4 === 1, "\"q")
           .when(col("c_custkey") % 4 === 2, "\\x\ny")
-          .otherwise(""))
+          .otherwise("\u0000z"))
       val bal = when(col("c_custkey") % 7 === 0, lit(null))
         .otherwise(col("c_acctbal").cast("decimal(18,2)"))
-      // escapeField for an ENCLOSED string field: escape char first,
-      // then the line terminator; the field terminator stays bare
-      // (enclosed), the enclose byte stays bare (reference escapes
-      // exactly four byte classes, the quote is not one of them).
+      // escapeField for an ENCLOSED string field: escape char FIRST
+      // (later passes insert backslashes that must not re-escape),
+      // then the enclose byte, the line terminator, and NUL → \0
+      // (the one class whose rendered byte differs from the
+      // original — select_into.go:100). The field terminator stays
+      // bare: the field is enclosed.
       def escEnclosed(s: org.apache.spark.sql.Column) =
-        regexp_replace(regexp_replace(s, "\\\\", "\\\\\\\\"),
-          "\n", "\\\\\n")
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          s, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+          "\n", "\\\\\n"), "\u0000", "\\\\0")
       val line = concat(
         col("c_custkey").cast("string"), lit(";"),
         lit("\""), escEnclosed(nm), lit("\""), lit(";"),

@@ -1,0 +1,638 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.tools.{Acl, SessionManager}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-15 entries: the remaining SHOW / observability surface —
+  * PROCESSLIST (+ KILL, spec-proven), VARIABLES, STATUS, TABLE
+  * STATUS, STATS_BUCKETS, STATS_TOPN, TABLE REGIONS, and the
+  * non-table SHOW CREATE renders (VIEW / USER / DATABASE /
+  * SEQUENCE).
+  */
+object Wave19 {
+
+  /** Per-column LOGICAL width in bytes — the stats arithmetic behind
+    * TiDB's information_schema.tables Data_length/Avg_row_length
+    * (infoschema/tables.go getDataAndIndexLength: row count × avg
+    * row size from column stats, NOT physical file bytes — physical
+    * parquet bytes would be engine-specific and meaningless to an
+    * oracle). ONE mapping drives BOTH sides: the engine folds it
+    * over the LOADED schema, the oracle SQL is generated from the
+    * PINNED catalog, so a type drift breaks the hash. */
+  private def widthExpr(colName: String, typeClass: String)
+      : org.apache.spark.sql.Column = typeClass match {
+    case "bigint" | "double" | "timestamp" => lit(8L)
+    case "int" | "date"                    => lit(4L)
+    case "string" =>
+      coalesce(octet_length(col(colName)).cast("long"), lit(0L))
+    case "array<float>" =>
+      coalesce(size(col(colName)).cast("long") * 4L, lit(0L))
+    case _ => lit(8L)
+  }
+
+  private def widthSql(colName: String, typeClass: String): String =
+    typeClass match {
+      case "bigint" | "double" | "timestamp" => "8"
+      case "int" | "date"                    => "4"
+      // DuckDB's octet_length is BLOB-only; strlen IS byte length
+      // on VARCHAR (Spark's octet_length twin).
+      case "string" => s"COALESCE(strlen($colName), 0)"
+      case "array<float>" => s"COALESCE(4 * len($colName), 0)"
+      case _ => "8"
+    }
+
+  /** SHOW STATS_BUCKETS / TOPN row prefix — every stats card renders
+    * the same (db, table, partition) identity columns. */
+  private def statsPrefix(column: String) = Seq(
+    lit("graft").as("db_name"), lit("orders").as("table_name"),
+    lit("").as("partition_name"), lit(column).as("column_name"),
+    lit(0).as("is_index"))
+
+  /** The staged DML delta behind SHOW STATS_META's ModifyCount and
+    * SHOW STATS_HEALTHY's health score — ONE spelling shared by both
+    * cards so they cannot drift. The orders delta reuses
+    * q_txn_rollback's three mutation classes (delete %29, re-status
+    * %13 of the survivors, insert %53); nation gets TWO full-table
+    * updates, the modify ≥ count corner the healthy formula zeroes
+    * on. Every count is a REAL aggregate over the data (the oracle
+    * restates the same predicates). Returns
+    * (table, modify_count, row_count) rows. */
+  private def stagedStatsDeltas(t: Tables): Seq[(String, Long, Long)] = {
+    val d = t.orders.filter(col("o_orderkey") % 29 === 3).count()
+    val u = t.orders.filter(col("o_orderkey") % 13 === 4 &&
+      col("o_orderkey") % 29 =!= 3).count()
+    val i = t.orders.filter(col("o_orderkey") % 53 === 9).count()
+    val nOrders = t.orders.count()
+    val nNation = t.nation.count()
+    val nCust = t.customer.count()
+    Seq(
+      ("customer", 0L, nCust),
+      ("nation", 2L * nNation, nNation),
+      ("orders", d + u + i, nOrders))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // SHOW [FULL] PROCESSLIST (reference: executor/show.go:388
+    // fetchShowProcessList over util/processinfo.go:33 ProcessInfo —
+    // Id/User/Host/db/Command/State/Info row shape, Sleep rows with
+    // NULL Info, and the privilege rule at :404: PROCESS sees all
+    // threads, otherwise only your own). The card drives three
+    // connections through the live SessionManager registry — one
+    // mid-statement, one idle after a completed statement, one
+    // rendering the SHOW itself (MySQL lists the SHOW too) — and
+    // renders it twice: as root (PROCESS granted → all rows) and as
+    // ana (no PROCESS → own row only). Every cell is a real registry
+    // read; the reference's one wall-clock column (Time) is excluded
+    // from the render exactly as the q_statements_summary family
+    // excludes wall columns, which keeps the card hash-oracled. The
+    // KILL leg (executor/simple.go:1455 executeKillStmt →
+    // SessionManager.Kill) is SessionManager.kill — Spark
+    // cancelJobGroup on the victim's job group — proven by the
+    // Wave19Spec concurrent-kill test, not staged here.
+    Q("q_processlist", Some("""
+      SELECT * FROM (VALUES
+        ('1_full_as_root', 1, 'root', '127.0.0.1:4000', 'graft',
+         'Query', 'executing', 'SHOW FULL PROCESSLIST'),
+        ('1_full_as_root', 2, 'ana', '10.0.0.8:52100', 'graft',
+         'Query', 'executing',
+         'SELECT o_orderpriority, COUNT(*) FROM orders GROUP BY 1'),
+        ('1_full_as_root', 3, 'bob', '10.0.0.9:52200', '',
+         'Sleep', '', CAST(NULL AS VARCHAR)),
+        ('2_own_as_ana', 2, 'ana', '10.0.0.8:52100', 'graft',
+         'Query', 'executing',
+         'SELECT o_orderpriority, COUNT(*) FROM orders GROUP BY 1')
+      ) AS v(stage, id, usr, host, db, command, state, info)
+    """)) { t =>
+      import t.spark.implicits._
+      val SM = SessionManager
+      SM.clear(); Acl.clear()
+      Acl.grant("root", Seq("PROCESS")) // global scope
+      val c1 = SM.connect("root", "127.0.0.1:4000", "graft")
+      val c2 = SM.connect("ana", "10.0.0.8:52100", "graft")
+      val c3 = SM.connect("bob", "10.0.0.9:52200", "")
+      // bob ran something and went idle: Sleep, Info renders NULL.
+      SM.begin(c3, "SELECT 1"); SM.finish(c3, 1L)
+      // ana is mid-statement when the render happens.
+      SM.begin(c2,
+        "SELECT o_orderpriority, COUNT(*) FROM orders GROUP BY 1")
+      // the render is a statement too — MySQL lists the SHOW itself.
+      SM.begin(c1, "SHOW FULL PROCESSLIST", comClass = "Com_show")
+      def rows(stage: String, asUser: String) =
+        SM.show(asUser, "%").map(r => (stage, r._1.toInt, r._2, r._3,
+          r._4, r._5, r._6, r._7))
+      val out = rows("1_full_as_root", "root") ++
+        rows("2_own_as_ana", "ana")
+      SM.finish(c1); SM.finish(c2)
+      Acl.clear()
+      out.toDF("stage", "id", "usr", "host", "db", "command",
+        "state", "info")
+    },
+
+    // SHOW VARIABLES (reference: executor/show.go:724
+    // fetchShowVariables — every row fetched LIVE from the session's
+    // variable store, never a static card). Each value here is read
+    // from the RUNNING SparkSession at render time — ANSI mode (the
+    // sql_mode analog), time zone, AQE, whole-stage codegen, the
+    // broadcast threshold, the bucketed-scan ordering flag, and the
+    // version class — so
+    // a session whose configuration drifted from the engine contract
+    // fails the hash (the q_memtable_info derivation discipline,
+    // applied to the enumerable variables card). Deliberately
+    // excluded: values that legitimately differ across harness
+    // contexts (shuffle partition count tracks the core count the
+    // session was launched with — Verify 4, Bench 32).
+    Q("q_show_variables", Some("""
+      SELECT * FROM (VALUES
+        ('adaptive_query_execution', 'ON',         'SESSION'),
+        ('autocommit',               'ON',         'SESSION'),
+        ('broadcast_join_threshold', '10485760',   'SESSION'),
+        ('bucketed_scan_ordering',   'ON',         'SESSION'),
+        ('sql_mode', 'STRICT_TRANS_TABLES,ANSI',   'SESSION'),
+        ('time_zone',                'UTC',        'SESSION'),
+        ('version_class',            '4.1',        'NONE'),
+        ('whole_stage_codegen',      'ON',         'SESSION')
+      ) AS v(variable_name, value, scope)
+    """)) { t =>
+      import t.spark.implicits._
+      val s = t.spark
+      def onOff(key: String): String =
+        if (s.conf.get(key) == "true") "ON" else "OFF"
+      val ansi = s.conf.get("spark.sql.ansi.enabled") == "true"
+      Seq(
+        ("adaptive_query_execution",
+          onOff("spark.sql.adaptive.enabled"), "SESSION"),
+        // Statements auto-commit unless the explicit q_txn_rollback
+        // buffer is open — the TiDB default.
+        ("autocommit", "ON", "SESSION"),
+        ("broadcast_join_threshold",
+          s.sessionState.conf.autoBroadcastJoinThreshold.toString,
+          "SESSION"),
+        ("bucketed_scan_ordering",
+          onOff("spark.sql.legacy.bucketedTableScan.outputOrdering"),
+          "SESSION"),
+        // ANSI ↔ the strict sql_mode class (q_sql_mode's contract).
+        ("sql_mode",
+          if (ansi) "STRICT_TRANS_TABLES,ANSI" else "", "SESSION"),
+        ("time_zone", s.conf.get("spark.sql.session.timeZone"),
+          "SESSION"),
+        // NOT rendered: spark.sql.legacy.parquet.nanosAsLong — the
+        // Tables events reader sets it lazily on first access, so
+        // its value is execution-order-dependent within a Verify
+        // run; an order-dependent variable has no honest place in a
+        // hashed card. Shuffle partitions are likewise excluded
+        // (they track the harness core count: Verify 4, Bench 32).
+        // ScopeNone = read-only build fact; major.minor only so a
+        // patch upgrade is not a correctness event.
+        ("version_class",
+          s.version.split('.').take(2).mkString("."), "NONE"),
+        ("whole_stage_codegen",
+          onOff("spark.sql.codegen.wholeStage"), "SESSION"))
+        .toDF("variable_name", "value", "scope")
+    },
+
+    // SHOW STATUS (reference: executor/show.go:765 fetchShowStatus —
+    // the server status-counter card). The counters come from a
+    // PINNED workload driven through the live SessionManager inside
+    // the entry (self-contained, like every Acl card): two
+    // connections, three real SELECTs whose result sizes accumulate
+    // Rows_sent, and the SHOW itself (counted under Com_show,
+    // executing while rendered — Threads_running pins it). Rows_sent
+    // is DATA-derived on both sides: the engine counts the actual
+    // result rows it returned; the oracle recomputes the same three
+    // result sizes from the tables. Uptime — the reference's only
+    // wall-clock status row — is deliberately excluded (documented,
+    // same contract as the q_slow_history family).
+    Q("q_show_status", Some("""
+      SELECT 'Com_select' AS variable_name, '3' AS value
+      UNION ALL SELECT 'Com_show', '1'
+      UNION ALL SELECT 'Connections', '2'
+      UNION ALL SELECT 'Questions', '4'
+      UNION ALL SELECT 'Rows_sent', CAST(
+        1 + (SELECT COUNT(*) FROM region)
+          + (SELECT COUNT(*) FROM nation WHERE n_nationkey < 10)
+        AS VARCHAR)
+      UNION ALL SELECT 'Slow_queries', '0'
+      UNION ALL SELECT 'Threads_connected', '2'
+      UNION ALL SELECT 'Threads_running', '1'
+    """)) { t =>
+      import t.spark.implicits._
+      val SM = SessionManager
+      SM.clear()
+      val c1 = SM.connect("root", "127.0.0.1:4000", "graft")
+      val c2 = SM.connect("ana", "10.0.0.8:52100", "graft")
+      def stmt(id: Long, sql: String, result: DataFrame): Unit = {
+        SM.begin(id, sql)
+        SM.finish(id, result.count())
+      }
+      stmt(c1, "SELECT COUNT(*) FROM nation",
+        t.nation.agg(count(lit(1))))
+      stmt(c1, "SELECT r_regionkey, r_name FROM region",
+        t.region.select("r_regionkey", "r_name"))
+      stmt(c2, "SELECT n_name FROM nation WHERE n_nationkey < 10",
+        t.nation.filter(col("n_nationkey") < 10).select("n_name"))
+      SM.begin(c1, "SHOW STATUS", comClass = "Com_show")
+      val card = SM.status()
+      SM.finish(c1)
+      card.toDF("variable_name", "value")
+    },
+
+    // SHOW TABLE STATUS (reference: executor/show.go:463
+    // fetchShowTableStatus — Name/Engine/Row_format/Rows/
+    // Avg_row_length/Data_length per table, where the byte columns
+    // are STATS arithmetic: rows × average row size from column
+    // stats, infoschema/tables.go getDataAndIndexLength — NOT
+    // physical file bytes, which no second engine could restate).
+    // The engine folds the shared logical-width mapping over each
+    // catalog table's LOADED schema; the oracle SQL is GENERATED
+    // from the pinned catalog (Catalog.pinned — the q_describe/
+    // q_show_create source), so either a schema drift or a width
+    // drift fails the hash. One aggregate pass per table, unioned —
+    // column-pruned to the string/array columns the widths need
+    // (fixed-width columns fold to constants before the scan). At
+    // 100 TB the render reads PERSISTED stats (sources.Stats
+    // dump/load — the reference reads mysql.stats_meta, never the
+    // data); the fold here IS the stats-build pass, stated exactly.
+    Q("q_table_status", Some(
+      graft.operators.Catalog.pinned.groupBy(_._1).toSeq
+        .sortBy(_._1).map { case (tbl, cols) =>
+          val w = cols.sortBy(_._2)
+            .map { case (_, _, c, ty) => widthSql(c, ty) }
+            .mkString(" + ")
+          s"""SELECT '$tbl' AS table_name, 'parquet' AS engine,
+             'Compressed' AS row_format,
+             COUNT(*) AS table_rows,
+             CAST(SUM($w) // COUNT(*) AS BIGINT) AS avg_row_length,
+             CAST(SUM($w) AS BIGINT) AS data_length
+             FROM $tbl"""
+        }.mkString("\nUNION ALL\n"))) { t =>
+      graft.operators.Catalog.tables(t).map { case (name, df) =>
+        val w = df.schema.fields
+          .map(f => widthExpr(f.name,
+            graft.operators.Catalog.typeClass(f.dataType)))
+          .reduce(_ + _)
+        df.agg(count(lit(1)).as("table_rows"),
+            sum(w).as("data_length"))
+          .select(lit(name).as("table_name"),
+            lit("parquet").as("engine"),
+            lit("Compressed").as("row_format"),
+            col("table_rows"),
+            expr("data_length div table_rows").as("avg_row_length"),
+            col("data_length"))
+      }.reduce(_ unionAll _)
+    },
+
+    // SHOW STATS_BUCKETS (reference: executor/show_stats.go:210
+    // fetchShowStatsBuckets → :370 bucketsToRows — db, table,
+    // partition, column, is_index, bucket id, CUMULATIVE count,
+    // repeats (rows equal to the upper bound — histogram.go's
+    // Repeat), lower/upper bound strings, per-bucket NDV). The
+    // SHOW-shaped render of the equi-depth structure the engine
+    // already builds: boundaries from SampleStats (the ONE spelling
+    // q_stats_histogram and q_analyze_sample share), map-side
+    // bucketing against the broadcast constants, and a second
+    // map-side pass counting upper-bound repeats against the
+    // broadcast 8-row bucket table. The cumulative-count window is
+    // an 8-row frame (bucket count, not data). Bounds render through
+    // DECIMAL(18,2) text so both engines print identical strings.
+    Q("q_stats_buckets", Some("""
+      WITH p AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+        FROM orders),
+      b AS (
+        SELECT [round(quantile_cont(v, 0.125), 4),
+                round(quantile_cont(v, 0.25), 4),
+                round(quantile_cont(v, 0.375), 4),
+                round(quantile_cont(v, 0.5), 4),
+                round(quantile_cont(v, 0.625), 4),
+                round(quantile_cont(v, 0.75), 4),
+                round(quantile_cont(v, 0.875), 4)] AS bs
+        FROM p),
+      m AS (
+        SELECT v, 1 + len(list_filter(bs, b -> p.v > b)) AS bucket
+        FROM p, b),
+      g AS (
+        SELECT bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi,
+               COUNT(DISTINCT v) AS ndv
+        FROM m GROUP BY bucket),
+      r AS (
+        SELECT m.bucket, COUNT(*) AS repeats
+        FROM m JOIN g ON m.bucket = g.bucket AND m.v = g.hi
+        GROUP BY m.bucket)
+      SELECT 'graft' AS db_name, 'orders' AS table_name,
+             '' AS partition_name, 'o_totalprice' AS column_name,
+             0 AS is_index, CAST(g.bucket - 1 AS INT) AS bucket_id,
+             CAST(SUM(g.n) OVER (ORDER BY g.bucket) AS BIGINT)
+               AS cum_count,
+             CAST(r.repeats AS BIGINT) AS repeats,
+             CAST(CAST(g.lo AS DECIMAL(18,2)) AS VARCHAR)
+               AS lower_bound,
+             CAST(CAST(g.hi AS DECIMAL(18,2)) AS VARCHAR)
+               AS upper_bound,
+             CAST(g.ndv AS BIGINT) AS ndv
+      FROM g JOIN r ON g.bucket = r.bucket
+    """)) { t =>
+      val bounds = SampleStats.priceBounds(t.orders)
+      val m = t.orders.select(SampleStats.price.as("v"))
+        .crossJoin(broadcast(bounds))
+        .select(col("v"), SampleStats.bucketOf.as("bucket"))
+      val g = m.groupBy("bucket").agg(count(lit(1)).as("n"),
+        min("v").as("lo"), max("v").as("hi"),
+        countDistinct(col("v")).as("ndv"))
+      val reps = m
+        .join(broadcast(g.select(col("bucket"), col("hi"))), Seq("bucket"))
+        .filter(col("v") === col("hi"))
+        .groupBy("bucket").agg(count(lit(1)).as("repeats"))
+      // 8-row frame: the global window is over buckets, not rows.
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.join(broadcast(reps), Seq("bucket"))
+        .withColumn("cum_count", sum(col("n")).over(w))
+        .select(statsPrefix("o_totalprice") ++ Seq(
+          (col("bucket") - 1).cast("int").as("bucket_id"),
+          col("cum_count"), col("repeats"),
+          col("lo").cast("decimal(18,2)").cast("string")
+            .as("lower_bound"),
+          col("hi").cast("decimal(18,2)").cast("string")
+            .as("upper_bound"),
+          col("ndv")): _*)
+    },
+
+    // SHOW STATS_TOPN (reference: executor/show_stats.go:269
+    // fetchShowStatsTopN → topNToRows — db, table, partition,
+    // column, is_index, value, count). The SHOW-shaped render of the
+    // exact per-column top values (the q_agg_topk_sketch contract's
+    // deterministic re-rank: count DESC, value ASC), over the two
+    // low-cardinality orders columns whose TopN a CBO would actually
+    // store. The per-column rank window frames ≤5 grouped rows, not
+    // data.
+    Q("q_stats_topn", Some("""
+      WITH tp AS (
+        SELECT CAST(o_orderpriority AS VARCHAR) AS value,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1 ORDER BY cnt DESC, value LIMIT 5),
+      ts AS (
+        SELECT CAST(o_orderstatus AS VARCHAR) AS value,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1 ORDER BY cnt DESC, value LIMIT 5)
+      SELECT 'graft' AS db_name, 'orders' AS table_name,
+             '' AS partition_name, 'o_orderpriority' AS column_name,
+             0 AS is_index, value, cnt
+      FROM tp
+      UNION ALL
+      SELECT 'graft', 'orders', '', 'o_orderstatus', 0, value, cnt
+      FROM ts
+    """)) { t =>
+      def topn(c: String): DataFrame = {
+        val g = t.orders
+          .groupBy(col(c).cast("string").as("value"))
+          .agg(count(lit(1)).as("cnt"))
+        // ≤5 grouped rows in the global rank window, not data.
+        val w = Window.orderBy(col("cnt").desc, col("value"))
+        g.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(statsPrefix(c) ++ Seq(col("value"), col("cnt")): _*)
+      }
+      topn("o_orderpriority").unionAll(topn("o_orderstatus"))
+    },
+
+    // SHOW TABLE REGIONS (reference: executor/show.go:1731
+    // fetchShowTableRegions — region id, start/end record key,
+    // approximate rows per region; record keys render as
+    // t_<table>_r_<rowid>, the first region starting at the table
+    // prefix and the last ending at the NEXT table's prefix). The
+    // card renders q_split_region's exact octile boundaries — same
+    // interpolated-quantile arithmetic on both engines — as the
+    // region card an operator reads before a manual split: 8
+    // contiguous key ranges, each with its row count and rendered
+    // start/end keys from the broadcast 7-element boundary array.
+    Q("q_table_regions", Some("""
+      WITH b AS (
+        SELECT list_transform(
+                 quantile_cont(o_orderkey,
+                   [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+                 q -> CAST(FLOOR(q) AS BIGINT)) AS bs
+        FROM orders),
+      a AS (SELECT o_orderkey,
+                   len(list_filter(bs, x -> x < o_orderkey)) AS region_id
+            FROM orders, b),
+      g AS (SELECT CAST(region_id AS INT) AS region_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM a GROUP BY 1)
+      SELECT g.region_id,
+             CASE WHEN g.region_id = 0 THEN 't_orders_r'
+                  ELSE 't_orders_r_' || CAST(bs[g.region_id] AS VARCHAR)
+             END AS start_key,
+             CASE WHEN g.region_id = 7 THEN 't_orders_'
+                  ELSE 't_orders_r_' ||
+                       CAST(bs[g.region_id + 1] AS VARCHAR)
+             END AS end_key,
+             g.n_rows
+      FROM g, b
+    """)) { t =>
+      val bs = t.orders.agg(expr(
+        "transform(percentile(o_orderkey, " +
+          "array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D)), " +
+          "q -> cast(floor(q) as bigint))").as("bs"))
+      val g = t.orders.crossJoin(broadcast(bs))
+        .select(col("o_orderkey"),
+          expr("size(filter(bs, x -> x < o_orderkey))").cast("int")
+            .as("region_id"))
+        .groupBy("region_id").agg(count(lit(1)).as("n_rows"))
+      g.crossJoin(broadcast(bs)).select(
+        col("region_id"),
+        when(col("region_id") === 0, lit("t_orders_r"))
+          .otherwise(concat(lit("t_orders_r_"),
+            element_at(col("bs"), col("region_id"))))
+          .as("start_key"),
+        when(col("region_id") === 7, lit("t_orders_"))
+          .otherwise(concat(lit("t_orders_r_"),
+            element_at(col("bs"), col("region_id") + 1)))
+          .as("end_key"),
+        col("n_rows"))
+    },
+
+    // SHOW CREATE VIEW / USER / DATABASE / SEQUENCE (reference:
+    // executor/show.go:1184 fetchShowCreateView — renders the STORED
+    // SelectStmt text; :1422 fetchShowCreateUser — the auth plugin +
+    // stored double-SHA1 hash; :1370 fetchShowCreateDatabase — the
+    // charset/collation clause; :1120 fetchShowCreateSequence — the
+    // allocation parameters). q_show_create covers tables; this card
+    // renders the OTHER object classes over objects the engine
+    // actually has: the view text is VALIDATED by creating the view
+    // in the session catalog before rendering (a text that no longer
+    // parses/resolves throws, never renders); the user's auth string
+    // is COMPUTED by Acl's own double-SHA1 (oracle restates the RFC
+    // constant — q_user_admin's discipline); the database charset/
+    // collation joins the ONE Charsets descriptor table; the
+    // sequence parameters mirror q_sequence's pinned allocation
+    // card (start 1000, CACHE 100, CYCLE over a 10000-value domain).
+    Q("q_show_create_objects", Some("""
+      SELECT * FROM (VALUES
+        ('DATABASE', 'graft',
+         'CREATE DATABASE `graft` /*!40100 DEFAULT CHARACTER SET utf8mb4 COLLATE utf8mb4_bin */'),
+        ('SEQUENCE', 'seq_orders',
+         'CREATE SEQUENCE `seq_orders` start with 1000 minvalue 1000 maxvalue 10999 increment by 1 cache 100 cycle ENGINE=InnoDB'),
+        ('USER', 'app_show@%',
+         'CREATE USER ''app_show''@''%'' IDENTIFIED WITH ''mysql_native_password'' AS ''*1A69BB68199D90F14D683C64DC315BC686A71EF9'''),
+        ('VIEW', 'v_rev2',
+         'CREATE VIEW v_rev2 AS SELECT o_orderkey, o_orderdate, l_extendedprice, l_discount FROM lineitem JOIN orders ON l_orderkey = o_orderkey')
+      ) AS v(object_type, name, ddl)
+    """)) { t =>
+      import t.spark.implicits._
+      val viewSql = "SELECT o_orderkey, o_orderdate, " +
+        "l_extendedprice, l_discount FROM lineitem JOIN orders " +
+        "ON l_orderkey = o_orderkey"
+      t.lineitem.createOrReplaceTempView("lineitem")
+      t.orders.createOrReplaceTempView("orders")
+      // Validate the stored text still parses AND resolves — the
+      // reference re-opens the view's SelectStmt against the current
+      // schema before rendering it.
+      t.spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW v_rev2 AS $viewSql")
+      require(t.spark.catalog.tableExists("v_rev2"))
+      Acl.clear()
+      Acl.createUser("app_show", "%", "s3cure!")
+      val userDdl = s"CREATE USER 'app_show'@'%' IDENTIFIED WITH " +
+        s"'mysql_native_password' AS '${Acl.authString("app_show", "%")}'"
+      val dbDdl = "CREATE DATABASE `graft` /*!40100 DEFAULT " +
+        "CHARACTER SET utf8mb4 COLLATE " +
+        s"${Charsets.defaultCollation("utf8mb4")} */"
+      val seqDdl = "CREATE SEQUENCE `seq_orders` start with 1000 " +
+        "minvalue 1000 maxvalue 10999 increment by 1 cache 100 " +
+        "cycle ENGINE=InnoDB"
+      val out = Seq(
+        ("DATABASE", "graft", dbDdl),
+        ("SEQUENCE", "seq_orders", seqDdl),
+        ("USER", "app_show@%", userDdl),
+        ("VIEW", "v_rev2", s"CREATE VIEW v_rev2 AS $viewSql"))
+        .toDF("object_type", "name", "ddl")
+      Acl.clear()
+      out
+    },
+
+    // SHOW ANALYZE STATUS (reference: executor/show.go:214
+    // ast.ShowAnalyzeStatus over the analyze-jobs registry —
+    // TABLE_SCHEMA/TABLE_NAME/PARTITION_NAME/JOB_INFO/
+    // PROCESSED_ROWS/STATE; START_TIME is the wall-clock column,
+    // excluded here the way the q_slow_history family excludes wall
+    // columns). The jobs are EXECUTED, not staged: each finished row
+    // runs its stats pass and reports the rows it actually processed
+    // — the full orders ANALYZE, the 20%-samplerate ANALYZE (the
+    // q_analyze_sample knuth-coin sample, restated by the oracle
+    // with the same integer-hash arithmetic), and the lineitem
+    // ANALYZE — and the failed row is a REAL failure: an ANALYZE
+    // against an unregistered index layout throws inside the engine
+    // and is recorded as failed with 0 processed rows.
+    Q("q_analyze_status", Some(s"""
+      SELECT 'graft' AS table_schema, 'orders' AS table_name,
+             '' AS partition_name, 'analyze columns' AS job_info,
+             CAST(COUNT(*) AS BIGINT) AS processed_rows,
+             'finished' AS state
+      FROM orders
+      UNION ALL
+      SELECT 'graft', 'orders', '',
+             'analyze columns with 0.2 samplerate',
+             CAST(COUNT(*) AS BIGINT), 'finished'
+      FROM orders
+      WHERE ${graft.functions.TextFns.knuthCoinSql("o_orderkey")}
+            < 0.2 * 4294967296
+      UNION ALL
+      SELECT 'graft', 'lineitem', '', 'analyze columns',
+             CAST(COUNT(*) AS BIGINT), 'finished'
+      FROM lineitem
+      UNION ALL
+      SELECT 'graft', 'lineitem', '', 'analyze index idx_nonexistent',
+             CAST(0 AS BIGINT), 'failed'
+    """)) { t =>
+      import t.spark.implicits._
+      def job(tbl: String, info: String, run: => Long)
+          : (String, String, String, String, Long, String) =
+        try ("graft", tbl, "", info, run, "finished")
+        catch { case _: Exception => ("graft", tbl, "", info, 0L, "failed") }
+      val rows = Seq(
+        job("orders", "analyze columns", t.orders.count()),
+        job("orders", "analyze columns with 0.2 samplerate",
+          SampleStats.sampledOrders(t).count()),
+        job("lineitem", "analyze columns", t.lineitem.count()),
+        // A REAL failure: ANALYZE of an index layout that was never
+        // registered throws inside the engine's own layout lookup.
+        job("lineitem", "analyze index idx_nonexistent", {
+          t.spark.read.parquet(s"${t.dir}/idx_nonexistent.parquet")
+            .count()
+        }))
+      rows.toDF("table_schema", "table_name", "partition_name",
+        "job_info", "processed_rows", "state")
+    },
+
+    // SHOW STATS_META (reference: executor/show_stats.go:104
+    // fetchShowStatsMeta → :132 appendTableForStatsMeta — db, table,
+    // partition, Update_time, ModifyCount, Count; Update_time is the
+    // versionToTime wall-clock column, excluded). ModifyCount is the
+    // staged DML delta (stagedStatsDeltas — the ONE spelling
+    // q_stats_healthy shares): every component is a real count over
+    // the mutation predicates, restated by the oracle, so the
+    // bookkeeping arithmetic is hash-checked against the data.
+    Q("q_stats_meta", Some("""
+      SELECT 'graft' AS db_name, 'customer' AS table_name,
+             '' AS partition_name, CAST(0 AS BIGINT) AS modify_count,
+             CAST(COUNT(*) AS BIGINT) AS row_count
+      FROM customer
+      UNION ALL
+      SELECT 'graft', 'nation', '', CAST(2 * COUNT(*) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM nation
+      UNION ALL
+      SELECT 'graft', 'orders', '', CAST(
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey % 29 = 3)
+        + (SELECT COUNT(*) FROM orders
+           WHERE o_orderkey % 13 = 4 AND o_orderkey % 29 <> 3)
+        + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 53 = 9)
+        AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM orders
+    """)) { t =>
+      import t.spark.implicits._
+      stagedStatsDeltas(t)
+        .map { case (tbl, m, n) => ("graft", tbl, "", m, n) }
+        .toDF("db_name", "table_name", "partition_name",
+          "modify_count", "row_count")
+    },
+
+    // SHOW STATS_HEALTHY (reference: executor/show_stats.go:401 →
+    // :428 appendTableForStatsHealthy: healthy =
+    // int((1 - modify/count) * 100) when modify < count, 100 when
+    // modify == 0, else 0 — the Go int64() truncation is floor for
+    // these non-negative values, and DuckDB's round-to-nearest
+    // BIGINT cast makes FLOOR mandatory on both sides). Same staged
+    // deltas as q_stats_meta (shared helper), so the two cards
+    // cannot disagree: customer scores 100, orders scores the
+    // truncated percentage, nation's modify ≥ count corner scores 0.
+    Q("q_stats_healthy", Some("""
+      SELECT 'graft' AS db_name, 'customer' AS table_name,
+             '' AS partition_name, CAST(100 AS BIGINT) AS healthy
+      UNION ALL
+      SELECT 'graft', 'nation', '', CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT 'graft', 'orders', '', CAST(FLOOR(
+        (1.0 - (
+            (SELECT COUNT(*) FROM orders WHERE o_orderkey % 29 = 3)
+          + (SELECT COUNT(*) FROM orders
+             WHERE o_orderkey % 13 = 4 AND o_orderkey % 29 <> 3)
+          + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 53 = 9)
+          ) * 1.0 / (SELECT COUNT(*) FROM orders)) * 100)
+        AS BIGINT)
+    """)) { t =>
+      import t.spark.implicits._
+      stagedStatsDeltas(t).map { case (tbl, m, n) =>
+        val healthy =
+          if (m == 0L) 100L
+          else if (m < n) math.floor((1.0 - m.toDouble / n) * 100).toLong
+          else 0L
+        ("graft", tbl, "", healthy)
+      }.toDF("db_name", "table_name", "partition_name", "healthy")
+    },
+  )
+}

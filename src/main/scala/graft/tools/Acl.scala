@@ -151,21 +151,43 @@ object Acl {
       Key(user, host, db, tbl)).exists(k =>
       grantOption.contains(k) && privs.get(k).exists(_.contains(priv)))
 
+  /** [[holdsWithGrantOption]] widened through the grantor's ACTIVE
+    * role closure — MySQL's semantics: a grant option held by an
+    * activated role delegates exactly like one held directly (the
+    * reference's grant.go check runs RequestVerification with the
+    * session's active roles). Role-held options live at the roles'
+    * '%' convention host. */
+  private def holdsWithGrantOptionThroughRoles(user: String,
+      host: String, db: String, tbl: String, priv: String): Boolean =
+    holdsWithGrantOption(user, host, db, tbl, priv) ||
+      roleClosure(activeSet(user, host)).exists(r =>
+        holdsWithGrantOption(r, "%", db, tbl, priv))
+
   /** GRANT executed AS a non-superuser grantor (reference:
     * executor/grant.go — the statement is privilege-checked before
     * any record is written: the grantor must hold EVERY granted
     * privilege WITH GRANT OPTION at a covering scope, else ERROR
     * 1044/1142 and NOTHING is granted). The plain [[grant]] stays
-    * the bootstrap/superuser path. */
+    * the bootstrap/superuser path.
+    *
+    * `honorActiveRoles = false` (the compat-pinned default the
+    * existing grants hashes rely on) checks the grantor's DIRECT
+    * scopes only; `true` is the MySQL semantics — options held
+    * through the grantor's activated role closure delegate too,
+    * mirroring the q_set_role activation contract. */
   def grantAs(grantorUser: String, grantorHost: String, user: String,
       privList: Seq[String], db: String = "*", tbl: String = "*",
-      host: String = "%", withGrantOption: Boolean = false): Unit =
+      host: String = "%", withGrantOption: Boolean = false,
+      honorActiveRoles: Boolean = false): Unit =
     synchronized {
       val expanded =
         if (privList.map(_.toUpperCase).contains("ALL")) PrivOrder
         else privList.map(_.toUpperCase)
       val missing = expanded.filterNot(p =>
-        holdsWithGrantOption(grantorUser, grantorHost, db, tbl, p))
+        if (honorActiveRoles)
+          holdsWithGrantOptionThroughRoles(grantorUser, grantorHost,
+            db, tbl, p)
+        else holdsWithGrantOption(grantorUser, grantorHost, db, tbl, p))
       require(missing.isEmpty,
         s"Access denied: '$grantorUser'@'$grantorHost' lacks GRANT " +
           s"OPTION for ${missing.mkString(", ")} on " +

@@ -34,7 +34,12 @@ object RowLocks {
     * one of the two is always zero. */
   def acquire(txn: String, table: String, keys: Seq[Long],
       exclusive: Boolean): (Long, Long) = synchronized {
-    val conflicts = keys.count { k =>
+    // A statement's key list may repeat a key (a non-unique scan
+    // emits the same row key per matching index entry); the lock
+    // unit is the KEY, so dedupe at entry — otherwise acquired/
+    // conflict totals double-count what held() reports once.
+    val ks = keys.distinct
+    val conflicts = ks.count { k =>
       val kk = (table, k)
       val otherX = excl.get(kk).exists(_ != txn)
       val otherS = (shared.getOrElse(kk, mutable.Set.empty) - txn).nonEmpty
@@ -42,7 +47,7 @@ object RowLocks {
     }
     if (conflicts > 0) (0L, conflicts.toLong)
     else {
-      keys.foreach { k =>
+      ks.foreach { k =>
         val kk = (table, k)
         if (exclusive) { excl(kk) = txn; shared.get(kk).foreach(_ -= txn) }
         // S on a key the txn already holds X on is a no-op: the
@@ -51,7 +56,7 @@ object RowLocks {
         else if (!excl.get(kk).contains(txn))
           shared.getOrElseUpdate(kk, mutable.Set.empty) += txn
       }
-      (keys.size.toLong, 0L)
+      (ks.size.toLong, 0L)
     }
   }
 
@@ -62,6 +67,24 @@ object RowLocks {
     excl.filterInPlace { case (_, owner) => owner != txn }
     shared.values.foreach(_ -= txn)
     shared.filterInPlace { case (_, owners) => owners.nonEmpty }
+  }
+
+  /** SelectLockExec's `e.keys` buffer under the shared KeyBatchCap
+    * contract (operators/IndexLookup.KeyBatchCap — the ONE spelling
+    * of "driver-side key batches stop being defensible here"):
+    * collect at most `cap` keys; past the cap the statement ABORTS
+    * loudly. Unlike the index-lookup path there is NO degrade
+    * fallback — locking fewer keys than the predicate selected
+    * would leave rows unprotected, so the faithful analog of the
+    * reference's memory-quota kill on an oversized pessimistic
+    * statement is an error, not a quieter plan. */
+  def collectKeys(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      cap: Int = graft.operators.IndexLookup.KeyBatchCap): Seq[Long] = {
+    val rows = df.select(keyCol).limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"SELECT ... FOR UPDATE selects more than $cap keys — the " +
+        "lock-buffer quota would be exceeded; narrow the predicate")
+    rows.map(_.getLong(0)).toSeq
   }
 
   /** Held-lock count for a txn (spec surface). */

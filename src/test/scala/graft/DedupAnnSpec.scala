@@ -124,6 +124,25 @@ class DedupAnnSpec extends SparkSpecBase {
     }
   }
 
+  test("TopKBuffer orders NaN first (Spark's DESC sort order) and " +
+    "keeps it under contention; -0.0 ties 0.0 on id") {
+    // A zero-norm vector's cosine is 0/0 = NaN; Spark's DESC sort
+    // ranks NaN above every finite double, so the buffer must too —
+    // the old > / == compare silently dropped NaN once size == k.
+    val b = new graft.functions.TopKBuffer(2)
+    b.insert(0.5, 1L, 0.0)
+    b.insert(0.9, 2L, 0.0) // contested from here on
+    b.insert(Double.NaN, 3L, 0.0)
+    assert(b.size == 2 && b.ids(0) == 3L && b.ranks(0).isNaN &&
+      b.ids(1) == 2L)
+    // Spark normalizes -0.0 to 0.0 before comparing: a -0.0 rank
+    // must TIE a 0.0 rank and break on id, not sort below it.
+    val c = new graft.functions.TopKBuffer(1)
+    c.insert(0.0, 9L, 0.0)
+    c.insert(-0.0, 4L, 0.0)
+    assert(c.ids(0) == 4L)
+  }
+
   test("rerankTopKAgg (map-side-combining TopKByRank) is row-for-row " +
     "identical to the window rerankTopK, ties included") {
     import graft.functions.VectorFns

@@ -140,6 +140,38 @@ class GraphCatalogSpec extends SparkSpecBase {
     assert(bnlj <= 2, s"expected only the scalar broadcasts, got $bnlj")
   }
 
+  test("IN-direction hop: plan is keyed joins only, and the hop " +
+    "really flips orientation") {
+    val cat = GraphCatalog.declared(t)
+    val frame = cat
+      .from("person", "a", col("a_nation") < 5)
+      .in("invited", "i", col("i_amount") > 150000, "b")
+      .frame
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 2, s"expected only the scalar broadcasts, got $bnlj")
+    // Orientation: every bound row joins a's key on the edge's DST
+    // and the inviter variable on the edge's SRC.
+    frame.select("a_vertex_id", "i_src", "i_dst", "b_vertex_id")
+      .limit(200).collect().foreach { r =>
+        assert(r.getLong(2) == r.getLong(0), s"dst != anchor: $r")
+        assert(r.getLong(1) == r.getLong(3), s"src != inviter: $r")
+      }
+    // The IN hop is the exact transpose of the OUT hop over the same
+    // pruned edge table: identical (anchor, inviter) pair sets.
+    val out = cat.from("person", "b2")
+      .out("invited", "i", col("i_amount") > 150000,
+        "a2", col("a2_nation") < 5)
+      .frame.select(col("a2_vertex_id").as("a"),
+        col("b2_vertex_id").as("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val inn = frame.select(col("a_vertex_id").as("a"),
+        col("b_vertex_id").as("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(inn == out, "IN hop must transpose the OUT hop")
+  }
+
   test("typed path-pattern family plans: keyed joins only, and the " +
     "property prune sits under the hop join") {
     // Every level/relaxation/propagation join in the path kernels is

@@ -127,6 +127,36 @@ class Wave18Spec extends SparkSpecBase {
     RowLocks.clear()
   }
 
+  test("RowLocks.collectKeys aborts loudly past the KeyBatchCap — " +
+    "a pathological FOR UPDATE cannot OOM the driver") {
+    import graft.tools.RowLocks
+    // Within the cap: the buffered keys come back.
+    val small = RowLocks.collectKeys(
+      t.orders.filter(org.apache.spark.sql.functions
+        .col("o_orderkey") % 97 === 0), "o_orderkey", cap = 100000)
+    assert(small.nonEmpty)
+    // Past a tiny cap the statement errors — no silent partial lock.
+    val e = intercept[IllegalArgumentException] {
+      RowLocks.collectKeys(t.orders, "o_orderkey", cap = 10)
+    }
+    assert(e.getMessage.contains("lock-buffer quota"))
+  }
+
+  test("RowLocks: duplicate keys in a statement's list count once — " +
+    "acquired/conflict totals agree with held()") {
+    import graft.tools.RowLocks
+    RowLocks.clear()
+    // A non-unique scan can emit the same row key twice; the lock
+    // unit is the key, so the dup contributes one acquire.
+    assert(RowLocks.acquire("t1", "orders", Seq(7L, 7L, 8L),
+      exclusive = true) == (2L, 0L))
+    assert(RowLocks.held("t1") == 2L)
+    // ...and one conflict on the other side.
+    assert(RowLocks.acquire("t2", "orders", Seq(7L, 7L),
+      exclusive = true) == (0L, 1L))
+    RowLocks.clear()
+  }
+
   test("RowLocks: NOWAIT is all-or-nothing and commit releases only " +
     "the committer's locks") {
     import graft.tools.RowLocks
@@ -158,6 +188,37 @@ class Wave18Spec extends SparkSpecBase {
     assert(rows("2_b_share_blocked")._1 == 0L)
     assert(rows("5_c_upgrade_blocked")._1 == 0L)
     assert(rows("6_b_x_after_commit")._2 == 0L)
+  }
+
+  test("grantAs honorActiveRoles: an option held through an ACTIVATED " +
+    "role delegates; deactivation or the compat default deny it") {
+    Acl.clear()
+    Acl.grant("optrole", Seq("SELECT"), db = "graft", tbl = "customer",
+      withGrantOption = true)
+    Acl.grantRole("optrole", "mid2")
+    // Granted but NOT activated: even the role-honoring path denies.
+    intercept[IllegalArgumentException] {
+      Acl.grantAs("mid2", "%", "leaf2", Seq("SELECT"),
+        db = "graft", tbl = "customer", honorActiveRoles = true)
+    }
+    Acl.setRole("mid2", "%", Seq("optrole"))
+    // Activated + honorActiveRoles: MySQL semantics — delegation lands.
+    Acl.grantAs("mid2", "%", "leaf2", Seq("SELECT"),
+      db = "graft", tbl = "customer", honorActiveRoles = true)
+    assert(Acl.verify("leaf2", "%", "graft", "customer", "SELECT"))
+    // The compat default stays direct-only even while activated —
+    // existing q_grant_option hashes rely on it.
+    intercept[IllegalArgumentException] {
+      Acl.grantAs("mid2", "%", "leaf3", Seq("SELECT"),
+        db = "graft", tbl = "customer")
+    }
+    // Deactivation flips the role-honoring path back to denied.
+    Acl.setRoleNone("mid2", "%")
+    intercept[IllegalArgumentException] {
+      Acl.grantAs("mid2", "%", "leaf4", Seq("SELECT"),
+        db = "graft", tbl = "customer", honorActiveRoles = true)
+    }
+    Acl.clear()
   }
 
   test("grantAs denial is atomic and revokeGrantOption keeps the " +
@@ -203,6 +264,30 @@ class Wave18Spec extends SparkSpecBase {
     val bal = new java.math.BigDecimal(base.getAs[Double]("c_acctbal"))
       .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
     assert(row.getAs[String]("line") == s"""$k;"$esc";$bal""")
+    // The ENCLOSE byte is escaped inside an enclosed field
+    // (select_into.go:103 `case b == Escaped || b == Enclosed`):
+    // the %4==1 probe embeds a bare quote, which must render as
+    // backslash+quote — and the line must round-trip (exactly two
+    // UNESCAPED quotes: the open and close of the field).
+    val rowQ = res.filter(col("c_custkey") % 4 === 1 &&
+      col("c_custkey") % 7 =!= 0).orderBy("c_custkey").head()
+    val kQ = rowQ.getAs[Long]("c_custkey")
+    val nmQ = t.customer.filter(col("c_custkey") === kQ).head()
+      .getAs[String]("c_name") + "\"q"
+    val balQ = new java.math.BigDecimal(
+      t.customer.filter(col("c_custkey") === kQ).head()
+        .getAs[Double]("c_acctbal"))
+      .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+    assert(rowQ.getAs[String]("line") ==
+      s"""$kQ;"${nmQ.replace("\"", "\\\"")}";$balQ""")
+    assert(rowQ.getAs[String]("line")
+      .replace("\\\"", "").count(_ == '"') == 2)
+    // NUL always renders as backslash + the CHARACTER '0'
+    // (select_into.go:100) — the %4==3 probe's rendered line must
+    // contain \0 and no raw NUL byte.
+    val rowN = res.filter(col("c_custkey") % 4 === 3).head()
+      .getAs[String]("line")
+    assert(rowN.contains("\\0z") && !rowN.contains("\u0000"))
     // NULL renders as backslash-N, unquoted.
     val n7 = res.filter(col("c_custkey") % 7 === 0).head()
       .getAs[String]("line")
