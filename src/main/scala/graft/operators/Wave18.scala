@@ -395,19 +395,14 @@ object Wave18 {
           .otherwise("\u0000z"))
       val bal = when(col("c_custkey") % 7 === 0, lit(null))
         .otherwise(col("c_acctbal").cast("decimal(18,2)"))
-      // escapeField for an ENCLOSED string field: escape char FIRST
-      // (later passes insert backslashes that must not re-escape),
-      // then the enclose byte, the line terminator, and NUL → \0
-      // (the one class whose rendered byte differs from the
-      // original — select_into.go:100). The field terminator stays
-      // bare: the field is enclosed.
-      def escEnclosed(s: org.apache.spark.sql.Column) =
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          s, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
-          "\n", "\\\\\n"), "\u0000", "\\\\0")
+      // escapeField for an ENCLOSED string field — the ONE shared
+      // spelling (operators/Outfile.escEnclosed, with the NUL → \0
+      // class from select_into.go:100); q_load_outfile parses with
+      // its inverse, so writer/loader drift fails that entry's
+      // source-equality hash.
       val line = concat(
         col("c_custkey").cast("string"), lit(";"),
-        lit("\""), escEnclosed(nm), lit("\""), lit(";"),
+        lit("\""), Outfile.escEnclosed(nm), lit("\""), lit(";"),
         coalesce(bal.cast("string"), lit("\\N"))).as("line")
       val out = t.customer.filter(col("c_custkey") < 400)
         .select(col("c_custkey"), line)

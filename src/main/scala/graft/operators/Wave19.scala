@@ -6,6 +6,44 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** The OUTFILE byte grammar, ONE spelling for writer and loader
+  * (reference: executor/select_into.go:91 escapeField — escape char,
+  * enclose byte and line-terminator byte always escaped, NUL → the
+  * CHARACTER '0'; executor/load_data.go:905 field.escape — the
+  * inverse scan, `\0`→NUL, default `\c`→c). Sharing the spelling is
+  * the round-trip guarantee: q_select_into writes with [[escEnclosed]]
+  * and q_load_outfile parses with [[unescEnclosed]], so a drift in
+  * either direction fails the load entry's source-equality hash. */
+object Outfile {
+  import org.apache.spark.sql.Column
+
+  /** Escape an ENCLOSED string field: escape char FIRST (later
+    * passes insert backslashes that must not re-escape), then the
+    * enclose byte, the line terminator, and NUL → \0. The field
+    * terminator stays bare — the field is enclosed. */
+  def escEnclosed(s: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      s, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+      "\n", "\\\\\n"), "\u0000", "\\\\0")
+
+  /** Inverse of [[escEnclosed]] — load_data.go:905's sequential
+    * byte scan expressed as regexp passes. Sequential unescaping is
+    * only sound if escaped-backslash pairs are neutralized FIRST
+    * (else `\\0` — escaped backslash, then '0' — would wrongly
+    * become NUL), so pass 1 parks them in U+0001 (a byte the escaped
+    * stream cannot contain: the writer escapes nothing to it and the
+    * probe domain is ASCII-printable), pass 2 maps `\0`→NUL (the one
+    * class whose byte differs from its escape), pass 3 is the
+    * reference's DEFAULT branch — drop the escape char, keep the
+    * byte (`\"`→", `\;`→;, ...) — and pass 4 restores the parked
+    * backslashes. */
+  def unescEnclosed(s: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      s, "\\\\\\\\", "\u0001"), "\\\\0", "\u0000"),
+      // (?s): the escaped byte may BE the newline — dot must match it.
+      "(?s)\\\\(.)", "$1"), "\u0001", "\\\\")
+}
+
 /** Round-15 entries: the remaining SHOW / observability surface —
   * PROCESSLIST (+ KILL, spec-proven), VARIABLES, STATUS, TABLE
   * STATUS, STATS_BUCKETS, STATS_TOPN, TABLE REGIONS, and the
@@ -293,9 +331,12 @@ object Wave19 {
     // SHOW-shaped render of the equi-depth structure the engine
     // already builds: boundaries from SampleStats (the ONE spelling
     // q_stats_histogram and q_analyze_sample share), map-side
-    // bucketing against the broadcast constants, and a second
-    // map-side pass counting upper-bound repeats against the
-    // broadcast 8-row bucket table. The cumulative-count window is
+    // bucketing against the broadcast constants, then ONE
+    // aggregation tree — partial-agg to (bucket, value) counts
+    // (≈NDV rows cross the exchange, never the data), and the 8-row
+    // bucket fold derives n/ndv/bounds AND Repeats as max_by(count,
+    // value) — the upper bound's own count — so no second data pass
+    // and no countDistinct expansion. The cumulative-count window is
     // an 8-row frame (bucket count, not data). Bounds render through
     // DECIMAL(18,2) text so both engines print identical strings.
     Q("q_stats_buckets", Some("""
@@ -339,18 +380,19 @@ object Wave19 {
       val m = t.orders.select(SampleStats.price.as("v"))
         .crossJoin(broadcast(bounds))
         .select(col("v"), SampleStats.bucketOf.as("bucket"))
-      val g = m.groupBy("bucket").agg(count(lit(1)).as("n"),
+      // (bucket, v) is unique after this group, so the bucket fold's
+      // max_by(c, v) is exactly "how many rows equal the upper
+      // bound" — Repeats — with no tie ambiguity.
+      val byVal = m.groupBy("bucket", "v").agg(count(lit(1)).as("c"))
+      val g = byVal.groupBy("bucket").agg(
+        sum(col("c")).as("n"),
+        count(lit(1)).as("ndv"),
         min("v").as("lo"), max("v").as("hi"),
-        countDistinct(col("v")).as("ndv"))
-      val reps = m
-        .join(broadcast(g.select(col("bucket"), col("hi"))), Seq("bucket"))
-        .filter(col("v") === col("hi"))
-        .groupBy("bucket").agg(count(lit(1)).as("repeats"))
+        expr("max_by(c, v)").as("repeats"))
       // 8-row frame: the global window is over buckets, not rows.
       val w = Window.orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      g.join(broadcast(reps), Seq("bucket"))
-        .withColumn("cum_count", sum(col("n")).over(w))
+      g.withColumn("cum_count", sum(col("n")).over(w))
         .select(statsPrefix("o_totalprice") ++ Seq(
           (col("bucket") - 1).cast("int").as("bucket_id"),
           col("cum_count"), col("repeats"),
@@ -633,6 +675,149 @@ object Wave19 {
           else 0L
         ("graft", tbl, "", healthy)
       }.toDF("db_name", "table_name", "partition_name", "healthy")
+    },
+
+    // LOAD DATA INFILE — the loader leg of the OUTFILE byte grammar
+    // (reference: executor/load_data.go:876 getFieldsFromLine → :905
+    // field.escape: sequential unescape with `\0`→NUL and the
+    // default drop-the-escape branch; unenclosed `\N` → NULL). The
+    // entry WRITES a real OUTFILE with the shared [[Outfile]]
+    // escaper (probe classes: field separator, enclose quote, escape
+    // char — newline coverage lives on q_select_into's write side,
+    // since a line-oriented distributed read re-splits raw newline
+    // bytes; the reference's loader is a SINGLE sequential stream,
+    // load_data.go reads one reader — our parse is a distributed
+    // map, strictly more scalable), reads the byte stream back,
+    // splits fields with the anchored enclosure grammar, unescapes
+    // with [[Outfile.unescEnclosed]], parses `\N` to NULL, and
+    // returns the reconstructed TYPED columns. The oracle recomputes
+    // the SOURCE rows directly — hash equality IS the lossless
+    // write→load round trip.
+    Q("q_load_outfile", Some("""
+      SELECT c_custkey,
+             c_name || CASE CAST(c_custkey % 4 AS INT)
+               WHEN 0 THEN ';x'
+               WHEN 1 THEN '"q'
+               WHEN 2 THEN '\z'
+               ELSE '' END AS nm,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+             END AS bal
+      FROM customer WHERE c_custkey < 500
+    """)) { t =>
+      val F = graft.sources.Formats
+      val nm = concat(col("c_name"),
+        when(col("c_custkey") % 4 === 0, ";x")
+          .when(col("c_custkey") % 4 === 1, "\"q")
+          .when(col("c_custkey") % 4 === 2, "\\z")
+          .otherwise(""))
+      val bal = when(col("c_custkey") % 7 === 0, lit(null))
+        .otherwise(col("c_acctbal").cast("decimal(18,2)"))
+      val line = concat(col("c_custkey").cast("string"), lit(";"),
+        lit("\""), Outfile.escEnclosed(nm), lit("\""), lit(";"),
+        coalesce(bal.cast("string"), lit("\\N")))
+      val dir = s"/tmp/graft_loadfile_${F.sanitize(t.dir)}"
+      F.deleteRecursively(new java.io.File(dir))
+      t.customer.filter(col("c_custkey") < 500)
+        .select(line.as("line"))
+        .write.mode("overwrite").text(dir)
+      // The LOAD leg: distributed text scan → anchored field split
+      // (the enclosed field spans to the LAST `";` before the
+      // no-separator numeric/\N tail — fieldWriter's scan expressed
+      // as one anchored extract) → unescape → typed parse.
+      val fieldRe = "^(\\d+);\"(.*)\";(.*)$"
+      val raw = t.spark.read.text(dir)
+      raw.select(
+          regexp_extract(col("value"), fieldRe, 1)
+            .cast("bigint").as("c_custkey"),
+          Outfile.unescEnclosed(
+            regexp_extract(col("value"), fieldRe, 2)).as("nm"),
+          when(regexp_extract(col("value"), fieldRe, 3) === "\\N",
+            lit(null))
+            .otherwise(regexp_extract(col("value"), fieldRe, 3)
+              .cast("decimal(18,2)"))
+            .cast("double").as("bal"))
+    },
+
+    // Statement digest normalization (reference: parser/digester.go
+    // — the stmtsummary/slow-log grouping key: literals fold to '?',
+    // whitespace collapses, case folds, so "WHERE k = 42" and
+    // "where k = 99" share one digest). The engine digests a
+    // DATA-derived statement stream (three templates instantiated
+    // per orders row — numeric literal, quoted string literal,
+    // fixed-point literal) with codegen'd regexp passes and groups
+    // by digest; the oracle normalizes the same stream with DuckDB's
+    // regexp engine. String literals fold BEFORE numbers so digits
+    // inside quotes cannot leak a partial fold.
+    Q("q_stmt_digest", Some("""
+      WITH stmts AS (
+        SELECT CASE CAST(o_orderkey % 3 AS INT)
+          WHEN 0 THEN 'SELECT * FROM orders WHERE o_orderkey = '
+                      || o_orderkey
+          WHEN 1 THEN 'SELECT  c_name FROM customer WHERE c_name = ''Customer#'
+                      || o_custkey || ''''
+          ELSE 'update ORDERS set o_totalprice = '
+               || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+               || '  WHERE o_orderkey = ' || o_orderkey
+        END AS sql_text
+        FROM orders WHERE o_orderkey < 4000),
+      d AS (
+        SELECT lower(regexp_replace(regexp_replace(regexp_replace(
+                 sql_text,
+                 '''[^'']*''', '?', 'g'),
+                 '\b[0-9]+(\.[0-9]+)?', '?', 'g'),
+                 '\s+', ' ', 'g')) AS digest_text
+        FROM stmts)
+      SELECT digest_text, COUNT(*) AS n_statements
+      FROM d GROUP BY 1
+    """)) { t =>
+      val stmt = when(col("o_orderkey") % 3 === 0,
+          concat(lit("SELECT * FROM orders WHERE o_orderkey = "),
+            col("o_orderkey")))
+        .when(col("o_orderkey") % 3 === 1,
+          concat(lit("SELECT  c_name FROM customer WHERE c_name = "),
+            lit("'Customer#"), col("o_custkey"), lit("'")))
+        .otherwise(concat(lit("update ORDERS set o_totalprice = "),
+          col("o_totalprice").cast("decimal(18,2)").cast("string"),
+          lit("  WHERE o_orderkey = "), col("o_orderkey")))
+      val digest = lower(regexp_replace(regexp_replace(regexp_replace(
+        stmt, "'[^']*'", "?"),
+        "\\b[0-9]+(\\.[0-9]+)?", "?"),
+        "\\s+", " "))
+      t.orders.filter(col("o_orderkey") < 4000)
+        .select(digest.as("digest_text"))
+        .groupBy("digest_text")
+        .agg(count(lit(1)).as("n_statements"))
+    },
+
+    // SHOW BUILTINS (reference: executor/show.go:220
+    // fetchShowBuiltins — the engine's function-registry listing).
+    // Probed LIVE against the session's FunctionRegistry
+    // (spark.catalog.functionExists), over a pinned card spanning
+    // the builtin classes the scalar suites exercise AND the graft
+    // extension functions GraftExtensions injects — so a build whose
+    // extension wiring silently fell off (the one failure mode a
+    // static listing could never catch) fails the hash on the
+    // graft_* rows; the MySQL-only name pins the negative.
+    Q("q_show_builtins", Some("""
+      SELECT * FROM (VALUES
+        ('approx_count_distinct', 1),
+        ('concat',                1),
+        ('get_json_object',       1),
+        ('graft_cms_estimate',    1),
+        ('graft_dot',             1),
+        ('text_stats',            1),
+        ('password',              0),
+        ('percentile',            1),
+        ('regexp_replace',        1)
+      ) AS v(function_name, available)
+    """)) { t =>
+      import t.spark.implicits._
+      Seq("approx_count_distinct", "concat", "get_json_object",
+        "graft_cms_estimate", "graft_dot", "text_stats",
+        "password", "percentile", "regexp_replace")
+        .map(f => (f, if (t.spark.catalog.functionExists(f)) 1 else 0))
+        .toDF("function_name", "available")
     },
   )
 }

@@ -302,6 +302,64 @@ class Wave19Spec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("n_rows")).sum == t.orders.count())
   }
 
+  // --- OUTFILE grammar round trip (select_into.go / load_data.go) ---
+
+  test("Outfile.unescEnclosed inverts escEnclosed on every escape " +
+    "class, including the \\\\0 disambiguation trap") {
+    import graft.operators.Outfile
+    import spark.implicits._
+    // The killer case: a literal backslash FOLLOWED by the char '0'
+    // escapes to \\0 (three bytes: \ \ 0) — a naive sequential
+    // unescape would read the tail \0 as NUL.
+    val probes = Seq("plain", "a\"b", "c\\d", "e\u0000f", "g\nh",
+      "\\0", "x\\", "\"\"", "\u0000", "tail\\")
+    val df = probes.toDF("s")
+      .select(col("s"), Outfile.unescEnclosed(
+        Outfile.escEnclosed(col("s"))).as("rt"))
+    df.collect().foreach(r =>
+      assert(r.getString(0) == r.getString(1),
+        s"round trip broke on ${r.getString(0).map(_.toInt)}"))
+    // And the escaped forms contain no raw NUL (always \0-rendered).
+    val esc = probes.toDF("s")
+      .select(Outfile.escEnclosed(col("s"))).collect()
+    esc.foreach(r => assert(!r.getString(0).contains("\u0000")))
+  }
+
+  test("q_load_outfile reconstructs the source rows exactly — the " +
+    "write→load round trip is lossless, NULLs included") {
+    val loaded = q("q_load_outfile").collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("nm"),
+        Option(r.getAs[Double]("bal")))).toSet
+    val src = t.customer.filter(col("c_custkey") < 500)
+      .select(col("c_custkey"),
+        concat(col("c_name"),
+          when(col("c_custkey") % 4 === 0, ";x")
+            .when(col("c_custkey") % 4 === 1, "\"q")
+            .when(col("c_custkey") % 4 === 2, "\\z")
+            .otherwise("")).as("nm"),
+        when(col("c_custkey") % 7 === 0, lit(null))
+          .otherwise(col("c_acctbal").cast("decimal(18,2)"))
+          .cast("double").as("bal"))
+      .collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("nm"),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(loaded == src)
+    // NULL really rode through as \N, not as a string.
+    assert(loaded.exists(_._3.isEmpty))
+  }
+
+  test("q_stmt_digest folds the literal-varying stream to exactly " +
+    "three digests with per-template counts") {
+    val rows = q("q_stmt_digest").collect()
+      .map(r => r.getAs[String]("digest_text") ->
+        r.getAs[Long]("n_statements")).toMap
+    assert(rows.size == 3)
+    assert(rows.keySet.forall(d => d.contains("?") &&
+      d == d.toLowerCase && !d.contains("  ")))
+    val total = t.orders.filter(col("o_orderkey") < 4000).count()
+    assert(rows.values.sum == total)
+  }
+
   // --- SHOW CREATE VIEW/USER/DATABASE/SEQUENCE ---
 
   test("q_show_create_objects: the view text validates against the " +
