@@ -819,5 +819,105 @@ object Wave19 {
         .map(f => (f, if (t.spark.catalog.functionExists(f)) 1 else 0))
         .toDF("function_name", "available")
     },
+
+    // RENAME USER (reference: executor/simple.go:1075
+    // executeRenameUser — per pair, old must exist and new must not,
+    // checked against the state earlier pairs left; a failing pair
+    // rolls the whole statement back). The card proves the MOVE is
+    // total: direct privileges, role-inherited privileges, and the
+    // stored credential all answer under the NEW principal and go
+    // dark under the old — every cell a live Acl.verify /
+    // checkPassword / showGrants call — and the third stage drives a
+    // two-pair statement whose second pair fails (old absent), so
+    // the first pair's completed rename must ROLL BACK (atomicity is
+    // in the hash, not just the spec).
+    Q("q_rename_user", Some("""
+      SELECT * FROM (VALUES
+        ('1_created', 1, 0, 0, 1, 0, 0),
+        ('2_renamed', 0, 1, 1, 0, 1, 3),
+        ('3_atomic_rollback', 0, 1, 1, 0, 1, 3)
+      ) AS v(stage, cust_old, cust_new, ord_new,
+             pw_old, pw_new, lines_new)
+    """)) { t =>
+      import t.spark.implicits._
+      Acl.clear()
+      Acl.createUser("svc_old", "%", "pw1")
+      Acl.grant("svc_old", Seq("SELECT"), db = "graft", tbl = "customer")
+      Acl.grant("readers", Seq("SELECT"), db = "graft", tbl = "orders")
+      Acl.grantRole("readers", "svc_old")
+      def row(stage: String) = (stage,
+        if (Acl.verify("svc_old", "%", "graft", "customer", "SELECT")) 1 else 0,
+        if (Acl.verify("svc_new", "%", "graft", "customer", "SELECT")) 1 else 0,
+        if (Acl.verify("svc_new", "%", "graft", "orders", "SELECT")) 1 else 0,
+        if (Acl.checkPassword("svc_old", "%", "pw1")) 1 else 0,
+        if (Acl.checkPassword("svc_new", "%", "pw1")) 1 else 0,
+        Acl.showGrants("svc_new", "%").size)
+      val out = Seq.newBuilder[(String, Int, Int, Int, Int, Int, Int)]
+      out += row("1_created")
+      Acl.renameUser("svc_old", "%", "svc_new", "%")
+      out += row("2_renamed")
+      // Two-pair statement, second pair invalid -> NOTHING moves.
+      try Acl.renameUsers(Seq(
+        (("svc_new", "%"), ("svc_tmp", "%")),
+        (("ghost", "%"), ("svc_other", "%"))))
+      catch { case _: IllegalArgumentException => }
+      out += row("3_atomic_rollback")
+      Acl.clear()
+      out.result().toDF("stage", "cust_old", "cust_new", "ord_new",
+        "pw_old", "pw_new", "lines_new")
+    },
+
+    // SHOW BACKUPS / SHOW RESTORES (reference: executor/show.go:221
+    // fetchShowBRIE — the BRIE task queue render: destination,
+    // state, progress; executor/brie.go keeps the queue). Derived
+    // from the REAL backup layout on disk (Backup.dir — the ONE
+    // spelling q_backup_restore builds): the finished BACKUP row
+    // reads its row count from the persisted manifest, the RESTORE
+    // row runs a real digest-verified restore and counts what came
+    // back, and the 'running' row is a data-written-manifest-absent
+    // staging dir — the manifest-lands-last contract makes
+    // "manifest missing = still running" the honest state read, and
+    // an incomplete backup reports 0 durable rows. The oracle
+    // restates both finished counts straight from orders.
+    Q("q_show_backups", Some("""
+      SELECT 'BACKUP' AS kind, 'local' AS destination,
+             'done' AS state, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             100 AS progress_pct
+      FROM orders
+      UNION ALL
+      SELECT 'RESTORE', 'local', 'done', CAST(COUNT(*) AS BIGINT), 100
+      FROM orders
+      UNION ALL
+      SELECT 'BACKUP', 'local', 'running', CAST(0 AS BIGINT), 0
+    """)) { t =>
+      import t.spark.implicits._
+      val F = graft.sources.Formats
+      val bdir = Backup.dir(t)
+      if (!new java.io.File(s"$bdir/manifest/_SUCCESS").exists()) {
+        val snapshot = t.orders.select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"),
+          Exact.dec2(col("o_totalprice")).cast("double").as("o_price"))
+        Backup.write(snapshot, bdir)
+      }
+      val manifest = t.spark.read.parquet(s"$bdir/manifest").head()
+      val restored = Backup.restore(t.spark, bdir).count()
+      // An in-flight backup: data landing, manifest not yet written.
+      val staging = s"/tmp/graft_backup_running_${F.sanitize(t.dir)}"
+      if (!new java.io.File(s"$staging/data/_SUCCESS").exists())
+        t.orders.filter(col("o_orderkey") < 100)
+          .select("o_orderkey").write.mode("overwrite")
+          .parquet(s"$staging/data")
+      val runningDone =
+        new java.io.File(s"$staging/manifest/_SUCCESS").exists()
+      Seq(
+        ("BACKUP", "local", "done",
+          manifest.getAs[Long]("n_rows"), 100),
+        ("RESTORE", "local", "done", restored, 100),
+        ("BACKUP", "local",
+          if (runningDone) "done" else "running",
+          if (runningDone) -1L else 0L,
+          if (runningDone) 100 else 0))
+        .toDF("kind", "destination", "state", "n_rows", "progress_pct")
+    },
   )
 }

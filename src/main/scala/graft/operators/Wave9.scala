@@ -230,10 +230,7 @@ object Wave9 {
       val snapshot = t.orders.select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"),
         Exact.dec2(col("o_totalprice")).cast("double").as("o_price"))
-      val F = graft.sources.Formats
-      val bdir = F.cacheDir(
-        s"/tmp/graft_backup_${F.sanitize(t.dir)}",
-        F.contentFingerprint(s"${t.dir}/orders.parquet"))
+      val bdir = Backup.dir(t)
       if (!new java.io.File(s"$bdir/manifest/_SUCCESS").exists())
         Backup.write(snapshot, bdir)
       Backup.restore(t.spark, bdir)
@@ -245,6 +242,17 @@ object Wave9 {
   * (executor/brie.go analog). */
 object Backup {
   import org.apache.spark.sql.SparkSession
+
+  /** The backup layout root for a warehouse — ONE spelling shared by
+    * q_backup_restore (which builds it) and q_show_backups (which
+    * renders the BRIE queue from it), keyed by the source's content
+    * fingerprint so a data regen invalidates it. */
+  def dir(t: graft.Tables): String = {
+    val F = graft.sources.Formats
+    F.cacheDir(
+      s"/tmp/graft_backup_${F.sanitize(t.dir)}",
+      F.contentFingerprint(s"${t.dir}/orders.parquet"))
+  }
 
   /** Order-independent digest of a DataFrame: (row count, BIT_XOR of
     * a per-row 60-bit md5 over all columns' string renderings). NULL

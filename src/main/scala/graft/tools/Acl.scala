@@ -141,6 +141,76 @@ object Acl {
     defaultRoles -= ((user, host))
   }
 
+  /** RENAME USER old TO new [, old2 TO new2 ...] (reference:
+    * executor/simple.go:1075 executeRenameUser): per pair, the old
+    * principal must exist and the new must NOT — both checked
+    * AGAINST THE STATE LEFT BY EARLIER PAIRS, exactly like the
+    * reference's in-transaction sequential walk (so a chain
+    * `a TO b, b TO c` behaves as the reference's txn does) — and a
+    * failing pair rolls EVERY earlier pair back before throwing (the
+    * reference breaks and rolls back the internal transaction;
+    * MySQL-compat: the error names the failing pair). Every record
+    * keyed by the principal moves: privileges, grant-option flags,
+    * credentials, role edges (as grantee, and as the ROLE NAME for
+    * '%-host' principals), and active/default role sets —
+    * membership SETS also rewrite the role name, so a renamed role
+    * keeps contributing to its grantees. */
+  def renameUsers(
+      pairs: Seq[((String, String), (String, String))]): Unit =
+    synchronized {
+      val done = mutable.Buffer.empty[((String, String), (String, String))]
+      pairs.foreach { case pair @ ((ou, oh), (nu, nh)) =>
+        def fail(why: String): Nothing = {
+          done.reverseIterator.foreach { case ((u1, h1), (u2, h2)) =>
+            applyRename(u2, h2, u1, h1) // inverse is always valid
+          }
+          throw new IllegalArgumentException(
+            s"Operation RENAME USER failed for '$ou'@'$oh' TO " +
+              s"'$nu'@'$nh' ($why)")
+        }
+        if (!users.contains((ou, oh))) fail("old did not exist")
+        if (users.contains((nu, nh))) fail("new did exist")
+        applyRename(ou, oh, nu, nh)
+        done += pair
+      }
+    }
+
+  def renameUser(oldUser: String, oldHost: String, newUser: String,
+      newHost: String): Unit =
+    renameUsers(Seq(((oldUser, oldHost), (newUser, newHost))))
+
+  private def applyRename(ou: String, oh: String, nu: String,
+      nh: String): Unit = {
+    users -= ((ou, oh)); users += ((nu, nh))
+    privs.keys.filter(k => k.user == ou && k.host == oh).toSeq
+      .foreach { k =>
+        val v = privs.remove(k).get
+        privs(Key(nu, nh, k.db, k.tbl)) = v
+      }
+    grantOption.filter(k => k.user == ou && k.host == oh).toSeq
+      .foreach { k =>
+        grantOption -= k; grantOption += Key(nu, nh, k.db, k.tbl)
+      }
+    auth.remove((ou, oh)).foreach(a => auth((nu, nh)) = a)
+    // Role edges: the grantee leg moves with the principal; the ROLE
+    // NAME leg (identity at the '%' convention host) renames only
+    // when both sides live there.
+    val renamesRole = oh == "%" && nh == "%"
+    val edges = roleEdges.toSeq
+    roleEdges.clear()
+    edges.foreach { case (r, u, h) =>
+      val r2 = if (renamesRole && r == ou) nu else r
+      val (u2, h2) = if (u == ou && h == oh) (nu, nh) else (u, h)
+      roleEdges += ((r2, u2, h2))
+    }
+    Seq(activeRoles, defaultRoles).foreach { m =>
+      m.remove((ou, oh)).foreach(s => m((nu, nh)) = s)
+      if (renamesRole)
+        m.mapValuesInPlace((_, s) =>
+          if (s.contains(ou)) s - ou + nu else s)
+    }
+  }
+
   /** Does the principal hold `priv` WITH GRANT OPTION at a scope
     * covering db.tbl? Direct scopes only, through the grant-option
     * lattice — the executor/grant.go grantor check (MySQL's

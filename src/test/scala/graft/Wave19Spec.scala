@@ -302,6 +302,51 @@ class Wave19Spec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("n_rows")).sum == t.orders.count())
   }
 
+  // --- RENAME USER (simple.go:1075) / SHOW BACKUPS (show.go:221) ---
+
+  test("renameUsers: chained pairs see earlier renames, rollback " +
+    "restores every moved record, and a renamed ROLE keeps " +
+    "contributing to its grantees") {
+    Acl.clear()
+    // A chain the reference's in-txn walk allows: a->b then the
+    // freed name b... (a TO b, c TO a) — c takes a's just-freed name.
+    Acl.createUser("a", "%", "pa")
+    Acl.createUser("c", "%", "pc")
+    Acl.renameUsers(Seq((("a", "%"), ("b", "%")), (("c", "%"), ("a", "%"))))
+    assert(Acl.checkPassword("b", "%", "pa"))
+    assert(Acl.checkPassword("a", "%", "pc"))
+    // Renaming a ROLE rewrites the edge and member sets: grantees
+    // keep inheriting under the new role name.
+    Acl.grant("r_old", Seq("SELECT"), db = "graft", tbl = "customer")
+    Acl.grantRole("r_old", "b")
+    Acl.setRole("b", "%", Seq("r_old"))
+    Acl.renameUser("r_old", "%", "r_new", "%")
+    assert(Acl.verify("b", "%", "graft", "customer", "SELECT",
+      honorActiveRoles = true))
+    assert(Acl.showGrants("b", "%").exists(_.contains("r_new")))
+    // Rollback: second pair fails, the first pair's rename undoes —
+    // including privileges and the role edge.
+    intercept[IllegalArgumentException] {
+      Acl.renameUsers(Seq((("b", "%"), ("b2", "%")),
+        (("nope", "%"), ("x", "%"))))
+    }
+    assert(Acl.checkPassword("b", "%", "pa"))
+    assert(Acl.verify("b", "%", "graft", "customer", "SELECT",
+      honorActiveRoles = true))
+    assert(!Acl.checkPassword("b2", "%", "pa"))
+    Acl.clear()
+  }
+
+  test("q_show_backups: manifest-absent staging dir renders running " +
+    "with zero durable rows; finishing the manifest flips it") {
+    val rows = q("q_show_backups").collect()
+    val running = rows.find(_.getAs[String]("state") == "running")
+    assert(running.isDefined && running.get.getAs[Long]("n_rows") == 0L)
+    val done = rows.filter(_.getAs[String]("state") == "done")
+    assert(done.length == 2 &&
+      done.forall(_.getAs[Long]("n_rows") == t.orders.count()))
+  }
+
   // --- OUTFILE grammar round trip (select_into.go / load_data.go) ---
 
   test("Outfile.unescEnclosed inverts escEnclosed on every escape " +
