@@ -594,8 +594,16 @@ final case class Graph(edges: DataFrame) {
     * Σdeg) and one per-node min_by agg — state is |V| rows, nothing
     * wider than an edge shuffles, hub vertices are safe because label
     * counts combine map-side before the exchange. */
-  def labelPropagation(iters: Int): DataFrame = {
-    val und = oriented("both").cp()
+  def labelPropagation(iters: Int): DataFrame =
+    labelPropagation(iters, oriented("both").cp())
+
+  /** [[labelPropagation]] over a caller-supplied (already
+    * checkpointed) both-orientation edge list — callers that also
+    * need the undirected edges themselves (g_modularity's within-
+    * community count) pass theirs in so the derived-edge build runs
+    * ONCE, not once per consumer. */
+  def labelPropagation(iters: Int, undPre: DataFrame): DataFrame = {
+    val und = undPre
     def round(l: DataFrame): DataFrame =
       und.as("E").join(l.as("L"), expr("E.dst = L.node"))
         .groupBy(col("E.src").as("node"), col("L.lbl").as("lbl"))

@@ -796,7 +796,9 @@ object GraphQueries {
     // LPA stages plus the same arithmetic.
     Q("g_modularity", Some(modularityOracle(4))) { t =>
       val und = Graph.derived(t.orders).oriented("both").localCheckpoint()
-      val lab = Graph.derived(t.orders).labelPropagation(iters = 4)
+      // Pass und in: the derived-edge build + undirect runs ONCE for
+      // both the LPA rounds and the within-community edge count.
+      val lab = Graph.derived(t.orders).labelPropagation(iters = 4, und)
       val m2 = und.agg(count(lit(1)).as("m2"))
       val within = und
         .join(lab.select(col("node").as("src"), col("lbl").as("la")), "src")

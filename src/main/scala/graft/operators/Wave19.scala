@@ -919,5 +919,49 @@ object Wave19 {
           if (runningDone) 100 else 0))
         .toDF("kind", "destination", "state", "n_rows", "progress_pct")
     },
+
+    // AES_ENCRYPT / AES_DECRYPT (reference:
+    // expression/builtin_encryption.go — TiDB's default
+    // block_encryption_mode is aes-128-ecb; the GCM-class modes are
+    // the nonce'd variants). Ciphertext bytes are engine-specific
+    // (and GCM is nonce-randomized), so the oracle pins what IS
+    // engine-neutral: the DECRYPT∘ENCRYPT round trip returns the
+    // exact source text (stated by the oracle as the source itself —
+    // hash equality proves the cipher is lossless), the ECB/PKCS
+    // ciphertext length is the padded block arithmetic
+    // 16·(⌊len/16⌋+1), the GCM length is len + 12-byte IV + 16-byte
+    // tag, and a wrong-key decrypt NULLs under try_aes_decrypt
+    // (never garbage, never an error). All codegen'd built-ins.
+    Q("q_func_aes", Some("""
+      SELECT c_custkey, c_name AS rt_ecb, c_name AS rt_gcm,
+             CAST(16 * (strlen(c_name) // 16 + 1) AS INT) AS len_ecb,
+             CAST(strlen(c_name) + 28 AS INT) AS len_gcm,
+             1 AS wrong_key_nulls
+      FROM customer WHERE c_custkey < 300
+    """)) { t =>
+      val ecb = expr(
+        "aes_encrypt(cast(c_name as binary), '0123456789abcdef', " +
+          "'ECB', 'PKCS')")
+      val gcm = expr(
+        "aes_encrypt(cast(c_name as binary), '0123456789abcdef', " +
+          "'GCM', 'DEFAULT')")
+      t.customer.filter(col("c_custkey") < 300)
+        .select(col("c_custkey"),
+          expr("cast(aes_decrypt(" +
+            "aes_encrypt(cast(c_name as binary), '0123456789abcdef'," +
+            " 'ECB', 'PKCS'), '0123456789abcdef', 'ECB', 'PKCS') " +
+            "as string)").as("rt_ecb"),
+          expr("cast(aes_decrypt(" +
+            "aes_encrypt(cast(c_name as binary), '0123456789abcdef'," +
+            " 'GCM', 'DEFAULT'), '0123456789abcdef', 'GCM', " +
+            "'DEFAULT') as string)").as("rt_gcm"),
+          octet_length(ecb).cast("int").as("len_ecb"),
+          octet_length(gcm).cast("int").as("len_gcm"),
+          when(expr(
+            "try_aes_decrypt(aes_encrypt(cast(c_name as binary), " +
+              "'0123456789abcdef', 'ECB', 'PKCS'), " +
+              "'fedcba9876543210', 'ECB', 'PKCS')").isNull, 1)
+            .otherwise(0).as("wrong_key_nulls"))
+    },
   )
 }

@@ -405,6 +405,24 @@ class Wave19Spec extends SparkSpecBase {
     assert(rows.values.sum == total)
   }
 
+  test("q_func_aes: ECB is deterministic, GCM is nonce-randomized, " +
+    "both round-trip; wrong key NULLs") {
+    val rows = q("q_func_aes").collect()
+    assert(rows.forall(_.getAs[Int]("wrong_key_nulls") == 1))
+    // Determinism split, probed directly: same input twice.
+    val probe = spark.sql(
+      "SELECT aes_encrypt(cast('x' as binary), '0123456789abcdef', " +
+        "'ECB', 'PKCS') AS a, aes_encrypt(cast('x' as binary), " +
+        "'0123456789abcdef', 'ECB', 'PKCS') AS b, " +
+        "aes_encrypt(cast('x' as binary), '0123456789abcdef', " +
+        "'GCM', 'DEFAULT') AS c, aes_encrypt(cast('x' as binary), " +
+        "'0123456789abcdef', 'GCM', 'DEFAULT') AS d").head()
+    assert(java.util.Arrays.equals(probe.getAs[Array[Byte]]("a"),
+      probe.getAs[Array[Byte]]("b")))
+    assert(!java.util.Arrays.equals(probe.getAs[Array[Byte]]("c"),
+      probe.getAs[Array[Byte]]("d")))
+  }
+
   // --- SHOW CREATE VIEW/USER/DATABASE/SEQUENCE ---
 
   test("q_show_create_objects: the view text validates against the " +
