@@ -867,6 +867,75 @@ object AnnQueries {
         .select(col("qid").as("src"), col("vec_id").as("dst"),
           col("cos"), col("r_src").isNotNull.cast("int").as("mutual"))
     },
+
+    // BEAM SEARCH over the kNN graph — the SEARCH leg of the graph
+    // the two entries above BUILD (the HNSW/NSG serving pattern: hop
+    // the neighbor graph greedily instead of scanning cells).
+    // Frontier = top-`beam` nodes per query; each step expands ONE
+    // graph hop (keyed equi-join frontier.node = edges.src — the
+    // |Q|·beam·k candidate set, never corpus²), scores candidates
+    // against the broadcast query vectors, and re-ranks
+    // frontier ∪ candidates through the map-side-combining
+    // TopKByRank aggregate, so only `beam` rows per (query,
+    // partition) ever cross an exchange. Four spread entry points
+    // seed the walk (single-seed greedy stalls on this
+    // near-isotropic synthetic corpus — the same observation
+    // s_knn_graph_ivf documents for nprobe). Float-iterative →
+    // rows-only; the spec pins recall vs the exact top-3 and the
+    // exact-arrival invariant (a query reachable in ≤ steps hops
+    // finds its true best neighbor).
+    Q("s_knn_beam", None) { t =>
+      val (beam, steps, topk) = (12, 5, 3)
+      val pool = vecs(t).filter(col("vec_id") < 200).localCheckpoint()
+      val qsAll = pool.select(col("vec_id").as("qid"),
+        col("v").as("qv"), col("nv").as("nq"))
+      // SYMMETRIZED links (HNSW keeps bidirectional connectivity —
+      // a directed k-NN edge is followable from either end).
+      val knnE = rerankTopK(pool.crossJoin(broadcast(qsAll)),
+          topk = 3, dedup = false)
+        .select(col("qid").as("src"), col("vec_id").as("dst"))
+      val edges = knnE.unionByName(
+          knnE.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+      val queries = qsAll.filter(col("qid") % 10 === 7).localCheckpoint()
+      def score(cand: DataFrame): DataFrame =
+        cand.join(pool, "vec_id")
+          .join(broadcast(queries), "qid")
+          .select(col("qid"), col("vec_id"),
+            round(cosinePre(col("qv"), col("v"), col("nq"), col("nv")),
+              8).as("c"))
+      var frontier = score(queries.select("qid")
+        .crossJoin(broadcast(pool.filter(
+          col("vec_id").isin(1L, 53L, 101L, 151L)).select("vec_id"))))
+        .localCheckpoint()
+      for (_ <- 1 to steps) {
+        val cand = frontier
+          .join(edges, frontier("vec_id") === edges("src"))
+          .select(col("qid"), col("dst").as("vec_id")).distinct()
+        frontier = frontier.unionByName(score(cand))
+          // identical pairs rescore identically (round-8 cosine), so
+          // the arbitrary-row dedup is deterministic here
+          .dropDuplicates("qid", "vec_id")
+          .groupBy("qid")
+          .agg(graft.functions.TopKByRank.col(col("c"), col("vec_id"),
+            col("c"), beam).as("tk"))
+          .select(col("qid"), explode(col("tk")).as("e"))
+          .select(col("qid"), col("e.id").as("vec_id"),
+            col("e.payload").as("c"))
+        // One checkpoint per hop: chaining two hops per job was
+        // measured SLOWER normalized (the lineage re-runs two TopK
+        // aggregations per job) — the frontier is tiny, scheduling
+        // is the floor either way.
+        frontier = frontier.localCheckpoint()
+      }
+      frontier.filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid")
+        .agg(graft.functions.TopKByRank.col(col("c"), col("vec_id"),
+          col("c"), topk).as("tk"))
+        .select(col("qid"), explode(col("tk")).as("e"))
+        .select(col("qid"), col("e.id").as("vec_id"),
+          round(col("e.payload"), 4).as("cos"))
+    },
   )
 
   /** Unrolled MMR oracle (oracled since r8): the greedy selection is

@@ -963,5 +963,62 @@ object Wave19 {
               "'fedcba9876543210', 'ECB', 'PKCS')").isNull, 1)
             .otherwise(0).as("wrong_key_nulls"))
     },
+
+    // PAD SPACE collation semantics (reference: util/collate/
+    // collate.go:256 truncateTailingSpace — every non-binary MySQL
+    // collation is PAD SPACE: trailing spaces are INSIGNIFICANT for
+    // compare/group/distinct, 'abc' = 'abc  '; only the binary
+    // collation distinguishes them). Spark's collations are all
+    // NO PAD, so the engine realizes PAD SPACE as rtrim-before-
+    // compare composed with the collated comparator (rtrim ∘
+    // UTF8_BINARY for _bin, rtrim ∘ UTF8_LCASE for _ci) — staged
+    // over a padded probe (0/1/2 trailing spaces by key): distinct
+    // counts under binary vs pad-bin vs pad-ci grouping, and live
+    // equality probes for each comparator class. The oracle
+    // restates the semantics with DuckDB's independent
+    // rtrim/lower. At scale the rtrim rides the grouping key
+    // map-side — no extra exchange.
+    Q("q_collate_padspace", Some("""
+      WITH p AS (
+        SELECT c_mktsegment ||
+               CASE CAST(c_custkey % 3 AS INT)
+                 WHEN 0 THEN '' WHEN 1 THEN ' ' ELSE '  ' END AS seg,
+               c_mktsegment AS base, c_custkey
+        FROM customer)
+      SELECT
+        CAST(COUNT(DISTINCT seg) AS BIGINT) AS nd_binary,
+        CAST(COUNT(DISTINCT rtrim(seg)) AS BIGINT) AS nd_padbin,
+        CAST(COUNT(DISTINCT lower(rtrim(seg))) AS BIGINT) AS nd_padci,
+        CAST(SUM(CASE WHEN seg = base THEN 1 ELSE 0 END) AS BIGINT)
+          AS eq_binary,
+        CAST(SUM(CASE WHEN rtrim(seg) = base THEN 1 ELSE 0 END)
+          AS BIGINT) AS eq_padbin,
+        CAST(SUM(CASE WHEN lower(rtrim(seg)) = lower(base) THEN 1
+                 ELSE 0 END) AS BIGINT) AS eq_padci
+      FROM p
+    """)) { t =>
+      val seg = concat(col("c_mktsegment"),
+        when(col("c_custkey") % 3 === 0, "")
+          .when(col("c_custkey") % 3 === 1, " ")
+          .otherwise("  "))
+      // PAD SPACE comparator classes: rtrim composed with the LIVE
+      // collated comparator (the same engine collators
+      // q_show_collation probes).
+      def padBin(c: org.apache.spark.sql.Column) =
+        collate(rtrim(c), "UTF8_BINARY")
+      def padCi(c: org.apache.spark.sql.Column) =
+        collate(rtrim(c), "UTF8_LCASE")
+      t.customer.select(seg.as("seg"), col("c_mktsegment").as("base"))
+        .agg(
+          countDistinct(col("seg")).as("nd_binary"),
+          countDistinct(padBin(col("seg"))).as("nd_padbin"),
+          countDistinct(padCi(col("seg"))).as("nd_padci"),
+          sum(when(col("seg") === col("base"), 1L).otherwise(0L))
+            .as("eq_binary"),
+          sum(when(padBin(col("seg")) === padBin(col("base")), 1L)
+            .otherwise(0L)).as("eq_padbin"),
+          sum(when(padCi(col("seg")) === padCi(col("base")), 1L)
+            .otherwise(0L)).as("eq_padci"))
+    },
   )
 }
