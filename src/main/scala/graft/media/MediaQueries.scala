@@ -215,6 +215,57 @@ object MediaQueries {
             .when(col("n_bytes") < 120, "too_short")
             .otherwise("ok").as("verdict"))
     },
+
+    // AUDIO SEGMENTATION (pipeline mandate — the audio leg of the
+    // modality triple beside m_multimodal's image metadata and
+    // m_media_frames' video sampling): the payload is treated as
+    // 8-bit 16 kHz PCM (1 byte = 1 sample — the honest stub; a real
+    // container parses a codec here), cut into 256-sample windows
+    // (16 ms), up to the first 8 segments per document. Per segment:
+    // start offset, REAL slice byte-length (the last window is
+    // partial — length arithmetic is data-derived, not assumed),
+    // and the segment fingerprint over the hex rendering of the raw
+    // byte slice (the m_media_frames convention — byte-exact, safe
+    // across multibyte boundaries, and DuckDB-restatable). Plumbing
+    // is the real thing: map-side sequence+explode, binary substr,
+    // no shuffle until a consumer aggregates.
+    Q("m_audio_segments", Some("""
+      WITH m AS (
+        SELECT doc_id, HEX(ENCODE(text)) AS hx,
+               OCTET_LENGTH(ENCODE(text)) AS n_samples
+        FROM documents),
+      f AS (
+        SELECT doc_id, hx, n_samples,
+               UNNEST(range(0, LEAST(
+                 CAST(CEIL(n_samples / 256.0) AS INT), 8))) AS seg_idx
+        FROM m WHERE n_samples > 0)
+      SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+             CAST(seg_idx * 16 AS INT) AS start_ms,
+             CAST(LEAST(n_samples - seg_idx * 256, 256) AS INT)
+               AS seg_samples,
+             MD5(SUBSTR(hx, seg_idx * 512 + 1, 512)) AS seg_fp
+      FROM f
+    """)) { t =>
+      val payload = encode(col("text"), "UTF-8")
+      t.fan(t.documents)
+        .select(col("doc_id"), payload.as("payload"),
+          length(payload).cast("long").as("n_samples"))
+        // n_samples = 0 guard: Spark's sequence(0, -1) COUNTS DOWN
+        // ([0, -1]) where DuckDB's range(0, 0) is empty — an empty
+        // payload must emit no segments on both engines.
+        .filter(col("n_samples") > 0)
+        .select(col("doc_id"), col("payload"), col("n_samples"),
+          explode(sequence(lit(0),
+            least(ceil(col("n_samples") / 256.0).cast("int"), lit(8))
+              - 1)).as("seg_idx"))
+        .select(col("doc_id"), col("seg_idx").cast("int").as("seg_idx"),
+          (col("seg_idx") * 16).cast("int").as("start_ms"),
+          least(col("n_samples") - col("seg_idx") * 256L, lit(256L))
+            .cast("int").as("seg_samples"),
+          md5(hex(col("payload").substr(
+            (col("seg_idx") * 256 + 1).cast("int"), lit(256))))
+            .as("seg_fp"))
+    },
   )
 
   /** ≤4 uniformly spaced 64-byte frames per document, fingerprinted

@@ -43,4 +43,34 @@ class MediaSpec extends SparkSpecBase {
       assert(rows(i) == fp, s"frame $i: byte slicing drifted")
     }
   }
+
+  test("m_audio_segments: partial last window is real slice length, " +
+    "fingerprints match hand-sliced bytes, cap at 8 segments") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.all.find(_.name == "m_audio_segments").get
+      .run(t).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // Pick one real document and recompute its segments by hand.
+    val doc = t.documents.orderBy("doc_id")
+      .select("doc_id", "text").head()
+    val id = doc.getLong(0)
+    val bytes = doc.getString(1).getBytes("UTF-8")
+    val nSeg = math.min(math.ceil(bytes.length / 256.0).toInt, 8)
+    val segs = rows(id).sortBy(_.getAs[Int]("seg_idx"))
+    assert(segs.length == nSeg)
+    val mdRef = java.security.MessageDigest.getInstance("MD5")
+    segs.foreach { r =>
+      val i = r.getAs[Int]("seg_idx")
+      assert(r.getAs[Int]("start_ms") == i * 16)
+      val slice = bytes.slice(i * 256,
+        math.min(i * 256 + 256, bytes.length))
+      assert(r.getAs[Int]("seg_samples") == slice.length)
+      val hexStr = slice.map(b => f"$b%02X").mkString
+      val fp = mdRef.digest(hexStr.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(r.getAs[String]("seg_fp") == fp, s"segment $i drifted")
+    }
+    // Nothing emits more than the 8-segment cap.
+    rows.values.foreach(g => assert(g.length <= 8))
+  }
 }
