@@ -880,10 +880,13 @@ object AnnQueries {
     // partition) ever cross an exchange. Four spread entry points
     // seed the walk (single-seed greedy stalls on this
     // near-isotropic synthetic corpus — the same observation
-    // s_knn_graph_ivf documents for nprobe). Float-iterative →
-    // rows-only; the spec pins recall vs the exact top-3 and the
-    // exact-arrival invariant (a query reachable in ≤ steps hops
-    // finds its true best neighbor).
+    // s_knn_graph_ivf documents for nprobe). The LINK BUILD here
+    // rides the bounded-pool brute graph (s_knn_graph's declared
+    // baseline); at 100 TB the links come from s_knn_graph_ivf's
+    // bucketed build — the SEARCH loop, which is what this entry
+    // pins, is unchanged either way. Float-iterative → rows-only;
+    // the spec pins recall ≥ 0.75 vs the exact top-3 (measured
+    // 0.85) and exact per-query row counts.
     Q("s_knn_beam", None) { t =>
       val (beam, steps, topk) = (12, 5, 3)
       val pool = vecs(t).filter(col("vec_id") < 200).localCheckpoint()

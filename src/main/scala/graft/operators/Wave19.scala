@@ -99,17 +99,23 @@ object Wave19 {
     * restates the same predicates). Returns
     * (table, modify_count, row_count) rows. */
   private def stagedStatsDeltas(t: Tables): Seq[(String, Long, Long)] = {
-    val d = t.orders.filter(col("o_orderkey") % 29 === 3).count()
-    val u = t.orders.filter(col("o_orderkey") % 13 === 4 &&
-      col("o_orderkey") % 29 =!= 3).count()
-    val i = t.orders.filter(col("o_orderkey") % 53 === 9).count()
-    val nOrders = t.orders.count()
+    // ONE aggregate pass over orders for all three mutation-class
+    // counts plus the total (not four separate count() jobs).
+    val o = t.orders.agg(
+      sum(when(col("o_orderkey") % 29 === 3, 1L).otherwise(0L))
+        .as("d"),
+      sum(when(col("o_orderkey") % 13 === 4 &&
+        col("o_orderkey") % 29 =!= 3, 1L).otherwise(0L)).as("u"),
+      sum(when(col("o_orderkey") % 53 === 9, 1L).otherwise(0L))
+        .as("i"),
+      count(lit(1)).as("n")).head()
     val nNation = t.nation.count()
     val nCust = t.customer.count()
     Seq(
       ("customer", 0L, nCust),
       ("nation", 2L * nNation, nNation),
-      ("orders", d + u + i, nOrders))
+      ("orders", o.getAs[Long]("d") + o.getAs[Long]("u") +
+        o.getAs[Long]("i"), o.getAs[Long]("n")))
   }
 
   val all: Seq[Q] = Seq(
@@ -930,8 +936,12 @@ object Wave19 {
     // hash equality proves the cipher is lossless), the ECB/PKCS
     // ciphertext length is the padded block arithmetic
     // 16·(⌊len/16⌋+1), the GCM length is len + 12-byte IV + 16-byte
-    // tag, and a wrong-key decrypt NULLs under try_aes_decrypt
-    // (never garbage, never an error). All codegen'd built-ins.
+    // tag, and a wrong-key decrypt NULLs under try_aes_decrypt —
+    // probed on GCM, whose auth tag makes a false accept ~2^-128;
+    // ECB/PKCS would accept a wrong key whenever the garbage final
+    // block happens to end in valid padding (~1/256 per row), which
+    // is a probabilistic card, not an invariant. All codegen'd
+    // built-ins.
     Q("q_func_aes", Some("""
       SELECT c_custkey, c_name AS rt_ecb, c_name AS rt_gcm,
              CAST(16 * (strlen(c_name) // 16 + 1) AS INT) AS len_ecb,
@@ -959,8 +969,8 @@ object Wave19 {
           octet_length(gcm).cast("int").as("len_gcm"),
           when(expr(
             "try_aes_decrypt(aes_encrypt(cast(c_name as binary), " +
-              "'0123456789abcdef', 'ECB', 'PKCS'), " +
-              "'fedcba9876543210', 'ECB', 'PKCS')").isNull, 1)
+              "'0123456789abcdef', 'GCM', 'DEFAULT'), " +
+              "'fedcba9876543210', 'GCM', 'DEFAULT')").isNull, 1)
             .otherwise(0).as("wrong_key_nulls"))
     },
 

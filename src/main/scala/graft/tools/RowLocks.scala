@@ -80,7 +80,14 @@ object RowLocks {
     * statement is an error, not a quieter plan. */
   def collectKeys(df: org.apache.spark.sql.DataFrame, keyCol: String,
       cap: Int = graft.operators.IndexLookup.KeyBatchCap): Seq[Long] = {
-    val rows = df.select(keyCol).limit(cap + 1).collect()
+    import org.apache.spark.sql.functions.col
+    // The quota meters what acquire() will LOCK: distinct non-null
+    // keys. A non-unique scan emitting the same row key per index
+    // entry must not trip the cap on raw row count (acquire dedups
+    // at entry), and a NULL "key" is no row at all — SelectLockExec
+    // locks handles, which are never null.
+    val rows = df.select(keyCol).where(col(keyCol).isNotNull)
+      .distinct().limit(cap + 1).collect()
     require(rows.length <= cap,
       s"SELECT ... FOR UPDATE selects more than $cap keys — the " +
         "lock-buffer quota would be exceeded; narrow the predicate")

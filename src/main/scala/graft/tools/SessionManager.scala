@@ -34,7 +34,7 @@ object SessionManager {
 
   final case class Proc(id: Long, user: String, host: String,
       db: String, var command: String, var state: String,
-      var info: Option[String], var rowsSent: Long, var killed: Boolean)
+      var info: Option[String], var rowsSent: Long)
 
   private val procs = mutable.LinkedHashMap.empty[Long, Proc]
   private val counters = mutable.LinkedHashMap.empty[String, Long]
@@ -57,7 +57,7 @@ object SessionManager {
     synchronized {
       nextId += 1
       procs(nextId) = Proc(nextId, user, host, db, "Sleep", "", None,
-        0L, killed = false)
+        0L)
       bump("Connections")
       nextId
     }
@@ -74,9 +74,11 @@ object SessionManager {
     * (Com_select, Com_show, ...). */
   def begin(id: Long, sql: String, comClass: String = "Com_select"): Unit =
     synchronized {
+      // A killed connection was removed from the registry, so a
+      // statement on it fails here as unknown — the MySQL "gone
+      // away" analog.
       val p = procs.getOrElse(id,
         throw new IllegalArgumentException(s"unknown connection $id"))
-      require(!p.killed, s"connection $id was killed")
       p.command = "Query"; p.state = "executing"; p.info = Some(sql)
       bump("Questions"); bump(comClass)
     }
@@ -84,11 +86,15 @@ object SessionManager {
   /** Statement end: back to Sleep, Info clears (the reference's
     * Sleep rows render NULL Info), result size accumulates. */
   def finish(id: Long, rowsSent: Long = 0L): Unit = synchronized {
+    // A statement finishing on a connection KILL already removed
+    // counts nothing: the rows were never delivered to a live
+    // client, and the global counter must agree with the
+    // per-connection bookkeeping.
     procs.get(id).foreach { p =>
       p.command = "Sleep"; p.state = ""; p.info = None
       p.rowsSent += rowsSent
+      bump("Rows_sent", rowsSent)
     }
-    bump("Rows_sent", rowsSent)
   }
 
   def disconnect(id: Long): Unit = synchronized { procs -= id }
@@ -100,8 +106,7 @@ object SessionManager {
     * the id existed. */
   def kill(spark: SparkSession, id: Long): Boolean = synchronized {
     procs.get(id) match {
-      case Some(p) =>
-        p.killed = true
+      case Some(_) =>
         spark.sparkContext.cancelJobGroup(jobGroup(id))
         procs -= id
         bump("Com_kill")

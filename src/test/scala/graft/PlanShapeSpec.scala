@@ -544,4 +544,35 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"unkeyed join in the cascade:\n$p")
   }
+
+  test("q_table_status folds fixed widths to constants — scans read " +
+    "only the variable-width columns") {
+    val p = plan("q_table_status")
+    // The nation scan needs n_name (string width) but never the two
+    // int columns, whose widths folded to literals.
+    val nationRead = p.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("n_name"))
+    assert(nationRead.isDefined, s"nation scan missing:\n$p")
+    assert(!nationRead.get.contains("n_nationkey") &&
+      !nationRead.get.contains("n_regionkey"),
+      s"fixed-width columns read from parquet: ${nationRead.get}")
+  }
+
+  test("q_load_outfile parses distributedly — no collect, no " +
+    "cartesian, one text scan") {
+    val p = plan("q_load_outfile")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"load parse must be a map:\n$p")
+    // The whole parse is map-side: no exchange between the text scan
+    // and the projection.
+    assert(!p.contains("Exchange"), s"load parse should not shuffle:\n$p")
+  }
+
+  test("q_stats_buckets exchanges (bucket, value) partials, never " +
+    "the data rows") {
+    val p = plan("q_stats_buckets")
+    // Map-side partial aggregation before the one shuffle.
+    assert(p.contains("partial"), s"no map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
 }
