@@ -1030,5 +1030,44 @@ object Wave19 {
           sum(when(padCi(col("seg")) === padCi(col("base")), 1L)
             .otherwise(0L)).as("eq_padci"))
     },
+
+    // Workload-driven index/layout advice (reference:
+    // executor/index_advise.go — recommend indexes from a workload's
+    // predicates; the warehouse analog recommends bucket/partition/
+    // cluster layout). The card runs tools.IndexAdvise over a PINNED
+    // five-entry workload (frozen TPC-H/scan shapes): per referenced
+    // (table, column), the equality/range/join reference counts
+    // harvested from the ANALYZED logical plans, and the derived
+    // advice class. This makes plan SHAPE a hash-checked fact: a
+    // Catalyst upgrade or entry edit that changes how predicates
+    // reach those plans flips a count and fails the oracle — the
+    // PlanShapeSpec discipline promoted into the correctness gate.
+    Q("q_index_advise", Some("""
+      SELECT * FROM (VALUES
+        ('customer', 'c_custkey', 0, 0, 1, 'BUCKET'),
+        ('customer', 'c_mktsegment', 1, 0, 0, 'CLUSTER'),
+        ('customer', 'c_nationkey', 0, 0, 1, 'BUCKET'),
+        ('lineitem', 'l_discount', 0, 2, 0, 'PARTITION_SORT'),
+        ('lineitem', 'l_linenumber', 1, 0, 0, 'CLUSTER'),
+        ('lineitem', 'l_orderkey', 1, 0, 1, 'BUCKET'),
+        ('lineitem', 'l_quantity', 0, 1, 0, 'PARTITION_SORT'),
+        ('lineitem', 'l_shipdate', 0, 3, 0, 'PARTITION_SORT'),
+        ('nation', 'n_nationkey', 0, 0, 1, 'BUCKET'),
+        ('nation', 'n_regionkey', 0, 0, 1, 'BUCKET'),
+        ('orders', 'o_custkey', 0, 0, 1, 'BUCKET'),
+        ('orders', 'o_orderdate', 0, 1, 0, 'PARTITION_SORT'),
+        ('orders', 'o_orderkey', 0, 0, 1, 'BUCKET'),
+        ('region', 'r_regionkey', 0, 0, 1, 'BUCKET')
+      ) AS v(table_name, column_name, eq_refs, range_refs, join_refs,
+             advice)
+    """)) { t =>
+      import t.spark.implicits._
+      graft.tools.IndexAdvise.run(t, Seq("q_tpch_q3", "q_tpch_q6",
+          "q_join_broadcast", "q_point_get", "q_window_timerange"))
+        .map(c => (c.table, c.column, c.eqRefs, c.rangeRefs,
+          c.joinRefs, c.advice))
+        .toDF("table_name", "column_name", "eq_refs", "range_refs",
+          "join_refs", "advice")
+    },
   )
 }

@@ -302,6 +302,21 @@ class Wave19Spec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("n_rows")).sum == t.orders.count())
   }
 
+  test("q_index_advise: advice class restates the reference-count " +
+    "dominance rule on every row") {
+    q("q_index_advise").collect().foreach { r =>
+      val (e, rg, j) = (r.getAs[Int]("eq_refs"),
+        r.getAs[Int]("range_refs"), r.getAs[Int]("join_refs"))
+      val expect =
+        if (j >= math.max(e, rg) && j > 0) "BUCKET"
+        else if (rg > e) "PARTITION_SORT"
+        else if (e > 0) "CLUSTER"
+        else "STATS_ONLY"
+      assert(r.getAs[String]("advice") == expect, r.toString)
+      assert(e + rg + j > 0, "unreferenced column in the card")
+    }
+  }
+
   // --- RENAME USER (simple.go:1075) / SHOW BACKUPS (show.go:221) ---
 
   test("renameUsers: chained pairs see earlier renames, rollback " +
