@@ -1069,5 +1069,38 @@ object Wave19 {
         .toDF("table_name", "column_name", "eq_refs", "range_refs",
           "join_refs", "advice")
     },
+
+    // GROUP_CONCAT(... ORDER BY ...) truncation at
+    // group_concat_max_len (reference: executor/aggfuncs/
+    // func_group_concat.go — the byte-budget truncate + the 1260
+    // "Some rows were cut by GROUPCONCAT" warning counter;
+    // q_agg_groupconcat covers the untruncated render). Per group:
+    // the sorted render cut at a 64-byte budget, the truncation
+    // flag, and the would-be full length — the warning count is the
+    // sum of flags, stated per row so the oracle hashes the whole
+    // truncation decision, not just a total.
+    Q("q_agg_groupconcat_maxlen", Some("""
+      WITH g AS (
+        SELECT o_orderpriority,
+               string_agg(CAST(o_orderkey AS VARCHAR), ','
+                          ORDER BY o_orderkey) AS full_gc
+        FROM orders WHERE o_orderkey < 2000
+        GROUP BY o_orderpriority)
+      SELECT o_orderpriority, substr(full_gc, 1, 64) AS gc,
+             CAST(LENGTH(full_gc) AS BIGINT) AS full_len,
+             CAST(LENGTH(full_gc) > 64 AS INT) AS truncated
+      FROM g
+    """)) { t =>
+      val full = concat_ws(",",
+        transform(array_sort(collect_list(col("o_orderkey"))),
+          x => x.cast("string")))
+      t.orders.filter(col("o_orderkey") < 2000)
+        .groupBy("o_orderpriority")
+        .agg(full.as("full_gc"))
+        .select(col("o_orderpriority"),
+          substring(col("full_gc"), 1, 64).as("gc"),
+          length(col("full_gc")).cast("long").as("full_len"),
+          (length(col("full_gc")) > 64).cast("int").as("truncated"))
+    },
   )
 }
