@@ -547,6 +547,11 @@ class PlanShapeSpec extends SparkSpecBase {
 
   test("q_table_status folds fixed widths to constants — scans read " +
     "only the variable-width columns") {
+    // q_cached_table leaves t.nation cached; the cache's internal
+    // build plan renders an all-column FileScan inside any later
+    // nation plan, which is cache mechanics, not a pruning failure —
+    // drop caches so the assertion sees THIS entry's own scan.
+    spark.catalog.clearCache()
     val p = plan("q_table_status")
     // The nation scan needs n_name (string width) but never the two
     // int columns, whose widths folded to literals.
