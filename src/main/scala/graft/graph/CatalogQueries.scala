@@ -169,6 +169,42 @@ object CatalogQueries {
           countDistinct(col("c_vertex_id")).as("n_c"))
     },
 
+    // UNDIRECTED typed hop — `(person as a) -[knows as k]- (person
+    // as b)` (reference: parser/ast/graph.go:78
+    // GraphEdgeDirectionBoth). With g_match_typed/g_match_in this
+    // closes the FULL direction matrix (OUT / IN / BOTH) on the
+    // typed side. Semantics pinned by the card: each edge row
+    // matches ONCE whichever way it points (n_edges counts edge
+    // bindings — an edge pair (x,y)+(y,x) contributes twice because
+    // those are two edges), and a self-loop binds only once. Both
+    // arms are keyed equi-joins; the union doubles candidates,
+    // never |E|².
+    Q("g_match_both", Some(s"""
+      $ctes
+      SELECT a, COUNT(*) AS n_edges,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS n_nbrs,
+             CAST(MAX(strength) AS BIGINT) AS max_strength
+      FROM (
+        SELECT a.vertex_id AS a, k.dst AS b, k.strength
+        FROM person a JOIN knows k ON k.src = a.vertex_id
+        WHERE a.nation < 3 AND k.strength > 90
+        UNION ALL
+        SELECT a.vertex_id, k.src, k.strength
+        FROM person a JOIN knows k ON k.dst = a.vertex_id
+        WHERE a.nation < 3 AND k.strength > 90
+          AND k.src <> k.dst) u
+      GROUP BY 1
+    """)) { t =>
+      GraphCatalog.declared(t)
+        .from("person", "a", col("a_nation") < 3)
+        .both("knows", "k", col("k_strength") > 90, "b")
+        .frame
+        .groupBy(col("a_vertex_id").as("a"))
+        .agg(count(lit(1)).as("n_edges"),
+          countDistinct(col("b_vertex_id")).as("n_nbrs"),
+          max(col("k_strength")).as("max_strength"))
+    },
+
     // MULTI-PATH MATCH (reference: parser/ast/graph.go:62
     // GraphPattern.Paths — one MATCH holds SEVERAL path patterns;
     // planner/core/logical_plan_builder.go:6484 buildGraph plans each

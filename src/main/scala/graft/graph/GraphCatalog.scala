@@ -106,6 +106,33 @@ final class PathMatch private[graph] (cat: GraphCatalog,
       col(s"${edgeAlias}_src") === col(s"${srcAlias}_vertex_id"))
     new PathMatch(cat, out, s"${srcAlias}_vertex_id")
   }
+
+  /** One UNDIRECTED hop — `a -[e]- b` (reference:
+    * parser/ast/graph.go:78 GraphEdgeDirectionBoth; the kernel twin
+    * is g_catalog_reach's symmetrized BFS). An undirected edge
+    * pattern matches each edge row ONCE whichever way it points:
+    * the OUT arm binds edges leaving the frame, the IN arm edges
+    * entering it, and a self-loop (src = dst) — which would fire
+    * both arms with the identical binding — is kept only on the OUT
+    * arm. Both arms are the same keyed equi-joins as [[out]]/[[in]];
+    * the union doubles candidate edges, never |E|². The new vertex
+    * variable binds the edge's OTHER end, resolved per arm from the
+    * edge declaration. */
+  def both(label: String, edgeAlias: String, edgeWhere: Column,
+      otherAlias: String, otherWhere: Column = lit(true)): PathMatch = {
+    val d = cat.edge(label)
+    require(d.source == d.destination,
+      s"both-direction hop over '$label' needs one vertex table on " +
+        s"both ends (got ${d.source} -> ${d.destination})")
+    val outArm = out(label, edgeAlias, edgeWhere, otherAlias, otherWhere)
+    val inArm = in(label, edgeAlias,
+      edgeWhere && col(s"${edgeAlias}_src") =!= col(s"${edgeAlias}_dst"),
+      otherAlias, otherWhere)
+    new PathMatch(cat,
+      outArm.frame.unionByName(inArm.frame
+        .select(outArm.frame.columns.map(col): _*)),
+      s"${otherAlias}_vertex_id")
+  }
 }
 
 object GraphCatalog {

@@ -172,6 +172,32 @@ class GraphCatalogSpec extends SparkSpecBase {
     assert(inn == out, "IN hop must transpose the OUT hop")
   }
 
+  test("BOTH-direction hop: self-loops bind once, plan stays keyed, " +
+    "and the frame equals out + in-minus-selfloops") {
+    val cat = GraphCatalog.declared(t)
+    val frame = cat.from("person", "a", col("a_nation") < 3)
+      .both("knows", "k", col("k_strength") > 90, "b").frame
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("a_vertex_id", "k_src", "k_dst", "b_vertex_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    val out = cat.from("person", "a", col("a_nation") < 3)
+      .out("knows", "k", col("k_strength") > 90, "b").frame
+    val in = cat.from("person", "a", col("a_nation") < 3)
+      .in("knows", "k", col("k_strength") > 90 &&
+        col("k_src") =!= col("k_dst"), "b").frame
+    assert(pairs(frame) == (pairs(out) ++ pairs(in)).sorted)
+    // Self-loops (src = dst surviving the strength prune) appear
+    // exactly once per anchor in the both-frame.
+    val loops = pairs(frame).filter(p => p._2 == p._3)
+    assert(loops == loops.distinct, "a self-loop bound twice")
+    // An undirected hop sees strictly more edges than OUT alone
+    // whenever any pruned edge points INTO the anchor set.
+    assert(pairs(frame).size >= pairs(out).size)
+  }
+
   test("typed path-pattern family plans: keyed joins only, and the " +
     "property prune sits under the hop join") {
     // Every level/relaxation/propagation join in the path kernels is

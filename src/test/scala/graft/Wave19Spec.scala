@@ -385,6 +385,23 @@ class Wave19Spec extends SparkSpecBase {
     esc.foreach(r => assert(!r.getString(0).contains("\u0000")))
   }
 
+  test("Outfile grammar: exhaustive 3-byte torture over the escape " +
+    "alphabet round-trips (343 combos, every adjacency)") {
+    import spark.implicits._
+    import graft.operators.Outfile
+    // Every ordered triple over the full escape alphabet — covers
+    // all adjacencies a random generator can miss (backslash before
+    // '0', quote after escaped backslash, NUL at each position...).
+    val alpha = Seq("a", "\\", "\"", "\n", "\u0000", ";", "0")
+    val probes = for (x <- alpha; y <- alpha; z <- alpha) yield x + y + z
+    val rt = probes.toDF("s")
+      .select(col("s"), Outfile.unescEnclosed(
+        Outfile.escEnclosed(col("s"))).as("rt"))
+      .collect()
+    rt.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"broke on bytes ${r.getString(0).map(_.toInt).mkString(",")}"))
+  }
+
   test("q_load_outfile reconstructs the source rows exactly — the " +
     "write→load round trip is lossless, NULLs included") {
     val loaded = q("q_load_outfile").collect()
