@@ -35,6 +35,7 @@ object Registry {
     operators.Wave17.all,
     operators.Wave18.all,
     operators.Wave19.all,
+    operators.Wave20.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,
