@@ -132,5 +132,46 @@ object Wave20 {
         ("swap_b_is_a", nb, sb))
         .toDF("fact", "n_rows", "total")
     },
+
+    // EXPLAIN FOR CONNECTION <id> (reference: parser/ast/misc.go
+    // ExplainForStmt; executor/explain.go — render the plan of the
+    // statement another connection is CURRENTLY running, resolved
+    // through the session manager). The card drives a connection
+    // through SessionManager mid-statement and renders the
+    // operator-class census of that statement's OPTIMIZED logical
+    // plan — the q_index_advise discipline (analyzed/optimized plan
+    // facts promoted into the hash-checked gate): a Catalyst upgrade
+    // that changes how q_tpch_q3 optimizes flips a count and fails
+    // the oracle. Node classes outside the pinned census set fold
+    // into 'Other' so the card never silently drops a node.
+    Q("q_explain_for", Some("""
+      SELECT * FROM (VALUES
+        (1, 'q_tpch_q3', 'Aggregate',   1),
+        (1, 'q_tpch_q3', 'Filter',      3),
+        (1, 'q_tpch_q3', 'GlobalLimit', 1),
+        (1, 'q_tpch_q3', 'Join',        2),
+        (1, 'q_tpch_q3', 'LocalLimit',  1),
+        (1, 'q_tpch_q3', 'Other',       3),
+        (1, 'q_tpch_q3', 'Project',     5),
+        (1, 'q_tpch_q3', 'Sort',        1)
+      ) AS v(conn_id, statement, operator, n_nodes)
+    """)) { t =>
+      import t.spark.implicits._
+      val SM = graft.tools.SessionManager
+      SM.clear()
+      val c = SM.connect("ana", "10.0.0.8:52100", "graft")
+      SM.begin(c, "q_tpch_q3")
+      val plan = graft.Registry.byName("q_tpch_q3").run(t)
+        .queryExecution.optimizedPlan
+      val classes = Set("Join", "Aggregate", "Filter", "Project",
+        "Sort", "GlobalLimit", "LocalLimit", "Relation")
+      val census = plan.collect { case n =>
+        val nn = n.nodeName
+        if (classes(nn)) nn else "Other"
+      }.groupBy(identity).view.mapValues(_.size).toSeq.sorted
+      SM.finish(c)
+      census.map { case (op, n) => (c.toInt, "q_tpch_q3", op, n) }
+        .toDF("conn_id", "statement", "operator", "n_nodes")
+    },
   )
 }

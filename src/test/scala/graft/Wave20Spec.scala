@@ -51,4 +51,16 @@ class Wave20Spec extends SparkSpecBase {
         (r.getAs[Long]("n_rows"), r.getAs[Double]("total"))).toMap
     assert(second == first)
   }
+
+  test("q_explain_for: the census resolves through the live " +
+    "processlist and totals the full optimized plan") {
+    val rows = q("q_explain_for").collect()
+    assert(rows.forall(_.getAs[String]("statement") == "q_tpch_q3"))
+    // Recompute the census independently from the entry's own plan.
+    val plan = Registry.byName("q_tpch_q3").run(t)
+      .queryExecution.optimizedPlan
+    val total = plan.collect { case n => n }.size
+    assert(rows.map(_.getAs[Int]("n_nodes")).sum == total,
+      "census dropped a node")
+  }
 }
