@@ -239,6 +239,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table("avail_out").collect().map(_.toSeq).toSet == batch)
   }
 
+  test("file-source backpressure: maxFilesPerTrigger bounds every " +
+    "micro-batch while the drained total stays exact") {
+    // The ingestion-rate lever at 100 TB: a backlogged directory must
+    // drain in bounded micro-batches (state stores and sinks sized
+    // for a batch, not the backlog), without losing or duplicating a
+    // row. AvailableNow honors the source's read limit, so the
+    // backlog drains as one bounded batch PER FILE.
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_stream_bp"
+    graft.sources.Formats.deleteRecursively(new java.io.File(dir))
+    (0 until 4).foreach { i =>
+      eventsDf.filter(col("event_id") % 4 === i).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.synchronized { sizes += b.count() }; ()
+      }
+      .option("checkpointLocation", s"$dir/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "drain did not self-terminate")
+    val total = spark.read.parquet(dir).count()
+    assert(sizes.length == 4, s"expected 4 bounded batches: $sizes")
+    assert(sizes.sum == total, s"drained ${sizes.sum} of $total")
+    // Bounded: no batch swallowed the backlog.
+    assert(sizes.forall(_ < total))
+  }
+
   test("stream-static broadcast enrich equals the batch join, keeps unknowns") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
