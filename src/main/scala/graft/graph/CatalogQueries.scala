@@ -185,12 +185,14 @@ object CatalogQueries {
              CAST(COUNT(DISTINCT b) AS BIGINT) AS n_nbrs,
              CAST(MAX(strength) AS BIGINT) AS max_strength
       FROM (
-        SELECT a.vertex_id AS a, k.dst AS b, k.strength
+        SELECT a.vertex_id AS a, b.vertex_id AS b, k.strength
         FROM person a JOIN knows k ON k.src = a.vertex_id
+                      JOIN person b ON b.vertex_id = k.dst
         WHERE a.nation < 3 AND k.strength > 90
         UNION ALL
-        SELECT a.vertex_id, k.src, k.strength
+        SELECT a.vertex_id, b.vertex_id, k.strength
         FROM person a JOIN knows k ON k.dst = a.vertex_id
+                      JOIN person b ON b.vertex_id = k.src
         WHERE a.nation < 3 AND k.strength > 90
           AND k.src <> k.dst) u
       GROUP BY 1

@@ -151,8 +151,8 @@ object Wave20 {
         (1, 'q_tpch_q3', 'GlobalLimit', 1),
         (1, 'q_tpch_q3', 'Join',        2),
         (1, 'q_tpch_q3', 'LocalLimit',  1),
-        (1, 'q_tpch_q3', 'Other',       3),
         (1, 'q_tpch_q3', 'Project',     5),
+        (1, 'q_tpch_q3', 'Relation',    3),
         (1, 'q_tpch_q3', 'Sort',        1)
       ) AS v(conn_id, statement, operator, n_nodes)
     """)) { t =>
@@ -166,7 +166,10 @@ object Wave20 {
       val classes = Set("Join", "Aggregate", "Filter", "Project",
         "Sort", "GlobalLimit", "LocalLimit", "Relation")
       val census = plan.collect { case n =>
-        val nn = n.nodeName
+        // LogicalRelation is the scan leaf's class name; render it
+        // under the census class 'Relation' like EXPLAIN does.
+        val nn = if (n.nodeName == "LogicalRelation") "Relation"
+        else n.nodeName
         if (classes(nn)) nn else "Other"
       }.groupBy(identity).view.mapValues(_.size).toSeq.sorted
       SM.finish(c)

@@ -189,10 +189,14 @@ class GraphCatalogSpec extends SparkSpecBase {
       .in("knows", "k", col("k_strength") > 90 &&
         col("k_src") =!= col("k_dst"), "b").frame
     assert(pairs(frame) == (pairs(out) ++ pairs(in)).sorted)
-    // Self-loops (src = dst surviving the strength prune) appear
-    // exactly once per anchor in the both-frame.
+    // Self-loops (src = dst surviving the prune) bind ONCE — they
+    // are kept only on the OUT arm, so the both-frame's loop
+    // multiset equals the OUT arm's exactly (parallel self-loop
+    // edge rows, were the generator ever to emit them, are two
+    // edges and correctly bind twice — don't assert distinctness).
     val loops = pairs(frame).filter(p => p._2 == p._3)
-    assert(loops == loops.distinct, "a self-loop bound twice")
+    assert(loops == pairs(out).filter(p => p._2 == p._3),
+      "self-loop bindings diverge from the OUT arm")
     // An undirected hop sees strictly more edges than OUT alone
     // whenever any pruned edge points INTO the anchor set.
     assert(pairs(frame).size >= pairs(out).size)

@@ -550,8 +550,10 @@ class PlanShapeSpec extends SparkSpecBase {
     // q_cached_table leaves t.nation cached; the cache's internal
     // build plan renders an all-column FileScan inside any later
     // nation plan, which is cache mechanics, not a pruning failure —
-    // drop caches so the assertion sees THIS entry's own scan.
-    spark.catalog.clearCache()
+    // unpersist exactly that one plan (never clearCache: other
+    // suites' warm layouts must survive) so the assertion sees THIS
+    // entry's own scan.
+    t.nation.unpersist(blocking = true)
     val p = plan("q_table_status")
     // The nation scan needs n_name (string width) but never the two
     // int columns, whose widths folded to literals.

@@ -66,9 +66,11 @@ class SpillSpec extends SparkSpecBase {
       "spark.sql.sortMergeJoinExec.buffer.spill.threshold",
       "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold")
     val prevs = keys.map(k => k -> spark.conf.get(k))
-    def run(): Set[String] =
+    // Sorted Seq (a multiset), not Set: a buffer-replay bug that
+    // duplicates or drops ONE instance of a repeated row must fail.
+    def run(): Seq[String] =
       Registry.byName("q_join_merge").run(t).collect()
-        .map(_.toString).toSet
+        .map(_.toString).toSeq.sorted
     val base = run()
     try {
       keys.foreach(spark.conf.set(_, "4"))

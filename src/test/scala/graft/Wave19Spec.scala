@@ -185,6 +185,20 @@ class Wave19Spec extends SparkSpecBase {
       bob.isNullAt(bob.fieldIndex("info")))
   }
 
+  test("SHOW PROCESSLIST (non-FULL) truncates Info to 100 chars — " +
+    "the reference's %.100v") {
+    SM.clear(); Acl.clear()
+    Acl.grant("root", Seq("PROCESS"))
+    val id = SM.connect("ana", "10.0.0.8:52100", "graft")
+    val longSql = "SELECT " + ("o_orderkey, " * 20) + "1"
+    assert(longSql.length > 100)
+    SM.begin(id, longSql)
+    val full = SM.show("root", "%", full = true).head._7.get
+    val brief = SM.show("root", "%", full = false).head._7.get
+    assert(full == longSql && brief == longSql.take(100))
+    SM.finish(id); SM.clear(); Acl.clear()
+  }
+
   // --- SHOW VARIABLES / STATUS (show.go:724 / :765) ---
 
   test("q_show_variables derives LIVE from the session — flipping a " +

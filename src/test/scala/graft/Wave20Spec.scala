@@ -5,8 +5,7 @@ import org.apache.spark.sql.functions._
 /** Table-level locks and table renames. */
 class Wave20Spec extends SparkSpecBase {
 
-  private def q(name: String) =
-    Registry.all.find(_.name == name).get.run(t)
+  private def q(name: String) = Registry.byName(name).run(t)
 
   test("q_lock_tables: the WRITE/READ lattice holds and UNLOCK " +
     "releases the whole session set") {
