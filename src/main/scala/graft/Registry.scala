@@ -36,6 +36,7 @@ object Registry {
     operators.Wave18.all,
     operators.Wave19.all,
     operators.Wave20.all,
+    operators.Wave21.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,

@@ -939,6 +939,42 @@ object AnnQueries {
         .select(col("qid"), col("e.id").as("vec_id"),
           round(col("e.payload"), 4).as("cos"))
     },
+
+    // Incremental IVF maintenance — add-batch without retrain + the
+    // drift card that says WHEN to retrain (IvfIndex.appendToIndex /
+    // driftCard; no reference analog — the pipeline-mandate ANN
+    // scale path's serving-index story). The staged index: base
+    // generation (vec_id % 5 != 0) trained normally, the held-out
+    // 20% appended at FIXED centroids — one broadcast argmin over
+    // the batch only, never a corpus re-read. Staging is
+    // content-fingerprint-keyed and marker-gated so re-runs are
+    // read-only (append is not idempotent; the marker is written
+    // only after the append lands). The card: per cell, base/new
+    // counts and inertia, growth ratio, and the retrain flag
+    // (growth > 1.5 or a base-less cell). Float-iterative k-means →
+    // rows-only; IvfIndexSpec proves probe-after-append equals
+    // probe-of-rebuilt-at-fixed-centroids and pins the card
+    // arithmetic on a constructed index.
+    Q("s_ivf_drift", None) { t =>
+      val F = graft.sources.Formats
+      val (c, iters) = (16, 2)
+      val dir = F.cacheDir(
+        s"/tmp/graft_ivfdrift_c${c}_i${iters}_${F.sanitize(t.dir)}",
+        F.contentFingerprint(s"${t.dir}/embeddings.parquet"))
+      val marker = new java.io.File(s"$dir/_APPENDED")
+      if (!marker.exists()) {
+        F.deleteRecursively(new java.io.File(dir))
+        val all = vecs(t)
+        IvfIndex.writeIndex(all.filter(col("vec_id") % 5 =!= 0),
+          dir, c = c, iters = iters)
+        IvfIndex.appendToIndex(t.spark, dir,
+          all.filter(col("vec_id") % 5 === 0))
+        require(marker.createNewFile(), s"marker exists at $dir")
+      }
+      IvfIndex.driftCard(t.spark, dir,
+          isNew = col("vec_id") % 5 === 0, growthCap = 1.5)
+        .orderBy("cell")
+    },
   )
 
   /** Unrolled MMR oracle (oracled since r8): the greedy selection is

@@ -126,6 +126,69 @@ object IvfIndex {
     rerankTopK(cells.join(broadcast(probed), "cell"), topk, dedup = true)
   }
 
+  /** Incremental maintenance: ADD-BATCH WITHOUT RETRAIN. New vectors
+    * are assigned to the EXISTING centroid table (one broadcast
+    * argmin pass over the batch only) and appended to the cell
+    * partitions — a production serving index takes vector deltas
+    * hourly, and retraining per batch would re-read the whole
+    * corpus; retraining is a DRIFT-gated decision ([[driftCard]]),
+    * not a per-batch cost. Because probing ranks candidates by
+    * exact dot products within the probed cells, a probe after
+    * append returns exactly what a full rebuild AT THE SAME
+    * CENTROIDS would return (IvfIndexSpec proves the equality);
+    * what degrades as the data distribution drifts is cell BALANCE
+    * and residual size — which is what the drift card watches. */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): Unit = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val assigned = assign(batch, centroids, "vec_id", "v").drop("nv")
+    // Align to the on-disk column set when cells already exist (an
+    // appended generation must not fork the schema); a fresh dir —
+    // assignment-at-fixed-centroids from scratch — takes the batch
+    // columns as the schema.
+    val cellsPath = s"$dir/cells"
+    val aligned =
+      if (new java.io.File(cellsPath).exists())
+        assigned.select(spark.read.parquet(cellsPath).columns.map(col): _*)
+      else assigned
+    aligned.write.partitionBy("cell").mode("append").parquet(cellsPath)
+  }
+
+  /** Per-cell inertia card over a (possibly appended) index: cell
+    * size and mean squared L2 distance to the cell centroid, split
+    * by generation (`is_new` = the append marker predicate), plus
+    * the per-cell RETRAIN signal — inertia growth of the appended
+    * generation vs the base generation. Rising per-cell inertia
+    * means the fixed centroids no longer summarize the cell (the
+    * assignment is still exact-by-rerank, but probes read more
+    * bytes per recall point) — the classic "retrain when inertia
+    * grows" IVF maintenance rule. One scan of the cell shards,
+    * map-combined per (cell, generation); centroids broadcast. */
+  def driftCard(spark: org.apache.spark.sql.SparkSession, dir: String,
+      isNew: org.apache.spark.sql.Column,
+      growthCap: Double): DataFrame = {
+    val cells = spark.read.parquet(s"$dir/cells")
+    val cents = withCC(spark.read.parquet(s"$dir/centroids"))
+    cells.join(broadcast(cents), "cell")
+      .select(col("cell"), isNew.as("is_new"),
+        // Squared L2 = |v|^2 - 2 v·c + |c|^2, rounded like distKey
+        // so the card is deterministic across runs.
+        round(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+          + col("cc"), 6).as("d2"))
+      .groupBy("cell")
+      .agg(
+        sum(when(col("is_new"), 0L).otherwise(1L)).as("n_base"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        round(avg(when(!col("is_new"), col("d2"))), 6)
+          .as("inertia_base"),
+        round(avg(col("d2")), 6).as("inertia_after"))
+      .withColumn("growth",
+        round(col("inertia_after") /
+          nullif(col("inertia_base"), lit(0.0)), 6))
+      .withColumn("retrain",
+        (col("growth").isNull || col("growth") > growthCap).cast("int"))
+  }
+
   /** The `nprobe` nearest cells per query: every query column is
     * passed through (callers carry precomputed norms alongside qv). */
   def probes(queries: DataFrame, centroids: DataFrame,

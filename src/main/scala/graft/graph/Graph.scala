@@ -429,7 +429,29 @@ final case class Graph(edges: DataFrame) {
     * minimum node id within the component diameter. State is one
     * (node, label) row per vertex — |V|-bounded like the BFS ops,
     * shuffled on node each round. */
-  def connectedComponents(): DataFrame = {
+  def connectedComponents(): DataFrame =
+    connectedComponentsWithStats()._1
+
+  /** Adaptive CC kernel: plain min-label propagation, with pointer-
+    * jumping label compression (`component := component(component)`)
+    * enabled ONLY when the measured convergence rate says the graph
+    * is diameter-bound. The r15 A/B showed compression helps sparse
+    * long-chain graphs (rounds ~ diameter without it) but is pure
+    * overhead on dense graphs that converge in ~2 cycles — so the
+    * decision is taken from the label-sum trajectory itself, not a
+    * static flag: after each 2-round cycle the per-cycle decrease
+    * d_k is compared to d_{k-1}; a dense graph's decrease collapses
+    * geometrically (d_k < d_{k-1}/4 → it is about to converge, leave
+    * compression off), while a chain-like graph keeps resolving
+    * labels at a near-constant rate (d_k >= d_{k-1}/4 after cycle 2
+    * → remaining work is diameter-bound, turn compression on for all
+    * subsequent cycles). Compression is exact: labels only ever
+    * decrease and label values are node ids, so re-reading the
+    * label's own current label is monotone and preserves the
+    * fixpoint; it turns O(diameter) cycles into O(log diameter).
+    * Returns (labels, CcStats) so specs can pin the adaptive
+    * decision on constructed chain/dense graphs. */
+  def connectedComponentsWithStats(): (DataFrame, Graph.CcStats) = {
     val und = oriented("both").cp()
     var labels = und.select(col("src").as("node"))
       .distinct()
@@ -444,6 +466,21 @@ final case class Graph(edges: DataFrame) {
         .select(col("E.dst").as("node"), col("L.component").as("component"))
         .union(l)
         .groupBy("node").agg(min(col("component")).as("component"))
+    // Pointer jumping: every node re-reads the current label OF its
+    // label node. Left join (not inner) — a component-minimum node
+    // labels itself, and self-rows survive either way, but left keeps
+    // the invariant obvious: no row is ever dropped. Applied to the
+    // MATERIALIZED state (labels is always cp'd), before the cycle's
+    // propagation rounds — self-joining the lazy two-round plan
+    // instead trips Catalyst's union constraint rewrite, and the
+    // fixpoint is the same whichever side of the rounds the jump
+    // runs on (both operators are monotone non-increasing).
+    def compress(l: DataFrame): DataFrame =
+      l.as("A")
+        .join(l.select(col("node").as("cn"), col("component").as("cc")),
+          col("A.component") === col("cn"), "left")
+        .select(col("A.node").as("node"),
+          coalesce(col("cc"), col("A.component")).as("component"))
     // Labels only ever decrease, so the label sum is a strictly
     // decreasing convergence measure — one cheap scalar aggregate per
     // materialization instead of a join/except against the previous
@@ -451,15 +488,32 @@ final case class Graph(edges: DataFrame) {
     // reached — propagation is monotone — with half the driver
     // scheduling; the sum check just observes every second round).
     var prevSum = labels.agg(sum(col("component"))).head().getLong(0)
+    var prevDec = -1L
+    var cycles = 0
+    var compressFrom = -1
     var converged = false
     while (!converged) {
-      val next = round(round(labels)).cp()
+      cycles += 1
+      val compressing = compressFrom > 0
+      val next =
+        round(round(if (compressing) compress(labels) else labels)).cp()
       val nextSum = next.agg(sum(col("component"))).head().getLong(0)
-      converged = nextSum == prevSum
+      val dec = prevSum - nextSum
+      converged = dec == 0L
+      // Rate test (re-evaluated each cycle until it fires, so the
+      // earliest it can enable compression is cycle 3 — after two
+      // plain cycles): still resolving at >= 1/4 the previous
+      // cycle's rate means the remaining structure is chain-like
+      // (diameter-bound), so every later cycle gets the extra
+      // compression join. Once on, it stays on.
+      if (!converged && compressFrom < 0 && prevDec > 0 &&
+          dec * 4L >= prevDec)
+        compressFrom = cycles + 1
+      prevDec = dec
       prevSum = nextSum
       labels = next
     }
-    labels
+    (labels, Graph.CcStats(cycles, compressFrom))
   }
 
   /** Bounded-depth Brandes dependency scores from pinned roots — the
@@ -877,6 +931,14 @@ object Graph {
   /** JVM-unique sequence for reliable-checkpoint paths — two Graph
     * instances (or loop rounds) must never write the same cp dir. */
   private[graph] val cpSeq = new java.util.concurrent.atomic.AtomicLong
+
+  /** Convergence trace of one adaptive connected-components run.
+    * `cycles` = number of 2-round propagation cycles executed
+    * (including the final no-change cycle that proves the fixpoint);
+    * `compressFrom` = the first cycle that ran with pointer-jumping
+    * label compression enabled, or -1 if the decrease-rate test
+    * classified the graph as dense and compression never ran. */
+  final case class CcStats(cycles: Int, compressFrom: Int)
 
   /** Deterministic derived graph over the driver tables (SURVEY §3):
     * no explicit edge table exists, so edges come from `orders` —

@@ -292,7 +292,7 @@ object Wave13 {
       // SampleStats (Wave14) and feeds both this entry and
       // q_analyze_sample, so the two can never drift; the documented
       // scale mode is literally priceBounds(sampledOrders(t)).
-      val bounds = SampleStats.priceBounds(t.orders)
+      val bounds = SampleStats.litBounds(t)
       val withB = t.orders.select(SampleStats.price.as("v"))
         .crossJoin(broadcast(bounds))
       withB.select(col("v"), SampleStats.bucketOf.as("bucket"))

@@ -58,6 +58,39 @@ object SampleStats {
     Quantiles.indices
       .map(i => when(col("v") > col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _) + 1
+
+  /** Per-JVM memo of the boundary ROW per (dir, sampled-input) —
+    * the Bpe.mergesFor pattern. The percentile boundary aggregate is
+    * the stats family's dominant cost (probed in r15: the decimal
+    * percentile kernel, not data volume), and q_stats_histogram /
+    * q_selectivity / q_stats_buckets / q_analyze_sample all consume
+    * the SAME 8-bucket structure — so the kernel runs once per
+    * session per (dir, input) and every later consumer gets the row
+    * as literals. Same immutability contract as Bpe: a test that
+    * regenerates a dir in place calls [[resetMemo]] first. */
+  private val boundsMemo = new scala.collection.concurrent.TrieMap[
+    (String, Boolean), org.apache.spark.sql.Row]
+
+  def boundsRow(t: Tables, sampled: Boolean = false)
+      : org.apache.spark.sql.Row =
+    boundsMemo.getOrElseUpdate((t.dir, sampled),
+      priceBounds(if (sampled) sampledOrders(t) else t.orders).head())
+
+  /** Test-visible escape hatch for the immutable-input assumption. */
+  def resetMemo(): Unit = boundsMemo.clear()
+
+  /** One-row LITERAL DataFrame with [[priceBounds]]' exact schema,
+    * built from the memoized row: consumers keep their
+    * crossJoin(broadcast(...)) shape — now against a LocalRelation
+    * of constants, so the bucketing comparisons constant-fold into
+    * whole-stage codegen and no consumer re-runs the percentile
+    * kernel. */
+  def litBounds(t: Tables, sampled: Boolean = false): DataFrame = {
+    val r = boundsRow(t, sampled)
+    t.spark.range(1).select(
+      lit(r.getLong(0)).as("n_samp") +:
+        Quantiles.indices.map(i => lit(r.getDouble(i + 1)).as(s"b$i")): _*)
+  }
 }
 
 /** Round-10 wave: the operational-surface closers from the r9 gap
@@ -145,8 +178,7 @@ object Wave14 {
     """)) { t =>
       val sample = SampleStats.sampledOrders(t)
         .select(SampleStats.price.as("v"))
-      val bounds = SampleStats.priceBounds(
-        SampleStats.sampledOrders(t))
+      val bounds = SampleStats.litBounds(t, sampled = true)
       val full = t.orders.agg(count(lit(1)).as("n_full"))
       val nd = sample.groupBy("v").agg(count(lit(1)).as("c"))
         .agg(count(lit(1)).cast("long").as("d_samp"),
@@ -298,7 +330,7 @@ object Wave14 {
     """)) { t =>
       val c = lit(150000.0)
       val vdf = t.orders.select(SampleStats.price.as("v"))
-      val bounds = SampleStats.priceBounds(t.orders)
+      val bounds = SampleStats.litBounds(t)
       val h = vdf.crossJoin(broadcast(bounds))
         .select(col("v"), SampleStats.bucketOf.as("bucket"))
         .groupBy("bucket")
@@ -583,7 +615,13 @@ object Wave14 {
       import t.spark.implicits._
       val listParts = graft.sources.PartitionedFact.PriorityLists
         .values.toSeq.distinct.sorted.mkString(", ")
-      Seq(
+      // Placement POLICIES render from the same catalog the
+      // q_placement_policy lifecycle mutates (tools.PlacementPolicies)
+      // — empty outside that entry's run, so this card's pinned
+      // oracle holds; while policies exist, SHOW PLACEMENT serves
+      // them here exactly as the reference's show_placement.go lists
+      // policies before table rules.
+      (graft.tools.PlacementPolicies.renderRows() ++ Seq(
         ("TABLE lineitem_shipmonth",
           "PARTITION BY RANGE COLUMNS(shipmonth)", "SCHEDULED"),
         ("TABLE orders_custhash",
@@ -594,7 +632,7 @@ object Wave14 {
           "SCHEDULED"),
         ("TABLE events_zorder",
           "ZORDER(event_id, ts) BITS 16", "SCHEDULED"),
-      ).toDF("target", "placement", "scheduling_state")
+      )).toDF("target", "placement", "scheduling_state")
     },
   )
 }

@@ -27,21 +27,52 @@ object Outfile {
       "\n", "\\\\\n"), "\u0000", "\\\\0")
 
   /** Inverse of [[escEnclosed]] — load_data.go:905's sequential
-    * byte scan expressed as regexp passes. Sequential unescaping is
-    * only sound if escaped-backslash pairs are neutralized FIRST
-    * (else `\\0` — escaped backslash, then '0' — would wrongly
-    * become NUL), so pass 1 parks them in U+0001 (a byte the escaped
-    * stream cannot contain: the writer escapes nothing to it and the
-    * probe domain is ASCII-printable), pass 2 maps `\0`→NUL (the one
-    * class whose byte differs from its escape), pass 3 is the
-    * reference's DEFAULT branch — drop the escape char, keep the
-    * byte (`\"`→", `\;`→;, ...) — and pass 4 restores the parked
-    * backslashes. */
-  def unescEnclosed(s: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      s, "\\\\\\\\", "\u0001"), "\\\\0", "\u0000"),
-      // (?s): the escaped byte may BE the newline — dot must match it.
-      "(?s)\\\\(.)", "$1"), "\u0001", "\\\\")
+    * byte scan, spelled AS a sequential byte scan (a left-to-right
+    * walk consumes escaped-backslash pairs before their trailing
+    * byte, so `\\\\0` — escaped backslash, then '0' — stays `\\0` and
+    * never mis-reads as NUL; the earlier regexp-pass spelling needed
+    * a U+0001 parking byte the writer could not guarantee absent
+    * from the escaped stream).
+    * The escape map is the reference's full escapeChar table: the
+    * LETTER escapes `\\0 \\b \\n \\r \\t \\Z` map to their control
+    * bytes (so files written by the reference/MySQL load
+    * identically), and the default branch drops the escape char and
+    * keeps the byte (`\\"`→", `\\;`→;, `\\`+newline→newline — the
+    * classes THIS engine's writer emits; the writer prefixes the
+    * raw byte with the escape char, it never letter-encodes, so
+    * both alphabets round-trip through this one scan). A trailing
+    * lone escape char is kept as-is (malformed input, not data
+    * loss). */
+  private[graft] def unescape(s: String): String = {
+    if (s == null) return null
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        b.append(s.charAt(i + 1) match {
+          case '0' => '\u0000'
+          case 'b' => '\b'
+          case 'n' => '\n'
+          case 'r' => '\r'
+          case 't' => '\t'
+          case 'Z' => '\u001a'
+          case other => other
+        })
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  private lazy val unescUdf = udf(unescape _)
+
+  /** Column form of [[unescape]]. A Scala UDF (not codegen) is the
+    * right trade here: the loader parses line-terminated text files
+    * once at ingest — correctness of the byte walk dominates, and
+    * the per-row cost is the same O(len) scan the regexp passes
+    * paid, without their ordering hazards. */
+  def unescEnclosed(s: Column): Column = unescUdf(s)
 }
 
 /** Round-15 entries: the remaining SHOW / observability surface —
@@ -382,7 +413,7 @@ object Wave19 {
              CAST(g.ndv AS BIGINT) AS ndv
       FROM g JOIN r ON g.bucket = r.bucket
     """)) { t =>
-      val bounds = SampleStats.priceBounds(t.orders)
+      val bounds = SampleStats.litBounds(t)
       val m = t.orders.select(SampleStats.price.as("v"))
         .crossJoin(broadcast(bounds))
         .select(col("v"), SampleStats.bucketOf.as("bucket"))
@@ -908,21 +939,19 @@ object Wave19 {
       val manifest = t.spark.read.parquet(s"$bdir/manifest").head()
       val restored = Backup.restore(t.spark, bdir).count()
       // An in-flight backup: data landing, manifest not yet written.
+      // The staging dir is WIPED at entry start — the in-flight
+      // state is this run's own, so a regenerated dataset can never
+      // serve stale staged data, and no defensive manifest-done
+      // branch exists to mis-render against the pinned oracle.
       val staging = s"/tmp/graft_backup_running_${F.sanitize(t.dir)}"
-      if (!new java.io.File(s"$staging/data/_SUCCESS").exists())
-        t.orders.filter(col("o_orderkey") < 100)
-          .select("o_orderkey").write.mode("overwrite")
-          .parquet(s"$staging/data")
-      val runningDone =
-        new java.io.File(s"$staging/manifest/_SUCCESS").exists()
+      F.deleteRecursively(new java.io.File(staging))
+      t.orders.filter(col("o_orderkey") < 100)
+        .select("o_orderkey").write.parquet(s"$staging/data")
       Seq(
         ("BACKUP", "local", "done",
           manifest.getAs[Long]("n_rows"), 100),
         ("RESTORE", "local", "done", restored, 100),
-        ("BACKUP", "local",
-          if (runningDone) "done" else "running",
-          if (runningDone) -1L else 0L,
-          if (runningDone) 100 else 0))
+        ("BACKUP", "local", "running", 0L, 0))
         .toDF("kind", "destination", "state", "n_rows", "progress_pct")
     },
 

@@ -86,12 +86,42 @@ object RowLocks {
     // entry must not trip the cap on raw row count (acquire dedups
     // at entry), and a NULL "key" is no row at all — SelectLockExec
     // locks handles, which are never null.
-    val rows = df.select(keyCol).where(col(keyCol).isNotNull)
+    // Key handles are BIGINT in the store; an INT key column must
+    // widen here, not ClassCastException at getLong below.
+    val rows = df.select(col(keyCol).cast("long").as(keyCol))
+      .where(col(keyCol).isNotNull)
       .distinct().limit(cap + 1).collect()
     require(rows.length <= cap,
       s"SELECT ... FOR UPDATE selects more than $cap keys — the " +
         "lock-buffer quota would be exceeded; narrow the predicate")
     rows.map(_.getLong(0)).toSeq
+  }
+
+  /** ADMIN CLEANUP TABLE LOCK (reference: parser/ast/ddl.go:1812
+    * CleanupTableLockStmt; the janitor leg of LOCK TABLES): evict
+    * every TABLE-scope sentinel (the `TABLE:` keys q_lock_tables
+    * acquires) whose owner is NOT in `live` — the recovery path for
+    * locks a crashed session left behind. Row locks are untouched
+    * even for dead owners: their cleanup is transaction recovery,
+    * not this statement. Returns the number of evicted
+    * (table, owner) sentinel pairs. */
+  def cleanupTableLocks(live: Set[String]): Long = synchronized {
+    def tableScope(k: (String, Long)) = k._1.startsWith("TABLE:")
+    var n = 0L
+    excl.filterInPlace { case (k, owner) =>
+      val evict = tableScope(k) && !live(owner)
+      if (evict) n += 1
+      !evict
+    }
+    shared.foreach { case (k, owners) =>
+      if (tableScope(k)) {
+        val dead = owners.toSet.diff(live)
+        n += dead.size
+        owners --= dead
+      }
+    }
+    shared.filterInPlace { case (_, owners) => owners.nonEmpty }
+    n
   }
 
   /** Held-lock count for a txn (spec surface). */

@@ -220,4 +220,37 @@ class GraphSpec extends SparkSpecBase {
         (r.getLong(2), r.getLong(3))).toMap
     assert(gotAgg == expectAgg && gotAgg.nonEmpty)
   }
+
+  test("adaptive CC: chain graph triggers compression, dense does not") {
+    import spark.implicits._
+    // Chain of 48 nodes — diameter 47. Plain 2-round cycles resolve
+    // labels at a near-constant rate (d_2*4 >= d_1), so the rate
+    // test must enable pointer jumping at cycle 3, and compression
+    // must collapse the cycle count well below the ~24 plain cycles
+    // the diameter would force.
+    val chain = graph.Graph(
+      (1L until 48L).map(i => (i, i + 1)).toDF("src", "dst"))
+    val (clabels, cstats) = chain.connectedComponentsWithStats()
+    val cres = clabels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cres.size == 48 && cres.values.forall(_ == 1L))
+    assert(cstats.compressFrom == 3,
+      s"chain graph should compress from cycle 3, got $cstats")
+    assert(cstats.cycles <= 12,
+      s"compression should beat the ~24 diameter-bound cycles: $cstats")
+    // Two disjoint stars — diameter 2. One cycle resolves every
+    // label, the second observes the fixpoint; the decrease rate
+    // collapses to zero so compression must never enable.
+    val star = graph.Graph(
+      ((2L to 40L).map(i => (1L, i)) ++
+        (101L to 140L).map(i => (100L, i))).toDF("src", "dst"))
+    val (slabels, sstats) = star.connectedComponentsWithStats()
+    val sres = slabels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sres.filter(_._1 <= 40L).values.forall(_ == 1L))
+    assert(sres.filter(_._1 >= 100L).values.forall(_ == 100L))
+    assert(sstats.compressFrom == -1,
+      s"dense graph must never enable compression, got $sstats")
+    assert(sstats.cycles <= 2, s"star converges in 2 cycles: $sstats")
+  }
 }

@@ -65,4 +65,57 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(plan.contains("dynamicpruning"),
       s"no dynamic partition pruning on the code scan:\n$plan")
   }
+
+  test("incremental append: probe-after-append equals a rebuild at " +
+      "the same fixed centroids; drift card arithmetic is exact") {
+    val rootA = "/tmp/graft_ivf_inc_a"
+    val rootB = "/tmp/graft_ivf_inc_b"
+    Seq(rootA, rootB).foreach(d =>
+      graft.sources.Formats.deleteRecursively(new java.io.File(d)))
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val batch = corpus.filter(col("vec_id") % 5 === 0)
+    // Index A: train on the base, append the batch incrementally.
+    IvfIndex.writeIndex(base, rootA, c = 16, iters = 2)
+    IvfIndex.appendToIndex(spark, rootA, batch)
+    // Index B: the SAME centroids, the whole corpus assigned from
+    // scratch (what a rebuild at fixed centroids produces).
+    spark.read.parquet(s"$rootA/centroids")
+      .write.parquet(s"$rootB/centroids")
+    IvfIndex.appendToIndex(spark, rootB, corpus)
+    // Append really appended: every corpus vector is in index A once.
+    assert(spark.read.parquet(s"$rootA/cells").count() == corpus.count())
+    // Probe parity — append is indistinguishable from the rebuild.
+    def probe(d: String) = IvfIndex.probeIndex(spark, d, queries,
+      nprobe = 4, topk = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (pa, pb) = (probe(rootA), probe(rootB))
+    assert(pa == pb && pa.nonEmpty)
+    // Drift card: growth = inertia_after / inertia_base per cell,
+    // retrain flags exactly the cells past the cap (or base-less
+    // ones); base/new counts partition each cell.
+    val card = IvfIndex.driftCard(spark, rootA,
+      isNew = col("vec_id") % 5 === 0, growthCap = 1.5).collect()
+    assert(card.nonEmpty)
+    val nTotal = card.map(r =>
+      r.getAs[Long]("n_base") + r.getAs[Long]("n_new")).sum
+    assert(nTotal == corpus.count())
+    card.foreach { r =>
+      val (ib, ia) = (Option(r.getAs[java.lang.Double]("inertia_base")),
+        r.getAs[Double]("inertia_after"))
+      val growth = Option(r.getAs[java.lang.Double]("growth"))
+      val retrain = r.getAs[Int]("retrain")
+      (ib, growth) match {
+        case (Some(b), Some(g)) if b > 0 =>
+          assert(math.abs(g - ia / b) < 1e-4,
+            s"growth mismatch on cell ${r.getAs[Int]("cell")}")
+          assert(retrain == (if (g > 1.5) 1 else 0))
+        case _ => assert(retrain == 1,
+          "a base-less (or zero-inertia-base) cell must flag retrain")
+      }
+    }
+    // The card is the RETRAIN decision: on this near-uniform append
+    // (a 20% slice of the same distribution) most cells must NOT
+    // demand a retrain — the signal has a quiet zero state.
+    assert(card.count(_.getAs[Int]("retrain") == 0) > card.length / 2)
+  }
 }

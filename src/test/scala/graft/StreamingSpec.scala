@@ -719,4 +719,74 @@ class StreamingSpec extends SparkSpecBase {
     assert(runOnce() == 60, "run 2 must read only the delta")
     assert(spark.read.parquet(outDir).count() == 260)
   }
+
+  test("e_stream_dedup_corpus: per-batch dedup against the persisted " +
+      "index equals batch dedup, and a replayed batch is a no-op") {
+    val dir = "/tmp/graft_stream_dedup_corpus"
+    org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    // Duplicate-rich fingerprints: bucket docs into 40 fp classes so
+    // every batch carries both novel and already-indexed prints.
+    val fpDocs = t.documents.select(
+      md5((col("doc_id") % 40).cast("string").cast("binary")).as("fp"),
+      col("doc_id"))
+    val sink = Streams.dedupIngestSink(dir) _
+    def slice(r: Int) = fpDocs.filter(col("doc_id") % 3 === r)
+    sink(slice(0), 0L)
+    sink(slice(1), 1L)
+    val afterOnce = spark.read.parquet(dir).collect()
+      .map(_.toSeq).toSet
+    // Failure recovery re-delivers batch 1 (same id, same rows): the
+    // strictly-earlier-batch fence must leave the index bit-identical.
+    sink(slice(1), 1L)
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet
+      == afterOnce && afterOnce.nonEmpty)
+    sink(slice(2), 2L)
+    val idx = spark.read.parquet(dir)
+    // Exactly-once membership: every fingerprint appears ONCE.
+    assert(idx.groupBy("fp").count().filter(col("count") > 1).count() == 0)
+    // Stream == batch dedup: same fingerprint SET as one-shot exact
+    // dedup of the whole corpus, and per fp the kept doc is the
+    // smallest doc_id within the FIRST batch that carried the print.
+    val rows = fpDocs.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = rows.groupBy(_._1).map { case (fp, ds) =>
+      val firstBatch = ds.map(_._2 % 3).min
+      (fp, ds.filter(_._2 % 3 == firstBatch).map(_._2).min, firstBatch)
+    }.toSet
+    // Partition-column inference types batch_id as INT on read.
+    val got = idx.collect()
+      .map(r => (r.getAs[String]("fp"), r.getAs[Long]("keep_id"),
+        r.getAs[Number]("batch_id").longValue())).toSet
+    assert(got == expected)
+    // And the same loop driven through a REAL streaming query
+    // (foreachBatch over a memory source) lands the identical
+    // fingerprint set.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir2 = "/tmp/graft_stream_dedup_corpus2"
+    org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir2), true)
+    val tuples = rows.map { case (fp, id) => (id, fp) }
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "fp")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streams.dedupIngestSink(dir2)(b.select("fp", "doc_id"), id)
+      }
+      .start()
+    try {
+      input.addData(tuples.filter(_._1 % 3 == 0).toSeq)
+      q.processAllAvailable()
+      input.addData(tuples.filter(_._1 % 3 != 0).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedFps = spark.read.parquet(dir2)
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(streamedFps == expected.map(_._1))
+    assert(spark.read.parquet(dir2).groupBy("fp").count()
+      .filter(col("count") > 1).count() == 0)
+  }
 }

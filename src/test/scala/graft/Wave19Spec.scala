@@ -406,7 +406,13 @@ class Wave19Spec extends SparkSpecBase {
     // Every ordered triple over the full escape alphabet — covers
     // all adjacencies a random generator can miss (backslash before
     // '0', quote after escaped backslash, NUL at each position...).
-    val alpha = Seq("a", "\\", "\"", "\n", "\u0000", ";", "0")
+    // U+0001 and the letter-escape letters are IN the alphabet: the
+    // former was the old parking byte (a genuine U+0001 in source
+    // data must survive the trip), the latters ('n', 't') must not
+    // be mistaken for their control bytes when they follow an
+    // escaped backslash.
+    val alpha = Seq("a", "\\", "\"", "\n", "\u0000", ";", "0",
+      "\u0001", "n", "t")
     val probes = for (x <- alpha; y <- alpha; z <- alpha) yield x + y + z
     val rt = probes.toDF("s")
       .select(col("s"), Outfile.unescEnclosed(
@@ -414,6 +420,23 @@ class Wave19Spec extends SparkSpecBase {
       .collect()
     rt.foreach(r => assert(r.getString(0) == r.getString(1),
       s"broke on bytes ${r.getString(0).map(_.toInt).mkString(",")}"))
+  }
+
+  test("unescEnclosed decodes MySQL letter escapes to control " +
+    "bytes (load_data.go escapeChar table)") {
+    import graft.operators.Outfile
+    // Files written by the reference/MySQL letter-encode control
+    // bytes; the loader must map them, while an escaped backslash
+    // followed by the same letter stays a literal two-char pair.
+    assert(Outfile.unescape("a\\tb") == "a\tb")
+    assert(Outfile.unescape("a\\nb") == "a\nb")
+    assert(Outfile.unescape("a\\rb") == "a\rb")
+    assert(Outfile.unescape("a\\bb") == "a\bb")
+    assert(Outfile.unescape("a\\Zb") == "a\u001ab")
+    assert(Outfile.unescape("a\\0b") == "a\u0000b")
+    assert(Outfile.unescape("a\\\\tb") == "a\\tb")
+    assert(Outfile.unescape("tail\\") == "tail\\")
+    assert(Outfile.unescape(null) == null)
   }
 
   test("q_load_outfile reconstructs the source rows exactly — the " +
