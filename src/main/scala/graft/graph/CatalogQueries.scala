@@ -355,7 +355,9 @@ object CatalogQueries {
     """)) { t =>
       val ke = catalogEdges(t, "knows", col("strength") >= 40)
       val g = Graph(ke)
-      g.topKShortestPaths(1L, derivedTarget(g), k = 3, maxHops = 4)
+      g.topKShortestPaths(1L,
+        derivedTarget(t, "knows", col("strength") >= 40, g),
+        k = 3, maxHops = 4)
     },
 
     // ALL bounded paths over a declared edge table (reference:
@@ -391,7 +393,8 @@ object CatalogQueries {
     """)) { t =>
       val ke = catalogEdges(t, "knows", col("strength") >= 40)
       val g = Graph(ke)
-      g.allPaths(1L, derivedTarget(g), maxHops = 4)
+      g.allPaths(1L, derivedTarget(t, "knows", col("strength") >= 40, g),
+        maxHops = 4)
     },
 
     // ANY-path reachability over a declared edge table, BOTH
@@ -577,19 +580,36 @@ object CatalogQueries {
     * the edge table by label, apply its WHERE before the hop" so the
     * six pattern types cannot prune differently. Long-typed ids —
     * the path kernels render/seed BIGINT nodes. */
+  /** Per-JVM memo of the pruned typed edge lists AND the derived BFS
+    * targets, keyed (dir, label, predicate-render) — the
+    * SampleStats.boundsRow pattern: the strength>=40 knows list is
+    * consumed by THREE path entries (allshortest / topk / allpaths)
+    * and the distance-3 target probe by two, and each build is an
+    * orders-scan + groupBy + checkpoint. The declared tables are
+    * pure derivations of the immutable source dir (mutating entries
+    * build their OWN mutated copies), so the memoized checkpoint
+    * stays valid for the session's lifetime. */
+  private val edgeMemo = new scala.collection.concurrent.TrieMap[
+    (String, String, String), org.apache.spark.sql.DataFrame]
+  private val targetMemo = new scala.collection.concurrent.TrieMap[
+    (String, String, String), Long]
+
   private def catalogEdges(t: Tables, label: String,
       edgeWhere: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
-    // Materialized ONCE: every caller hands these edges to an
-    // iterative Graph kernel (BFS levels, relaxation rounds, label
-    // propagation), and without the checkpoint each level's job
-    // would re-run the whole declared-table build (orders scan +
-    // groupBy) — the derived-target probe plus a 4-hop enumeration
-    // was paying the knows build 7+ times.
-    GraphCatalog.declared(t).edge(label).edges
-      .filter(edgeWhere)
-      .select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .localCheckpoint()
+    // Materialized ONCE per (dir, label, predicate): every caller
+    // hands these edges to an iterative Graph kernel (BFS levels,
+    // relaxation rounds, label propagation), and without the
+    // checkpoint each level's job would re-run the whole
+    // declared-table build (orders scan + groupBy) — the
+    // derived-target probe plus a 4-hop enumeration was paying the
+    // knows build 7+ times; the memo extends the same reuse across
+    // the entries that prune identically.
+    edgeMemo.getOrElseUpdate((t.dir, label, edgeWhere.toString),
+      GraphCatalog.declared(t).edge(label).edges
+        .filter(edgeWhere)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .localCheckpoint())
 
   /** The SF-invariant path target: MIN vertex at exact BFS distance
     * 3 from anchor 1 in the pruned typed graph. One bounded driver
@@ -597,12 +617,14 @@ object CatalogQueries {
     * pattern, not a row collect); throws rather than degrades when
     * the frontier is empty, because a missing target means the
     * catalog data itself changed shape. */
-  private def derivedTarget(g: Graph): Long = {
-    val r = g.shortestDistances(1L, "out", maxHops = 3)
-      .filter(col("dist") === 3).agg(min(col("node"))).head()
-    require(!r.isNullAt(0), "no vertex at distance 3 from anchor 1")
-    r.getLong(0)
-  }
+  private def derivedTarget(t: Tables, label: String,
+      edgeWhere: org.apache.spark.sql.Column, g: Graph): Long =
+    targetMemo.getOrElseUpdate((t.dir, label, edgeWhere.toString), {
+      val r = g.shortestDistances(1L, "out", maxHops = 3)
+        .filter(col("dist") === 3).agg(min(col("node"))).head()
+      require(!r.isNullAt(0), "no vertex at distance 3 from anchor 1")
+      r.getLong(0)
+    })
 
   /** Unrolled weighted-PageRank oracle over the declared `knows`
     * table (the pageRankOracle shape with w_uv / W_u shares; every
