@@ -65,7 +65,10 @@ object Bench {
         "q_join_index_merge", "q_scan_partition_rangecol",
         // r14: the z-ordered events layout is a lazy build too
         // (q_show_index constructs it before listing it).
-        "q_show_index")
+        "q_show_index",
+        // r16: the appended-IVF drift index (marker-gated build +
+        // append) is a lazy layout.
+        "s_ivf_drift")
         .contains(q.name))
     }
     warmup.foreach { q =>

@@ -157,13 +157,18 @@ object IvfIndex {
   /** Per-cell inertia card over a (possibly appended) index: cell
     * size and mean squared L2 distance to the cell centroid, split
     * by generation (`is_new` = the append marker predicate), plus
-    * the per-cell RETRAIN signal — inertia growth of the appended
-    * generation vs the base generation. Rising per-cell inertia
-    * means the fixed centroids no longer summarize the cell (the
-    * assignment is still exact-by-rerank, but probes read more
-    * bytes per recall point) — the classic "retrain when inertia
-    * grows" IVF maintenance rule. One scan of the cell shards,
-    * map-combined per (cell, generation); centroids broadcast. */
+    * the per-cell RETRAIN signal — inertia of the appended
+    * generation ALONE over the base generation's (a whole-cell
+    * average would dilute a drifted 5% append under 95% healthy
+    * base mass). Rising new-generation inertia means the fixed
+    * centroids no longer summarize what is arriving (assignment
+    * stays exact-by-rerank, but probes read more bytes per recall
+    * point) — the classic "retrain when inertia grows" IVF
+    * maintenance rule. Retrain fires only where appended rows
+    * exist: growth > cap, or a base-less / zero-inertia-base cell
+    * (no healthy yardstick to compare against); untouched cells are
+    * never flagged. One scan of the cell shards, map-combined per
+    * (cell, generation); centroids broadcast. */
   def driftCard(spark: org.apache.spark.sql.SparkSession, dir: String,
       isNew: org.apache.spark.sql.Column,
       growthCap: Double): DataFrame = {
@@ -181,12 +186,15 @@ object IvfIndex {
         sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
         round(avg(when(!col("is_new"), col("d2"))), 6)
           .as("inertia_base"),
-        round(avg(col("d2")), 6).as("inertia_after"))
+        round(avg(when(col("is_new"), col("d2"))), 6)
+          .as("inertia_new"))
       .withColumn("growth",
-        round(col("inertia_after") /
+        round(col("inertia_new") /
           nullif(col("inertia_base"), lit(0.0)), 6))
       .withColumn("retrain",
-        (col("growth").isNull || col("growth") > growthCap).cast("int"))
+        when(col("n_new") === 0L, 0)
+          .when(col("growth").isNull, 1)
+          .otherwise((col("growth") > growthCap).cast("int")))
   }
 
   /** The `nprobe` nearest cells per query: every query column is

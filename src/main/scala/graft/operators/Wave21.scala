@@ -67,28 +67,32 @@ object Wave21 {
         P.renderRows().foreach { case (tg, pl, st) =>
           out += ((stage, tg, pl, st))
         }
-      P.create("p_hot", P.Policy("us-east-1",
-        Seq("us-east-1", "us-west-2"), 2))
-      snap("1_create")
-      P.create("p_cold", P.Policy("eu-west-1", Seq("eu-west-1"), 1))
-      P.attach("orders_archive", "p_cold")
-      snap("2_attach")
-      P.alter("p_hot", P.Policy("us-east-1",
-        Seq("us-east-1", "us-west-2", "ap-south-1"), 4))
-      snap("3_alter")
-      // DROP of an in-use policy refuses — the error IS the row.
-      try { P.drop("p_cold"); out += (("4_drop_refused",
-        "POLICY p_cold", "BUG: drop succeeded", "ERROR")) }
-      catch { case e: IllegalStateException =>
-        out += (("4_drop_refused", "POLICY p_cold",
-          "REFUSED: " + e.getMessage
-            .stripPrefix("placement policy p_cold is "),
-          "ERROR"))
-      }
-      P.detach("orders_archive")
-      P.drop("p_cold")
-      snap("5_detach_drop")
-      P.clear()
+      // The store is GLOBAL (q_show_placement renders it): clear in
+      // a finally so one mid-entry failure cannot leak policies into
+      // every later q_show_placement render of this session.
+      try {
+        P.create("p_hot", P.Policy("us-east-1",
+          Seq("us-east-1", "us-west-2"), 2))
+        snap("1_create")
+        P.create("p_cold", P.Policy("eu-west-1", Seq("eu-west-1"), 1))
+        P.attach("orders_archive", "p_cold")
+        snap("2_attach")
+        P.alter("p_hot", P.Policy("us-east-1",
+          Seq("us-east-1", "us-west-2", "ap-south-1"), 4))
+        snap("3_alter")
+        // DROP of an in-use policy refuses — the error IS the row.
+        try { P.drop("p_cold"); out += (("4_drop_refused",
+          "POLICY p_cold", "BUG: drop succeeded", "ERROR")) }
+        catch { case e: IllegalStateException =>
+          out += (("4_drop_refused", "POLICY p_cold",
+            "REFUSED: " + e.getMessage
+              .stripPrefix("placement policy p_cold is "),
+            "ERROR"))
+        }
+        P.detach("orders_archive")
+        P.drop("p_cold")
+        snap("5_detach_drop")
+      } finally P.clear()
       out.result()
         .toDF("stage", "target", "placement", "scheduling_state")
     },
@@ -322,7 +326,9 @@ object Wave21 {
       val out = Seq.newBuilder[(String, String, Long)]
       // --- PREPARE / EXECUTE / DEALLOCATE ---------------------------
       val Pr = graft.tools.Prepared
+      val L = graft.tools.RowLocks
       Pr.clear()
+      try {
       t.orders.createOrReplaceTempView("orders")
       Pr.prepare("stmt1", """
         SELECT COUNT(*) AS n FROM orders
@@ -350,7 +356,6 @@ object Wave21 {
       out += (("8_flush_rows_stable", "equal",
         if (t.nation.count() == nBefore) 1L else 0L))
       // --- ADMIN CLEANUP TABLE LOCK --------------------------------
-      val L = graft.tools.RowLocks
       L.clear()
       L.acquire("dead_session", "TABLE:orders", Seq(0L),
         exclusive = true)
@@ -368,7 +373,9 @@ object Wave21 {
       out += (("11_acquire_after_cleanup", "acquired", a2))
       out += (("12_live_locks_survive", "held",
         if (L.held("live_session") == 2L) 1L else 0L))
-      L.clear()
+      // Global stores: release in a finally so a mid-entry failure
+      // cannot leak locks/statements into later entries.
+      } finally { L.clear(); Pr.clear() }
       out.result().toDF("stage", "fact", "value")
     },
   )

@@ -474,18 +474,30 @@ object Streams {
   def dedupIngestSink(indexDir: String)(batch: DataFrame,
       batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val novelInBatch = batch.groupBy("fp")
-      .agg(min(col("doc_id")).as("keep_id"))
-    val prior =
-      if (new java.io.File(indexDir).exists())
+    // A null fingerprint is NO fingerprint (the RowLocks null-key
+    // rule): left_anti never matches on null, so a null print would
+    // re-append every batch and break exactly-once membership.
+    val novelInBatch = batch.where(col("fp").isNotNull)
+      .groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    // Schema-safe prior read: a dir that exists but holds no data
+    // files (an all-duplicate or empty history) must read as empty,
+    // not throw UNABLE_TO_INFER_SCHEMA forever after.
+    val prior = scala.util.Try(
         spark.read.parquet(indexDir)
-          .filter(col("batch_id") < batchId).select("fp")
-      else novelInBatch.select("fp").limit(0)
-    novelInBatch.join(prior, Seq("fp"), "left_anti")
+          .filter(col("batch_id") < batchId).select("fp"))
+      .getOrElse(novelInBatch.select("fp").limit(0))
+    val novel = novelInBatch.join(prior, Seq("fp"), "left_anti")
       .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(indexDir)
+      .localCheckpoint()
+    // Nothing novel → write nothing. A partitioned write of an empty
+    // frame would create a _SUCCESS-only dir (no schema footer),
+    // poisoning the next batch's read; skipping keeps replay
+    // idempotent (the recompute is deterministic, so a replayed
+    // all-duplicate batch skips again).
+    if (!novel.isEmpty)
+      novel.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(indexDir)
   }
 }

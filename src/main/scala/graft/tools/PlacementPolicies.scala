@@ -24,9 +24,9 @@ object PlacementPolicies {
   final case class Policy(primaryRegion: String, regions: Seq[String],
       followers: Int)
 
-  // name -> policy; table -> attached policy name. LinkedHashMap so
-  // renderRows can also be ordered deterministically by name without
-  // depending on hash iteration order.
+  // name -> policy; table -> attached policy name. Plain hash maps:
+  // renderRows sorts by name, so iteration order never reaches the
+  // rendered card.
   private val policies = mutable.Map.empty[String, Policy]
   private val attached = mutable.Map.empty[String, String]
 
@@ -79,7 +79,8 @@ object PlacementPolicies {
     * (`POLICY name` / its option string / SCHEDULED) then one per
     * attachment (`TABLE tbl` / `PLACEMENT POLICY name` / SCHEDULED),
     * each group name-ordered — the deterministic render
-    * q_show_placement appends after its physical-layout rows. */
+    * q_show_placement serves BEFORE its physical-layout rows
+    * (show_placement.go lists policies first). */
   def renderRows(): Seq[(String, String, String)] = synchronized {
     val ps = policies.toSeq.sortBy(_._1).map { case (n, p) =>
       (s"POLICY $n",

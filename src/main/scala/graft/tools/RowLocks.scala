@@ -87,7 +87,16 @@ object RowLocks {
     // at entry), and a NULL "key" is no row at all — SelectLockExec
     // locks handles, which are never null.
     // Key handles are BIGINT in the store; an INT key column must
-    // widen here, not ClassCastException at getLong below.
+    // widen here, not ClassCastException at getLong below. ONLY
+    // integral types widen — casting a decimal/string key would
+    // silently truncate (or null out) and lock the WRONG key, the
+    // exact fewer-keys-than-selected outcome this function's
+    // contract says must abort loudly.
+    val integral = Set("byte", "short", "int", "bigint")
+    val kt = df.schema(keyCol).dataType.simpleString
+    require(integral(kt),
+      s"row-lock key column $keyCol must be an integral type " +
+        s"(got $kt): key handles are BIGINT row ids")
     val rows = df.select(col(keyCol).cast("long").as(keyCol))
       .where(col(keyCol).isNotNull)
       .distinct().limit(cap + 1).collect()

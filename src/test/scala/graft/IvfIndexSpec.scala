@@ -100,17 +100,21 @@ class IvfIndexSpec extends SparkSpecBase {
       r.getAs[Long]("n_base") + r.getAs[Long]("n_new")).sum
     assert(nTotal == corpus.count())
     card.foreach { r =>
-      val (ib, ia) = (Option(r.getAs[java.lang.Double]("inertia_base")),
-        r.getAs[Double]("inertia_after"))
+      val nNew = r.getAs[Long]("n_new")
+      val ib = Option(r.getAs[java.lang.Double]("inertia_base"))
+      val inew = Option(r.getAs[java.lang.Double]("inertia_new"))
       val growth = Option(r.getAs[java.lang.Double]("growth"))
       val retrain = r.getAs[Int]("retrain")
-      (ib, growth) match {
-        case (Some(b), Some(g)) if b > 0 =>
-          assert(math.abs(g - ia / b) < 1e-4,
+      if (nNew == 0L) assert(retrain == 0,
+        "an untouched cell must never flag retrain")
+      else (ib, inew, growth) match {
+        case (Some(b), Some(nv), Some(g)) if b > 0 =>
+          assert(math.abs(g - nv / b) < 1e-4,
             s"growth mismatch on cell ${r.getAs[Int]("cell")}")
           assert(retrain == (if (g > 1.5) 1 else 0))
         case _ => assert(retrain == 1,
-          "a base-less (or zero-inertia-base) cell must flag retrain")
+          "an appended-to cell without a healthy base yardstick " +
+            "must flag retrain")
       }
     }
     // The card is the RETRAIN decision: on this near-uniform append

@@ -366,8 +366,8 @@ class Wave19Spec extends SparkSpecBase {
     Acl.clear()
   }
 
-  test("q_show_backups: manifest-absent staging dir renders running " +
-    "with zero durable rows; finishing the manifest flips it") {
+  test("q_show_backups: the in-flight staging dir is rebuilt per run " +
+    "and renders running with zero durable rows") {
     val rows = q("q_show_backups").collect()
     val running = rows.find(_.getAs[String]("state") == "running")
     assert(running.isDefined && running.get.getAs[Long]("n_rows") == 0L)
