@@ -788,5 +788,17 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamedFps == expected.map(_._1))
     assert(spark.read.parquet(dir2).groupBy("fp").count()
       .filter(col("count") > 1).count() == 0)
+    // An ALL-DUPLICATE batch writes nothing (a partitioned empty
+    // write would leave a _SUCCESS-only dir poisoning later reads),
+    // and its replay is equally a no-op; null fingerprints never
+    // enter the index.
+    import spark.implicits._
+    val before = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val dupBatch = fpDocs.limit(20)
+      .unionByName(Seq((null: String, 999999L)).toDF("fp", "doc_id"))
+    Streams.dedupIngestSink(dir)(dupBatch, 3L)
+    Streams.dedupIngestSink(dir)(dupBatch, 3L) // replay
+    val after = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    assert(after == before, "all-duplicate batch must be a no-op")
   }
 }

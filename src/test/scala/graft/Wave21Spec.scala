@@ -49,6 +49,24 @@ class Wave21Spec extends SparkSpecBase {
     assert(graft.tools.PlacementPolicies.renderRows().isEmpty)
   }
 
+  test("q_show_placement serves live policy rows from the store, " +
+      "before the physical layouts, and drops them after clear") {
+    val P = graft.tools.PlacementPolicies
+    P.clear()
+    P.create("p_live", P.Policy("us-east-1", Seq("us-east-1"), 3))
+    P.attach("orders_live", "p_live")
+    try {
+      val rows = q("q_show_placement").collect()
+      assert(rows(0).getString(0) == "POLICY p_live")
+      assert(rows(0).getString(1) ==
+        """PRIMARY_REGION="us-east-1" REGIONS="us-east-1" FOLLOWERS=3""")
+      assert(rows(1).getString(0) == "TABLE orders_live")
+      assert(rows(1).getString(1) == "PLACEMENT POLICY p_live")
+      assert(rows.length == 6) // 2 policy rows + 4 physical layouts
+    } finally P.clear()
+    assert(q("q_show_placement").collect().length == 4)
+  }
+
   test("q_truncate_table: empty after truncate, retained generation, " +
       "flashback restores the exact rows") {
     val rows = q("q_truncate_table").collect()
