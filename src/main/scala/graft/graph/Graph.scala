@@ -48,6 +48,19 @@ final case class Graph(edges: DataFrame) {
     }
   }
 
+  /** The BOTH-orientation edge table, materialized ONCE per Graph
+    * instance (lazy — graphs that never traverse undirected never
+    * pay it). With [[Graph.derived]] memoizing instances per
+    * (session, input), every undirected kernel over the same derived
+    * graph — CC, k-core, LPA — starts from this one checkpoint
+    * instead of re-running the union+distinct per entry. */
+  private lazy val bothCp: DataFrame = {
+    val d = oriented("both")
+    // reuse the loop checkpoint discipline (reliable dir when
+    // configured, localCheckpoint otherwise)
+    new Cp(d).cp()
+  }
+
   /** Edges usable for a traversal in `direction` (OUT, IN or BOTH —
     * ast.GraphEdgeDirection in the reference). */
   def oriented(direction: String): DataFrame = direction match {
@@ -452,7 +465,7 @@ final case class Graph(edges: DataFrame) {
     * Returns (labels, CcStats) so specs can pin the adaptive
     * decision on constructed chain/dense graphs. */
   def connectedComponentsWithStats(): (DataFrame, Graph.CcStats) = {
-    val und = oriented("both").cp()
+    val und = bothCp
     var labels = und.select(col("src").as("node"))
       .distinct()
       .select(col("node"), col("node").as("component"))
@@ -649,7 +662,7 @@ final case class Graph(edges: DataFrame) {
     * wider than an edge shuffles, hub vertices are safe because label
     * counts combine map-side before the exchange. */
   def labelPropagation(iters: Int): DataFrame =
-    labelPropagation(iters, oriented("both").cp())
+    labelPropagation(iters, bothCp)
 
   /** [[labelPropagation]] over a caller-supplied (already
     * checkpointed) both-orientation edge list — callers that also
@@ -783,7 +796,7 @@ final case class Graph(edges: DataFrame) {
     * semi-joins, |E|-bounded — the standard distributed peel, no
     * driver-side data beyond the one convergence scalar. */
   def kCore(k: Int, maxRounds: Int): DataFrame = {
-    var edges = oriented("both").cp()
+    var edges = bothCp
     var prevN = edges.select("src").distinct().count()
     var rounds = 0
     var converged = false
@@ -940,15 +953,29 @@ object Graph {
     * classified the graph as dense and compression never ran. */
   final case class CcStats(cycles: Int, compressFrom: Int)
 
+  /** Per-JVM memo of derived Graph instances, keyed by (session,
+    * semantic hash of the input plan) — the SampleStats.boundsRow
+    * pattern one level up: ~30 registry entries each rebuilt the
+    * SAME derived edge list (orders scan + projection + distinct)
+    * before their own kernel work. The memoized instance carries a
+    * CHECKPOINTED edge table, so every consumer starts from the
+    * materialized |E| rows; the semantic-hash key means a different
+    * source dir (different scan path) or a transformed input misses
+    * the cache and builds fresh. */
+  private val derivedMemo = new scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, Int), Graph]
+
   /** Deterministic derived graph over the driver tables (SURVEY §3):
     * no explicit edge table exists, so edges come from `orders` —
     * src = o_custkey mod 1000, dst = o_orderkey mod 1000 — giving a
     * cyclic multi-component graph the DuckDB oracle reproduces with
     * the same arithmetic. */
-  def derived(orders: DataFrame): Graph = Graph(
-    orders.select((col("o_custkey") % 1000).as("src"),
-        (col("o_orderkey") % 1000).as("dst"))
-      .distinct())
+  def derived(orders: DataFrame): Graph =
+    derivedMemo.getOrElseUpdate(
+      (orders.sparkSession, orders.queryExecution.analyzed.semanticHash()),
+      Graph(orders.select((col("o_custkey") % 1000).as("src"),
+          (col("o_orderkey") % 1000).as("dst"))
+        .distinct().localCheckpoint()))
 
   /** Vertices whose degree in a canonical undirected edge set
     * (src < dst, distinct) exceeds `degreeCap` — the hub
