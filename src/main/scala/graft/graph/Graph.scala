@@ -54,7 +54,7 @@ final case class Graph(edges: DataFrame) {
     * (session, input), every undirected kernel over the same derived
     * graph — CC, k-core, LPA — starts from this one checkpoint
     * instead of re-running the union+distinct per entry. */
-  private lazy val bothCp: DataFrame = {
+  private[graph] lazy val bothCp: DataFrame = {
     val d = oriented("both")
     // reuse the loop checkpoint discipline (reliable dir when
     // configured, localCheckpoint otherwise)

@@ -795,9 +795,11 @@ object GraphQueries {
     // shuffle); |labels|-sized output. Oracle restates the unrolled
     // LPA stages plus the same arithmetic.
     Q("g_modularity", Some(modularityOracle(4))) { t =>
-      val und = Graph.derived(t.orders).oriented("both").localCheckpoint()
-      // Pass und in: the derived-edge build + undirect runs ONCE for
-      // both the LPA rounds and the within-community edge count.
+      // The shared per-instance undirected checkpoint: the LPA
+      // rounds, the within-community count AND every other
+      // undirected kernel over the derived graph reuse ONE
+      // materialization.
+      val und = Graph.derived(t.orders).bothCp
       val lab = Graph.derived(t.orders).labelPropagation(iters = 4, und)
       val m2 = und.agg(count(lit(1)).as("m2"))
       val within = und
