@@ -54,11 +54,21 @@ final case class Graph(edges: DataFrame) {
     * (session, input), every undirected kernel over the same derived
     * graph — CC, k-core, LPA — starts from this one checkpoint
     * instead of re-running the union+distinct per entry. */
-  private[graph] lazy val bothCp: DataFrame = {
-    val d = oriented("both")
-    // reuse the loop checkpoint discipline (reliable dir when
-    // configured, localCheckpoint otherwise)
-    new Cp(d).cp()
+  private[graph] lazy val bothCp: DataFrame = new Cp(oriented("both")).cp()
+  private lazy val outCp: DataFrame = new Cp(oriented("out")).cp()
+  private lazy val inCp: DataFrame = new Cp(oriented("in")).cp()
+
+  /** The materialized edge table for `direction` — built lazily,
+    * once per Graph instance, with the loop checkpoint discipline
+    * (reliable dir when configured, localCheckpoint otherwise).
+    * Every traversal kernel starts from one of these three, so with
+    * [[Graph.derived]] memoizing instances, a session's 30-odd
+    * derived-graph entries share three materializations total
+    * instead of one per entry. */
+  private def orientedCp(direction: String): DataFrame = direction match {
+    case "out"  => outCp
+    case "in"   => inCp
+    case "both" => bothCp
   }
 
   /** Edges usable for a traversal in `direction` (OUT, IN or BOTH —
@@ -84,7 +94,7 @@ final case class Graph(edges: DataFrame) {
     // paying per-round scheduling + empty-frontier actions. Each level
     // is distinct-bounded by |V|, so an exhausted frontier just flows
     // empty through the remaining stages for free.
-    val e = oriented(direction).cp()
+    val e = orientedCp(direction)
     val seed = sources.select(col("src").as("node")).distinct()
     var levels = List(seed)
     for (_ <- 1 to maxHops) {
@@ -106,7 +116,7 @@ final case class Graph(edges: DataFrame) {
     * on the unioned levels. */
   def reachLevels(sources: DataFrame, direction: String,
       minHops: Int, maxHops: Int): DataFrame = {
-    val e = oriented(direction).cp()
+    val e = orientedCp(direction)
     val seed = sources.select(col("src").as("node")).distinct()
     var levels = List(seed.select(col("node"), lit(0).as("hops")))
     for (d <- 1 to maxHops) {
@@ -132,7 +142,7 @@ final case class Graph(edges: DataFrame) {
     * anti-join. State is bounded by roots·|V| per level. */
   def closeness(roots: Seq[Long], direction: String,
       maxHops: Int): DataFrame = {
-    val e = oriented(direction).cp()
+    val e = orientedCp(direction)
     val ss = e.sparkSession
     import ss.implicits._
     val seed = roots.toDF("root")
@@ -181,7 +191,7 @@ final case class Graph(edges: DataFrame) {
     * halving driver-loop rounds on long thin traversals. */
   def shortestDistances(source: Long, direction: String,
       maxHops: Int): DataFrame = {
-    val e = oriented(direction).cp()
+    val e = orientedCp(direction)
     var visited = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0).as("dist"))
       .cp()
@@ -219,7 +229,7 @@ final case class Graph(edges: DataFrame) {
     * stays fully distributed (groupBy dst + sum). */
   def shortestPathCounts(source: Long, direction: String,
       maxHops: Int): DataFrame = {
-    val e = oriented(direction).cp()
+    val e = orientedCp(direction)
     var visited = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0).as("dist"),
         lit(1L).as("n_paths"))
@@ -319,7 +329,13 @@ final case class Graph(edges: DataFrame) {
   /** The loop inputs: fused (src, dst, deg) edge table hash-
     * partitioned on src, node set, initial ranks — exposed so plan
     * tests can assert the per-round shape before checkpointing. */
-  def pageRankState(): (DataFrame, DataFrame, DataFrame) = {
+  def pageRankState(): (DataFrame, DataFrame, DataFrame) = prState
+
+  /** Built lazily ONCE per Graph instance: rank loops (global and
+    * personalized) over the same memoized derived graph share the
+    * fused-degree edge table, node set and init state instead of
+    * rebuilding them per entry. */
+  private lazy val prState: (DataFrame, DataFrame, DataFrame) = {
     // Spark 4's WITH RECURSIVE can't express this (aggregates over the
     // recursive reference are rejected: INVALID_RECURSIVE_REFERENCE;
     // measured: a fully lazy 10-round unrolled plan is also SLOWER —
@@ -336,7 +352,7 @@ final case class Graph(edges: DataFrame) {
     // 100 TB); without the hint AQE still broadcasts the rank side
     // while it is measured-small, and degrades gracefully to the
     // co-partitioned shuffle join when it isn't.
-    val e = oriented("out").cp()
+    val e = orientedCp("out")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .cp()
@@ -558,7 +574,7 @@ final case class Graph(edges: DataFrame) {
         "betweenness over paths of length < 2 is identically zero")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = oriented("out").cp()
+    val e = orientedCp("out")
     var frontier = roots.toDF("root")
       .select(col("root"), col("root").as("node"), lit(1L).as("sigma"))
       .cp()
@@ -910,7 +926,7 @@ final case class Graph(edges: DataFrame) {
     * shortest-first because enumeration is level-synchronous). */
   private def boundedSimplePaths(source: Long, target: Long, maxHops: Int,
       stopAtK: Option[Int]): DataFrame = {
-    val e = oriented("out").cp()
+    val e = orientedCp("out")
     val distToTarget = shortestDistances(target, "in", maxHops)
       .select(col("node"), col("dist").as("d_to_t"))
     var paths = e.sparkSession.range(1)
