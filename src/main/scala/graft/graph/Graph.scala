@@ -58,6 +58,17 @@ final case class Graph(edges: DataFrame) {
   private lazy val outCp: DataFrame = new Cp(oriented("out")).cp()
   private lazy val inCp: DataFrame = new Cp(oriented("in")).cp()
 
+  /** Canonical undirected edge set — (min, max) per edge, self-loops
+    * dropped, distinct — materialized once per instance: the shared
+    * input of the triangle-counting family (triangles, clustering,
+    * coreness, k-truss, assortativity), which otherwise rebuilt it
+    * per entry. */
+  private[graph] lazy val canonCp: DataFrame =
+    new Cp(edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()).cp()
+
   /** The materialized edge table for `direction` — built lazily,
     * once per Graph instance, with the loop checkpoint discipline
     * (reliable dir when configured, localCheckpoint otherwise).
@@ -857,8 +868,7 @@ final case class Graph(edges: DataFrame) {
     // collected to a bounded driver set (only over-cap vertices —
     // see Graph.edgeSupports), so hub-free graphs get the lean
     // array-only per-round plan with no broadcast machinery in it.
-    var e = oriented("both").filter(col("src") < col("dst"))
-      .distinct().cp()
+    var e = canonCp
     val spark = e.sparkSession
     import spark.implicits._
     val hubIds = Graph.hubVertices(e, degreeCap)

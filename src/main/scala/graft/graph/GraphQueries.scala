@@ -508,11 +508,7 @@ object GraphQueries {
     // kCore/kTruss convergence contract). Spec brute-forces classic
     // min-degree peeling for parity.
     Q("g_coreness", Some(corenessOracle(30))) { t =>
-      val e = Graph.derived(t.orders).edges
-      val u = e.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("src"),
-          greatest(col("src"), col("dst")).as("dst"))
-        .distinct()
+      val u = Graph.derived(t.orders).canonCp
       Graph.coreness(u, 30)
         .select(col("n").as("node"), col("deg").cast("long").as("deg"),
           col("coreness").cast("long").as("coreness"))
@@ -531,11 +527,8 @@ object GraphQueries {
       JOIN u e2 ON e1.b = e2.a
       JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
     """)) { t =>
-      val e = Graph.derived(t.orders).edges
-      val u = e.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
+      val u = Graph.derived(t.orders).canonCp
+        .select(col("src").as("a"), col("dst").as("b"))
       triangles(u)
     },
 
@@ -582,12 +575,7 @@ object GraphQueries {
       FROM d LEFT JOIN tri ON tri.n = d.n
       WHERE d.deg >= 2
     """)) { t =>
-      val e = Graph.derived(t.orders).edges
-      val u = e.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("src"),
-          greatest(col("src"), col("dst")).as("dst"))
-        .distinct()
-        .localCheckpoint()
+      val u = Graph.derived(t.orders).canonCp
       // ONE bounded adjacency exchange (Graph.adjacencyCapped —
       // BoundedCollectSet never buffers more than cap+1 longs, so
       // running it BEFORE classification is memory-safe) serves hub
@@ -638,11 +626,8 @@ object GraphQueries {
       JOIN d dx ON dx.n = und.x
       JOIN d dy ON dy.n = und.y
     """)) { t =>
-      val e = Graph.derived(t.orders).edges
-      val u = e.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
+      val u = Graph.derived(t.orders).canonCp
+        .select(col("src").as("a"), col("dst").as("b"))
       val und = u.select(col("a").as("x"), col("b").as("y"))
         .union(u.select(col("b").as("x"), col("a").as("y")))
       val d = und.groupBy(col("x").as("n")).agg(count(lit(1)).as("deg"))
