@@ -68,7 +68,10 @@ object Bench {
         "q_show_index",
         // r16: the appended-IVF drift index (marker-gated build +
         // append) is a lazy layout.
-        "s_ivf_drift")
+        "s_ivf_drift",
+        // r17: the retrain-and-swap serving root (two marker-gated
+        // generation builds + appends) is a lazy layout too.
+        "s_ivf_retrain")
         .contains(q.name))
     }
     warmup.foreach { q =>

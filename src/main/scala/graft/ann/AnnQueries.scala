@@ -975,6 +975,71 @@ object AnnQueries {
           isNew = col("vec_id") % 5 === 0, growthCap = 1.5)
         .orderBy("cell")
     },
+
+    // Retrain-and-swap — the drift card's second half (no reference
+    // analog; the serving-index maintenance loop the pipeline
+    // mandate implies). Staging (marker-gated, content-fingerprint-
+    // keyed, all generations retained so re-runs are read-only):
+    // gen_1 trained on the base corpus; a DRIFTED batch (new ids,
+    // every component shifted +3.0 — a distribution the fixed
+    // centroids cannot summarize) appended at fixed centroids;
+    // retrainAndSwap reads gen_1's full current corpus, trains
+    // fresh centroids, writes gen_2 and atomically flips CURRENT;
+    // a SECOND same-shaped drifted batch then appends to gen_2.
+    // The card tells the story: the first drifted append against
+    // gen_1's centroids flags red (growth > cap / base-less cells);
+    // the same class of append against the RETRAINED centroids is
+    // green (they now summarize the shifted region) — retraining
+    // measurably absorbed the drift, not just renamed it. Epoch
+    // rule: driftCard's isNew marks rows appended since the LAST
+    // (re)train, so immediately post-swap the new-rows set is empty
+    // by definition. Float-iterative k-means → rows-only;
+    // IvfIndexSpec proves the atomic swap, probe continuity across
+    // the flip (old resolved dir serves identical results), recall
+    // no worse than the drifted generation's, and the red→green
+    // flag drop on this exact staging.
+    Q("s_ivf_retrain", None) { t =>
+      val F = graft.sources.Formats
+      val (c, iters) = (16, 2)
+      val root = F.cacheDir(
+        s"/tmp/graft_ivfretrain_c${c}_i${iters}_${F.sanitize(t.dir)}",
+        F.contentFingerprint(s"${t.dir}/embeddings.parquet"))
+      val marker = new java.io.File(s"$root/_STAGED")
+      def shifted(offset: Long) = vecs(t)
+        .filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + offset).as("vec_id"),
+          expr("transform(v, x -> x + 3.0d)").as("v"))
+      if (!marker.exists()) {
+        F.deleteRecursively(new java.io.File(root))
+        IvfIndex.initServing(
+          vecs(t).filter(col("vec_id") % 5 =!= 0).select("vec_id", "v"),
+          root, c = c, iters = iters)
+        IvfIndex.appendToServing(t.spark, root, shifted(1000000L))
+        val gen2 = IvfIndex.retrainAndSwap(t.spark, root, c, iters)
+        require(gen2 == "gen_2", s"unexpected generation $gen2")
+        IvfIndex.appendToServing(t.spark, root, shifted(2000000L))
+        require(marker.createNewFile(), s"marker exists at $root")
+      }
+      // Read-only from here (every generation is retained): the
+      // pre-retrain card against gen_1, the post-retrain card
+      // against the serving generation — one scan each.
+      def flags(dir: String, isNew: org.apache.spark.sql.Column) =
+        IvfIndex.driftCard(t.spark, dir, isNew, growthCap = 1.5)
+          .agg(sum(when(col("n_new") > 0, 1).otherwise(0))
+              .cast("long").as("cells_new"),
+            sum(col("retrain")).cast("long").as("flagged"))
+          .head()
+      val red = flags(s"$root/gen_1", col("vec_id") >= 1000000L)
+      val green = flags(IvfIndex.servingDir(root),
+        col("vec_id") >= 2000000L)
+      import t.spark.implicits._
+      Seq(
+        ("1_drifted_append", "gen_1", red.getLong(0), red.getLong(1)),
+        ("2_retrain_swap", IvfIndex.currentGen(root), 0L, 0L),
+        ("3_post_retrain_append", IvfIndex.currentGen(root),
+          green.getLong(0), green.getLong(1)))
+        .toDF("stage", "serving_gen", "cells_with_new", "flagged")
+    },
   )
 
   /** Unrolled MMR oracle (oracled since r8): the greedy selection is

@@ -126,6 +126,31 @@ object IvfIndex {
     rerankTopK(cells.join(broadcast(probed), "cell"), topk, dedup = true)
   }
 
+  /** Top-k probe over the serving generation PLUS a streaming delta
+    * layout ([[graft.streaming.Streams.vectorIngestSink]]'s
+    * exactly-once `ingest_batch=`/`cell=` partitions): candidates
+    * are gathered from EACH cell-partitioned scan separately — so
+    * dynamic partition pruning applies to base and delta
+    * independently — and re-ranked through the one shared exact
+    * kernel. Equal by construction to probing an index the deltas
+    * were physically appended into (assignment at fixed centroids is
+    * per-row; re-rank is exact within the probed cells) — the
+    * stream-equals-batch-append property StreamingSpec pins. */
+  def probeWithDeltas(spark: org.apache.spark.sql.SparkSession,
+      dir: String, deltaDir: String, queries: DataFrame, nprobe: Int,
+      topk: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val probed = probes(
+      queries.withColumn("nq", norm(col("qv"))), centroids, nprobe)
+    def cands(cells: DataFrame) =
+      cells.select(col("cell"), col("vec_id"), col("v"))
+        .withColumn("nv", norm(col("v")))
+        .join(broadcast(probed), "cell")
+    val base = cands(spark.read.parquet(s"$dir/cells"))
+    val delta = cands(spark.read.parquet(deltaDir))
+    rerankTopK(base.unionByName(delta), topk, dedup = true)
+  }
+
   /** Incremental maintenance: ADD-BATCH WITHOUT RETRAIN. New vectors
     * are assigned to the EXISTING centroid table (one broadcast
     * argmin pass over the batch only) and appended to the cell
@@ -154,6 +179,82 @@ object IvfIndex {
     aligned.write.partitionBy("cell").mode("append").parquet(cellsPath)
   }
 
+  // ----- Serving generations: retrain-and-swap (the drift card's
+  // second half). Layout: root/gen_N/{cells,centroids} — immutable
+  // once trained — plus root/CURRENT, a one-line pointer file that
+  // names the serving generation and is flipped by an ATOMIC rename.
+  // Probe continuity falls out of the layout: a probe resolves
+  // CURRENT once (at plan time) and then reads only that
+  // generation's files, so queries in flight across a swap see
+  // either the old or the new generation in full — never a mix —
+  // and old generations are RETAINED (a reader holding a resolved
+  // dir keeps working; GC is a separate safepoint decision, the
+  // time-travel discipline). Appends land in the serving generation
+  // (appendToIndex semantics unchanged); retrain reads the serving
+  // generation's WHOLE current corpus (base + appended), trains
+  // fresh centroids, writes gen_N+1, and flips the pointer — after
+  // which nothing has been appended since training, so the drift
+  // card's "new since last (re)train" epoch resets to empty.
+
+  /** The serving generation name (e.g. "gen_2") from the pointer. */
+  def currentGen(root: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "CURRENT")), "UTF-8").trim
+
+  /** The serving generation's index dir — resolve ONCE per probe. */
+  def servingDir(root: String): String = s"$root/${currentGen(root)}"
+
+  /** Atomic pointer flip: write aside, rename over. rename(2) on one
+    * filesystem replaces the target atomically — a concurrent
+    * [[currentGen]] read sees the old or the new pointer, never a
+    * torn write. */
+  private def writePointer(root: String, gen: String): Unit = {
+    new java.io.File(root).mkdirs()
+    val tmp = java.nio.file.Paths.get(root, ".CURRENT.tmp")
+    java.nio.file.Files.write(tmp, s"$gen\n".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(root, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Train generation 1 from `corpus` and point CURRENT at it. */
+  def initServing(corpus: DataFrame, root: String, c: Int,
+      iters: Int): Unit = {
+    writeIndex(corpus, s"$root/gen_1", c, iters)
+    writePointer(root, "gen_1")
+  }
+
+  /** Append a batch to the SERVING generation at fixed centroids. */
+  def appendToServing(spark: org.apache.spark.sql.SparkSession,
+      root: String, batch: DataFrame): Unit =
+    appendToIndex(spark, servingDir(root), batch)
+
+  /** Nearest-cell assignment of `batch` at an index's FIXED
+    * centroids WITHOUT writing — one broadcast argmin pass over the
+    * batch; the streaming ingest sink's building block (it owns the
+    * exactly-once write discipline itself). */
+  def assignAt(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame): DataFrame =
+    assign(batch, spark.read.parquet(s"$dir/centroids"), "vec_id", "v")
+
+  /** Retrain-and-swap: re-read the serving generation's full current
+    * corpus (ONE scan of its cell shards — at 100 TB this is the
+    * one unavoidable full pass a retrain is), run the same
+    * deterministic k-means from scratch, write the rebuilt index
+    * under gen_N+1, and atomically flip CURRENT. Returns the new
+    * generation name. The old generation stays on disk untouched —
+    * probes that resolved it before the flip finish against it. */
+  def retrainAndSwap(spark: org.apache.spark.sql.SparkSession,
+      root: String, c: Int, iters: Int): String = {
+    val cur = currentGen(root)
+    val next = s"gen_${cur.stripPrefix("gen_").toInt + 1}"
+    val corpus = spark.read.parquet(s"$root/$cur/cells")
+      .select("vec_id", "v")
+    writeIndex(corpus, s"$root/$next", c, iters)
+    writePointer(root, next)
+    next
+  }
+
   /** Per-cell inertia card over a (possibly appended) index: cell
     * size and mean squared L2 distance to the cell centroid, split
     * by generation (`is_new` = the append marker predicate), plus
@@ -171,9 +272,19 @@ object IvfIndex {
     * (cell, generation); centroids broadcast. */
   def driftCard(spark: org.apache.spark.sql.SparkSession, dir: String,
       isNew: org.apache.spark.sql.Column,
+      growthCap: Double): DataFrame =
+    driftCardOf(spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/centroids"), isNew, growthCap)
+
+  /** [[driftCard]] over in-plan frames — the streaming-metric form:
+    * the ingest sink's consumers hand it base ∪ delta cells so the
+    * card watches a LIVE streamed index without a physical append
+    * (same arithmetic, one definition). */
+  def driftCardOf(cellRows: DataFrame, centroids: DataFrame,
+      isNew: org.apache.spark.sql.Column,
       growthCap: Double): DataFrame = {
-    val cells = spark.read.parquet(s"$dir/cells")
-    val cents = withCC(spark.read.parquet(s"$dir/centroids"))
+    val cells = cellRows
+    val cents = withCC(centroids)
     cells.join(broadcast(cents), "cell")
       .select(col("cell"), isNew.as("is_new"),
         // Squared L2 = |v|^2 - 2 v·c + |c|^2, rounded like distKey

@@ -589,8 +589,15 @@ object CatalogQueries {
     * pure derivations of the immutable source dir (mutating entries
     * build their OWN mutated copies), so the memoized checkpoint
     * stays valid for the session's lifetime. */
+  /** The edge memo stores session-bound localCheckpoint'd frames, so
+    * the SparkSession is part of the key (the derivedMemo pattern): a
+    * second session in the same JVM must never be handed a DataFrame
+    * whose checkpoint RDDs belong to a stopped context. targetMemo
+    * stores plain Long scalars — (dir, label, predicate) alone is
+    * correct there. */
   private val edgeMemo = new scala.collection.concurrent.TrieMap[
-    (String, String, String), org.apache.spark.sql.DataFrame]
+    (org.apache.spark.sql.SparkSession, String, String, String),
+    org.apache.spark.sql.DataFrame]
   private val targetMemo = new scala.collection.concurrent.TrieMap[
     (String, String, String), Long]
 
@@ -604,12 +611,16 @@ object CatalogQueries {
     // derived-target probe plus a 4-hop enumeration was paying the
     // knows build 7+ times; the memo extends the same reuse across
     // the entries that prune identically.
-    edgeMemo.getOrElseUpdate((t.dir, label, edgeWhere.toString),
-      GraphCatalog.declared(t).edge(label).edges
-        .filter(edgeWhere)
-        .select(col("src").cast("long").as("src"),
-          col("dst").cast("long").as("dst"))
-        .localCheckpoint())
+    {
+      edgeMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      edgeMemo.getOrElseUpdate(
+        (t.spark, t.dir, label, edgeWhere.toString),
+        GraphCatalog.declared(t).edge(label).edges
+          .filter(edgeWhere)
+          .select(col("src").cast("long").as("src"),
+            col("dst").cast("long").as("dst"))
+          .localCheckpoint())
+    }
 
   /** The SF-invariant path target: MIN vertex at exact BFS distance
     * 3 from anchor 1 in the pruned typed graph. One bounded driver

@@ -989,19 +989,29 @@ object Graph {
     * source dir (different scan path) or a transformed input misses
     * the cache and builds fresh. */
   private val derivedMemo = new scala.collection.concurrent.TrieMap[
-    (org.apache.spark.sql.SparkSession, Int), Graph]
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Graph]
 
   /** Deterministic derived graph over the driver tables (SURVEY §3):
     * no explicit edge table exists, so edges come from `orders` —
     * src = o_custkey mod 1000, dst = o_orderkey mod 1000 — giving a
     * cyclic multi-component graph the DuckDB oracle reproduces with
-    * the same arithmetic. */
-  def derived(orders: DataFrame): Graph =
+    * the same arithmetic. Keyed by the CANONICALIZED analyzed plan
+    * (structural equality — what semanticEquals checks), not its
+    * 32-bit semanticHash alone: a hash collision between two
+    * different input plans must never serve the wrong checkpointed
+    * graph. Entries of stopped sessions are evicted on access so a
+    * long-lived JVM (Verify then Bench, suites with separate
+    * sessions) doesn't pin dead contexts and their checkpoint
+    * blocks. */
+  def derived(orders: DataFrame): Graph = {
+    derivedMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     derivedMemo.getOrElseUpdate(
-      (orders.sparkSession, orders.queryExecution.analyzed.semanticHash()),
+      (orders.sparkSession, orders.queryExecution.analyzed.canonicalized),
       Graph(orders.select((col("o_custkey") % 1000).as("src"),
           (col("o_orderkey") % 1000).as("dst"))
         .distinct().localCheckpoint()))
+  }
 
   /** Vertices whose degree in a canonical undirected edge set
     * (src < dst, distinct) exceeds `degreeCap` — the hub

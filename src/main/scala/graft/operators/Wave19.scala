@@ -43,36 +43,20 @@ object Outfile {
     * both alphabets round-trip through this one scan). A trailing
     * lone escape char is kept as-is (malformed input, not data
     * loss). */
-  private[graft] def unescape(s: String): String = {
-    if (s == null) return null
-    val b = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        b.append(s.charAt(i + 1) match {
-          case '0' => '\u0000'
-          case 'b' => '\b'
-          case 'n' => '\n'
-          case 'r' => '\r'
-          case 't' => '\t'
-          case 'Z' => '\u001a'
-          case other => other
-        })
-        i += 2
-      } else { b.append(c); i += 1 }
-    }
-    b.toString
-  }
+  private[graft] def unescape(s: String): String =
+    if (s == null) null
+    else graft.functions.OutfileText.unescape(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
 
-  private lazy val unescUdf = udf(unescape _)
-
-  /** Column form of [[unescape]]. A Scala UDF (not codegen) is the
-    * right trade here: the loader parses line-terminated text files
-    * once at ingest — correctness of the byte walk dominates, and
-    * the per-row cost is the same O(len) scan the regexp passes
-    * paid, without their ordering hazards. */
-  def unescEnclosed(s: Column): Column = unescUdf(s)
+  /** Column form of [[unescape]] — the codegen'd
+    * [[graft.functions.OutfileUnescape]] expression (one static
+    * kernel call from generated code), so the LOAD projection stays
+    * inside WholeStageCodegen; the earlier Scala-UDF spelling fenced
+    * the loader's whole projection out of codegen. */
+  def unescEnclosed(s: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.OutfileUnescape(
+        org.apache.spark.sql.GraftSqlShim.expr(s)))
 }
 
 /** Round-15 entries: the remaining SHOW / observability surface —

@@ -17,6 +17,81 @@ object Wave21 {
   private def truncRoot(t: Tables): String =
     s"/tmp/graft_truncate_${graft.sources.Formats.sanitize(t.dir)}"
 
+  /** ONE spelling of the extended-stats oracle algebra — shared by
+    * q_stats_extended and q_stats_lifecycle so the two cards cannot
+    * drift: (x, p) grouped partials over orders, then the Pearson /
+    * FD-degree / selectivity scalars over those. */
+  private val extCtes: String = """
+      WITH o AS (
+        SELECT o_custkey AS x, o_orderpriority AS p,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS y
+        FROM orders),
+      g AS (
+        SELECT x, p, COUNT(*) AS cnt, SUM(y) AS sy, SUM(y*y) AS syy
+        FROM o GROUP BY x, p),
+      m AS (
+        SELECT SUM(cnt) AS n,
+               SUM(x * cnt) AS sx, SUM(CAST(x AS DOUBLE) * x * cnt) AS sxx,
+               SUM(sy) AS sy, SUM(syy) AS syy, SUM(x * sy) AS sxy,
+               CAST(COUNT(DISTINCT x) AS BIGINT) AS ndv_x,
+               CAST(COUNT(*) AS BIGINT) AS ndv_pair,
+               SUM(CASE WHEN x <= 500 THEN cnt ELSE 0 END) AS n_a,
+               SUM(CASE WHEN p = '1-URGENT' THEN cnt ELSE 0 END) AS n_b,
+               SUM(CASE WHEN x <= 500 AND p = '1-URGENT'
+                   THEN cnt ELSE 0 END) AS n_ab
+        FROM g),
+      f AS (
+        SELECT *,
+          (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+            SQRT((CAST(n AS DOUBLE) * sxx
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr,
+          CAST(ndv_x AS DOUBLE) / ndv_pair AS deg,
+          CAST(n_a AS DOUBLE) / n AS sel_a,
+          CAST(n_b AS DOUBLE) / n AS sel_b
+        FROM m)"""
+
+  /** The engine twin of [[extCtes]]'s `f`: ONE map-combined pass
+    * over orders — the (x, p) grouped partials, then every scalar as
+    * algebra over ~NDV(pair) rows. Shared by q_stats_extended (the
+    * computation card) and q_stats_lifecycle (ANALYZE's write-back
+    * into the [[graft.tools.ExtendedStats]] store). */
+  private def extStatsFrame(t: Tables)
+      : org.apache.spark.sql.DataFrame = {
+    val g = t.orders
+      .select(col("o_custkey").as("x"),
+        col("o_orderpriority").as("p"),
+        SampleStats.price.as("y"))
+      .groupBy("x", "p")
+      .agg(count(lit(1)).as("cnt"), sum("y").as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+    val m = g.agg(
+      sum(col("cnt")).as("n"),
+      sum(col("x") * col("cnt")).as("sx"),
+      sum(col("x").cast("double") * col("x") * col("cnt")).as("sxx"),
+      sum(col("sy")).as("sy"),
+      sum(col("syy")).as("syy"),
+      sum(col("x") * col("sy")).as("sxy"),
+      countDistinct(col("x")).as("ndv_x"),
+      count(lit(1)).as("ndv_pair"),
+      sum(when(col("x") <= 500, col("cnt")).otherwise(0L)).as("n_a"),
+      sum(when(col("p") === "1-URGENT", col("cnt")).otherwise(0L))
+        .as("n_b"),
+      sum(when(col("x") <= 500 && col("p") === "1-URGENT",
+        col("cnt")).otherwise(0L)).as("n_ab"))
+    m.withColumn("corr",
+        (col("n").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sy")) /
+          sqrt((col("n").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n").cast("double") * col("syy") -
+              col("sy") * col("sy"))))
+      .withColumn("deg",
+        col("ndv_x").cast("double") / col("ndv_pair"))
+      .withColumn("sel_a", col("n_a").cast("double") / col("n"))
+      .withColumn("sel_b", col("n_b").cast("double") / col("n"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // CREATE / ALTER / DROP PLACEMENT POLICY (reference:
@@ -186,34 +261,7 @@ object Wave21 {
     // with the true count next to both so the card shows what the
     // correction bought.
     Q("q_stats_extended", Some(s"""
-      WITH o AS (
-        SELECT o_custkey AS x, o_orderpriority AS p,
-               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS y
-        FROM orders),
-      g AS (
-        SELECT x, p, COUNT(*) AS cnt, SUM(y) AS sy, SUM(y*y) AS syy
-        FROM o GROUP BY x, p),
-      m AS (
-        SELECT SUM(cnt) AS n,
-               SUM(x * cnt) AS sx, SUM(CAST(x AS DOUBLE) * x * cnt) AS sxx,
-               SUM(sy) AS sy, SUM(syy) AS syy, SUM(x * sy) AS sxy,
-               CAST(COUNT(DISTINCT x) AS BIGINT) AS ndv_x,
-               CAST(COUNT(*) AS BIGINT) AS ndv_pair,
-               SUM(CASE WHEN x <= 500 THEN cnt ELSE 0 END) AS n_a,
-               SUM(CASE WHEN p = '1-URGENT' THEN cnt ELSE 0 END) AS n_b,
-               SUM(CASE WHEN x <= 500 AND p = '1-URGENT'
-                   THEN cnt ELSE 0 END) AS n_ab
-        FROM g),
-      f AS (
-        SELECT *,
-          (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
-            SQRT((CAST(n AS DOUBLE) * sxx
-                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                 * (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr,
-          CAST(ndv_x AS DOUBLE) / ndv_pair AS deg,
-          CAST(n_a AS DOUBLE) / n AS sel_a,
-          CAST(n_b AS DOUBLE) / n AS sel_b
-        FROM m)
+      $extCtes
       SELECT 'ext_corr' AS stat_name, 'correlation' AS stat_type,
              'o_custkey~o_totalprice' AS columns,
              ROUND(corr, 4) AS value
@@ -234,41 +282,7 @@ object Wave21 {
                        CAST(n_ab AS DOUBLE)
       FROM f
     """)) { t =>
-      // ONE map-combined pass over orders: the (x, p) grouped
-      // partials; everything below aggregates THOSE.
-      val g = t.orders
-        .select(col("o_custkey").as("x"),
-          col("o_orderpriority").as("p"),
-          SampleStats.price.as("y"))
-        .groupBy("x", "p")
-        .agg(count(lit(1)).as("cnt"), sum("y").as("sy"),
-          sum(col("y") * col("y")).as("syy"))
-      val m = g.agg(
-        sum(col("cnt")).as("n"),
-        sum(col("x") * col("cnt")).as("sx"),
-        sum(col("x").cast("double") * col("x") * col("cnt")).as("sxx"),
-        sum(col("sy")).as("sy"),
-        sum(col("syy")).as("syy"),
-        sum(col("x") * col("sy")).as("sxy"),
-        countDistinct(col("x")).as("ndv_x"),
-        count(lit(1)).as("ndv_pair"),
-        sum(when(col("x") <= 500, col("cnt")).otherwise(0L)).as("n_a"),
-        sum(when(col("p") === "1-URGENT", col("cnt")).otherwise(0L))
-          .as("n_b"),
-        sum(when(col("x") <= 500 && col("p") === "1-URGENT",
-          col("cnt")).otherwise(0L)).as("n_ab"))
-      val f = m
-        .withColumn("corr",
-          (col("n").cast("double") * col("sxy") -
-            col("sx").cast("double") * col("sy")) /
-            sqrt((col("n").cast("double") * col("sxx") -
-              col("sx").cast("double") * col("sx").cast("double")) *
-              (col("n").cast("double") * col("syy") -
-                col("sy") * col("sy"))))
-        .withColumn("deg",
-          col("ndv_x").cast("double") / col("ndv_pair"))
-        .withColumn("sel_a", col("n_a").cast("double") / col("n"))
-        .withColumn("sel_b", col("n_b").cast("double") / col("n"))
+      val f = extStatsFrame(t)
       val pred = "o_custkey<=500 AND o_orderpriority=1-URGENT"
       f.selectExpr(s"""stack(5,
           'ext_corr', 'correlation', 'o_custkey~o_totalprice',
@@ -282,6 +296,97 @@ object Wave21 {
           'actual', 'selectivity', '$pred',
             cast(n_ab as double))
           AS (stat_name, stat_type, columns, value)""")
+    },
+
+    // Extended-statistics LIFECYCLE (reference: parser/ast/misc.go:1702
+    // CreateStatisticsStmt + DropStatisticsStmt): CREATE registers the
+    // named objects in the tools.ExtendedStats catalog (duplicate
+    // CREATE refuses — Wave21Spec pins the error), ANALYZE fills them
+    // with the REAL q_stats_extended computation (the shared
+    // extStatsFrame pass — write-back via fill), SHOW STATS_EXTENDED
+    // renders the catalog at every stage (pending → analyzed →
+    // post-drop), and the estimator CONSUMES the store live: the
+    // conjunctive predicate's row estimate uses the FD-degree backoff
+    // exactly while ext_fd exists, and the SAME estimate call falls
+    // back to independence the moment DROP removes it — the
+    // reference's drop-while-consumed semantics (drop never refuses;
+    // consumers just stop seeing the object). Every stage row is
+    // recomputed by the oracle from the same algebra.
+    Q("q_stats_lifecycle", Some(s"""
+      $extCtes
+      SELECT '1_show_pending' AS stage,
+             'ext_corr:correlation:orders:o_custkey~o_totalprice:pending'
+               AS item,
+             CAST(NULL AS DOUBLE) AS value
+      UNION ALL SELECT '1_show_pending',
+        'ext_fd:dependency:orders:o_custkey~o_orderpriority:pending',
+        NULL
+      UNION ALL SELECT '2_analyzed', 'ext_corr', ROUND(corr, 4) FROM f
+      UNION ALL SELECT '2_analyzed', 'ext_fd', ROUND(deg, 4) FROM f
+      UNION ALL SELECT '3_show_analyzed',
+        'ext_corr:correlation:orders:o_custkey~o_totalprice:analyzed',
+        NULL
+      UNION ALL SELECT '3_show_analyzed',
+        'ext_fd:dependency:orders:o_custkey~o_orderpriority:analyzed',
+        NULL
+      UNION ALL SELECT '4_estimate_with_fd',
+        'o_custkey<=500 AND o_orderpriority=1-URGENT',
+        ROUND(n * sel_a * POWER(sel_b, 1 - deg), 4) FROM f
+      UNION ALL SELECT '5_estimate_after_drop',
+        'o_custkey<=500 AND o_orderpriority=1-URGENT',
+        ROUND(n * sel_a * sel_b, 4) FROM f
+      UNION ALL SELECT '6_show_after_drop',
+        'ext_corr:correlation:orders:o_custkey~o_totalprice:analyzed',
+        NULL
+    """)) { t =>
+      import t.spark.implicits._
+      val E = graft.tools.ExtendedStats
+      def round4(v: Double): Double =
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      E.clear()
+      val out = Seq.newBuilder[(String, String, Option[Double])]
+      // The store is GLOBAL: clear in a finally (the
+      // q_placement_policy discipline) so a mid-entry failure cannot
+      // leak objects into later renders.
+      try {
+        E.create("ext_corr", "correlation", "orders",
+          Seq("o_custkey", "o_totalprice"))
+        E.create("ext_fd", "dependency", "orders",
+          Seq("o_custkey", "o_orderpriority"))
+        def show(stage: String): Unit =
+          E.renderRows().foreach { case (n, ty, tb, cols, st) =>
+            out += ((stage, s"$n:$ty:$tb:$cols:${st.split(':')(0)}",
+              None))
+          }
+        show("1_show_pending")
+        // ANALYZE: the one shared map-combined pass; write-back.
+        val f = extStatsFrame(t).head()
+        E.fill("ext_corr", f.getAs[Double]("corr"))
+        E.fill("ext_fd", f.getAs[Double]("deg"))
+        out += (("2_analyzed", "ext_corr",
+          Some(round4(E.value("ext_corr").get))))
+        out += (("2_analyzed", "ext_fd",
+          Some(round4(E.value("ext_fd").get))))
+        show("3_show_analyzed")
+        // The estimator consumes the STORE, not a local: the degree
+        // is read (or not) at estimate time — that is what makes the
+        // post-drop flip the store's semantics rather than staging.
+        val (n, selA, selB) = (f.getAs[Long]("n"),
+          f.getAs[Double]("sel_a"), f.getAs[Double]("sel_b"))
+        val pred = "o_custkey<=500 AND o_orderpriority=1-URGENT"
+        def estimate(): Double = {
+          val d = if (E.exists("ext_fd")) E.value("ext_fd").get
+            else 0.0 // independence: the object is gone
+          n * selA * math.pow(selB, 1 - d)
+        }
+        out += (("4_estimate_with_fd", pred, Some(round4(estimate()))))
+        E.drop("ext_fd")
+        out += (("5_estimate_after_drop", pred,
+          Some(round4(estimate()))))
+        show("6_show_after_drop")
+      } finally E.clear()
+      out.result().toDF("stage", "item", "value")
     },
 
     // Statement-inventory sweep — the last three uncovered statement

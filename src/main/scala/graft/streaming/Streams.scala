@@ -481,11 +481,20 @@ object Streams {
       .groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
     // Schema-safe prior read: a dir that exists but holds no data
     // files (an all-duplicate or empty history) must read as empty,
-    // not throw UNABLE_TO_INFER_SCHEMA forever after.
-    val prior = scala.util.Try(
-        spark.read.parquet(indexDir)
-          .filter(col("batch_id") < batchId).select("fp"))
-      .getOrElse(novelInBatch.select("fp").limit(0))
+    // not throw UNABLE_TO_INFER_SCHEMA forever after. ONLY those two
+    // analysis-time cases degrade to empty — any other read failure
+    // (permissions, a listing error on indexDir) propagates, because
+    // treating it as an empty index would re-append already-indexed
+    // fingerprints and silently break exactly-once membership.
+    val prior =
+      try spark.read.parquet(indexDir)
+        .filter(col("batch_id") < batchId).select("fp")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          novelInBatch.select("fp").limit(0)
+      }
     val novel = novelInBatch.join(prior, Seq("fp"), "left_anti")
       .withColumn("batch_id", lit(batchId))
       .localCheckpoint()
@@ -499,5 +508,63 @@ object Streams {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(indexDir)
+  }
+
+  /** Streaming VECTOR ingest — [[dedupIngestSink]]'s exactly-once
+    * discipline composed with the serving IVF index
+    * ([[graft.ann.IvfIndex]]): per micro-batch, vectors whose
+    * `vec_id` is already indexed (in the base generation or a
+    * STRICTLY EARLIER ingest batch) drop; novel vectors are assigned
+    * at the serving generation's FIXED centroids (one broadcast
+    * argmin over the batch only) and land in the batch's OWN
+    * `ingest_batch=`/`cell=` delta partitions via dynamic partition
+    * overwrite. The physical append is a DELTA layout, not an
+    * in-place append into the generation's cell shards, because
+    * exactly-once demands partition-scoped overwrite: a re-delivered
+    * batch (same id, same rows) recomputes the identical novel set —
+    * its own output is fenced out of the prior-ids read — and
+    * rewrites its partitions bit-identically, where a bare
+    * mode("append") would duplicate every replayed vector. Probes
+    * read base ∪ delta ([[graft.ann.IvfIndex.probeWithDeltas]] —
+    * cell pruning applies to each scan) and return exactly what a
+    * physical append at the same centroids would (spec-pinned);
+    * retrainAndSwap is the compaction point that absorbs deltas into
+    * the next generation. The drift card over base ∪ delta is the
+    * live streaming metric ([[graft.ann.IvfIndex.driftCardOf]]).
+    * At 100 TB: the ids ledger read is a one-column columnar
+    * projection of the cell shards plus the (tiny) delta ids; the
+    * batch side never exceeds one micro-batch of vectors.
+    *
+    * Batch input schema: (vec_id, v). A null vec_id is NO vector
+    * (the RowLocks null-key rule); duplicate ids within a batch
+    * collapse to one row (ids are the identity — the streaming
+    * contract is that one id always carries one payload). */
+  def vectorIngestSink(root: String, deltaDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val serving = graft.ann.IvfIndex.servingDir(root)
+    val inBatch = batch.where(col("vec_id").isNotNull)
+      .dropDuplicates("vec_id")
+      .select("vec_id", "v")
+    val baseIds = spark.read.parquet(s"$serving/cells")
+      .select("vec_id")
+    val priorDelta =
+      try spark.read.parquet(deltaDir)
+        .filter(col("ingest_batch") < batchId).select("vec_id")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          inBatch.select("vec_id").limit(0)
+      }
+    val novel = inBatch
+      .join(baseIds.union(priorDelta), Seq("vec_id"), "left_anti")
+    if (!novel.isEmpty)
+      graft.ann.IvfIndex.assignAt(spark, serving, novel)
+        .withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch", "cell")
+        .parquet(deltaDir)
   }
 }

@@ -92,7 +92,11 @@ object RowLocks {
     // silently truncate (or null out) and lock the WRONG key, the
     // exact fewer-keys-than-selected outcome this function's
     // contract says must abort loudly.
-    val integral = Set("byte", "short", "int", "bigint")
+    // Catalyst simpleString spellings (TINYINT renders "tinyint",
+    // not the Scala name "byte") — the set must match what
+    // DataType.simpleString actually produces or the two narrow
+    // integral widths would always fail the require.
+    val integral = Set("tinyint", "smallint", "int", "bigint")
     val kt = df.schema(keyCol).dataType.simpleString
     require(integral(kt),
       s"row-lock key column $keyCol must be an integral type " +

@@ -122,4 +122,78 @@ class IvfIndexSpec extends SparkSpecBase {
     // demand a retrain — the signal has a quiet zero state.
     assert(card.count(_.getAs[Int]("retrain") == 0) > card.length / 2)
   }
+
+  test("retrain-and-swap: drifted append flags red; the swap is a " +
+      "generation flip with probe continuity; the post-retrain card " +
+      "is green and recall is no worse than the drifted index's") {
+    val root = "/tmp/graft_ivf_retrain_spec"
+    graft.sources.Formats.deleteRecursively(new java.io.File(root))
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+      .select("vec_id", "v")
+    def shifted(offset: Long) = corpus.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + offset).as("vec_id"),
+        expr("transform(v, x -> x + 3.0d)").as("v"))
+    IvfIndex.initServing(base, root, c = 16, iters = 2)
+    assert(IvfIndex.currentGen(root) == "gen_1")
+    IvfIndex.appendToServing(spark, root, shifted(1000000L))
+    // RED: the +3.0-shifted batch is a distribution the gen_1
+    // centroids cannot summarize — cells that took new rows flag.
+    def flagged(dir: String, isNew: org.apache.spark.sql.Column) = {
+      val card = IvfIndex.driftCard(spark, dir, isNew, 1.5).collect()
+      (card.count(_.getAs[Long]("n_new") > 0),
+        card.map(_.getAs[Int]("retrain").toLong).sum)
+    }
+    val (redCells, redFlags) = flagged(IvfIndex.servingDir(root),
+      col("vec_id") >= 1000000L)
+    assert(redCells > 0 && redFlags > 0,
+      s"drifted append did not flag ($redCells cells, $redFlags flags)")
+    // Probe handle resolved BEFORE the swap — continuity means it
+    // keeps serving the old generation's exact results after.
+    val oldDir = IvfIndex.servingDir(root)
+    def probe(dir: String) = IvfIndex.probeIndex(spark, dir, queries,
+      nprobe = 4, topk = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val preSwap = probe(oldDir)
+    val gen2 = IvfIndex.retrainAndSwap(spark, root, c = 16, iters = 2)
+    assert(gen2 == "gen_2" && IvfIndex.currentGen(root) == "gen_2")
+    assert(IvfIndex.servingDir(root).endsWith("gen_2"))
+    // Continuity: the old generation is retained and immutable — the
+    // pre-swap handle returns bit-identical neighbors; and a reader
+    // resolves exactly ONE generation (old or new), never a mix,
+    // because resolution is one pointer read.
+    assert(probe(oldDir) == preSwap && preSwap.nonEmpty)
+    // The new generation serves the SAME corpus (row-complete swap).
+    val newDir = IvfIndex.servingDir(root)
+    assert(spark.read.parquet(s"$newDir/cells").count() ==
+      spark.read.parquet(s"$oldDir/cells").count())
+    // Recall vs exact brute-force cosine over the current corpus:
+    // retraining must not lose recall relative to the drifted index.
+    val pool = spark.read.parquet(s"$newDir/cells")
+      .select(col("vec_id"), col("v"))
+      .withColumn("nv", VectorFns.norm(col("v")))
+    val exact = VectorFns.rerankTopK(
+      pool.crossJoin(broadcast(queries
+        .withColumn("nq", VectorFns.norm(col("qv"))))),
+      topk = 3, dedup = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(dir: String) =
+      probe(dir).intersect(exact).size.toDouble / exact.size
+    assert(recall(newDir) >= recall(oldDir),
+      s"retrain lost recall: ${recall(newDir)} < ${recall(oldDir)}")
+    // GREEN, twice over: (1) epoch rule — nothing appended since the
+    // retrain, so the card with an empty new-set flags nothing;
+    // (2) the SAME class of drifted append that flagged red against
+    // gen_1 is quiet against the retrained centroids, which now
+    // summarize the shifted region.
+    val epoch = IvfIndex.driftCard(spark, newDir, lit(false), 1.5)
+      .collect()
+    assert(epoch.forall(_.getAs[Int]("retrain") == 0))
+    IvfIndex.appendToServing(spark, root, shifted(2000000L))
+    val (greenCells, greenFlags) = flagged(IvfIndex.servingDir(root),
+      col("vec_id") >= 2000000L)
+    assert(greenCells > 0 && greenFlags < redFlags,
+      s"retrain did not absorb the drift ($greenFlags vs $redFlags)")
+    assert(greenFlags <= greenCells / 2,
+      s"post-retrain card still mostly red: $greenFlags/$greenCells")
+  }
 }

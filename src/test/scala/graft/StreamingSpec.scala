@@ -801,4 +801,85 @@ class StreamingSpec extends SparkSpecBase {
     val after = spark.read.parquet(dir).collect().map(_.toSeq).toSet
     assert(after == before, "all-duplicate batch must be a no-op")
   }
+
+  test("e_stream_vector_ingest: streamed IVF ingest equals a batch " +
+      "append at the same centroids; replay and overlap are no-ops; " +
+      "the drift card reads the live streamed index") {
+    import graft.ann.IvfIndex
+    import graft.functions.VectorFns
+    val root = "/tmp/graft_stream_vec_root"
+    val deltaDir = "/tmp/graft_stream_vec_delta"
+    val batchRoot = "/tmp/graft_stream_vec_batchtwin"
+    Seq(root, deltaDir, batchRoot).foreach(d =>
+      graft.sources.Formats.deleteRecursively(new java.io.File(d)))
+    val corpus = t.embeddings.select(col("vec_id"),
+      VectorFns.toDouble(col("embedding")).as("v"))
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    IvfIndex.initServing(base, root, c = 16, iters = 2)
+    val sink = Streams.vectorIngestSink(root, deltaDir) _
+    // Batch 0: a third of the held-out vectors plus rows ALREADY in
+    // the base generation (must drop) and a null id (no vector).
+    val held = corpus.filter(col("vec_id") % 5 === 0)
+    import spark.implicits._
+    def slice(r: Int) = held.filter(col("vec_id") % 3 === r)
+    sink(slice(0)
+      .unionByName(base.limit(7))
+      .unionByName(Seq((null.asInstanceOf[java.lang.Long],
+        Seq.empty[Double])).toDF("vec_id", "v")
+        .select(col("vec_id").cast("long"), col("v"))), 0L)
+    sink(slice(1).unionByName(slice(0).limit(5)), 1L) // overlap drops
+    val afterOnce = spark.read.parquet(deltaDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Number]("ingest_batch").longValue())).toSet
+    // Replay batch 1 (same id, same rows): bit-identical delta state.
+    sink(slice(1).unionByName(slice(0).limit(5)), 1L)
+    val afterReplay = spark.read.parquet(deltaDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Number]("ingest_batch").longValue())).toSet
+    assert(afterReplay == afterOnce && afterOnce.nonEmpty)
+    sink(slice(2), 2L)
+    // Exactly-once membership: every held-out id exactly once, no
+    // base id ever re-enters, nulls never land.
+    val got = spark.read.parquet(deltaDir)
+      .groupBy("vec_id").count()
+    assert(got.filter(col("count") > 1).count() == 0)
+    val deltaIds = spark.read.parquet(deltaDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val heldIds = held.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(deltaIds == heldIds)
+    // STREAM == BATCH APPEND: the same base index with the held-out
+    // vectors physically appended at the SAME fixed centroids must
+    // probe identically to base ∪ streamed deltas.
+    new java.io.File(batchRoot).mkdirs()
+    spark.read.parquet(s"$root/gen_1/centroids")
+      .write.parquet(s"$batchRoot/centroids")
+    IvfIndex.appendToIndex(spark, batchRoot, base.unionByName(held))
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val streamed = IvfIndex.probeWithDeltas(spark, s"$root/gen_1",
+      deltaDir, queries, nprobe = 4, topk = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batched = IvfIndex.probeIndex(spark, batchRoot, queries,
+      nprobe = 4, topk = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batched && streamed.nonEmpty)
+    // The drift card as the live streaming metric: base ∪ delta in
+    // one plan, the delta generation marked by its partition column.
+    val baseCells = spark.read.parquet(s"$root/gen_1/cells")
+      .select(col("cell"), col("vec_id"), col("v"),
+        lit(false).as("is_new"))
+    val deltaCells = spark.read.parquet(deltaDir)
+      .select(col("cell"), col("vec_id"), col("v"),
+        lit(true).as("is_new"))
+    val card = IvfIndex.driftCardOf(baseCells.unionByName(deltaCells),
+      spark.read.parquet(s"$root/gen_1/centroids"),
+      isNew = col("is_new"), growthCap = 1.5).collect()
+    assert(card.map(r => r.getAs[Long]("n_base") +
+      r.getAs[Long]("n_new")).sum ==
+      base.count() + held.count())
+    assert(card.map(_.getAs[Long]("n_new")).sum == held.count())
+    // Same-distribution stream → the metric's quiet zero state.
+    assert(card.count(_.getAs[Int]("retrain") == 0) > card.length / 2)
+  }
 }

@@ -439,6 +439,44 @@ class Wave19Spec extends SparkSpecBase {
     assert(Outfile.unescape(null) == null)
   }
 
+  test("unescEnclosed is a codegen'd expression: the load projection " +
+    "carries no UDF and stays whole-stage; multi-byte UTF-8 survives") {
+    import graft.operators.Outfile
+    import spark.implicits._
+    // UTF-8 multi-byte: continuation bytes can never equal 0x5C, so
+    // the byte walk must pass 2/3/4-byte sequences through intact —
+    // bare, and with an escape byte in front (default branch keeps
+    // the lead byte, continuations copy on the non-escape branch).
+    val probes = Seq("héllo", "日本語", "a\\é", "emoji 😀!",
+      "\\日x", null)
+    val df = probes.toDF("s")
+      .select(col("s"), Outfile.unescEnclosed(
+        Outfile.escEnclosed(col("s"))).as("rt"))
+    df.collect().foreach(r =>
+      assert(r.getString(0) == r.getString(1)))
+    // THE point of the expression port: no ScalaUDF eval fence in the
+    // plan — the projection compiles into one WholeStageCodegen span.
+    // Asserted over a PARQUET-backed projection: a local-relation
+    // input constant-folds to a LocalTableScan (the interpreted eval
+    // ran at optimize time — correct, but no execution to inspect).
+    val scanned = t.customer
+      .select(col("c_name"), Outfile.unescEnclosed(
+        Outfile.escEnclosed(col("c_name"))).as("rt"))
+    assert(scanned.filter(col("c_name") =!= col("rt")).count() == 0)
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"UDF survived in:\n$plan")
+    // The `*(n)` star on the Project IS the whole-stage-codegen
+    // marker in the compact plan rendering — the unescape projection
+    // must sit inside a codegen stage, not in an interpreted Project.
+    assert("""\*\(\d+\) Project \[[^\]]*graft_unescape""".r
+      .findFirstIn(plan.replace("\n", " ")).isDefined, plan)
+    // And the letter-escape decode runs through the SAME kernel from
+    // generated code (literal input → expression output).
+    val dec = Seq("a\\tb\\0c\\Z").toDF("s")
+      .select(Outfile.unescEnclosed(col("s"))).head().getString(0)
+    assert(dec == "a\tb\u0000c\u001a")
+  }
+
   test("q_load_outfile reconstructs the source rows exactly — the " +
     "write→load round trip is lossless, NULLs included") {
     val loaded = q("q_load_outfile").collect()

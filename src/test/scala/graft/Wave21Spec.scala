@@ -148,6 +148,73 @@ class Wave21Spec extends SparkSpecBase {
     assert(indep > 0 && backoff >= indep && actual >= 0)
   }
 
+  test("ExtendedStats lifecycle: refusal corners, SHOW renders, and " +
+      "the drop-while-consumed estimator flip") {
+    val E = graft.tools.ExtendedStats
+    E.clear()
+    try {
+      E.create("s1", "correlation", "orders",
+        Seq("o_custkey", "o_totalprice"))
+      // Duplicate CREATE refuses (the reference's already-exists).
+      intercept[IllegalStateException] {
+        E.create("s1", "dependency", "orders", Seq("a", "b"))
+      }
+      // Unknown type / wrong arity refuse at CREATE.
+      intercept[IllegalArgumentException] {
+        E.create("s2", "histogram", "orders", Seq("a", "b"))
+      }
+      intercept[IllegalArgumentException] {
+        E.create("s2", "dependency", "orders", Seq("a"))
+      }
+      // Unknown DROP / fill / value refuse — never quiet no-ops.
+      intercept[IllegalStateException] { E.drop("nope") }
+      intercept[IllegalStateException] { E.fill("nope", 1.0) }
+      intercept[IllegalStateException] { E.value("nope") }
+      // Pending → analyzed render flip.
+      assert(E.renderRows() ==
+        Seq(("s1", "correlation", "orders",
+          "o_custkey~o_totalprice", "pending")))
+      E.fill("s1", 0.12345)
+      assert(E.renderRows().head._5 == "analyzed:0.1235")
+      assert(E.value("s1").contains(0.12345))
+      // Drop-while-consumed: drop never refuses; the consumer's
+      // exists() test flips, which IS the independence fallback.
+      assert(E.exists("s1"))
+      E.drop("s1")
+      assert(!E.exists("s1") && E.renderRows().isEmpty)
+    } finally E.clear()
+  }
+
+  test("q_stats_lifecycle: the estimate flips from backoff to " +
+      "independence at the drop, and the store is left clean") {
+    val rows = q("q_stats_lifecycle").collect()
+    val byStage = rows.groupBy(_.getString(0))
+    assert(byStage("1_show_pending").length == 2 &&
+      byStage("1_show_pending").forall(_.getString(1).endsWith("pending")))
+    assert(byStage("3_show_analyzed").length == 2 &&
+      byStage("3_show_analyzed")
+        .forall(_.getString(1).endsWith("analyzed")))
+    assert(byStage("6_show_after_drop").map(_.getString(1)).toSeq ==
+      Seq("ext_corr:correlation:orders:o_custkey~o_totalprice:analyzed"))
+    val withFd = byStage("4_estimate_with_fd").head.getDouble(2)
+    val indep = byStage("5_estimate_after_drop").head.getDouble(2)
+    // deg ∈ (0,1] ⇒ the backoff estimate strictly exceeds
+    // independence on this data (sel_b < 1).
+    assert(withFd > indep && indep > 0.0)
+    // The lifecycle card's analyzed values equal q_stats_extended's
+    // (one shared computation — the cards cannot drift).
+    val ext = q("q_stats_extended").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val ana = byStage("2_analyzed")
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(ana("ext_corr") == ext("ext_corr"))
+    assert(ana("ext_fd") == ext("ext_fd"))
+    assert(withFd == ext("est_fd_backoff") &&
+      indep == ext("est_independence"))
+    // Global-store hygiene: the entry cleared its objects.
+    assert(graft.tools.ExtendedStats.renderRows().isEmpty)
+  }
+
   test("q_stmt_sweep: every stage lands its pinned flag and the " +
       "real counts are real") {
     val rows = q("q_stmt_sweep").collect()
