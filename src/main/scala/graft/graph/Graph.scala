@@ -69,6 +69,13 @@ final case class Graph(edges: DataFrame) {
         greatest(col("src"), col("dst")).as("dst"))
       .distinct()).cp()
 
+  /** Distinct DIRECTED edge set, materialized once per instance —
+    * SCC's live-edge seed (the per-direction materializations keep
+    * duplicate parallel edges; SCC's trim/coloring loops want the
+    * distinct set, which was rebuilt per entry before this). */
+  private[graph] lazy val distinctCp: DataFrame =
+    new Cp(edges.select("src", "dst").distinct()).cp()
+
   /** The materialized edge table for `direction` — built lazily,
     * once per Graph instance, with the loop checkpoint discipline
     * (reliable dir when configured, localCheckpoint otherwise).
@@ -481,11 +488,20 @@ final case class Graph(edges: DataFrame) {
     * decision is taken from the label-sum trajectory itself, not a
     * static flag: after each 2-round cycle the per-cycle decrease
     * d_k is compared to d_{k-1}; a dense graph's decrease collapses
-    * geometrically (d_k < d_{k-1}/4 → it is about to converge, leave
+    * geometrically (d_k < d_{k-1}/8 → it is about to converge, leave
     * compression off), while a chain-like graph keeps resolving
-    * labels at a near-constant rate (d_k >= d_{k-1}/4 after cycle 2
+    * labels at a near-constant rate (d_k >= d_{k-1}/8 after cycle 2
     * → remaining work is diameter-bound, turn compression on for all
-    * subsequent cycles). Compression is exact: labels only ever
+    * subsequent cycles). The rate cut is 1/8, not the r16 1/4: a
+    * mixed graph (one big near-converged blob + sparse chains — the
+    * catalog shape) sees its first-cycle decrease dominated by the
+    * blob, so the chain signal at the cycle-2 test reads as a
+    * 1/8-to-1/4 fraction and the 1/4 rule burned one extra plain
+    * cycle before engaging (r17 A/B at sf0.1, back-to-back in one
+    * window: g_catalog_components 5.75 → 4.98/5.05 with controls
+    * flat; g_cc converges before the test ever fires under either
+    * cut, so dense graphs are unaffected by construction).
+    * Compression is exact: labels only ever
     * decrease and label values are node ids, so re-reading the
     * label's own current label is monotone and preserves the
     * fixpoint; it turns O(diameter) cycles into O(log diameter).
@@ -542,12 +558,12 @@ final case class Graph(edges: DataFrame) {
       converged = dec == 0L
       // Rate test (re-evaluated each cycle until it fires, so the
       // earliest it can enable compression is cycle 3 — after two
-      // plain cycles): still resolving at >= 1/4 the previous
+      // plain cycles): still resolving at >= 1/8 the previous
       // cycle's rate means the remaining structure is chain-like
       // (diameter-bound), so every later cycle gets the extra
       // compression join. Once on, it stays on.
       if (!converged && compressFrom < 0 && prevDec > 0 &&
-          dec * 4L >= prevDec)
+          dec * 8L >= prevDec)
         compressFrom = cycles + 1
       prevDec = dec
       prevSum = nextSum
@@ -747,7 +763,10 @@ final case class Graph(edges: DataFrame) {
   def stronglyConnectedComponents(): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    var live = edges.select("src", "dst").distinct().cp()
+    // Start from the per-instance distinct-edge checkpoint: with
+    // Graph.derived memoizing instances, repeated SCC runs (and any
+    // other distinct-edge consumer) share ONE materialization.
+    var live = distinctCp
     var result: DataFrame = Seq.empty[(Long, Long)].toDF("node", "scc")
     var nodes = live.select(col("src").as("node"))
       .union(live.select(col("dst").as("node"))).distinct().cp()

@@ -216,37 +216,48 @@ object Wave13 {
              MIN(o_orderpriority), MAX(o_orderpriority)
       FROM o
     """)) { t =>
-      val one = t.orders.agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(col("o_orderkey")).as("ndv_ok"),
-        count(col("o_orderkey")).as("nn_ok"),
-        min(col("o_orderkey")).cast("string").as("min_ok"),
-        max(col("o_orderkey")).cast("string").as("max_ok"),
-        countDistinct(col("o_custkey")).as("ndv_ck"),
-        count(col("o_custkey")).as("nn_ck"),
-        min(col("o_custkey")).cast("string").as("min_ck"),
-        max(col("o_custkey")).cast("string").as("max_ck"),
-        countDistinct(Exact.dec2(col("o_totalprice"))).as("ndv_tp"),
-        count(col("o_totalprice")).as("nn_tp"),
-        min(Exact.dec2(col("o_totalprice"))).cast("string").as("min_tp"),
-        max(Exact.dec2(col("o_totalprice"))).cast("string").as("max_tp"),
-        countDistinct(col("o_orderdate")).as("ndv_od"),
-        count(col("o_orderdate")).as("nn_od"),
-        min(col("o_orderdate").cast("date")).cast("string").as("min_od"),
-        max(col("o_orderdate").cast("date")).cast("string").as("max_od"),
-        countDistinct(col("o_orderpriority")).as("ndv_op"),
-        count(col("o_orderpriority")).as("nn_op"),
-        min(col("o_orderpriority")).as("min_op"),
-        max(col("o_orderpriority")).as("max_op"))
-      one.selectExpr("n_rows", """stack(5,
-          'o_orderkey', ndv_ok, n_rows - nn_ok, min_ok, max_ok,
-          'o_custkey', ndv_ck, n_rows - nn_ck, min_ck, max_ck,
-          'o_totalprice', ndv_tp, n_rows - nn_tp, min_tp, max_tp,
-          'o_orderdate', ndv_od, n_rows - nn_od, min_od, max_od,
-          'o_orderpriority', ndv_op, n_rows - nn_op, min_op, max_op)
-          AS (col_name, ndv, n_null, min_v, max_v)""")
-        .select(col("col_name"), col("n_rows"), col("ndv"),
-          col("n_null"), col("min_v"), col("max_v"))
+      // One PER-COLUMN two-phase aggregation per stats row, unioned —
+      // not one aggregate with five countDistincts. Five distinct
+      // aggregates in one Aggregate force Catalyst's Expand rewrite
+      // (every input row multiplied ×6 through the exchange); a
+      // single-distinct branch plans as a plain two-phase aggregate
+      // (partial distinct on the value, no Expand), and each branch's
+      // scan prunes to ITS column — the five branches together read
+      // the same bytes the fused scan did, without the 6× row
+      // expansion. Measured at sf0.1 (r17, within one window):
+      // 3.54 s → 1.49 s (0.42x) with both controls ~0.9x flat
+      // (q_split_region 1.60 → 1.30, q_stats_merge 2.88 → 2.78).
+      def one(name: String, ndvC: org.apache.spark.sql.Column,
+          cntC: org.apache.spark.sql.Column,
+          minC: org.apache.spark.sql.Column,
+          maxC: org.apache.spark.sql.Column) =
+        t.orders.agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(ndvC).as("ndv"),
+            count(cntC).as("nn"),
+            minC.as("min_v"), maxC.as("max_v"))
+          .select(lit(name).as("col_name"), col("n_rows"),
+            col("ndv"), (col("n_rows") - col("nn")).as("n_null"),
+            col("min_v"), col("max_v"))
+      Seq(
+        one("o_orderkey", col("o_orderkey"), col("o_orderkey"),
+          min(col("o_orderkey")).cast("string"),
+          max(col("o_orderkey")).cast("string")),
+        one("o_custkey", col("o_custkey"), col("o_custkey"),
+          min(col("o_custkey")).cast("string"),
+          max(col("o_custkey")).cast("string")),
+        one("o_totalprice", Exact.dec2(col("o_totalprice")),
+          col("o_totalprice"),
+          min(Exact.dec2(col("o_totalprice"))).cast("string"),
+          max(Exact.dec2(col("o_totalprice"))).cast("string")),
+        one("o_orderdate", col("o_orderdate"), col("o_orderdate"),
+          min(col("o_orderdate").cast("date")).cast("string"),
+          max(col("o_orderdate").cast("date")).cast("string")),
+        one("o_orderpriority", col("o_orderpriority"),
+          col("o_orderpriority"),
+          min(col("o_orderpriority")),
+          max(col("o_orderpriority"))))
+        .reduce(_ unionByName _)
     },
 
     // EQUI-DEPTH histogram — the CBO's actual structure (reference:

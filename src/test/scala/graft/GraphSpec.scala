@@ -253,4 +253,31 @@ class GraphSpec extends SparkSpecBase {
       s"dense graph must never enable compression, got $sstats")
     assert(sstats.cycles <= 2, s"star converges in 2 cycles: $sstats")
   }
+
+  test("adaptive CC: catalog-shaped mix (big blob + sparse chain) " +
+      "engages compression at the FIRST test cycle under the 1/8 rate") {
+    import spark.implicits._
+    // The shape the r17 A/B decided between 1/4 and 1/8: a large
+    // near-converged blob dominates the cycle-1 decrease, so the
+    // chain's steady signal reads as a small fraction at the cycle-2
+    // test. Constructed exactly: chain 1..48 decreases 97-4k per
+    // cycle (d1=93, d2=89); a 30-leaf star adds 465 to d1 only.
+    // d2/d1 = 89/558 — between 1/8 and 1/4, so the shipped 1/8 rule
+    // fires at the first possible cycle (compressFrom=3) where the
+    // r16 1/4 rule burned one more plain cycle (compressFrom=4) —
+    // the one-cycle lag the r16 verdict measured on the catalog
+    // graph, eliminated by construction.
+    val mix = graph.Graph(
+      ((1L until 48L).map(i => (i, i + 1)) ++
+        (501L to 530L).map(i => (500L, i))).toDF("src", "dst"))
+    val (labels, stats) = mix.connectedComponentsWithStats()
+    val res = labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res.filter(_._1 <= 48L).values.forall(_ == 1L))
+    assert(res.filter(_._1 >= 500L).values.forall(_ == 500L))
+    assert(stats.compressFrom == 3,
+      s"1/8 rate must engage at the first test cycle, got $stats")
+    assert(stats.cycles <= 12,
+      s"compression should beat the ~24 diameter-bound cycles: $stats")
+  }
 }

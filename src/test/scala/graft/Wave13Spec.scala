@@ -66,13 +66,25 @@ class Wave13Spec extends SparkSpecBase {
     }
   }
 
-  test("q_show_stats computes every column's stats in one scan") {
+  test("q_show_stats: per-column two-phase NDV branches — each scan " +
+      "pruned to its column, no Expand row multiplication") {
     val df = q("q_show_stats")
     val p = df.queryExecution.executedPlan.toString
-    // One pass over orders — SHOW STATS must never run a job per
-    // column (5 ndv aggs ride the same scan via Expand).
-    assert("Scan parquet".r.findAllIn(p).size == 1,
-      s"expected exactly one orders scan:\n$p")
+    // Five single-distinct branches, NOT one Aggregate with five
+    // countDistincts: the fused form rides ONE scan but multiplies
+    // every row x6 through Catalyst's Expand rewrite — measured 2.4x
+    // slower at sf0.1 than five column-pruned scans reading the same
+    // total bytes (r17: 3.54 s -> 1.49 s, controls flat).
+    assert("Scan parquet".r.findAllIn(p).size == 5,
+      s"expected five per-column orders scans:\n$p")
+    assert(!p.contains("Expand"),
+      s"the multi-distinct Expand rewrite is back:\n$p")
+    // Column pruning is the whole trade: each branch's scan must
+    // read exactly its own column.
+    for (c <- Seq("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+      assert(p.contains(s"ReadSchema: struct<$c:"),
+        s"branch scan for $c is not pruned to it:\n$p")
     val rows = df.collect().map(r => r.getString(0) ->
       (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(rows.keySet == Set("o_orderkey", "o_custkey", "o_totalprice",
