@@ -487,20 +487,13 @@ object CatalogQueries {
     // W_u is exact in double on both engines; 6 rounds, 6dp at the
     // end only (the g_pagerank float discipline).
     Q("g_catalog_pagerank", Some(weightedPageRankOracle(6))) { t =>
-      val cat = GraphCatalog.declared(t)
-      val e = cat.edge("knows").edges
-        .select(col("src"), col("dst"),
-          (col("strength") + 1).cast("double").as("w"))
-        .localCheckpoint()
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .localCheckpoint()
-      val ew = e.join(
-          e.groupBy(col("src").as("d_node")).agg(sum(col("w")).as("wsum")),
-          col("src") === col("d_node"))
-        .select(col("src"), col("dst"), col("w"), col("wsum"))
-        .repartition(col("src"))
-        .localCheckpoint()
+      // The weighted-PageRank state (fused weight+degree edge table
+      // and the node set) is memoized per (session, dir) — the
+      // Graph.prState pattern for the DECLARED weighted graph: both
+      // are pure derivations of the immutable knows table, and each
+      // run was re-paying the catalog build + two checkpoints before
+      // its six relaxation rounds.
+      val (nodes, ew) = weightedPrState(t)
       var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
         .localCheckpoint()
       for (_ <- 1 to 6) {
@@ -600,6 +593,36 @@ object CatalogQueries {
     org.apache.spark.sql.DataFrame]
   private val targetMemo = new scala.collection.concurrent.TrieMap[
     (String, String, String), Long]
+
+  /** Per-JVM memo of the weighted-PageRank state over the declared
+    * `knows` table — (node set, fused (src, dst, w, wsum) edge
+    * table), both checkpointed: pure derivations of the immutable
+    * source dir that every run re-built before its relaxation
+    * rounds. Session-bound like edgeMemo. */
+  private val wprMemo = new scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
+  private def weightedPrState(t: Tables)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    wprMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    wprMemo.getOrElseUpdate((t.spark, t.dir), {
+      val e = GraphCatalog.declared(t).edge("knows").edges
+        .select(col("src"), col("dst"),
+          (col("strength") + 1).cast("double").as("w"))
+        .localCheckpoint()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .localCheckpoint()
+      val ew = e.join(
+          e.groupBy(col("src").as("d_node")).agg(sum(col("w")).as("wsum")),
+          col("src") === col("d_node"))
+        .select(col("src"), col("dst"), col("w"), col("wsum"))
+        .repartition(col("src"))
+        .localCheckpoint()
+      (nodes, ew)
+    })
+  }
 
   private def catalogEdges(t: Tables, label: String,
       edgeWhere: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
