@@ -245,11 +245,19 @@ object IvfIndex {
     * generation name. The old generation stays on disk untouched —
     * probes that resolved it before the flip finish against it. */
   def retrainAndSwap(spark: org.apache.spark.sql.SparkSession,
-      root: String, c: Int, iters: Int): String = {
-    val cur = currentGen(root)
-    val next = s"gen_${cur.stripPrefix("gen_").toInt + 1}"
-    val corpus = spark.read.parquet(s"$root/$cur/cells")
-      .select("vec_id", "v")
+      root: String, c: Int, iters: Int): String =
+    retrainAndSwapFrom(root,
+      spark.read.parquet(s"${servingDir(root)}/cells")
+        .select("vec_id", "v"), c, iters)
+
+  /** [[retrainAndSwap]] with the training corpus provided explicitly
+    * — the streaming COMPACTION path: the auto-retrain loop trains
+    * gen_N+1 from base ∪ the un-absorbed ingest deltas, so the new
+    * generation's base covers every streamed vector and the delta
+    * layout can retire after the flip. */
+  def retrainAndSwapFrom(root: String, corpus: DataFrame, c: Int,
+      iters: Int): String = {
+    val next = s"gen_${currentGen(root).stripPrefix("gen_").toInt + 1}"
     writeIndex(corpus, s"$root/$next", c, iters)
     writePointer(root, next)
     next

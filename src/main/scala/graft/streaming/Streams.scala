@@ -567,4 +567,73 @@ object Streams {
         .partitionBy("ingest_batch", "cell")
         .parquet(deltaDir)
   }
+
+  /** The CLOSED serving loop — [[vectorIngestSink]] with the
+    * drift-gated retrain decision executed inline: after each
+    * micro-batch lands, the drift card runs over base ∪ delta (the
+    * live streaming metric), and when more than `flagFrac` of the
+    * NEW-ROW MASS sits in retrain-flagged cells, the loop COMPACTS —
+    * [[graft.ann.IvfIndex.retrainAndSwap]] over base ∪ delta trains
+    * gen_N+1 from the full current corpus, the pointer flips
+    * atomically, and the absorbed delta partitions retire. Ordering
+    * makes the retirement safe: deltas are deleted only AFTER the
+    * new generation is complete and CURRENT points at it, so their
+    * ids are already in the serving base — a re-delivered batch
+    * recomputes novel = ∅ against the new base and writes nothing
+    * (replay stays a no-op across the compaction). Returns the
+    * generation serving after the batch (callers observe swaps).
+    *
+    * At 100 TB this is the production cadence: per-batch cost is
+    * one broadcast argmin + a delta write + the one-scan card;
+    * the full corpus re-read happens only when the card says the
+    * centroids stopped summarizing what arrives. */
+  def autoRetrainSink(root: String, deltaDir: String,
+      growthCap: Double, flagFrac: Double)(
+      batch: DataFrame, batchId: Long): String = {
+    val spark = batch.sparkSession
+    vectorIngestSink(root, deltaDir)(batch, batchId)
+    val serving = graft.ann.IvfIndex.servingDir(root)
+    val deltas =
+      try Some(spark.read.parquet(deltaDir))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          None // nothing ingested yet — nothing to gate on
+      }
+    deltas.foreach { d =>
+      val card = graft.ann.IvfIndex.driftCardOf(
+        spark.read.parquet(s"$serving/cells")
+          .select(col("cell"), col("vec_id"), col("v"),
+            lit(false).as("is_new"))
+          .unionByName(d.select(col("cell"), col("vec_id"), col("v"),
+            lit(true).as("is_new"))),
+        spark.read.parquet(s"$serving/centroids"),
+        isNew = col("is_new"), growthCap = growthCap)
+      // The gate is flagged MASS, not flagged cell count: drift
+      // concentrates (a shifted distribution funnels into the few
+      // nearest centroids), so "how many cells flagged" under-reads
+      // a hard burst that a thousand quiet cells dilute. What the
+      // card must answer is "what share of the vectors arriving
+      // since the last (re)train sit in cells whose centroids no
+      // longer summarize them".
+      val r = card.agg(
+        sum(col("n_new")).as("mass_new"),
+        sum(when(col("retrain") === 1, col("n_new")).otherwise(0L))
+          .as("mass_flagged")).head()
+      val (massNew, massFlagged) = (r.getLong(0), r.getLong(1))
+      if (massNew > 0 && massFlagged.toDouble / massNew > flagFrac) {
+        // COMPACT: train gen_N+1 from the full current corpus
+        // (base ∪ delta), flip, then retire the absorbed deltas.
+        graft.ann.IvfIndex.retrainAndSwapFrom(root,
+          spark.read.parquet(s"$serving/cells").select("vec_id", "v")
+            .unionByName(d.select("vec_id", "v")),
+          c = spark.read.parquet(s"$serving/centroids").count().toInt,
+          iters = 2)
+        graft.sources.Formats.deleteRecursively(
+          new java.io.File(deltaDir))
+      }
+    }
+    graft.ann.IvfIndex.currentGen(root)
+  }
 }

@@ -882,4 +882,68 @@ class StreamingSpec extends SparkSpecBase {
     // Same-distribution stream → the metric's quiet zero state.
     assert(card.count(_.getAs[Int]("retrain") == 0) > card.length / 2)
   }
+
+  test("e_stream_auto_retrain: quiet batches never compact; a " +
+      "drifted burst flips the generation and retires the absorbed " +
+      "deltas; replay stays a no-op across the swap") {
+    import graft.ann.IvfIndex
+    import graft.functions.VectorFns
+    val root = "/tmp/graft_stream_autoretrain_root"
+    val deltaDir = "/tmp/graft_stream_autoretrain_delta"
+    Seq(root, deltaDir).foreach(d =>
+      graft.sources.Formats.deleteRecursively(new java.io.File(d)))
+    val corpus = t.embeddings.select(col("vec_id"),
+      VectorFns.toDouble(col("embedding")).as("v"))
+    IvfIndex.initServing(corpus.filter(col("vec_id") % 5 =!= 0),
+      root, c = 16, iters = 2)
+    // flagFrac gates on flagged-cell MASS share of the new rows: a
+    // same-distribution slice keeps most of its mass in green cells
+    // (well under half), while a shifted burst puts ~3/4 of the
+    // delta mass into flagged cells.
+    val sink = Streams.autoRetrainSink(root, deltaDir,
+      growthCap = 1.5, flagFrac = 0.5) _
+    def shifted(offset: Long) = corpus.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + offset).as("vec_id"),
+        expr("transform(v, x -> x + 3.0d)").as("v"))
+    // Quiet batch: a same-distribution held-out slice — the card
+    // stays green, no compaction, deltas accumulate.
+    assert(sink(corpus.filter(col("vec_id") % 5 === 0)
+      .filter(col("vec_id") % 3 === 0), 0L) == "gen_1")
+    assert(spark.read.parquet(deltaDir).count() > 0)
+    // Drifted burst: every component +3.0 under new ids — the card
+    // over base ∪ delta flags, the loop compacts to gen_2, and the
+    // absorbed delta layout retires.
+    assert(sink(shifted(1000000L), 1L) == "gen_2")
+    assert(!new java.io.File(deltaDir).exists(),
+      "absorbed deltas must retire after the swap")
+    // Absorption is row-complete: the new base covers the original
+    // base, the quiet batch, and the burst — each id exactly once.
+    val gen2Ids = spark.read.parquet(s"$root/gen_2/cells")
+      .groupBy("vec_id").count()
+    assert(gen2Ids.filter(col("count") > 1).count() == 0)
+    val expect = corpus.filter(col("vec_id") % 5 =!= 0).count() +
+      corpus.filter(col("vec_id") % 5 === 0 &&
+        col("vec_id") % 3 === 0).count() +
+      corpus.filter(col("vec_id") % 5 === 0).count()
+    assert(gen2Ids.count() == expect)
+    // Replay of the compacted batch (same id, same rows): its ids
+    // are in the serving BASE now, so novel recomputes to nothing —
+    // no delta dir reappears, the generation holds.
+    assert(sink(shifted(1000000L), 1L) == "gen_2")
+    assert(!new java.io.File(deltaDir).exists())
+    // Post-compaction, the SAME drift class is quiet: the retrained
+    // centroids summarize the shifted region, so a further shifted
+    // batch ingests without another swap.
+    assert(sink(shifted(2000000L), 2L) == "gen_2")
+    assert(spark.read.parquet(deltaDir).count() ==
+      corpus.filter(col("vec_id") % 5 === 0).count())
+    // And the served view stays probe-consistent across the whole
+    // loop: base ∪ live delta returns a full top-k for every query.
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probed = IvfIndex.probeWithDeltas(spark,
+      IvfIndex.servingDir(root), deltaDir, queries,
+      nprobe = 4, topk = 3).collect()
+    assert(probed.length == queries.count() * 3)
+  }
 }
