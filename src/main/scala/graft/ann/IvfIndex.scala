@@ -146,9 +146,15 @@ object IvfIndex {
       cells.select(col("cell"), col("vec_id"), col("v"))
         .withColumn("nv", norm(col("v")))
         .join(broadcast(probed), "cell")
-    val base = cands(spark.read.parquet(s"$dir/cells"))
-    val delta = cands(spark.read.parquet(deltaDir))
-    rerankTopK(base.unionByName(delta), topk, dedup = true)
+    val baseCells = spark.read.parquet(s"$dir/cells")
+    // An absent delta layout is the NORMAL post-compaction steady
+    // state (autoRetrainSink retires absorbed deltas after a swap) —
+    // the serving read path degrades to base-only, not to a crash.
+    val deltaCells = graft.sources.Formats.readParquetOr(
+      spark, deltaDir)(
+      baseCells.select("cell", "vec_id", "v").limit(0))
+    rerankTopK(cands(baseCells).unionByName(cands(deltaCells)),
+      topk, dedup = true)
   }
 
   /** Incremental maintenance: ADD-BATCH WITHOUT RETRAIN. New vectors

@@ -26,12 +26,11 @@ object DedupQueries {
     * fresh Graph(edges) per run re-ran the scan AND rebuilt the
     * undirected table every time. Pure derivation of the immutable
     * documents table; stopped sessions evicted on access. */
-  private val clusterGraphMemo = new scala.collection.concurrent.TrieMap[
-    (org.apache.spark.sql.SparkSession, String), graft.graph.Graph]
+  private val clusterGraphMemo =
+    new graft.tools.SessionMemo[String, graft.graph.Graph]
 
-  private def clusterGraph(t: Tables): graft.graph.Graph = {
-    clusterGraphMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    clusterGraphMemo.getOrElseUpdate((t.spark, t.dir), {
+  private def clusterGraph(t: Tables): graft.graph.Graph =
+    clusterGraphMemo.get(t.spark, t.dir) {
       val k = t.documents.select(col("doc_id"), explode(array(
           md5(col("text").cast("binary")),
           md5(TextFns.normalize(col("text")).cast("binary")),
@@ -40,8 +39,7 @@ object DedupQueries {
       graft.graph.Graph(k.join(rep, "key")
         .select(col("doc_id").as("src"), col("rep").as("dst"))
         .localCheckpoint())
-    })
-  }
+    }
 
   /** MinHash signatures, k=64 permutations over 5-char shingles,
     * fused into a single kernel pass per document

@@ -582,31 +582,26 @@ object CatalogQueries {
     * pure derivations of the immutable source dir (mutating entries
     * build their OWN mutated copies), so the memoized checkpoint
     * stays valid for the session's lifetime. */
-  /** The edge memo stores session-bound localCheckpoint'd frames, so
-    * the SparkSession is part of the key (the derivedMemo pattern): a
-    * second session in the same JVM must never be handed a DataFrame
-    * whose checkpoint RDDs belong to a stopped context. targetMemo
-    * stores plain Long scalars — (dir, label, predicate) alone is
-    * correct there. */
-  private val edgeMemo = new scala.collection.concurrent.TrieMap[
-    (org.apache.spark.sql.SparkSession, String, String, String),
-    org.apache.spark.sql.DataFrame]
+  /** The edge memo stores session-bound localCheckpoint'd frames —
+    * SessionMemo carries the session key + stopped-session eviction.
+    * targetMemo stores plain Long scalars, so (dir, label,
+    * predicate) alone is correct there. */
+  private val edgeMemo = new graft.tools.SessionMemo[
+    (String, String, String), org.apache.spark.sql.DataFrame]
   private val targetMemo = new scala.collection.concurrent.TrieMap[
     (String, String, String), Long]
 
-  /** Per-JVM memo of the weighted-PageRank state over the declared
-    * `knows` table — (node set, fused (src, dst, w, wsum) edge
-    * table), both checkpointed: pure derivations of the immutable
-    * source dir that every run re-built before its relaxation
-    * rounds. Session-bound like edgeMemo. */
-  private val wprMemo = new scala.collection.concurrent.TrieMap[
-    (org.apache.spark.sql.SparkSession, String),
+  /** Per-session memo of the weighted-PageRank state over the
+    * declared `knows` table — (node set, fused (src, dst, w, wsum)
+    * edge table), both checkpointed: pure derivations of the
+    * immutable source dir that every run re-built before its
+    * relaxation rounds. */
+  private val wprMemo = new graft.tools.SessionMemo[String,
     (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
 
   private def weightedPrState(t: Tables)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    wprMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    wprMemo.getOrElseUpdate((t.spark, t.dir), {
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    wprMemo.get(t.spark, t.dir) {
       val e = GraphCatalog.declared(t).edge("knows").edges
         .select(col("src"), col("dst"),
           (col("strength") + 1).cast("double").as("w"))
@@ -621,8 +616,7 @@ object CatalogQueries {
         .repartition(col("src"))
         .localCheckpoint()
       (nodes, ew)
-    })
-  }
+    }
 
   private def catalogEdges(t: Tables, label: String,
       edgeWhere: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
@@ -634,16 +628,12 @@ object CatalogQueries {
     // derived-target probe plus a 4-hop enumeration was paying the
     // knows build 7+ times; the memo extends the same reuse across
     // the entries that prune identically.
-    {
-      edgeMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-      edgeMemo.getOrElseUpdate(
-        (t.spark, t.dir, label, edgeWhere.toString),
-        GraphCatalog.declared(t).edge(label).edges
-          .filter(edgeWhere)
-          .select(col("src").cast("long").as("src"),
-            col("dst").cast("long").as("dst"))
-          .localCheckpoint())
-    }
+    edgeMemo.get(t.spark, (t.dir, label, edgeWhere.toString))(
+      GraphCatalog.declared(t).edge(label).edges
+        .filter(edgeWhere)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .localCheckpoint())
 
   /** The SF-invariant path target: MIN vertex at exact BFS distance
     * 3 from anchor 1 in the pruned typed graph. One bounded driver

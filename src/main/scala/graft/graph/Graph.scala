@@ -1007,9 +1007,8 @@ object Graph {
     * materialized |E| rows; the semantic-hash key means a different
     * source dir (different scan path) or a transformed input misses
     * the cache and builds fresh. */
-  private val derivedMemo = new scala.collection.concurrent.TrieMap[
-    (org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Graph]
+  private val derivedMemo = new graft.tools.SessionMemo[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Graph]
 
   /** Deterministic derived graph over the driver tables (SURVEY §3):
     * no explicit edge table exists, so edges come from `orders` —
@@ -1019,18 +1018,14 @@ object Graph {
     * (structural equality — what semanticEquals checks), not its
     * 32-bit semanticHash alone: a hash collision between two
     * different input plans must never serve the wrong checkpointed
-    * graph. Entries of stopped sessions are evicted on access so a
-    * long-lived JVM (Verify then Bench, suites with separate
-    * sessions) doesn't pin dead contexts and their checkpoint
-    * blocks. */
-  def derived(orders: DataFrame): Graph = {
-    derivedMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    derivedMemo.getOrElseUpdate(
-      (orders.sparkSession, orders.queryExecution.analyzed.canonicalized),
+    * graph. SessionMemo carries the session half of the key and the
+    * stopped-session eviction. */
+  def derived(orders: DataFrame): Graph =
+    derivedMemo.get(orders.sparkSession,
+      orders.queryExecution.analyzed.canonicalized)(
       Graph(orders.select((col("o_custkey") % 1000).as("src"),
           (col("o_orderkey") % 1000).as("dst"))
         .distinct().localCheckpoint()))
-  }
 
   /** Vertices whose degree in a canonical undirected edge set
     * (src < dst, distinct) exceeds `degreeCap` — the hub

@@ -22,14 +22,12 @@ object GraphQueries {
     * checkpoint), and the entry rebuilt it on every run (bench
     * warmup AND measured pass). Session-bound (checkpointed blocks
     * die with their context), stopped sessions evicted on access. */
-  private val postingMemo = new scala.collection.concurrent.TrieMap[
-    (org.apache.spark.sql.SparkSession, String),
+  private val postingMemo = new graft.tools.SessionMemo[String,
     org.apache.spark.sql.DataFrame]
 
   private def copurchasePostings(t: Tables)
-      : org.apache.spark.sql.DataFrame = {
-    postingMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    postingMemo.getOrElseUpdate((t.spark, t.dir), {
+      : org.apache.spark.sql.DataFrame =
+    postingMemo.get(t.spark, t.dir) {
       val cp = t.orders
         .select(col("o_orderkey"), col("o_custkey").as("c"))
         .join(t.lineitem.select(col("l_orderkey").as("o_orderkey"),
@@ -38,8 +36,7 @@ object GraphQueries {
       val keep = cp.groupBy("p").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 200).select("p")
       cp.join(keep, "p").localCheckpoint()
-    })
-  }
+    }
 
   val all: Seq[Q] = Seq(
 

@@ -92,6 +92,23 @@ object Formats {
     s"${prefix}_$fp"
   }
 
+  /** Parquet read that degrades to `empty` on EXACTLY the two
+    * analysis-time absent-layout conditions (missing path, dir with
+    * no data files) — any other read failure (permissions, listing
+    * errors) propagates, because treating it as an empty layout
+    * silently breaks whatever exactly-once or novelty invariant the
+    * caller built on the read. ONE spelling for every incremental
+    * layout consumer (dedup/vector ingest fences, the retrain gate,
+    * delta-aware probes). */
+  def readParquetOr(spark: SparkSession, dir: String)(
+      empty: => DataFrame): DataFrame =
+    try spark.read.parquet(dir)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+            e.getCondition == "UNABLE_TO_INFER_SCHEMA" => empty
+    }
+
   /** Recursive local delete (cache-dir eviction). */
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)

@@ -479,22 +479,20 @@ object Streams {
     // re-append every batch and break exactly-once membership.
     val novelInBatch = batch.where(col("fp").isNotNull)
       .groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
-    // Schema-safe prior read: a dir that exists but holds no data
-    // files (an all-duplicate or empty history) must read as empty,
-    // not throw UNABLE_TO_INFER_SCHEMA forever after. ONLY those two
-    // analysis-time cases degrade to empty — any other read failure
-    // (permissions, a listing error on indexDir) propagates, because
-    // treating it as an empty index would re-append already-indexed
-    // fingerprints and silently break exactly-once membership.
-    val prior =
-      try spark.read.parquet(indexDir)
-        .filter(col("batch_id") < batchId).select("fp")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" ||
-              e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-          novelInBatch.select("fp").limit(0)
-      }
+    // Schema-safe prior read (Formats.readParquetOr: ONLY the two
+    // absent-layout analysis errors degrade to empty; anything else
+    // propagates — a quiet empty fallback would re-append indexed
+    // fingerprints and break exactly-once membership). The fence
+    // excludes the batch's OWN partition rather than "strictly
+    // earlier" ids: for the in-contract replay (same id, same rows)
+    // the two are identical — a batch never sees its previous output
+    // and recomputes bit-identically — but if the batchId sequence
+    // ever RESTARTS (checkpoint reset, a new query over the same
+    // index), every other partition still fences, so already-indexed
+    // prints can't re-enter under a lower id.
+    val prior = graft.sources.Formats.readParquetOr(spark, indexDir)(
+        novelInBatch.limit(0).withColumn("batch_id", lit(batchId)))
+      .filter(col("batch_id") =!= batchId).select("fp")
     val novel = novelInBatch.join(prior, Seq("fp"), "left_anti")
       .withColumn("batch_id", lit(batchId))
       .localCheckpoint()
@@ -548,17 +546,21 @@ object Streams {
       .select("vec_id", "v")
     val baseIds = spark.read.parquet(s"$serving/cells")
       .select("vec_id")
-    val priorDelta =
-      try spark.read.parquet(deltaDir)
-        .filter(col("ingest_batch") < batchId).select("vec_id")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" ||
-              e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-          inBatch.select("vec_id").limit(0)
-      }
+    // Same own-partition fence as dedupIngestSink (=!=, not <): the
+    // in-contract replay recomputes identically, and a restarted
+    // batchId sequence still fences against every other partition.
+    val priorDelta = graft.sources.Formats.readParquetOr(
+        spark, deltaDir)(
+        inBatch.select("vec_id").withColumn("ingest_batch", lit(batchId))
+          .limit(0))
+      .filter(col("ingest_batch") =!= batchId).select("vec_id")
+    // Checkpointed before the emptiness probe AND the write (the
+    // dedupIngestSink discipline): without it the whole
+    // novel-detection pipeline — batch dedup, base-id projection
+    // scan, prior-delta scan, anti join — runs twice per micro-batch.
     val novel = inBatch
       .join(baseIds.union(priorDelta), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
     if (!novel.isEmpty)
       graft.ann.IvfIndex.assignAt(spark, serving, novel)
         .withColumn("ingest_batch", lit(batchId))
@@ -591,25 +593,37 @@ object Streams {
       growthCap: Double, flagFrac: Double)(
       batch: DataFrame, batchId: Long): String = {
     val spark = batch.sparkSession
+    val F = graft.sources.Formats
+    // FINISH an interrupted retirement before anything else: the
+    // pointer flip is the compaction's commit point, so a crash
+    // between the flip and the delete leaves a delta layout whose
+    // rows are ALL already in the serving base (a compaction absorbs
+    // every delta). Detect by id overlap — a delta id in the base is
+    // only possible post-flip (the ingest fence keeps base ids out
+    // of deltas otherwise) — and retire the whole layout, restoring
+    // exactly-once before the batch ingests; without this the stale
+    // rows would double into the next compaction's corpus and skew
+    // every later drift card.
+    val servingPre = graft.ann.IvfIndex.servingDir(root)
+    val basePre = spark.read.parquet(s"$servingPre/cells")
+      .select("vec_id")
+    if (!F.readParquetOr(spark, deltaDir)(basePre.limit(0))
+        .select("vec_id").join(basePre, "vec_id").isEmpty)
+      F.deleteRecursively(new java.io.File(deltaDir))
     vectorIngestSink(root, deltaDir)(batch, batchId)
     val serving = graft.ann.IvfIndex.servingDir(root)
-    val deltas =
-      try Some(spark.read.parquet(deltaDir))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" ||
-              e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-          None // nothing ingested yet — nothing to gate on
-      }
+    val deltas = Option(F.readParquetOr(spark, deltaDir)(null))
     deltas.foreach { d =>
+      // ONE centroid read serves the card and the compaction's
+      // cluster count.
+      val cents = spark.read.parquet(s"$serving/centroids")
       val card = graft.ann.IvfIndex.driftCardOf(
         spark.read.parquet(s"$serving/cells")
           .select(col("cell"), col("vec_id"), col("v"),
             lit(false).as("is_new"))
           .unionByName(d.select(col("cell"), col("vec_id"), col("v"),
             lit(true).as("is_new"))),
-        spark.read.parquet(s"$serving/centroids"),
-        isNew = col("is_new"), growthCap = growthCap)
+        cents, isNew = col("is_new"), growthCap = growthCap)
       // The gate is flagged MASS, not flagged cell count: drift
       // concentrates (a shifted distribution funnels into the few
       // nearest centroids), so "how many cells flagged" under-reads
@@ -624,14 +638,14 @@ object Streams {
       val (massNew, massFlagged) = (r.getLong(0), r.getLong(1))
       if (massNew > 0 && massFlagged.toDouble / massNew > flagFrac) {
         // COMPACT: train gen_N+1 from the full current corpus
-        // (base ∪ delta), flip, then retire the absorbed deltas.
+        // (base ∪ delta), flip, then retire the absorbed deltas
+        // (the flip is the commit point — see the recovery above
+        // for the crash window between flip and delete).
         graft.ann.IvfIndex.retrainAndSwapFrom(root,
           spark.read.parquet(s"$serving/cells").select("vec_id", "v")
             .unionByName(d.select("vec_id", "v")),
-          c = spark.read.parquet(s"$serving/centroids").count().toInt,
-          iters = 2)
-        graft.sources.Formats.deleteRecursively(
-          new java.io.File(deltaDir))
+          c = cents.count().toInt, iters = 2)
+        F.deleteRecursively(new java.io.File(deltaDir))
       }
     }
     graft.ann.IvfIndex.currentGen(root)
