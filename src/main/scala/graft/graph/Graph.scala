@@ -457,11 +457,19 @@ final case class Graph(edges: DataFrame) {
       lit("1990-01-01 00:00:00").cast("timestamp").as("at"))
     var levels = List.empty[DataFrame]
     for (_ <- 1 to maxHops) {
+      // Dominance pruning, min-combined per node (lossless): an
+      // EARLIER arrival admits a superset of continuations (every
+      // edge with ts >= later-at also has ts >= earlier-at) and the
+      // output is the min over arrivals anyway, so only the earliest
+      // arrival per node needs to continue — the frontier is
+      // |nodes|-bounded instead of |(node, ts)|-bounded, which is
+      // the difference between node-cardinality and edge-cardinality
+      // state on a timestamp-rich graph.
       frontier = frontier.as("F")
         .join(te.as("E"),
           expr("E.src = F.node AND E.ts >= F.at"))
-        .select(col("E.dst").as("node"), col("E.ts").as("at"))
-        .distinct()
+        .groupBy(col("E.dst").as("node"))
+        .agg(min(col("E.ts")).as("at"))
       levels ::= frontier
     }
     levels.reduce(_ union _)
