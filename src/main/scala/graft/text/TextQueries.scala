@@ -12,6 +12,41 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** Per-session memo of the corpus bigram-LM per-doc scores — the
+    * (doc_id, n_bg, raw mean bigram log-prob) frame both t_lm_score
+    * and t_ppl_bucket round and consume (4dp filter card / 6dp
+    * tercile cut). The training+scoring pass (normalize → bigram
+    * explode → LM count shuffle → broadcast-scored per-doc agg) ran
+    * once per entry AND twice inside t_ppl_bucket's one plan (the
+    * tercile aggregate and the bucket pass both read the scores);
+    * the checkpoint collapses all of it to one pass per session. */
+  private val lmScoreMemo = new graft.tools.SessionMemo[String,
+    org.apache.spark.sql.DataFrame]
+
+  private def lmScores(t: Tables): org.apache.spark.sql.DataFrame =
+    lmScoreMemo.get(t.spark, t.dir) {
+      val docs = t.documents
+        .select(col("doc_id"), TextFns.normalize(col("text")).as("s"))
+      // Guarded like TextFns.charShingles: Spark's sequence(1, 0)
+      // COUNTS DOWN (default step -1), so an unguarded len-1 upper
+      // bound would emit phantom bigrams for ≤1-char docs where the
+      // oracle's generate_series is empty.
+      val bg = t.fan(docs).select(col("doc_id"),
+        explode(expr(
+          "CASE WHEN length(s) >= 2 THEN " +
+            "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2)) " +
+            "ELSE array() END"))
+          .as("b"))
+      val lm = bg.groupBy("b").agg(count(lit(1)).as("c"))
+      val tot = lm.agg(sum("c").as("total"), count(lit(1)).as("v"))
+      val logp = log((col("c") + 1) /
+        (col("total") + col("v")).cast("double"))
+      bg.join(broadcast(lm), "b").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bg"), avg(logp).as("lp_raw"))
+        .localCheckpoint()
+    }
+
   private def markerCount(text: Column, words: Seq[String]): Column =
     size(regexp_extract_all(text, lit(s"(?i)\\b(${words.mkString("|")})\\b"),
       lit(0)))
@@ -423,26 +458,9 @@ object TextQueries {
       FROM bg JOIN lm USING (b), tot
       GROUP BY doc_id
     """)) { t =>
-      val docs = t.documents
-        .select(col("doc_id"), TextFns.normalize(col("text")).as("s"))
-      // Guarded like TextFns.charShingles: Spark's sequence(1, 0)
-      // COUNTS DOWN (default step -1), so an unguarded len-1 upper
-      // bound would emit phantom bigrams for ≤1-char docs where the
-      // oracle's generate_series is empty.
-      val bg = t.fan(docs).select(col("doc_id"),
-        explode(expr(
-          "CASE WHEN length(s) >= 2 THEN " +
-            "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2)) " +
-            "ELSE array() END"))
-          .as("b"))
-      val lm = bg.groupBy("b").agg(count(lit(1)).as("c"))
-      val tot = lm.agg(sum("c").as("total"), count(lit(1)).as("v"))
-      val logp = log((col("c") + 1) / (col("total") + col("v")).cast("double"))
-      bg.join(broadcast(lm), "b").crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bg"),
-          round(avg(logp), 4).as("lp"),
-          (avg(logp) > -7.0).cast("int").as("keep_lm"))
+      lmScores(t).select(col("doc_id"), col("n_bg"),
+        round(col("lp_raw"), 4).as("lp"),
+        (col("lp_raw") > -7.0).cast("int").as("keep_lm"))
     },
 
     // CCNet-style perplexity bucketing — the canonical LM-data split:
@@ -481,20 +499,8 @@ object TextQueries {
       FROM sc, q
       GROUP BY 1
     """)) { t =>
-      val docs = t.documents
-        .select(col("doc_id"), TextFns.normalize(col("text")).as("s"))
-      val bg = t.fan(docs).select(col("doc_id"),
-        explode(expr(
-          "CASE WHEN length(s) >= 2 THEN " +
-            "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2)) " +
-            "ELSE array() END"))
-          .as("b"))
-      val lm = bg.groupBy("b").agg(count(lit(1)).as("c"))
-      val tot = lm.agg(sum("c").as("total"), count(lit(1)).as("v"))
-      val logp = log((col("c") + 1) / (col("total") + col("v")).cast("double"))
-      val sc = bg.join(broadcast(lm), "b").crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(round(avg(logp), 6).as("lp6"))
+      val sc = lmScores(t).select(col("doc_id"),
+        round(col("lp_raw"), 6).as("lp6"))
       val q = sc.agg(
         expr("percentile(lp6, 0.3333333333333333)").as("q1"),
         expr("percentile(lp6, 0.6666666666666666)").as("q2"))
