@@ -235,6 +235,36 @@ object IvfIndex {
       root: String, batch: DataFrame): Unit =
     appendToIndex(spark, servingDir(root), batch)
 
+  /** Generation GC — the serving layout's janitor (retention over
+    * root/gen_N; without it every retrain leaves a full corpus copy
+    * forever — the time-travel discipline without its safepoint).
+    * Keeps the newest `keep` generations AND always the one CURRENT
+    * points at (a rolled-back pointer must never have its target
+    * collected under it); deletes the rest and returns their names.
+    * GC IS the safepoint decision: a reader that resolved a retired
+    * generation before the GC fails after it, so run it only when no
+    * in-flight reader can hold a handle older than `keep` swaps —
+    * exactly the contract of dropping time-travel versions past the
+    * GC safepoint. */
+  def gcGenerations(root: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"gcGenerations needs keep >= 1 (got $keep): " +
+      "collecting every generation would leave nothing to serve")
+    val cur = currentGen(root)
+    val gens = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(_.matches("gen_\\d+"))
+      .sortBy(_.stripPrefix("gen_").toInt)
+      .toSeq
+    require(gens.contains(cur),
+      s"serving pointer names $cur but the generation dir is absent")
+    val retained = gens.takeRight(keep).toSet + cur
+    val victims = gens.filterNot(retained)
+    victims.foreach(g => graft.sources.Formats.deleteRecursively(
+      new java.io.File(s"$root/$g")))
+    victims
+  }
+
   /** Nearest-cell assignment of `batch` at an index's FIXED
     * centroids WITHOUT writing — one broadcast argmin pass over the
     * batch; the streaming ingest sink's building block (it owns the

@@ -196,4 +196,35 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(greenFlags <= greenCells / 2,
       s"post-retrain card still mostly red: $greenFlags/$greenCells")
   }
+
+  test("generation GC keeps the newest generations and ALWAYS the " +
+      "serving one; the retained index keeps probing; bad keep refuses") {
+    val root = "/tmp/graft_ivf_gc_spec"
+    graft.sources.Formats.deleteRecursively(new java.io.File(root))
+    IvfIndex.initServing(corpus.select("vec_id", "v"), root,
+      c = 16, iters = 2)
+    // Two retrains → three generations on disk, serving gen_3.
+    IvfIndex.retrainAndSwap(spark, root, c = 16, iters = 2)
+    IvfIndex.retrainAndSwap(spark, root, c = 16, iters = 2)
+    assert(IvfIndex.currentGen(root) == "gen_3")
+    def gens() = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("gen_")).sorted.toSeq
+    assert(gens() == Seq("gen_1", "gen_2", "gen_3"))
+    // keep=5 is a no-op; keep=0 refuses.
+    assert(IvfIndex.gcGenerations(root, keep = 5).isEmpty)
+    intercept[IllegalArgumentException] {
+      IvfIndex.gcGenerations(root, keep = 0)
+    }
+    // keep=1 retires gen_1 and gen_2; the serving generation stays
+    // probe-complete (full top-k per query on the retained index).
+    assert(IvfIndex.gcGenerations(root, keep = 1) ==
+      Seq("gen_1", "gen_2"))
+    assert(gens() == Seq("gen_3") &&
+      IvfIndex.currentGen(root) == "gen_3")
+    val probed = IvfIndex.probeIndex(spark, IvfIndex.servingDir(root),
+      queries, nprobe = 4, topk = 3).collect()
+    assert(probed.length == queries.count() * 3)
+    // GC is idempotent once at the retention floor.
+    assert(IvfIndex.gcGenerations(root, keep = 1).isEmpty)
+  }
 }
