@@ -37,6 +37,7 @@ object Registry {
     operators.Wave19.all,
     operators.Wave20.all,
     operators.Wave21.all,
+    operators.Wave22.all,
     operators.Dml.all,
     operators.Lookups.all,
     operators.TpchFull.all,
