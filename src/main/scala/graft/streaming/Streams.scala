@@ -493,9 +493,9 @@ object Streams {
     val prior = graft.sources.Formats.readParquetOr(spark, indexDir)(
         novelInBatch.limit(0).withColumn("batch_id", lit(batchId)))
       .filter(col("batch_id") =!= batchId).select("fp")
-    val novel = novelInBatch.join(prior, Seq("fp"), "left_anti")
-      .withColumn("batch_id", lit(batchId))
-      .localCheckpoint()
+    val novel = graft.tools.Reliable.cp(
+      novelInBatch.join(prior, Seq("fp"), "left_anti")
+        .withColumn("batch_id", lit(batchId)))
     // Nothing novel → write nothing. A partitioned write of an empty
     // frame would create a _SUCCESS-only dir (no schema footer),
     // poisoning the next batch's read; skipping keeps replay
@@ -558,9 +558,8 @@ object Streams {
     // dedupIngestSink discipline): without it the whole
     // novel-detection pipeline — batch dedup, base-id projection
     // scan, prior-delta scan, anti join — runs twice per micro-batch.
-    val novel = inBatch
-      .join(baseIds.union(priorDelta), Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+    val novel = graft.tools.Reliable.cp(inBatch
+      .join(baseIds.union(priorDelta), Seq("vec_id"), "left_anti"))
     if (!novel.isEmpty)
       graft.ann.IvfIndex.assignAt(spark, serving, novel)
         .withColumn("ingest_batch", lit(batchId))
@@ -591,7 +590,29 @@ object Streams {
     * centroids stopped summarizing what arrives. */
   def autoRetrainSink(root: String, deltaDir: String,
       growthCap: Double, flagFrac: Double)(
-      batch: DataFrame, batchId: Long): String = {
+      batch: DataFrame, batchId: Long): String =
+    autoRetrainTick(root, deltaDir, growthCap, flagFrac)(
+      batch, batchId).genAfter
+
+  /** One batch's drift observation — what [[autoRetrainTick]] saw and
+    * did: the serving generation before/after, the new-row mass the
+    * card measured over base ∪ delta (0 when no deltas exist), the
+    * share of that mass in retrain-flagged cells, and whether the
+    * loop compacted. This is the dashboard row a serving fleet
+    * watches: flat `massFlagged/massNew` under a rising `massNew` is
+    * healthy growth; a climbing share is the centroids aging; a
+    * `retrained` tick is the loop paying the one full-corpus pass. */
+  final case class DriftTick(batchId: Long, genBefore: String,
+      genAfter: String, massNew: Long, massFlagged: Long,
+      retrained: Boolean)
+
+  /** [[autoRetrainSink]] with the per-batch drift metrics returned
+    * instead of discarded — the series [[driftDashboardSink]]
+    * persists. Semantics are identical to autoRetrainSink (it IS the
+    * same code path). */
+  def autoRetrainTick(root: String, deltaDir: String,
+      growthCap: Double, flagFrac: Double)(
+      batch: DataFrame, batchId: Long): DriftTick = {
     val spark = batch.sparkSession
     val F = graft.sources.Formats
     // FINISH an interrupted retirement before anything else: the
@@ -610,10 +631,11 @@ object Streams {
     if (!F.readParquetOr(spark, deltaDir)(basePre.limit(0))
         .select("vec_id").join(basePre, "vec_id").isEmpty)
       F.deleteRecursively(new java.io.File(deltaDir))
+    val genBefore = graft.ann.IvfIndex.currentGen(root)
     vectorIngestSink(root, deltaDir)(batch, batchId)
     val serving = graft.ann.IvfIndex.servingDir(root)
     val deltas = Option(F.readParquetOr(spark, deltaDir)(null))
-    deltas.foreach { d =>
+    val (massNew, massFlagged, retrained) = deltas.map { d =>
       // ONE centroid read serves the card and the compaction's
       // cluster count.
       val cents = spark.read.parquet(s"$serving/centroids")
@@ -635,8 +657,9 @@ object Streams {
         sum(col("n_new")).as("mass_new"),
         sum(when(col("retrain") === 1, col("n_new")).otherwise(0L))
           .as("mass_flagged")).head()
-      val (massNew, massFlagged) = (r.getLong(0), r.getLong(1))
-      if (massNew > 0 && massFlagged.toDouble / massNew > flagFrac) {
+      val (mNew, mFlagged) = (r.getLong(0), r.getLong(1))
+      val compact = mNew > 0 && mFlagged.toDouble / mNew > flagFrac
+      if (compact) {
         // COMPACT: train gen_N+1 from the full current corpus
         // (base ∪ delta), flip, then retire the absorbed deltas
         // (the flip is the commit point — see the recovery above
@@ -647,7 +670,40 @@ object Streams {
           c = cents.count().toInt, iters = 2)
         F.deleteRecursively(new java.io.File(deltaDir))
       }
-    }
-    graft.ann.IvfIndex.currentGen(root)
+      (mNew, mFlagged, compact)
+    }.getOrElse((0L, 0L, false))
+    DriftTick(batchId, genBefore, graft.ann.IvfIndex.currentGen(root),
+      massNew, massFlagged, retrained)
+  }
+
+  /** The drift DASHBOARD — [[autoRetrainTick]] with its per-batch
+    * observation persisted as a metrics series under `metricsDir`,
+    * partitioned by batch id with dynamic overwrite: a replayed
+    * batch rewrites its OWN row to reflect what the replay actually
+    * observed (post-compaction that is novel = ∅, mass 0 — the row
+    * stays truthful about the layout's state), and no batch id ever
+    * holds two rows, so the series is exactly-once the same way the
+    * ingest itself is. One driver-side row per micro-batch — the
+    * write cost is a single tiny file; the card computation it
+    * records is the same one-scan pass the retrain gate already
+    * paid for. */
+  def driftDashboardSink(root: String, deltaDir: String,
+      growthCap: Double, flagFrac: Double, metricsDir: String)(
+      batch: DataFrame, batchId: Long): DriftTick = {
+    val tick = autoRetrainTick(root, deltaDir, growthCap, flagFrac)(
+      batch, batchId)
+    val spark = batch.sparkSession
+    import spark.implicits._
+    Seq((tick.genBefore, tick.genAfter, tick.massNew,
+        tick.massFlagged, tick.retrained))
+      .toDF("gen_before", "gen_after", "mass_new", "mass_flagged",
+        "retrained")
+      .withColumn("batch_id", lit(batchId))
+      .repartition(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(metricsDir)
+    tick
   }
 }

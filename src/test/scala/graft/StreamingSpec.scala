@@ -946,4 +946,61 @@ class StreamingSpec extends SparkSpecBase {
       nprobe = 4, topk = 3).collect()
     assert(probed.length == queries.count() * 3)
   }
+
+  test("e_stream_drift: the dashboard series records one truthful " +
+      "row per batch id across quiet, burst and replay") {
+    import graft.ann.IvfIndex
+    import graft.functions.VectorFns
+    val root = "/tmp/graft_stream_drift_root"
+    val deltaDir = "/tmp/graft_stream_drift_delta"
+    val metricsDir = "/tmp/graft_stream_drift_metrics"
+    Seq(root, deltaDir, metricsDir).foreach(d =>
+      graft.sources.Formats.deleteRecursively(new java.io.File(d)))
+    val corpus = t.embeddings.select(col("vec_id"),
+      VectorFns.toDouble(col("embedding")).as("v"))
+    IvfIndex.initServing(corpus.filter(col("vec_id") % 5 =!= 0),
+      root, c = 16, iters = 2)
+    val sink = Streams.driftDashboardSink(root, deltaDir,
+      growthCap = 1.5, flagFrac = 0.5, metricsDir) _
+    def shifted(offset: Long) = corpus.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + offset).as("vec_id"),
+        expr("transform(v, x -> x + 3.0d)").as("v"))
+    // Partition-column type inference reads batch_id=N dirs as INT;
+    // normalize to the tick's Long.
+    def series() = spark.read.parquet(metricsDir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .orderBy("batch_id").collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("gen_before"),
+        r.getAs[String]("gen_after"), r.getAs[Long]("mass_new"),
+        r.getAs[Long]("mass_flagged"), r.getAs[Boolean]("retrained")))
+    // Quiet batch: the row records real new-row mass, a sub-gate
+    // flagged share, no generation flip.
+    val t0 = sink(corpus.filter(col("vec_id") % 5 === 0)
+      .filter(col("vec_id") % 3 === 0), 0L)
+    assert(!t0.retrained && t0.genBefore == "gen_1" &&
+      t0.genAfter == "gen_1")
+    assert(t0.massNew > 0 &&
+      t0.massFlagged.toDouble / t0.massNew <= 0.5)
+    assert(series().toSeq == Seq((0L, "gen_1", "gen_1", t0.massNew,
+      t0.massFlagged, false)))
+    // Drifted burst: the row records the flip and the flagged mass
+    // that triggered it.
+    val t1 = sink(shifted(1000000L), 1L)
+    assert(t1.retrained && t1.genBefore == "gen_1" &&
+      t1.genAfter == "gen_2")
+    assert(t1.massFlagged.toDouble / t1.massNew > 0.5)
+    // Replay of the compacted batch: same id, but the layout has
+    // absorbed its rows — the row REWRITES to the replay's truthful
+    // observation (mass 0, no flip), and the id still holds exactly
+    // one row (the partition overwrite, not an append).
+    val t1r = sink(shifted(1000000L), 1L)
+    assert(!t1r.retrained && t1r.massNew == 0L &&
+      t1r.genBefore == "gen_2" && t1r.genAfter == "gen_2")
+    val s = series()
+    assert(s.length == 2)
+    assert(s(1) == ((1L, "gen_2", "gen_2", 0L, 0L, false)))
+    // The series is consistent with the layout: the last row's
+    // gen_after IS the serving generation.
+    assert(s.last._3 == IvfIndex.currentGen(root))
+  }
 }
