@@ -76,7 +76,7 @@ object IvfIndex {
     // Lloyd chain — callers reference it several times (final assign,
     // probe ranking, residual joins), and each action would re-run
     // every iteration. Materialize the tiny table once.
-    val finalCents = centroids.localCheckpoint()
+    val finalCents = graft.tools.Reliable.cp(centroids)
     (assign(corpus, finalCents, "vec_id", "v"), finalCents)
   }
 

@@ -21,31 +21,13 @@ import org.apache.spark.sql.functions._
   */
 final case class Graph(edges: DataFrame) {
 
-  /** Lineage truncation for iterative loop state. `localCheckpoint()`
-    * keeps the blocks in executor memory — the right local[32] call,
-    * but on a cluster a lost executor drops blocks and forces a
-    * recompute of the WHOLE loop from scratch (lineage is gone, so
-    * Spark restarts from the source scan). Setting
-    * `spark.graft.graph.checkpointDir` (e.g. an HDFS/S3 path on a
-    * real cluster) switches every loop to a RELIABLE checkpoint:
-    * the state is written to that storage once and re-read, so block
-    * loss re-reads files instead of re-running iterations. The
-    * parquet round-trip is deliberate (not Dataset.checkpoint, whose
-    * unpersisted RDD checkpoint recomputes the plan a second time
-    * for the checkpoint job). Files are session-scoped artifacts
-    * under the configured dir — the caller deletes the dir after the
-    * job, like any Spark checkpoint location. */
+  /** Lineage truncation for iterative loop state — the shared
+    * [[graft.tools.Reliable]] discipline: `localCheckpoint()` by
+    * default, a reliable parquet checkpoint when
+    * `spark.graft.graph.checkpointDir` is set (cluster block-loss
+    * survival; rationale lives on Reliable). */
   private implicit class Cp(df: DataFrame) {
-    def cp(): DataFrame = {
-      val ss = df.sparkSession
-      ss.conf.getOption("spark.graft.graph.checkpointDir") match {
-        case Some(dir) if dir.nonEmpty =>
-          val p = s"${dir.stripSuffix("/")}/cp-${Graph.cpSeq.incrementAndGet()}"
-          df.write.mode("overwrite").parquet(p)
-          ss.read.parquet(p)
-        case _ => df.localCheckpoint()
-      }
-    }
+    def cp(): DataFrame = graft.tools.Reliable.cp(df)
   }
 
   /** The BOTH-orientation edge table, materialized ONCE per Graph
@@ -994,10 +976,6 @@ final case class Graph(edges: DataFrame) {
 }
 
 object Graph {
-  /** JVM-unique sequence for reliable-checkpoint paths — two Graph
-    * instances (or loop rounds) must never write the same cp dir. */
-  private[graph] val cpSeq = new java.util.concurrent.atomic.AtomicLong
-
   /** Convergence trace of one adaptive connected-components run.
     * `cycles` = number of 2-round propagation cycles executed
     * (including the final no-change cycle that proves the fixpoint);
