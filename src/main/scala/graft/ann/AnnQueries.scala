@@ -22,6 +22,29 @@ object AnnQueries {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
 
+  /** Per-session memo of the bounded-pool exact-kNN support pair —
+    * the (vec_id < 200) pool and its exact top-3 neighbor list, both
+    * checkpointed: s_knn_graph (build + mutual marking) and
+    * s_knn_beam (link build for the search walk) each re-ran the
+    * same pool crossJoin + re-rank before their own kernel; both are
+    * pure derivations of the immutable source dir (the
+    * Graph.derived / tfMemo discipline). */
+  private val knnMemo = new graft.tools.SessionMemo[
+    String, (DataFrame, DataFrame)]
+
+  /** (pool, knn): pool = normed vectors under the 200-id bound;
+    * knn = exact top-3 (qid, vec_id, cos) with the (round-8, vec_id)
+    * tie-break. */
+  private def knnPool(t: Tables): (DataFrame, DataFrame) =
+    knnMemo.get(t.spark, t.dir) {
+      val pool = vecs(t).filter(col("vec_id") < 200).localCheckpoint()
+      val qs = pool.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nv").as("nq"))
+      val knn = rerankTopK(pool.crossJoin(broadcast(qs)), topk = 3,
+        dedup = false).localCheckpoint()
+      (pool, knn)
+    }
+
   /** (label, pos, val) exploded dims — the shared input of the
     * centroid analytics. */
   private def dimExploded(t: Tables): DataFrame =
@@ -807,11 +830,7 @@ object AnnQueries {
       FROM knn k LEFT JOIN knn r
         ON r.qid = k.vec_id AND r.vec_id = k.qid
     """)) { t =>
-      val pool = vecs(t).filter(col("vec_id") < 200).localCheckpoint()
-      val qs = pool.select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nv").as("nq"))
-      val knn = rerankTopK(pool.crossJoin(broadcast(qs)), topk = 3,
-        dedup = false).localCheckpoint()
+      val (_, knn) = knnPool(t)
       knn.join(
           knn.select(col("qid").as("r_dst"), col("vec_id").as("r_src")),
           col("qid") === col("r_src") && col("vec_id") === col("r_dst"),
@@ -889,13 +908,12 @@ object AnnQueries {
     // 0.85) and exact per-query row counts.
     Q("s_knn_beam", None) { t =>
       val (beam, steps, topk) = (12, 5, 3)
-      val pool = vecs(t).filter(col("vec_id") < 200).localCheckpoint()
+      val (pool, knn) = knnPool(t)
       val qsAll = pool.select(col("vec_id").as("qid"),
         col("v").as("qv"), col("nv").as("nq"))
       // SYMMETRIZED links (HNSW keeps bidirectional connectivity —
       // a directed k-NN edge is followable from either end).
-      val knnE = rerankTopK(pool.crossJoin(broadcast(qsAll)),
-          topk = 3, dedup = false)
+      val knnE = knn
         .select(col("qid").as("src"), col("vec_id").as("dst"))
       val edges = knnE.unionByName(
           knnE.select(col("dst").as("src"), col("src").as("dst")))
