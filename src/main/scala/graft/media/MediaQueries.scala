@@ -266,7 +266,160 @@ object MediaQueries {
             (col("seg_idx") * 256 + 1).cast("int"), lit(256))))
             .as("seg_fp"))
     },
+
+    // MEDIA RESIZE / THUMBNAILING (pipeline mandate — the resolution
+    // normalization every multimodal curation run does right after
+    // the quality gate): fit-within-256×256 preserving aspect ratio,
+    // NEVER upscaling (scale = min(256/w, 256/h, 1) — the standard
+    // thumbnail contract), output dims floored with a 1px floor guard.
+    // The pixel resample is the honest stub: nearest-neighbor BYTE
+    // decimation of the payload to ≤1024 samples (sample i reads
+    // byte ⌊i·n/n_out⌋ — the exact index arithmetic a NN image
+    // resampler runs per axis), fingerprinted over the hex rendering
+    // (the m_media_frames convention). Cross-engine determinism:
+    // both sides evaluate the IDENTICAL IEEE double expression tree
+    // for scale/dims/indices, so FLOOR agrees bit-for-bit; the
+    // displayed scale is 4dp-rounded, the dims use the raw value.
+    // Plumbing is the real thing and shuffle-free: per-row in-row
+    // transform + array_join, map-side only — at 100 TB this is one
+    // pass over the payload bytes with CPU parallelism from fan().
+    Q("m_media_resize", Some("""
+      WITH m AS (
+        SELECT doc_id, HEX(ENCODE(text)) AS hx,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes
+        FROM documents),
+      d AS (
+        SELECT doc_id, hx, n_bytes,
+               64 + n_bytes % 512 AS width,
+               64 + (n_bytes * 7) % 512 AS height,
+               LEAST(n_bytes, 1024) AS n_out
+        FROM m WHERE n_bytes > 0),
+      s AS (
+        SELECT *, LEAST(256.0 / width, 256.0 / height, 1.0) AS sc
+        FROM d)
+      SELECT doc_id, width, height,
+             CAST(GREATEST(1, FLOOR(width * sc)) AS INT) AS out_w,
+             CAST(GREATEST(1, FLOOR(height * sc)) AS INT) AS out_h,
+             ROUND(sc, 4) AS scale,
+             CAST(GREATEST(1, FLOOR(width * sc)) *
+                  GREATEST(1, FLOOR(height * sc)) * 3 AS BIGINT)
+               AS est_bytes,
+             MD5(list_aggregate(list_transform(range(0, n_out),
+               i -> SUBSTR(hx, CAST(FLOOR(i * n_bytes /
+                      CAST(n_out AS DOUBLE)) AS INT) * 2 + 1, 2)),
+               'string_agg', '')) AS thumb_fp
+      FROM s
+    """)) { t =>
+      val payload = encode(col("text"), "UTF-8")
+      val base = t.fan(t.documents)
+        .select(col("doc_id"), hex(payload).as("hx"),
+          length(payload).cast("int").as("n_bytes"))
+        // Empty payload: nothing to resize on either engine (and
+        // sequence(0, -1) would count DOWN — the audio-entry trap).
+        .filter(col("n_bytes") > 0)
+        .select(col("doc_id"), col("hx"), col("n_bytes"),
+          (lit(64) + col("n_bytes") % 512).as("width"),
+          (lit(64) + (col("n_bytes") * 7) % 512).as("height"),
+          least(col("n_bytes"), lit(1024)).as("n_out"))
+        .withColumn("sc", least(lit(256.0) / col("width"),
+          lit(256.0) / col("height"), lit(1.0)))
+      base.select(col("doc_id"), col("width"), col("height"),
+        greatest(lit(1), floor(col("width") * col("sc"))).cast("int")
+          .as("out_w"),
+        greatest(lit(1), floor(col("height") * col("sc"))).cast("int")
+          .as("out_h"),
+        round(col("sc"), 4).as("scale"),
+        (greatest(lit(1), floor(col("width") * col("sc"))) *
+          greatest(lit(1), floor(col("height") * col("sc"))) * 3)
+          .cast("long").as("est_bytes"),
+        expr("""md5(array_join(transform(sequence(0, n_out - 1),
+            i -> substring(hx,
+                   cast(floor(i * n_bytes / n_out) as int) * 2 + 1, 2)),
+          ''))""").as("thumb_fp"))
+    },
+
+    // MEDIA FEATURE EXTRACTION (pipeline mandate — the
+    // feature-vector pass between decode and the embedding index):
+    // a 16-bin nibble histogram over the payload bytes (the
+    // byte-histogram descriptor real pipelines compute for
+    // content-type routing and near-dup blocking), L1-normalized to
+    // 4dp fractions, plus the derived scalars every curation
+    // dashboard keys on — dominant bin (integer-exact argmax with
+    // lowest-bin tie-break), its share, and the histogram entropy
+    // (ROUND(,4) absorbs libm ulp, the repo's libm convention).
+    // Shuffle-free by construction: counts come from
+    // length-minus-replace over the hex rendering — 16 map-side
+    // string passes per row, no explode, no exchange; at 100 TB the
+    // cost is one fan()-parallel scan of the payload bytes. The
+    // features land in the SAME shape the ANN family consumes
+    // (fractions = a 16-dim unit-L1 vector), so the output is the
+    // bridge row between the media suite and s_ann_*/s_embed_*.
+    Q("m_media_features", Some(s"""
+      WITH m AS (
+        SELECT doc_id, HEX(ENCODE(text)) AS hx,
+               CAST(2 * OCTET_LENGTH(ENCODE(text)) AS INT) AS tot
+        FROM documents),
+      c AS (
+        SELECT doc_id, tot,
+               ${MediaSql.hexDigits.zipWithIndex.map { case (h, i) =>
+                 s"LENGTH(hx) - LENGTH(REPLACE(hx, '$h', '')) AS c$i"
+               }.mkString(",\n               ")}
+        FROM m WHERE tot > 0),
+      g AS (SELECT *, GREATEST(${(0 until 16).map("c" + _)
+               .mkString(", ")}) AS cmax FROM c)
+      SELECT doc_id, CAST(tot / 2 AS BIGINT) AS n_bytes,
+             ${(0 until 16).map(i =>
+               s"ROUND(CAST(c$i AS DOUBLE) / tot, 4) AS f$i")
+               .mkString(",\n             ")},
+             CAST(CASE ${(0 until 16).map(i =>
+               s"WHEN c$i = cmax THEN $i").mkString(" ")}
+               END AS INT) AS top_bin,
+             ROUND(CAST(cmax AS DOUBLE) / tot, 4) AS top_frac,
+             ROUND(-(${(0 until 16).map(i =>
+               s"CASE WHEN c$i > 0 THEN (CAST(c$i AS DOUBLE) / tot) * " +
+               s"LN(CAST(c$i AS DOUBLE) / tot) ELSE 0.0 END")
+               .mkString(" + ")}), 4) AS entropy
+      FROM g
+    """)) { t =>
+      val payload = encode(col("text"), "UTF-8")
+      val m = t.fan(t.documents)
+        .select(col("doc_id"), hex(payload).as("hx"),
+          (length(payload) * 2).cast("int").as("tot"))
+        .filter(col("tot") > 0)
+      val withCounts = MediaSql.hexDigits.zipWithIndex
+        .foldLeft(m) { case (df, (h, i)) =>
+          df.withColumn(s"c$i",
+            expr(s"length(hx) - length(replace(hx, '$h', ''))"))
+        }
+        .withColumn("cmax",
+          greatest((0 until 16).map(i => col(s"c$i")): _*))
+      val frac = (i: Int) => col(s"c$i").cast("double") / col("tot")
+      val entTerm = (i: Int) => when(col(s"c$i") > 0,
+        frac(i) * log(frac(i))).otherwise(lit(0.0))
+      val topBin = (0 until 16).foldRight(lit(null)
+          .cast("int").asInstanceOf[org.apache.spark.sql.Column]) {
+        case (i, rest) => when(col(s"c$i") === col("cmax"), i)
+          .otherwise(rest)
+      }
+      withCounts.select(
+        Seq(col("doc_id"), (col("tot") / 2).cast("long").as("n_bytes")) ++
+        (0 until 16).map(i => round(frac(i), 4).as(s"f$i")) ++
+        Seq(topBin.as("top_bin"),
+          round(col("cmax").cast("double") / col("tot"), 4)
+            .as("top_frac"),
+          round(-(0 until 16).map(entTerm)
+            .reduce(_ + _), 4).as("entropy")): _*)
+    },
   )
+
+  /** The 16 hex digits in Spark/DuckDB `hex()` rendering order
+    * (uppercase) — one spelling for both the oracle SQL generator
+    * and the engine-side counters. */
+  private[media] object MediaSql {
+    val hexDigits: Seq[String] =
+      Seq("0", "1", "2", "3", "4", "5", "6", "7",
+        "8", "9", "A", "B", "C", "D", "E", "F")
+  }
 
   /** ≤4 uniformly spaced 64-byte frames per document, fingerprinted
     * on the hex rendering of the raw byte slice. Shared by the

@@ -73,4 +73,71 @@ class MediaSpec extends SparkSpecBase {
     // Nothing emits more than the 8-segment cap.
     rows.values.foreach(g => assert(g.length <= 8))
   }
+
+  test("m_media_resize: fit-within-256 contract — never upscales, " +
+      "preserves aspect within floor tolerance, byte-exact thumb fp") {
+    val rows = Registry.all.find(_.name == "m_media_resize").get.run(t)
+      .collect()
+    assert(rows.nonEmpty)
+    val mdRef = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(ow <= 256 && oh <= 256, "thumbnail must fit within 256")
+      assert(ow <= w && oh <= h, "resize never upscales")
+      val sc = math.min(math.min(256.0 / w, 256.0 / h), 1.0)
+      assert(ow == math.max(1, math.floor(w * sc).toInt))
+      assert(oh == math.max(1, math.floor(h * sc).toInt))
+      assert(r.getAs[Long]("est_bytes") == ow.toLong * oh * 3)
+      assert(r.getAs[String]("thumb_fp").length == 32)
+    }
+    // Byte-exactness of the nearest-neighbor decimation on one doc.
+    val doc = t.documents.orderBy("doc_id").limit(1).collect()(0)
+    val bytes = doc.getAs[String]("text").getBytes("UTF-8")
+    val n = bytes.length
+    val nOut = math.min(n, 1024)
+    val hexStr = (0 until nOut).map { i =>
+      val b = math.floor(i.toDouble * n / nOut).toInt
+      f"${bytes(b)}%02X"
+    }.mkString
+    val fp = mdRef.digest(hexStr.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val row = rows.find(_.getAs[Long]("doc_id") ==
+      doc.getAs[Long]("doc_id")).get
+    assert(row.getAs[String]("thumb_fp") == fp,
+      "thumb fingerprint drifted from the reference decimation")
+  }
+
+  test("m_media_features: fractions L1-normalize, entropy bounded by " +
+      "ln 16, dominant bin is the true integer argmax") {
+    val rows = Registry.all.find(_.name == "m_media_features").get
+      .run(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fracs = (0 until 16).map(i => r.getAs[Double](s"f$i"))
+      // 4dp rounding: the raw fractions sum to exactly 1.
+      assert(math.abs(fracs.sum - 1.0) < 16 * 5e-5)
+      val ent = r.getAs[Double]("entropy")
+      assert(ent >= 0.0 && ent <= math.log(16.0) + 1e-9)
+      val top = r.getAs[Int]("top_bin")
+      val topFrac = r.getAs[Double]("top_frac")
+      assert(fracs.forall(_ <= topFrac + 5e-5))
+      assert(math.abs(fracs(top) - topFrac) < 1e-9,
+        "dominant bin's fraction must equal top_frac")
+    }
+    // Ground truth on one doc: counts from the raw bytes.
+    val doc = t.documents.orderBy("doc_id").limit(1).collect()(0)
+    val hx = doc.getAs[String]("text").getBytes("UTF-8")
+      .map(b => f"$b%02X").mkString
+    val counts = "0123456789ABCDEF".map(c => hx.count(_ == c))
+    val row = rows.find(_.getAs[Long]("doc_id") ==
+      doc.getAs[Long]("doc_id")).get
+    (0 until 16).foreach { i =>
+      val expect = BigDecimal(counts(i).toDouble / hx.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(row.getAs[Double](s"f$i") - expect) < 1e-9,
+        s"bin $i frequency drifted")
+    }
+    assert(row.getAs[Int]("top_bin") == counts.indexOf(counts.max))
+  }
 }
