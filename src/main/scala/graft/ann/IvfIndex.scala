@@ -76,6 +76,10 @@ object IvfIndex {
     // Lloyd chain — callers reference it several times (final assign,
     // probe ranking, residual joins), and each action would re-run
     // every iteration. Materialize the tiny table once.
+    // Caller-managed cp (not scoped): the centroid table outlives
+    // build() in every caller. Under a reliable checkpoint dir this
+    // leaves one C-row file per (re)train — bounded by generation
+    // count, cleaned with the checkpoint dir like the graph loops.
     val finalCents = graft.tools.Reliable.cp(centroids)
     (assign(corpus, finalCents, "vec_id", "v"), finalCents)
   }

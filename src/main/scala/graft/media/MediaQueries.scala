@@ -334,7 +334,8 @@ object MediaQueries {
           .cast("long").as("est_bytes"),
         expr("""md5(array_join(transform(sequence(0, n_out - 1),
             i -> substring(hx,
-                   cast(floor(i * n_bytes / n_out) as int) * 2 + 1, 2)),
+                   cast(floor(cast(i as bigint) * n_bytes / n_out) as int)
+                     * 2 + 1, 2)),
           ''))""").as("thumb_fp"))
     },
 
@@ -378,7 +379,7 @@ object MediaQueries {
              ROUND(-(${(0 until 16).map(i =>
                s"CASE WHEN c$i > 0 THEN (CAST(c$i AS DOUBLE) / tot) * " +
                s"LN(CAST(c$i AS DOUBLE) / tot) ELSE 0.0 END")
-               .mkString(" + ")}), 4) AS entropy
+               .mkString(" + ")}) + 0.0, 4) AS entropy
       FROM g
     """)) { t =>
       val payload = encode(col("text"), "UTF-8")
@@ -394,6 +395,10 @@ object MediaQueries {
         .withColumn("cmax",
           greatest((0 until 16).map(i => col(s"c$i")): _*))
       val frac = (i: Int) => col(s"c$i").cast("double") / col("tot")
+      // The trailing `+ 0.0` (here and in the oracle) normalizes the
+      // single-nibble corner: every term is 0.0, the negation yields
+      // IEEE -0.0, and Spark's BigDecimal round drops the sign where
+      // DuckDB's keeps it — `-0.0 + 0.0 = +0.0` pins both engines.
       val entTerm = (i: Int) => when(col(s"c$i") > 0,
         frac(i) * log(frac(i))).otherwise(lit(0.0))
       val topBin = (0 until 16).foldRight(lit(null)
@@ -408,7 +413,7 @@ object MediaQueries {
           round(col("cmax").cast("double") / col("tot"), 4)
             .as("top_frac"),
           round(-(0 until 16).map(entTerm)
-            .reduce(_ + _), 4).as("entropy")): _*)
+            .reduce(_ + _) + lit(0.0), 4).as("entropy")): _*)
     },
   )
 

@@ -493,19 +493,23 @@ object Streams {
     val prior = graft.sources.Formats.readParquetOr(spark, indexDir)(
         novelInBatch.limit(0).withColumn("batch_id", lit(batchId)))
       .filter(col("batch_id") =!= batchId).select("fp")
-    val novel = graft.tools.Reliable.cp(
+    // SCOPED checkpoint: the novel set is consumed entirely within
+    // this batch, so its cp artifact is deleted on exit — an
+    // unbounded stream must not leak one cp dir per batch.
+    graft.tools.Reliable.scoped(
       novelInBatch.join(prior, Seq("fp"), "left_anti")
-        .withColumn("batch_id", lit(batchId)))
-    // Nothing novel → write nothing. A partitioned write of an empty
-    // frame would create a _SUCCESS-only dir (no schema footer),
-    // poisoning the next batch's read; skipping keeps replay
-    // idempotent (the recompute is deterministic, so a replayed
-    // all-duplicate batch skips again).
-    if (!novel.isEmpty)
-      novel.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(indexDir)
+        .withColumn("batch_id", lit(batchId))) { novel =>
+      // Nothing novel → write nothing. A partitioned write of an
+      // empty frame would create a _SUCCESS-only dir (no schema
+      // footer), poisoning the next batch's read; skipping keeps
+      // replay idempotent (the recompute is deterministic, so a
+      // replayed all-duplicate batch skips again).
+      if (!novel.isEmpty)
+        novel.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(indexDir)
+    }
   }
 
   /** Streaming VECTOR ingest — [[dedupIngestSink]]'s exactly-once
@@ -558,15 +562,17 @@ object Streams {
     // dedupIngestSink discipline): without it the whole
     // novel-detection pipeline — batch dedup, base-id projection
     // scan, prior-delta scan, anti join — runs twice per micro-batch.
-    val novel = graft.tools.Reliable.cp(inBatch
-      .join(baseIds.union(priorDelta), Seq("vec_id"), "left_anti"))
-    if (!novel.isEmpty)
-      graft.ann.IvfIndex.assignAt(spark, serving, novel)
-        .withColumn("ingest_batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch", "cell")
-        .parquet(deltaDir)
+    graft.tools.Reliable.scoped(inBatch
+      .join(baseIds.union(priorDelta), Seq("vec_id"), "left_anti")) {
+      novel =>
+        if (!novel.isEmpty)
+          graft.ann.IvfIndex.assignAt(spark, serving, novel)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch", "cell")
+            .parquet(deltaDir)
+    }
   }
 
   /** The CLOSED serving loop — [[vectorIngestSink]] with the

@@ -36,4 +36,38 @@ object Reliable {
       case _ => df.localCheckpoint()
     }
   }
+
+  /** Total checkpoints taken by this JVM — observability for specs
+    * (did a code path actually checkpoint?) without exposing paths. */
+  def count: Long = cpSeq.get()
+
+  /** SCOPED checkpoint — [[cp]] whose on-disk artifact is deleted as
+    * soon as `body` finishes. The per-micro-batch sinks need exactly
+    * this: the checkpointed frame (a novel set) is consumed entirely
+    * within the batch, and an UNBOUNDED streaming query calling the
+    * caller-managed [[cp]] would leak one cp-N dir per batch forever
+    * ("the caller deletes the dir after the job" never comes for a
+    * continuous stream). The bounded graph loops keep [[cp]] — their
+    * state must outlive the loop body, and their dirs die with the
+    * job's checkpoint-dir cleanup. */
+  def scoped[A](df: DataFrame)(body: DataFrame => A): A = {
+    val ss = df.sparkSession
+    ss.conf.getOption("spark.graft.graph.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        val p = s"${dir.stripSuffix("/")}/cp-${cpSeq.incrementAndGet()}"
+        df.write.mode("overwrite").parquet(p)
+        try body(ss.read.parquet(p))
+        finally {
+          // Hadoop-FS delete, not java.io: the configured dir is an
+          // HDFS/S3 path on a real cluster.
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(ss.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+        }
+      case _ =>
+        val cped = df.localCheckpoint()
+        try body(cped)
+        finally cped.unpersist()
+    }
+  }
 }

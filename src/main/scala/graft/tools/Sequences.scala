@@ -28,9 +28,8 @@ object Sequences {
     * a CYCLE sequence wraps back to `start`. */
   final case class SeqDef(start: Long, increment: Long, cacheSize: Long,
       maxValue: Long, cycle: Boolean) {
-    require(increment != 0, "sequence increment must be non-zero")
-    require(increment > 0,
-      "descending sequences are modeled separately; increment must be > 0")
+    require(increment > 0, "sequence increment must be > 0 " +
+      "(zero is meaningless; descending sequences are modeled separately)")
     require(maxValue >= start,
       s"sequence MAXVALUE $maxValue below START $start")
     require(cacheSize > 0, "sequence CACHE must be positive")

@@ -47,8 +47,8 @@ class ReliableSpec extends SparkSpecBase {
   }
 
   test("the streaming ingest loop honors the reliable-checkpoint " +
-      "conf: dedupIngestSink's novel set lands in the configured dir " +
-      "and the index it builds is unchanged") {
+      "conf: dedupIngestSink's novel set round-trips the configured " +
+      "dir, is CLEANED per batch, and the index built is unchanged") {
     val indexDir = "/tmp/graft_reliable_ingest_idx"
     graft.sources.Formats.deleteRecursively(new java.io.File(indexDir))
     import spark.implicits._
@@ -56,10 +56,16 @@ class ReliableSpec extends SparkSpecBase {
       .toDF("fp", "doc_id")
     val b1 = Seq(("b", 4L), ("c", 5L)).toDF("fp", "doc_id")
     withCpDir {
+      val before = graft.tools.Reliable.count
       streaming.Streams.dedupIngestSink(indexDir)(b0, 0L)
-      assert(cpFiles() >= 1,
+      assert(graft.tools.Reliable.count > before,
         "the novel set must checkpoint through the configured dir")
+      // SCOPED cleanup: an unbounded stream must not leak one cp dir
+      // per micro-batch — the artifact dies with the batch.
+      assert(cpFiles() == 0,
+        "per-batch cp artifacts must be deleted at batch end")
       streaming.Streams.dedupIngestSink(indexDir)(b1, 1L)
+      assert(cpFiles() == 0)
     }
     // Exactly-once membership holds identically under the reliable
     // path: one row per fingerprint, the batch-1 novel set is {c}.
