@@ -87,23 +87,37 @@ object DedupQueries {
     * expansion, no re-join back to the signature table. Agreement
     * scoring is the codegen SigAgreement kernel (the interpreted
     * zip_with fold was ~3 s of the sf0.1 bench). */
-  private def minhashPairs(docs: DataFrame): DataFrame = {
-    val sigs = minhashSigs(docs)
-    val banded = sigs.select(col("doc_id"), col("sigs"),
+  /** Banded k=64 signatures — (doc_id, sigs, band, bhash), 16 rows
+    * per doc (16 bands × 4 sig rows): ONE spelling of the
+    * d_dedup_minhash LSH layout, shared by the batch pair generator
+    * and the streaming near-dup index
+    * ([[graft.streaming.Streams.neardupIngestSink]]) so the two can
+    * never band the same signature differently. */
+  private[graft] def bandedSigs(docs: DataFrame): DataFrame =
+    minhashSigs(docs).select(col("doc_id"), col("sigs"),
         posexplode(expr(
           "transform(sequence(0, 15), j -> xxhash64(j, slice(sigs, j * 4 + 1, 4)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+
+  /** Signature-agreement estimate of Jaccard — `|matching rows| / 64`
+    * via the codegen'd SigAgreement kernel; one spelling for every
+    * consumer of banded candidates. */
+  private[graft] def estJaccard(s1: org.apache.spark.sql.Column,
+      s2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.SigAgreement(
+        org.apache.spark.sql.GraftSqlShim.expr(s1),
+        org.apache.spark.sql.GraftSqlShim.expr(s2))) / 64.0
+
+  private def minhashPairs(docs: DataFrame): DataFrame = {
+    val banded = bandedSigs(docs)
     val a = banded.select(col("band"), col("bhash"),
       col("doc_id").as("id1"), col("sigs").as("s1"))
     val b = banded.select(col("band"), col("bhash"),
       col("doc_id").as("id2"), col("sigs").as("s2"))
     a.join(b, Seq("band", "bhash")).filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        round(org.apache.spark.sql.GraftSqlShim.column(
-          graft.functions.SigAgreement(
-            org.apache.spark.sql.GraftSqlShim.expr(col("s1")),
-            org.apache.spark.sql.GraftSqlShim.expr(col("s2")))) / 64.0,
-          4).as("est_jaccard"))
+        round(estJaccard(col("s1"), col("s2")), 4).as("est_jaccard"))
       .distinct()
   }
 

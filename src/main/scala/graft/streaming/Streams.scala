@@ -512,6 +512,92 @@ object Streams {
     }
   }
 
+  /** One batch's near-dup ingest outcome: rows seen, identity-novel
+    * docs, near-dups dropped against the index or within the batch,
+    * and docs whose bands were appended. `nNovel = nNearDup +
+    * nIndexed` by construction. */
+  final case class NeardupTick(batchId: Long, nIn: Long, nNovel: Long,
+      nNearDup: Long, nIndexed: Long)
+
+  /** Streaming NEAR-DUP corpus ingest — [[dedupIngestSink]]'s
+    * exactly-once discipline lifted from exact fingerprints to the
+    * MinHash-LSH layout: the persisted index holds each admitted
+    * document's 16 banded signature rows (the d_dedup_minhash
+    * banding, ONE spelling via DedupQueries.bandedSigs), partitioned
+    * by ingest batch. Per micro-batch, QUERY-THEN-APPEND:
+    *
+    *  1. identity dedup — doc_ids already indexed (in any OTHER
+    *     batch partition; the restart-robust `=!=` fence) drop;
+    *  2. near-dup QUERY — the batch's banded rows equi-join the
+    *     prior index on (band, bhash) — candidate pairs are bounded
+    *     by shared-bucket posting lists, never batch × corpus — and
+    *     a doc whose best signature agreement ≥ τ is DROPPED (the
+    *     production admit-gate: the corpus keeps its first
+    *     representative);
+    *  3. within-batch rule — a doc also drops when a SMALLER-id doc
+    *     in the same batch agrees ≥ τ (order-free and deterministic:
+    *     the test is against all smaller ids, not against survivors,
+    *     so chains cannot make the outcome order-dependent);
+    *  4. survivors' band rows append under the batch's own partition
+    *     via dynamic overwrite — an in-contract replay recomputes
+    *     the identical admit set against the fenced prior and
+    *     rewrites its own partition bit-identically.
+    *
+    * At 100 TB this is the streaming near-dup admission loop: per
+    * batch the corpus-side work is one (band, bhash)-keyed join
+    * against the persisted posting lists (16 rows per doc, 64-long
+    * signatures — the index is ~200 bytes/doc), and the full text
+    * never crosses an exchange — signatures build in the fused
+    * map-side kernel. */
+  def neardupIngestSink(indexDir: String, tau: Double)(
+      batch: DataFrame, batchId: Long): NeardupTick = {
+    val spark = batch.sparkSession
+    val D = graft.dedup.DedupQueries
+    val in = batch.where(col("doc_id").isNotNull)
+      .dropDuplicates("doc_id").select("doc_id", "text")
+    val banded = D.bandedSigs(in)
+    val prior = graft.sources.Formats.readParquetOr(spark, indexDir)(
+        banded.limit(0).withColumn("batch_id", lit(batchId)))
+      .filter(col("batch_id") =!= batchId)
+    val priorIds = prior.select("doc_id").distinct()
+    // SCOPED checkpoint (the dedupIngestSink discipline): the novel
+    // banded set feeds the index query, the within-batch pairing,
+    // the admit anti-join and the write — without it the signature
+    // kernel re-runs per consumer; with scoped() the artifact dies
+    // with the batch.
+    graft.tools.Reliable.scoped(
+      banded.join(priorIds, Seq("doc_id"), "left_anti")) { nb =>
+      val nIn = in.count()
+      val nNovel = nb.select("doc_id").distinct().count()
+      // Near-dups vs the INDEX: agreement on any shared band bucket.
+      val vsIndex = nb
+        .join(prior.select(col("band"), col("bhash"),
+          col("sigs").as("s2")), Seq("band", "bhash"))
+        .filter(D.estJaccard(col("sigs"), col("s2")) >= tau)
+        .select("doc_id")
+      // Near-dups WITHIN the batch: any smaller-id doc agreeing ≥ τ.
+      val within = nb.select(col("band"), col("bhash"),
+          col("doc_id").as("id2"), col("sigs").as("s2"))
+        .join(nb.select(col("band"), col("bhash"), col("doc_id"),
+          col("sigs")), Seq("band", "bhash"))
+        .filter(col("doc_id") < col("id2"))
+        .filter(D.estJaccard(col("sigs"), col("s2")) >= tau)
+        .select(col("id2").as("doc_id"))
+      val drop = vsIndex.union(within).distinct()
+      val nNearDup = drop.count()
+      val keep = nb.join(drop, Seq("doc_id"), "left_anti")
+        .withColumn("batch_id", lit(batchId))
+      // Empty-write skip: same _SUCCESS-poison rule as the exact
+      // sink.
+      if (nNovel - nNearDup > 0)
+        keep.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(indexDir)
+      NeardupTick(batchId, nIn, nNovel, nNearDup, nNovel - nNearDup)
+    }
+  }
+
   /** Streaming VECTOR ingest — [[dedupIngestSink]]'s exactly-once
     * discipline composed with the serving IVF index
     * ([[graft.ann.IvfIndex]]): per micro-batch, vectors whose

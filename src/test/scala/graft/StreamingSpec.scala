@@ -947,6 +947,47 @@ class StreamingSpec extends SparkSpecBase {
     assert(probed.length == queries.count() * 3)
   }
 
+  test("e_stream_neardup: near-dups are refused at the admit gate — " +
+      "vs the index, within the batch, and exactly-once under replay") {
+    import spark.implicits._
+    val indexDir = "/tmp/graft_stream_neardup_idx"
+    graft.sources.Formats.deleteRecursively(new java.io.File(indexDir))
+    val sink = Streams.neardupIngestSink(indexDir, tau = 0.5) _
+    // Long texts: near-copies share almost all 5-char shingles.
+    val textA = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val textB = ("pack my box with five dozen liquor jugs now " * 6).trim
+    val textC = ("sphinx of black quartz judge my vow forever " * 6).trim
+    val textD = ("how vexingly quick daft zebras jump around! " * 6).trim
+    // Seed: two dissimilar docs — both admitted.
+    val t0 = sink(Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), 0L)
+    assert(t0 == Streams.NeardupTick(0L, 2, 2, 0, 2))
+    // Batch 1: 3 = exact copy of indexed textA (near-dup vs index),
+    // 4 = textA + suffix (near-copy vs index), 5 = fresh,
+    // 1 = already-indexed id (identity, not novel).
+    val b1 = Seq((3L, textA), (4L, textA + " tail"), (5L, textC),
+      (1L, textA)).toDF("doc_id", "text")
+    val t1 = sink(b1, 1L)
+    assert(t1 == Streams.NeardupTick(1L, 4, 3, 2, 1))
+    // Batch 2: 6 fresh, 7 = near-copy of 6 IN THE SAME BATCH — the
+    // within-batch smaller-id rule drops 7, admits 6.
+    val t2 = sink(Seq((6L, textD), (7L, textD + " tail"))
+      .toDF("doc_id", "text"), 2L)
+    assert(t2 == Streams.NeardupTick(2L, 2, 2, 1, 1))
+    // The index holds exactly the admitted docs' band rows.
+    def indexed() = spark.read.parquet(indexDir)
+      .select("doc_id").distinct().as[Long].collect().sorted.toSeq
+    assert(indexed() == Seq(1L, 2L, 5L, 6L))
+    val rowsBefore = spark.read.parquet(indexDir).count()
+    assert(rowsBefore == 4 * 16, "16 band rows per admitted doc")
+    // Replay of batch 1: the fence hides its own partition, the
+    // admit set recomputes identically, the partition rewrites
+    // bit-identically — tick equal, index unchanged.
+    assert(sink(b1, 1L) == t1)
+    assert(indexed() == Seq(1L, 2L, 5L, 6L))
+    assert(spark.read.parquet(indexDir).count() == rowsBefore)
+    graft.sources.Formats.deleteRecursively(new java.io.File(indexDir))
+  }
+
   test("e_stream_drift: the dashboard series records one truthful " +
       "row per batch id across quiet, burst and replay") {
     import graft.ann.IvfIndex
