@@ -512,6 +512,65 @@ object Streams {
     }
   }
 
+  /** COMPACTION for the batch-partitioned ingest indexes (the
+    * streaming small-files janitor — [[dedupIngestSink]] and
+    * [[neardupIngestSink]] append one `batch_id=` partition per
+    * micro-batch forever; after a few hundred thousand batches the
+    * index is a directory-listing problem, not a data problem). The
+    * whole membership is rewritten into the reserved `batch_id=-1`
+    * partition, then the absorbed batch partitions are deleted.
+    *
+    * Every invariant the sinks rely on survives:
+    *  - the fence: −1 never equals a real batch id, so the compacted
+    *    rows stay visible to every future batch's prior-read;
+    *  - exactly-once: a replay of an ABSORBED batch sees its rows in
+    *    the prior (−1) partition, recomputes novel = ∅ and writes
+    *    nothing — membership growth stays exactly-once across the
+    *    compaction;
+    *  - crash safety, by SEQUENCING rather than a swap: step 1
+    *    overwrites the −1 partition with the full key-deduped
+    *    membership (dynamic overwrite — atomic per partition), step
+    *    2 deletes the absorbed partitions one by one. A crash
+    *    between the steps leaves every key present (some twice);
+    *    duplicate rows are harmless to the sinks — the prior-read
+    *    feeds anti-joins and bucket joins, where duplicates change
+    *    no admit decision — and the next compaction's `dedupCols`
+    *    pass removes them. Re-running compact is idempotent.
+    *
+    * `dedupCols` is the layout's row identity (exact index:
+    * fingerprint; near-dup index: (doc_id, band)) — only
+    * crash-recovery duplicates are ever dropped by it. Returns the
+    * number of batch partitions absorbed. */
+  def compactIngestIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, dedupCols: Seq[String]): Int = {
+    val F = graft.sources.Formats
+    val all = F.readParquetOr(spark, indexDir)(null)
+    if (all == null) return 0
+    // Step 1: the full membership lands in −1 (dynamic overwrite —
+    // readers see the old or the new −1 partition, never a torn
+    // one). Checkpointed first — the sinks' own discipline: the
+    // write targets the directory the plan reads, and only a
+    // lineage cut makes that safe (Spark refuses a same-path
+    // overwrite whose plan still scans it).
+    graft.tools.Reliable.scoped(all.dropDuplicates(dedupCols)
+        .withColumn("batch_id", lit(-1L))) { compacted =>
+      compacted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(indexDir)
+    }
+    // Step 2: absorbed partitions retire (Hadoop FS — the index may
+    // live on HDFS/S3 on a real cluster).
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val absorbed = fs.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && n.startsWith("batch_id=") && n != "batch_id=-1"
+    }
+    absorbed.foreach(st => fs.delete(st.getPath, true))
+    absorbed.length
+  }
+
   /** One batch's near-dup ingest outcome: rows seen, identity-novel
     * docs, near-dups dropped against the index or within the batch,
     * and docs whose bands were appended. `nNovel = nNearDup +

@@ -988,6 +988,68 @@ class StreamingSpec extends SparkSpecBase {
     graft.sources.Formats.deleteRecursively(new java.io.File(indexDir))
   }
 
+  test("compactIngestIndex: membership survives, the fence survives, " +
+      "replay of an absorbed batch stays a no-op, re-compact idempotent") {
+    import spark.implicits._
+    val indexDir = "/tmp/graft_stream_compact_idx"
+    graft.sources.Formats.deleteRecursively(new java.io.File(indexDir))
+    val sink = Streams.dedupIngestSink(indexDir) _
+    sink(Seq(("a", 1L), ("b", 2L)).toDF("fp", "doc_id"), 0L)
+    sink(Seq(("b", 3L), ("c", 4L)).toDF("fp", "doc_id"), 1L)
+    val b2 = Seq(("d", 5L)).toDF("fp", "doc_id")
+    sink(b2, 2L)
+    def members() = spark.read.parquet(indexDir)
+      .select("fp", "keep_id").as[(String, Long)].collect().sorted.toSeq
+    def partitions() = new java.io.File(indexDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).sorted.toSeq
+    val before = members()
+    assert(before == Seq(("a", 1L), ("b", 2L), ("c", 4L), ("d", 5L)))
+    assert(partitions().length == 3)
+    // Compact: 3 partitions absorbed into −1, membership identical.
+    assert(Streams.compactIngestIndex(spark, indexDir, Seq("fp")) == 3)
+    assert(partitions() == Seq("batch_id=-1"))
+    assert(members() == before)
+    // Replay of an absorbed batch: its prints live in −1 now, the
+    // fence shows them (−1 ≠ 2), novel recomputes to ∅ — no
+    // partition reappears.
+    sink(b2, 2L)
+    assert(partitions() == Seq("batch_id=-1"))
+    assert(members() == before)
+    // Post-compaction ingest appends normally under its own id.
+    sink(Seq(("e", 6L), ("a", 7L)).toDF("fp", "doc_id"), 3L)
+    assert(partitions() == Seq("batch_id=-1", "batch_id=3"))
+    assert(members() == before :+ (("e", 6L)))
+    // Re-compact: idempotent (the −1 partition re-absorbs itself).
+    assert(Streams.compactIngestIndex(spark, indexDir, Seq("fp")) == 1)
+    assert(partitions() == Seq("batch_id=-1"))
+    assert(members() == before :+ (("e", 6L)))
+    graft.sources.Formats.deleteRecursively(new java.io.File(indexDir))
+  }
+
+  test("compactIngestIndex on the near-dup index: admit decisions " +
+      "are unchanged across the compaction") {
+    import spark.implicits._
+    val indexDir = "/tmp/graft_stream_compact_nd"
+    graft.sources.Formats.deleteRecursively(new java.io.File(indexDir))
+    val sink = Streams.neardupIngestSink(indexDir, tau = 0.5) _
+    val textA = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val textB = ("pack my box with five dozen liquor jugs now " * 6).trim
+    sink(Seq((1L, textA)).toDF("doc_id", "text"), 0L)
+    sink(Seq((2L, textB)).toDF("doc_id", "text"), 1L)
+    assert(Streams.compactIngestIndex(spark, indexDir,
+      Seq("doc_id", "band")) == 2)
+    // A near-copy of an ABSORBED doc is still refused; a fresh doc
+    // is still admitted — the posting lists survived the rewrite.
+    val t = sink(Seq((3L, textA + " tail"),
+      (4L, ("sphinx of black quartz judge my vow forever " * 6).trim))
+      .toDF("doc_id", "text"), 2L)
+    assert(t == Streams.NeardupTick(2L, 2, 2, 1, 1))
+    assert(spark.read.parquet(indexDir).select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+    graft.sources.Formats.deleteRecursively(new java.io.File(indexDir))
+  }
+
   test("e_stream_drift: the dashboard series records one truthful " +
       "row per batch id across quiet, burst and replay") {
     import graft.ann.IvfIndex
