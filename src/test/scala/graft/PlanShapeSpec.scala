@@ -582,4 +582,38 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("partial"), s"no map-side combine:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
+
+  test("q_alter_sequence: both epochs keep the q_sequence plan " +
+      "contract — session-partitioned fact windows co-partitioned " +
+      "with the range bucket, leases broadcast") {
+    val p = plan("q_alter_sequence")
+    assert(p.contains("windowspecdefinition(sid"),
+      s"row numbering lost its session partitioning:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"lease join not broadcast:\n$p")
+    // The same co-partitioning rule as q_sequence, enforced in BOTH
+    // epoch subplans: no fact-ordering window may cap parallelism at
+    // the 4 sessions.
+    val factSpecs = "windowspecdefinition\\([^)]*o_orderkey[^)]*".r
+      .findAllIn(p).toList
+    assert(factSpecs.nonEmpty && factSpecs.forall(_.contains("okbkt")),
+      s"fact window not co-partitioned with the range bucket:\n$p")
+  }
+
+  test("media resize + feature extraction are keyed-shuffle-free " +
+      "map-side passes") {
+    // The SURVEY rows claim map-side-only work: in-row HOFs /
+    // string passes, output staying with its input partition. The
+    // only Exchange allowed is fan()'s round-robin input spread —
+    // nothing KEYED (no hash/range partitioning, no aggregation or
+    // join shuffle) may appear.
+    Seq("m_media_resize", "m_media_features").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("hashpartitioning"),
+        s"$name has a keyed shuffle — the map-side claim is false:\n$p")
+      assert(!p.contains("rangepartitioning"),
+        s"$name sorts globally:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in $name:\n$p")
+    }
+  }
 }
