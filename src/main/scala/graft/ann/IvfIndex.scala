@@ -61,8 +61,28 @@ object IvfIndex {
     // crossJoin/aggregation doesn't drag them through; the FINAL
     // assignment below carries the full row set into the cells.
     val lean = corpus.select(col("vec_id"), col("v"))
-    var centroids = corpus.filter(col("vec_id") < c)
+    // Deterministic seeding, two tiers. The historical rule — rows
+    // with vec_id < c seed cells AT their id values — is kept
+    // whenever it applies, so every persisted layout and pinned
+    // recall stays byte-identical. But on a corpus whose ids ALL
+    // exceed c (production keys starting at 10^6), that filter is
+    // EMPTY and the old code trained an empty index — silent total
+    // loss for the serving layout: every later append crossJoined an
+    // empty broadcast and vanished. The fallback seeds from the c
+    // SMALLEST ids, renumbered to cells 0..c−1 (the window runs on
+    // ≤ c rows). A corpus with zero rows is refused loudly either way.
+    val inRange = lean.filter(col("vec_id") < c)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    var centroids =
+      if (!inRange.isEmpty) inRange
+      else {
+        val seed = lean.orderBy("vec_id").limit(c)
+        require(!seed.isEmpty,
+          "cannot train an IVF index from an empty corpus")
+        seed.select((row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+          .as("cell"), col("v").as("cv"))
+      }
     for (_ <- 1 to iters) {
       val assigned = assign(lean, centroids, "vec_id", "v")
       centroids = assigned
@@ -227,11 +247,31 @@ object IvfIndex {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Train generation 1 from `corpus` and point CURRENT at it. */
+  /** Train generation 1 from `corpus` and point CURRENT at it. The
+    * training parameters persist beside the pointer so every later
+    * compaction retrains at the layout's DECLARED capacity: deriving
+    * c from the serving centroid count would ratchet the cluster
+    * count down monotonically (Lloyd drops empty cells, the next
+    * retrain reads the shrunken count, and so on — no floor). */
   def initServing(corpus: DataFrame, root: String, c: Int,
       iters: Int): Unit = {
     writeIndex(corpus, s"$root/gen_1", c, iters)
+    new java.io.File(root).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "PARAMS"),
+      s"$c $iters\n".getBytes("UTF-8"))
     writePointer(root, "gen_1")
+  }
+
+  /** The layout's declared (c, iters), or None for a pre-PARAMS
+    * layout (callers fall back to observed counts). */
+  def servingParams(root: String): Option[(Int, Int)] = {
+    val p = java.nio.file.Paths.get(root, "PARAMS")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val parts = new String(java.nio.file.Files.readAllBytes(p),
+        "UTF-8").trim.split("\\s+")
+      Some((parts(0).toInt, parts(1).toInt))
+    }
   }
 
   /** Append a batch to the SERVING generation at fixed centroids. */

@@ -423,12 +423,14 @@ final case class Graph(edges: DataFrame) {
     * the seed set within `maxHops` hops along edges whose timestamps
     * are NON-DECREASING down the path — "what could this event have
     * caused", the causality query a plain BFS gets wrong (it happily
-    * walks backwards in time). State per level: DISTINCT
-    * (node, arrival_ts) pairs — exactly the unrolled-CTE semantics
-    * the oracle states; at 100 TB the level state would be
-    * min-combined per node first (an EARLIER arrival admits a
-    * superset of continuations, so dominance pruning is lossless),
-    * which this keeps as one extra aggregation away. Output: per
+    * walks backwards in time). State per level: the earliest arrival
+    * per node — min-combined via lossless dominance pruning (an
+    * EARLIER arrival admits a superset of continuations, so only it
+    * needs to continue), which bounds frontier state by NODE
+    * cardinality instead of (node, ts)-pair cardinality. Per-level
+    * rows therefore do NOT match the unrolled CTE's distinct-pair
+    * levels; the per-node FINAL min does, which is the only thing
+    * the output (and the oracle) states. Output: per
     * node, the EARLIEST time the seed set can reach it. Edge input:
     * (src, dst, ts) triples. */
   def temporalReach(tedges: DataFrame, seeds: DataFrame,

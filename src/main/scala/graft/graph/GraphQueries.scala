@@ -392,10 +392,11 @@ object GraphQueries {
     // a plain BFS walks backwards in time and overcounts. Temporal
     // edges = (src, dst, o_orderdate) triples; per node, the EARLIEST
     // arrival time from the seed set within 3 hops. Level state is
-    // DISTINCT (node, arrival) pairs (the unrolled-CTE semantics the
-    // oracle states); production would min-combine per node per
-    // level first — dominance pruning is lossless because an earlier
-    // arrival admits a superset of continuations.
+    // min-combined per node (dominance pruning — lossless because an
+    // earlier arrival admits a superset of continuations), so the
+    // frontier is node-bounded; the oracle's unrolled CTE carries
+    // distinct (node, arrival) pairs and the two agree on the final
+    // per-node min, which is the compared output.
     Q("g_reach_temporal", Some(s"""
       WITH te AS (
         SELECT DISTINCT o_custkey % 1000 AS src,

@@ -483,13 +483,16 @@ object Streams {
     // absent-layout analysis errors degrade to empty; anything else
     // propagates — a quiet empty fallback would re-append indexed
     // fingerprints and break exactly-once membership). The fence
-    // excludes the batch's OWN partition rather than "strictly
-    // earlier" ids: for the in-contract replay (same id, same rows)
-    // the two are identical — a batch never sees its previous output
-    // and recomputes bit-identically — but if the batchId sequence
-    // ever RESTARTS (checkpoint reset, a new query over the same
-    // index), every other partition still fences, so already-indexed
-    // prints can't re-enter under a lower id.
+    // excludes the batch's OWN partition: for the in-contract replay
+    // (same id, same rows) a batch never sees its previous output
+    // and recomputes bit-identically. A RESTARTED batchId sequence
+    // (checkpoint reset, a new query over the same index) is NOT
+    // in-contract on its own: a reused id's dynamic overwrite would
+    // REPLACE that partition's previously-committed prints, dropping
+    // them from membership. The migration step is
+    // [[compactIngestIndex]]: it moves the whole membership into the
+    // reserved batch_id=-1 partition, after which no live partition
+    // can collide with any new sequence (spec-pinned).
     val prior = graft.sources.Formats.readParquetOr(spark, indexDir)(
         novelInBatch.limit(0).withColumn("batch_id", lit(batchId)))
       .filter(col("batch_id") =!= batchId).select("fp")
@@ -675,8 +678,11 @@ object Streams {
     * read base ∪ delta ([[graft.ann.IvfIndex.probeWithDeltas]] —
     * cell pruning applies to each scan) and return exactly what a
     * physical append at the same centroids would (spec-pinned);
-    * retrainAndSwap is the compaction point that absorbs deltas into
-    * the next generation. The drift card over base ∪ delta is the
+    * retrainAndSwapFrom over base ∪ delta is the compaction point
+    * that absorbs deltas into the next generation (plain
+    * retrainAndSwap re-reads only the serving generation and must
+    * NOT be followed by a delta retire — the autoRetrainSink loop
+    * below is the one correct spelling of compact-then-retire). The drift card over base ∪ delta is the
     * live streaming metric ([[graft.ann.IvfIndex.driftCardOf]]).
     * At 100 TB: the ids ledger read is a one-column columnar
     * projection of the cell shards plus the (tiny) delta ids; the
@@ -696,8 +702,13 @@ object Streams {
     val baseIds = spark.read.parquet(s"$serving/cells")
       .select("vec_id")
     // Same own-partition fence as dedupIngestSink (=!=, not <): the
-    // in-contract replay recomputes identically, and a restarted
-    // batchId sequence still fences against every other partition.
+    // in-contract replay recomputes identically. A RESTARTED batchId
+    // sequence over a LIVE delta layout is not in-contract (a reused
+    // ingest_batch id would dynamic-overwrite only the (id, cell)
+    // partitions the new batch touches, stranding the rest of the
+    // old partition); drain the deltas first — run the auto-retrain
+    // compaction (or retire an absorbed layout) before pointing a
+    // fresh checkpoint at the same deltaDir.
     val priorDelta = graft.sources.Formats.readParquetOr(
         spark, deltaDir)(
         inBatch.select("vec_id").withColumn("ingest_batch", lit(batchId))
@@ -766,22 +777,30 @@ object Streams {
       batch: DataFrame, batchId: Long): DriftTick = {
     val spark = batch.sparkSession
     val F = graft.sources.Formats
-    // FINISH an interrupted retirement before anything else: the
-    // pointer flip is the compaction's commit point, so a crash
-    // between the flip and the delete leaves a delta layout whose
-    // rows are ALL already in the serving base (a compaction absorbs
-    // every delta). Detect by id overlap — a delta id in the base is
-    // only possible post-flip (the ingest fence keeps base ids out
-    // of deltas otherwise) — and retire the whole layout, restoring
-    // exactly-once before the batch ingests; without this the stale
-    // rows would double into the next compaction's corpus and skew
-    // every later drift card.
-    val servingPre = graft.ann.IvfIndex.servingDir(root)
-    val basePre = spark.read.parquet(s"$servingPre/cells")
-      .select("vec_id")
-    if (!F.readParquetOr(spark, deltaDir)(basePre.limit(0))
-        .select("vec_id").join(basePre, "vec_id").isEmpty)
-      F.deleteRecursively(new java.io.File(deltaDir))
+    // FINISH an interrupted retirement before anything else — in
+    // O(1), via the retirement MARKER the compaction writes before
+    // it trains (replacing the r17 id-overlap join, which re-scanned
+    // the full base-id ledger every quiet batch just to probe for a
+    // crash that almost never happened). The marker names the target
+    // generation; the pointer flip is the commit point:
+    //  - CURRENT >= target → the flip committed, so every delta row
+    //    is in the serving base; retire the delta layout (the crash
+    //    landed between flip and delete — without this the stale
+    //    rows would double into the next compaction's corpus);
+    //  - CURRENT < target → the compaction never committed; the
+    //    deltas are still the un-absorbed truth, keep them (the
+    //    partial gen dir, if any, is garbage that the next
+    //    compaction's mode("overwrite") replaces).
+    // Either way the marker is consumed.
+    val marker = new java.io.File(s"$deltaDir.RETIRING")
+    if (marker.exists()) {
+      val target = new String(java.nio.file.Files.readAllBytes(
+        marker.toPath), "UTF-8").trim.stripPrefix("gen_").toInt
+      if (graft.ann.IvfIndex.currentGen(root)
+          .stripPrefix("gen_").toInt >= target)
+        F.deleteRecursively(new java.io.File(deltaDir))
+      marker.delete()
+    }
     val genBefore = graft.ann.IvfIndex.currentGen(root)
     vectorIngestSink(root, deltaDir)(batch, batchId)
     val serving = graft.ann.IvfIndex.servingDir(root)
@@ -811,15 +830,29 @@ object Streams {
       val (mNew, mFlagged) = (r.getLong(0), r.getLong(1))
       val compact = mNew > 0 && mFlagged.toDouble / mNew > flagFrac
       if (compact) {
-        // COMPACT: train gen_N+1 from the full current corpus
-        // (base ∪ delta), flip, then retire the absorbed deltas
-        // (the flip is the commit point — see the recovery above
-        // for the crash window between flip and delete).
+        // COMPACT: write the retirement marker naming the target
+        // generation, train gen_N+1 from the full current corpus
+        // (base ∪ delta), flip, retire the absorbed deltas, consume
+        // the marker. The flip is the commit point; the marker makes
+        // every crash window O(1)-recoverable (see the recovery at
+        // the top). Training parameters come from the layout's
+        // PARAMS (initServing) — deriving c from the serving
+        // centroid count would ratchet capacity down every time
+        // Lloyd drops an empty cell; the count fallback exists only
+        // for pre-PARAMS layouts.
+        val (cTrain, itersTrain) = graft.ann.IvfIndex
+          .servingParams(root)
+          .getOrElse((cents.count().toInt, 2))
+        val target = s"gen_${graft.ann.IvfIndex.currentGen(root)
+          .stripPrefix("gen_").toInt + 1}"
+        java.nio.file.Files.write(marker.toPath,
+          s"$target\n".getBytes("UTF-8"))
         graft.ann.IvfIndex.retrainAndSwapFrom(root,
           spark.read.parquet(s"$serving/cells").select("vec_id", "v")
             .unionByName(d.select("vec_id", "v")),
-          c = cents.count().toInt, iters = 2)
+          c = cTrain, iters = itersTrain)
         F.deleteRecursively(new java.io.File(deltaDir))
+        marker.delete()
       }
       (mNew, mFlagged, compact)
     }.getOrElse((0L, 0L, false))

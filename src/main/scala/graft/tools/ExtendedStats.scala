@@ -86,7 +86,9 @@ object ExtendedStats {
     synchronized {
       stats.toSeq.sortBy(_._1).map { case (n, d) =>
         (n, d.statType, d.table, d.cols.mkString("~"),
-          d.value.map(v => f"analyzed:$v%.4f").getOrElse("pending"))
+          d.value.map(v => "analyzed:" + String.format(
+            java.util.Locale.ROOT, "%.4f", Double.box(v)))
+            .getOrElse("pending"))
       }
     }
 }

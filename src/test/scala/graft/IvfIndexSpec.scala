@@ -227,4 +227,40 @@ class IvfIndexSpec extends SparkSpecBase {
     // GC is idempotent once at the retention floor.
     assert(IvfIndex.gcGenerations(root, keep = 1).isEmpty)
   }
+
+  test("seeding is id-range-agnostic: a corpus whose ids start far " +
+      "from zero trains a full index (the old vec_id<c rule trained " +
+      "an empty one) and probes return complete top-k") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFns
+    val corpus = t.embeddings
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        VectorFns.toDouble(col("embedding")).as("v"))
+    val (cells, cents) = IvfIndex.build(corpus, c = 16, iters = 2)
+    assert(cents.count() > 0, "offset-id corpus must still seed")
+    // Every corpus row lands in exactly one cell.
+    assert(cells.count() == corpus.count())
+    val queries = corpus.filter(col("vec_id") < 1000010L)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val dir = "/tmp/graft_ivf_offset_ids"
+    graft.sources.Formats.deleteRecursively(new java.io.File(dir))
+    IvfIndex.writeIndex(corpus, dir, c = 16, iters = 2)
+    val probed = IvfIndex.probeIndex(spark, dir, queries,
+      nprobe = 4, topk = 3).collect()
+    assert(probed.length == queries.count() * 3)
+    graft.sources.Formats.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("seeding on dense 0-based ids matches the historical rule: " +
+      "cell ids are exactly the first c vec_ids") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFns
+    val corpus = t.embeddings.select(col("vec_id"),
+      VectorFns.toDouble(col("embedding")).as("v"))
+    val (_, cents) = IvfIndex.build(corpus, c = 16, iters = 2)
+    // 16 cells numbered 0..15 — byte-compatible with every persisted
+    // layout built under the old vec_id<c seed rule.
+    assert(cents.select("cell").collect().map(_.getInt(0)).sorted
+      .toSeq == (0 until 16))
+  }
 }

@@ -988,6 +988,68 @@ class StreamingSpec extends SparkSpecBase {
     graft.sources.Formats.deleteRecursively(new java.io.File(indexDir))
   }
 
+  test("auto-retrain crash recovery: the retirement marker retires " +
+      "absorbed deltas post-flip and keeps un-absorbed deltas pre-flip") {
+    import graft.ann.IvfIndex
+    import graft.functions.VectorFns
+    val root = "/tmp/graft_stream_marker_root"
+    val deltaDir = "/tmp/graft_stream_marker_delta"
+    val marker = new java.io.File(s"$deltaDir.RETIRING")
+    Seq(root, deltaDir).foreach(d =>
+      graft.sources.Formats.deleteRecursively(new java.io.File(d)))
+    marker.delete()
+    val corpus = t.embeddings.select(col("vec_id"),
+      VectorFns.toDouble(col("embedding")).as("v"))
+    IvfIndex.initServing(corpus.filter(col("vec_id") % 5 =!= 0),
+      root, c = 16, iters = 2)
+    val sink = Streams.autoRetrainTick(root, deltaDir,
+      growthCap = 1.5, flagFrac = 0.5) _
+    // Quiet batch leaves a live delta layout.
+    val quiet = corpus.filter(col("vec_id") % 5 === 0)
+    sink(quiet.filter(col("vec_id") % 3 === 0), 0L)
+    val deltaRows = spark.read.parquet(deltaDir).count()
+    assert(deltaRows > 0)
+    // CRASH WINDOW A (marker written, flip never committed): the
+    // recovery must consume the marker and KEEP the deltas — they
+    // are still the un-absorbed truth.
+    java.nio.file.Files.write(marker.toPath, "gen_2\n".getBytes("UTF-8"))
+    val tA = sink(quiet.filter(col("vec_id") % 3 === 0), 0L) // replay
+    assert(!marker.exists(), "recovery must consume the marker")
+    assert(spark.read.parquet(deltaDir).count() == deltaRows,
+      "pre-flip deltas must survive recovery")
+    assert(tA.genAfter == "gen_1")
+    // CRASH WINDOW B (flip committed, delta delete lost): stage by
+    // compacting manually — absorb base ∪ delta into gen_2, flip,
+    // write the marker, but 'crash' before the delete.
+    IvfIndex.retrainAndSwapFrom(root,
+      spark.read.parquet(s"${root}/gen_1/cells").select("vec_id", "v")
+        .unionByName(spark.read.parquet(deltaDir)
+          .select("vec_id", "v")),
+      c = 16, iters = 2)
+    java.nio.file.Files.write(marker.toPath, "gen_2\n".getBytes("UTF-8"))
+    val tB = sink(quiet.filter(col("vec_id") % 3 === 0), 0L)
+    assert(!marker.exists())
+    // The replayed batch's ids are in the gen_2 base now: recovery
+    // retired the stale layout and the replay recomputed novel = ∅.
+    assert(!new java.io.File(deltaDir).exists(),
+      "post-flip deltas must retire and the replay must re-add nothing")
+    assert(tB.genAfter == "gen_2" && tB.massNew == 0L)
+  }
+
+  test("initServing persists PARAMS and the compaction retrains at " +
+      "the declared capacity (no centroid-count ratchet)") {
+    import graft.ann.IvfIndex
+    import graft.functions.VectorFns
+    val root = "/tmp/graft_stream_params_root"
+    graft.sources.Formats.deleteRecursively(new java.io.File(root))
+    val corpus = t.embeddings.select(col("vec_id"),
+      VectorFns.toDouble(col("embedding")).as("v"))
+    IvfIndex.initServing(corpus, root, c = 16, iters = 2)
+    assert(IvfIndex.servingParams(root) == Some((16, 2)))
+    // A layout without PARAMS reports None (the fallback path).
+    assert(IvfIndex.servingParams("/tmp/graft_no_such_root").isEmpty)
+  }
+
   test("compactIngestIndex: membership survives, the fence survives, " +
       "replay of an absorbed batch stays a no-op, re-compact idempotent") {
     import spark.implicits._
@@ -1024,6 +1086,15 @@ class StreamingSpec extends SparkSpecBase {
     assert(Streams.compactIngestIndex(spark, indexDir, Seq("fp")) == 1)
     assert(partitions() == Seq("batch_id=-1"))
     assert(members() == before :+ (("e", 6L)))
+    // RESTARTED batchId sequence after a compaction: a fresh query
+    // reuses low ids over the same index. Compaction moved every
+    // print into −1, so the reused id collides with NO live
+    // partition — old membership survives, only true novelty lands.
+    // (Without the compaction, the reused id's dynamic overwrite
+    // would REPLACE that partition's prints — the documented
+    // not-in-contract case.)
+    sink(Seq(("b", 8L), ("f", 9L)).toDF("fp", "doc_id"), 0L)
+    assert(members() == (before :+ (("e", 6L))) :+ (("f", 9L)))
     graft.sources.Formats.deleteRecursively(new java.io.File(indexDir))
   }
 
