@@ -71,7 +71,10 @@ object Bench {
         "s_ivf_drift",
         // r17: the retrain-and-swap serving root (two marker-gated
         // generation builds + appends) is a lazy layout too.
-        "s_ivf_retrain")
+        "s_ivf_retrain",
+        // r17 continuation: the staged near-dup admit index and the
+        // drift-dashboard serving root are marker-gated lazy layouts.
+        "d_dedup_admit", "s_drift_series")
         .contains(q.name))
     }
     warmup.foreach { q =>

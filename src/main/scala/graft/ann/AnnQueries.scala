@@ -1058,6 +1058,54 @@ object AnnQueries {
           green.getLong(0), green.getLong(1)))
         .toDF("stage", "serving_gen", "cells_with_new", "flagged")
     },
+
+    // Drift DASHBOARD series — the registry-visible leg of
+    // e_stream_drift (Streams.driftDashboardSink): one metrics row
+    // per ingest micro-batch, persisted exactly-once beside the
+    // serving layout. Staging (marker-gated, content-fingerprint-
+    // keyed, read-only on re-run): gen_1 trained on the base corpus,
+    // then the CLOSED auto-retrain loop runs two batches through the
+    // dashboard sink — a same-distribution quiet batch (sub-gate
+    // flagged mass, no flip) and a +3.0-shifted burst (flagged mass
+    // over the gate → compaction to gen_2, deltas retired) — each
+    // appending its truthful observation row. The entry reads the
+    // series back: the exact table a serving fleet's dashboard
+    // renders (generation lineage, new-row mass, flagged share,
+    // retrain ticks). Mass values ride the float-iterative k-means
+    // cells → rows-only; StreamingSpec drives the same loop live
+    // and pins every row including the replay-rewrite semantics.
+    Q("s_drift_series", None) { t =>
+      val F = graft.sources.Formats
+      val (c, iters) = (16, 2)
+      val root = F.cacheDir(
+        s"/tmp/graft_driftseries_c${c}_i${iters}_${F.sanitize(t.dir)}",
+        F.contentFingerprint(s"${t.dir}/embeddings.parquet"))
+      val marker = new java.io.File(s"$root/_STAGED")
+      val (serveRoot, deltaDir, metricsDir) =
+        (s"$root/serving", s"$root/delta", s"$root/metrics")
+      if (!marker.exists()) {
+        F.deleteRecursively(new java.io.File(root))
+        new java.io.File(root).mkdirs()
+        val all = vecs(t).select("vec_id", "v")
+        IvfIndex.initServing(all.filter(col("vec_id") % 5 =!= 0),
+          serveRoot, c = c, iters = iters)
+        val sink = graft.streaming.Streams.driftDashboardSink(
+          serveRoot, deltaDir, growthCap = 1.5, flagFrac = 0.5,
+          metricsDir) _
+        sink(all.filter(col("vec_id") % 5 === 0)
+          .filter(col("vec_id") % 3 === 0), 0L)
+        sink(all.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            expr("transform(v, x -> x + 3.0d)").as("v")), 1L)
+        require(marker.createNewFile(), s"marker exists at $root")
+      }
+      t.spark.read.parquet(metricsDir)
+        .select(col("batch_id").cast("long").as("batch_id"),
+          col("gen_before"), col("gen_after"), col("mass_new"),
+          col("mass_flagged"), col("retrained").cast("int")
+            .as("retrained"))
+        .orderBy("batch_id")
+    },
   )
 
   /** Unrolled MMR oracle (oracled since r8): the greedy selection is

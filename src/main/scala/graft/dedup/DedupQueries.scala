@@ -806,6 +806,56 @@ object DedupQueries {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_new"))
     },
 
+    // NEAR-DUP ADMIT GATE — the registry-visible leg of
+    // e_stream_neardup (Streams.neardupIngestSink): the corpus
+    // arrives as two ingest batches (doc_id parity) and each batch
+    // is admitted through the MinHash-LSH gate — identity dedup,
+    // then (band, bhash)-bucketed query against the PRIOR index
+    // (pairs bounded by shared posting lists, never batch × corpus),
+    // then the order-free within-batch smaller-id rule; survivors'
+    // banded signatures append under the batch's own partition.
+    // Staging is marker-gated + content-fingerprint-keyed (the sink
+    // is exactly-once but not idempotent across layout deletion);
+    // the per-batch ticks persist beside the index and the entry
+    // reads them back joined with the index's OWN per-batch admitted
+    // counts — the two agree by construction (spec-pinned), so the
+    // card cross-checks the gate against the layout it built.
+    // Signature arithmetic is engine-specific (xxhash64) →
+    // rows-only; StreamingSpec drives the same gate live.
+    Q("d_dedup_admit", None) { t =>
+      val F = graft.sources.Formats
+      val root = F.cacheDir(
+        s"/tmp/graft_ndadmit_${F.sanitize(t.dir)}",
+        F.contentFingerprint(s"${t.dir}/documents.parquet"))
+      val indexDir = s"$root/index"
+      val marker = new java.io.File(s"$root/_STAGED")
+      if (!marker.exists()) {
+        F.deleteRecursively(new java.io.File(root))
+        new java.io.File(root).mkdirs()
+        val docs = t.documents.select("doc_id", "text")
+        val sink = graft.streaming.Streams
+          .neardupIngestSink(indexDir, tau = 0.5) _
+        val ticks = Seq(
+          sink(docs.filter(col("doc_id") % 2 === 0), 0L),
+          sink(docs.filter(col("doc_id") % 2 === 1), 1L))
+        import t.spark.implicits._
+        ticks.map(k =>
+            (k.batchId, k.nIn, k.nNovel, k.nNearDup, k.nIndexed))
+          .toDF("batch_id", "n_in", "n_novel", "n_neardup", "n_indexed")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/ticks")
+        require(marker.createNewFile(), s"marker exists at $root")
+      }
+      val ticks = t.spark.read.parquet(s"$root/ticks")
+      val inIndex = t.spark.read.parquet(indexDir)
+        .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
+        .distinct()
+        .groupBy("batch_id").agg(count(lit(1)).as("n_in_index"))
+      ticks.join(inIndex, Seq("batch_id"), "left")
+        .na.fill(0L, Seq("n_in_index"))
+        .orderBy("batch_id")
+    },
+
     // BLOOM-gated membership dedup — the ingest fast path in front of
     // d_dedup_incremental's exact index. The base corpus' fingerprint
     // SET is one row per doc, but its BLOOM FILTER is ~1.2 GB per 10^9

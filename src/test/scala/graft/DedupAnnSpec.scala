@@ -348,4 +348,47 @@ class DedupAnnSpec extends SparkSpecBase {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("d_dedup_admit: ticks are internally consistent, agree with " +
+      "the index the gate built, and re-runs are read-only") {
+    def run() = Registry.all.find(_.name == "d_dedup_admit").get
+      .run(t).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("n_in"),
+        r.getAs[Long]("n_novel"), r.getAs[Long]("n_neardup"),
+        r.getAs[Long]("n_indexed"), r.getAs[Long]("n_in_index")))
+    val rows = run()
+    assert(rows.length == 2)
+    rows.foreach { case (_, nIn, nNovel, nNearDup, nIndexed, nInIdx) =>
+      // The gate's arithmetic: every novel doc is either refused or
+      // indexed, and the index holds exactly the indexed ones.
+      assert(nNovel == nNearDup + nIndexed)
+      assert(nInIdx == nIndexed)
+      assert(nIn >= nNovel && nIn > 0)
+    }
+    // Batch 0 seeds an empty index: nothing to be near-dup OF except
+    // within the batch itself; batch 1 queries batch 0's postings.
+    assert(rows(0)._1 == 0L && rows(1)._1 == 1L)
+    // Marker-gated staging: a second run reads the same layout.
+    assert(run().toSeq == rows.toSeq)
+  }
+
+  test("s_drift_series: the staged dashboard reads back quiet-then-" +
+      "burst with the generation flip recorded on the burst row") {
+    val rows = Registry.all.find(_.name == "s_drift_series").get
+      .run(t).collect()
+    assert(rows.length == 2)
+    val quiet = rows(0)
+    assert(quiet.getAs[Long]("batch_id") == 0L)
+    assert(quiet.getAs[String]("gen_before") == "gen_1" &&
+      quiet.getAs[String]("gen_after") == "gen_1")
+    assert(quiet.getAs[Int]("retrained") == 0)
+    assert(quiet.getAs[Long]("mass_new") > 0)
+    val burst = rows(1)
+    assert(burst.getAs[String]("gen_before") == "gen_1" &&
+      burst.getAs[String]("gen_after") == "gen_2")
+    assert(burst.getAs[Int]("retrained") == 1)
+    assert(burst.getAs[Long]("mass_flagged") * 2 >
+      burst.getAs[Long]("mass_new"),
+      "the burst row must record the over-gate flagged mass")
+  }
 }
