@@ -74,7 +74,12 @@ object Bench {
         "s_ivf_retrain",
         // r17 continuation: the staged near-dup admit index and the
         // drift-dashboard serving root are marker-gated lazy layouts.
-        "d_dedup_admit", "s_drift_series")
+        "d_dedup_admit", "s_drift_series",
+        // Session memos are the same one-time-build class (tf
+        // inverted index, bounded kNN graph, bigram LM scores): warm
+        // the first member of each family so every measured entry is
+        // the steady state the memo exists to serve.
+        "t_tfidf", "s_knn_graph", "t_lm_score")
         .contains(q.name))
     }
     warmup.foreach { q =>
