@@ -79,7 +79,7 @@ object Bench {
         // inverted index, bounded kNN graph, bigram LM scores): warm
         // the first member of each family so every measured entry is
         // the steady state the memo exists to serve.
-        "t_tfidf", "s_knn_graph", "t_lm_score")
+        "t_tfidf", "s_knn_graph", "t_lm_score", "d_ngram_jaccard")
         .contains(q.name))
     }
     warmup.foreach { q =>

@@ -158,23 +158,33 @@ object DedupQueries {
     * Returns (sizes: doc_id → set_size, inter: unordered candidate
     * pair → |A∩B|). One definition, so a cap/width tweak cannot
     * silently diverge between the two entries. */
-  private def shinglePairs(t: Tables): (DataFrame, DataFrame) = {
-    val withSets = t.fan(t.documents)
-      .select(col("doc_id"),
-        array_distinct(TextFns.wordShingleHashes(col("text"), 3))
-          .as("hs"))
-    val kept = withSets.select(col("doc_id"), explode(col("hs")).as("h"))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("h")))
-      .filter(col("df") <= 1000)
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-    val pairGen = kept.filter(col("df") > 1).select("h", "doc_id")
-    val inter = pairGen.select(col("h"), col("doc_id").as("id1"))
-      .join(pairGen.select(col("h"), col("doc_id").as("id2")), "h")
-      .filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
-    (sizes, inter)
-  }
+  /** Per-session memo of the [[shinglePairs]] result — (sizes,
+    * inter), both checkpointed: d_ngram_jaccard and
+    * d_dedup_containment each re-ran the full shingle + df-window +
+    * posting-list self-join build before their own scoring math,
+    * and both tables are pure derivations of the immutable source
+    * dir (the tfMemo discipline, one family over). */
+  private val shingleMemo = new graft.tools.SessionMemo[
+    String, (DataFrame, DataFrame)]
+
+  private def shinglePairs(t: Tables): (DataFrame, DataFrame) =
+    shingleMemo.get(t.spark, t.dir) {
+      val withSets = t.fan(t.documents)
+        .select(col("doc_id"),
+          array_distinct(TextFns.wordShingleHashes(col("text"), 3))
+            .as("hs"))
+      val kept = withSets.select(col("doc_id"), explode(col("hs")).as("h"))
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
+        .filter(col("df") <= 1000)
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+      val pairGen = kept.filter(col("df") > 1).select("h", "doc_id")
+      val inter = pairGen.select(col("h"), col("doc_id").as("id1"))
+        .join(pairGen.select(col("h"), col("doc_id").as("id2")), "h")
+        .filter(col("id1") < col("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
+      (sizes.localCheckpoint(), inter.localCheckpoint())
+    }
 
   /** The oracle twin of [[shinglePairs]]: the shared DuckDB CTE
     * prefix (raw 3-gram strings — the hash-as-bandwidth argument at
