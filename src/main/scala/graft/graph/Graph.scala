@@ -71,6 +71,13 @@ final case class Graph(edges: DataFrame) {
     case "both" => bothCp
   }
 
+  /** The CHECKPOINTED orientation — for kernels outside this class
+    * that would otherwise re-run oriented("both")'s union+distinct
+    * per entry (same rows as [[oriented]]; materialized once per
+    * instance and shared through [[Graph.derived]]'s memo). */
+  def orientedShared(direction: String): DataFrame =
+    orientedCp(direction)
+
   /** Edges usable for a traversal in `direction` (OUT, IN or BOTH —
     * ast.GraphEdgeDirection in the reference). */
   def oriented(direction: String): DataFrame = direction match {

@@ -879,7 +879,10 @@ object GraphQueries {
     * cap that binds. */
   def jaccardPairs(t: graft.Tables,
       maxDeg: Long): org.apache.spark.sql.DataFrame = {
-    val u = Graph.derived(t.orders).oriented("both")
+    // The memoized BOTH-orientation checkpoint (bothCp), not the raw
+    // oriented("both") builder — the union+distinct materializes once
+    // per derived graph and every undirected kernel shares it.
+    val u = Graph.derived(t.orders).orientedShared("both")
       .repartition(col("src"))
     val deg = u.groupBy("src").agg(count(lit(1)).as("deg"))
     val hubs = deg.filter(col("deg") > maxDeg).select("src")
