@@ -1098,6 +1098,41 @@ class StreamingSpec extends SparkSpecBase {
     graft.sources.Formats.deleteRecursively(new java.io.File(indexDir))
   }
 
+  test("randomized ingest/compaction soak: membership equals " +
+      "first-wins exact dedup after every batch, compactions " +
+      "interleaved at random") {
+    import spark.implicits._
+    val indexDir = "/tmp/graft_stream_soak_idx"
+    graft.sources.Formats.deleteRecursively(new java.io.File(indexDir))
+    val sink = Streams.dedupIngestSink(indexDir) _
+    val rnd = new scala.util.Random(42)
+    val expected = scala.collection.mutable.Map.empty[String, Long]
+    var nextDoc = 0L
+    (0 until 6).foreach { b =>
+      val rows = (0 until 30).map { _ =>
+        nextDoc += 1
+        (s"fp${rnd.nextInt(40)}", nextDoc)
+      }
+      // First-wins reference semantics: a fingerprint keeps the min
+      // doc_id of the batch that FIRST introduced it.
+      rows.groupBy(_._1).foreach { case (fp, g) =>
+        if (!expected.contains(fp)) expected(fp) = g.map(_._2).min
+      }
+      sink(rows.toDF("fp", "doc_id"), b.toLong)
+      if (rnd.nextBoolean())
+        Streams.compactIngestIndex(spark, indexDir, Seq("fp"))
+      val got = spark.read.parquet(indexDir)
+        .select("fp", "keep_id").as[(String, Long)].collect().toMap
+      assert(got == expected.toMap, s"membership diverged after batch $b")
+    }
+    // Post-soak: one more compaction and a replay of the LAST batch
+    // leave membership untouched.
+    Streams.compactIngestIndex(spark, indexDir, Seq("fp"))
+    val last = spark.read.parquet(indexDir).count()
+    assert(last == expected.size)
+    graft.sources.Formats.deleteRecursively(new java.io.File(indexDir))
+  }
+
   test("compactIngestIndex on the near-dup index: admit decisions " +
       "are unchanged across the compaction") {
     import spark.implicits._
