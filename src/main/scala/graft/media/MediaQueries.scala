@@ -151,12 +151,20 @@ object MediaQueries {
       JOIN sz sb ON sb.doc_id = pr.b
       WHERE CAST(common AS DOUBLE) / (sa.nf + sb.nf - common) >= 0.5
     """)) { t =>
+      // The frame-fingerprint kernel (hex-encode the whole doc, slice
+      // 128-char windows, MD5 each) is the expensive part and the
+      // posting list is consumed THREE times (set sizes, both sides
+      // of the pair self-join) — without materialization Catalyst
+      // re-runs the kernel once per consumer (5 scans in the plan).
+      // Checkpoint the distinct frame list once (kernel runs ONCE)
+      // and the df-pruned posting list once (the join runs once).
       val frames = frameSample(t.fan(t.documents))
         .select(col("doc_id"), col("frame_fp")).distinct()
+        .localCheckpoint()
       val keep = frames.groupBy("frame_fp")
         .agg(count(lit(1)).as("df")).filter(col("df") <= 1000)
         .select("frame_fp")
-      val p = frames.join(keep, "frame_fp")
+      val p = frames.join(keep, "frame_fp").localCheckpoint()
       val sz = p.groupBy("doc_id").agg(count(lit(1)).as("nf"))
       val pairs = p.as("x").join(p.as("y"), "frame_fp")
         .filter(col("x.doc_id") < col("y.doc_id"))

@@ -317,16 +317,18 @@ object Wave15 {
         .select(col("v"),
           when(col("v") < col("half"), 0).otherwise(1).as("shard"))
       // Per-shard ANALYZE: ONE boundary aggregate (2 rows — one per
-      // shard/region) broadcast back, bucketing map-side.
+      // shard/region) broadcast back, bucketing map-side. The seven
+      // boundaries come from ONE array-percentile call: seven scalar
+      // percentile aggregates each build their own value-count map
+      // over the identical shard data (7x the buffer work and merge
+      // traffic for one sorted walk's worth of answers); the array
+      // form builds the map once and reads all seven quantiles off
+      // it.
       val bounds = s.groupBy("shard").agg(
-        qs.zipWithIndex.map { case (q, i) =>
-          round(percentile(col("v").cast("double"), lit(q)), 4)
-            .as(s"b$i")
-        }.head,
-        qs.zipWithIndex.tail.map { case (q, i) =>
-          round(percentile(col("v").cast("double"), lit(q)), 4)
-            .as(s"b$i")
-        }: _*)
+          percentile(col("v").cast("double"),
+            array(qs.map(lit): _*)).as("bs"))
+        .select(col("shard") +: qs.indices.map(i =>
+          round(element_at(col("bs"), i + 1), 4).as(s"b$i")): _*)
       val bucket = qs.indices
         .map(i => when(col("v").cast("double") > col(s"b$i"), 1)
           .otherwise(0))

@@ -181,21 +181,24 @@ object Wave8 {
           lit("l_extendedprice").as("col_name"),
           col("bucket"), col("cnt"), col("ndv"), lit(0L).as("nulls"),
           col("lo"), col("hi"))
+      // Per-column single-distinct branches instead of ONE aggregate
+      // with three countDistincts on different columns: the fused
+      // form plans as an Expand that multiplies every lineitem row
+      // x4 through the exchange (the q_show_stats defect, fixed the
+      // same way); split, each branch runs the two-phase
+      // distinct-aggregate plan over a scan pruned to its one column
+      // — same total bytes read, no row multiplication.
       val statCols = Seq("l_quantity", "l_discount", "l_extendedprice")
-      val aggs = statCols.flatMap { c =>
-        Seq(count(col(c)).as(s"c_$c"),
-          countDistinct(col(c)).as(s"d_$c"),
-          (count(lit(1)) - count(col(c))).as(s"z_$c"),
-          min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c"))
-      }
-      val stackArgs = statCols.map(c =>
-        s"'$c', c_$c, d_$c, z_$c, lo_$c, hi_$c").mkString(", ")
-      val cols = t.lineitem.agg(aggs.head, aggs.tail: _*)
-        .selectExpr(s"stack(${statCols.size}, $stackArgs) " +
-          "as (col_name, cnt, ndv, nulls, lo, hi)")
-        .select(lit("col").as("section"), col("col_name"),
-          lit(-1L).as("bucket"), col("cnt"), col("ndv"), col("nulls"),
-          col("lo"), col("hi"))
+      val cols = statCols.map { c =>
+        t.lineitem.select(col(c))
+          .agg(count(col(c)).as("cnt"),
+            countDistinct(col(c)).as("ndv"),
+            (count(lit(1)) - count(col(c))).as("nulls"),
+            min(col(c)).as("lo"), max(col(c)).as("hi"))
+          .select(lit("col").as("section"), lit(c).as("col_name"),
+            lit(-1L).as("bucket"), col("cnt"), col("ndv"), col("nulls"),
+            col("lo"), col("hi"))
+      }.reduce(_.unionByName(_))
       hist.union(cols)
     },
 

@@ -319,13 +319,19 @@ object EventQueries {
       FROM first_seen JOIN activity USING (user_id)
       GROUP BY cohort_week, week_offset
     """)) { t =>
+      // ONE pass: the old shape scanned events twice (first-seen agg
+      // + a distinct over (user, week)) and joined them back on
+      // user_id — two scans, three exchanges. A user's distinct
+      // active weeks are bounded by the calendar (number of weeks in
+      // the corpus, not activity volume), so collect_set folds them
+      // map-side in the same aggregate that finds the cohort week;
+      // explode replaces the join. Same (cohort, offset) pairs.
       val ev = t.fan(t.events)
-      val firstSeen = ev.groupBy("user_id")
-        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
-      val activity = ev
-        .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
-        .distinct()
-      firstSeen.join(activity, "user_id")
+      ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"),
+          collect_set(date_trunc("week", col("ts"))).as("weeks"))
+        .select(col("cohort_week"),
+          explode(col("weeks")).as("act_week"))
         .groupBy(col("cohort_week"),
           ((unix_timestamp(col("act_week")) -
             unix_timestamp(col("cohort_week"))) / 604800).cast("int")
