@@ -771,11 +771,20 @@ final case class Graph(edges: DataFrame) {
       .union(live.select(col("dst").as("node"))).distinct().cp()
     var nLive = nodes.count()
     while (nLive > 0) {
-      // 1. trim to fixpoint
+      // 1. trim to fixpoint. "Has both an in- and an out-edge" is ONE
+      // map-combined flag aggregate over the edge ends — the earlier
+      // distinct-∩-distinct spelling planned as two full aggregates
+      // plus the set-op's own exchange (three shuffles per peel
+      // round) for the same answer.
       var trimming = true
       while (trimming && nLive > 0) {
-        val both = live.select(col("src").as("node")).distinct()
-          .intersect(live.select(col("dst").as("node")).distinct())
+        val both = live.select(col("src").as("node"), lit(1).as("o"),
+            lit(0).as("i"))
+          .unionByName(live.select(col("dst").as("node"), lit(0).as("o"),
+            lit(1).as("i")))
+          .groupBy("node").agg(max("o").as("o"), max("i").as("i"))
+          .filter(col("o") === 1 && col("i") === 1)
+          .select("node")
         val keep = nodes.join(both, Seq("node"), "left_semi").cp()
         val nKeep = keep.count()
         if (nKeep == nLive) trimming = false
@@ -791,8 +800,13 @@ final case class Graph(edges: DataFrame) {
         }
       }
       if (nLive > 0) {
-        // 2. min-label coloring, both directions
-        def minReach(e: DataFrame): DataFrame = {
+        // 2. min-label coloring, both directions. Each direction's
+        // loop joins its edge frame on `src` every round:
+        // materialize the frame hash-partitioned on the key once, so
+        // per round only the |V|-row label frame shuffles into the
+        // join (the coreness/und trick).
+        def minReach(eIn: DataFrame): DataFrame = {
+          val e = eIn.repartition(col("src")).cp()
           def round(l: DataFrame): DataFrame =
             l.as("L").join(e.as("E"), expr("L.node = E.src"))
               .select(col("E.dst").as("node"), col("L.m").as("m"))
@@ -1184,8 +1198,12 @@ object Graph {
     * the graph-loop convention). Input: canonical undirected edges
     * (src < dst, distinct, no self-loops); output (n, deg, coreness). */
   private[graft] def coreness(e: DataFrame, maxRounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val und = undirect(e).localCheckpoint()
+    // Pre-partition the checkpointed edge ends by the join key: every
+    // round joins und on `nbr`, so materializing the 2|E| rows
+    // already hash-partitioned on it means only the |V|-row estimate
+    // frame shuffles per round — the edge side's Exchange happens
+    // once, not once per round.
+    val und = undirect(e).repartition(col("nbr")).localCheckpoint()
     var c = und.groupBy("n").agg(count(lit(1)).as("c")).localCheckpoint()
     val degs = c.select(col("n"), col("c").as("deg"))
     // h-index without ranking the raw edge ends: h = max over the
@@ -1193,16 +1211,24 @@ object Graph {
     // standard identity (taking c = the h-th largest value attains
     // h; no value exceeds it). So the |2E|-row pass is a
     // map-COMBINED (n, c)-count whose shuffle carries only the
-    // distinct estimate values per vertex, and the suffix counts +
-    // fold run over that much smaller frame.
+    // distinct estimate values per vertex; the suffix counts + fold
+    // then run INSIDE one aggregate over each vertex's tiny
+    // (estimate, count) list — a per-vertex array sort + fold in
+    // whole-stage codegen, replacing the old full-frame window
+    // (Exchange + Sort + Window + second aggregate) per round.
     def round(cur: DataFrame): DataFrame = und
       .join(cur.select(col("n").as("nbr"), col("c")), "nbr")
       .groupBy("n", "c").agg(count(lit(1)).as("k"))
-      .withColumn("ge", sum("k").over(
-        Window.partitionBy("n").orderBy(col("c").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("n")
-      .agg(max(least(col("c"), col("ge"))).as("c"))
+      .groupBy("n").agg(collect_list(struct(col("c"), col("k"))).as("cks"))
+      .select(col("n"), expr(
+        """aggregate(
+             array_sort(cks, (l, r) -> CASE WHEN l.c > r.c THEN -1
+                                            WHEN l.c < r.c THEN 1
+                                            ELSE 0 END),
+             struct(CAST(0 AS BIGINT) AS ge, CAST(0 AS BIGINT) AS best),
+             (a, x) -> struct(a.ge + x.k,
+                              GREATEST(a.best, LEAST(x.c, a.ge + x.k))),
+             a -> a.best)""").as("c"))
     // Estimates are positive and per-vertex MONOTONE NON-INCREASING,
     // so Σc strictly decreases until the fixpoint — one cheap scalar
     // aggregate per materialization instead of a join/diff against
@@ -1220,14 +1246,17 @@ object Graph {
     var rounds = 0
     var prevSum = estSum(c)
     var converged = false
-    // Each pass chains TWO h-index rounds, so the budget is rounded
-    // DOWN to even — with a floor of one pass, so tiny maxRounds
-    // still refines instead of returning raw degrees as "coreness"
-    // (maxRounds < 2 would otherwise run the body zero times). The
-    // old `rounds < maxRounds` form overran odd budgets by one
-    // round; round-down is the safe direction, since an UNDER-run
-    // past the converged gate only happens pre-fixpoint where the
-    // estimates are still upper bounds either way.
+    // Chain FOUR h-index rounds per materialization while the budget
+    // allows, then TWO for the remainder — the fixpoint is
+    // idempotent, so an extra round past convergence changes nothing
+    // while the loop's cost at this graph size IS the
+    // materialization count (measured: convergence lands well inside
+    // the budget at every shipped SF, so halving the checkpoints
+    // halves the scheduling). The budget floor keeps tiny maxRounds
+    // refining instead of returning raw degrees as "coreness", and
+    // round-down stays the safe direction: an UNDER-run past the
+    // converged gate only happens pre-fixpoint where the estimates
+    // are still upper bounds either way.
     val budget = math.max(maxRounds - maxRounds % 2, 2)
     while (!converged && rounds + 2 <= budget) {
       val next = round(round(c)).localCheckpoint()
