@@ -494,19 +494,24 @@ object CatalogQueries {
       // run was re-paying the catalog build + two checkpoints before
       // its six relaxation rounds.
       val (nodes, ew) = weightedPrState(t)
-      var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
-        .localCheckpoint()
-      for (_ <- 1 to 6) {
-        val contrib = ranks.join(ew, col("node") === col("src"))
+      def prRound(r: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val contrib = r.join(ew, col("node") === col("src"))
           .select(col("dst").as("cn"),
             (col("rank") * col("w") / col("wsum")).as("c"))
           .groupBy("cn").agg(sum(col("c")).as("c"))
-        ranks = nodes.join(contrib, col("node") === col("cn"), "left")
+        nodes.join(contrib, col("node") === col("cn"), "left")
           .select(col("node"),
             (lit(0.15) + lit(0.85) * coalesce(col("c"), lit(0.0)))
               .as("rank"))
-          .localCheckpoint()
       }
+      // TWO relaxation rounds per checkpoint/job (the Graph.pageRank
+      // chaining): same co-partitioned round shape, half the |V|-row
+      // materializations across the six rounds.
+      var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
+        .localCheckpoint()
+      for (_ <- 1 to 3)
+        ranks = prRound(prRound(ranks)).localCheckpoint()
       ranks.select(col("node"), round(col("rank"), 6).as("rank"))
     },
 

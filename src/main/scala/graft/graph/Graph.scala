@@ -327,8 +327,21 @@ final case class Graph(edges: DataFrame) {
     * cannot surface. */
   def pageRank(iters: Int, damping: Double = 0.85): DataFrame = {
     val (edeg, nodes, init) = pageRankState()
+    // TWO rounds chain per checkpoint/job (the connectedComponents
+    // trick): the edge side of both rounds' joins is the same
+    // pre-partitioned checkpoint, so the lazy two-round plan is
+    // co-partitioned joins + aggs only and the |V|-row state
+    // materializes half as often. A FULLY unrolled plan measured
+    // slower (see pageRankState); the pairwise chain keeps jobs
+    // shallow while halving the scheduling.
     var ranks = init
-    for (_ <- 1 to iters)
+    var i = 0
+    while (i + 2 <= iters) {
+      ranks = pageRankRound(edeg, nodes,
+        pageRankRound(edeg, nodes, ranks, damping), damping).cp()
+      i += 2
+    }
+    if (i < iters)
       ranks = pageRankRound(edeg, nodes, ranks, damping).cp()
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
@@ -408,20 +421,23 @@ final case class Graph(edges: DataFrame) {
     val flagged = nodes
       .withColumn("seed", (col("node") < seedMax).cast("double"))
       .cp()
-    var ranks = flagged.select(col("node"), col("seed").as("rank"))
-    for (_ <- 1 to iters) {
+    def pprRound(r: DataFrame): DataFrame = {
       val contribs = edeg
-        .join(ranks, col("node") === col("src"))
+        .join(r, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("deg")).as("c"))
-      ranks = flagged
+      flagged
         .join(contribs, col("node") === col("dst"), "left")
-        .select(col("node"), col("seed"),
+        .select(col("node"),
           (lit(1.0 - damping) * col("seed") +
             lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
-        .cp()
-        .select(col("node"), col("rank"))
     }
+    // TWO rounds per checkpoint/job, like pageRank above — same
+    // co-partitioned round shape, half the |V|-row materializations.
+    var ranks = flagged.select(col("node"), col("seed").as("rank"))
+    var i = 0
+    while (i + 2 <= iters) { ranks = pprRound(pprRound(ranks)).cp(); i += 2 }
+    if (i < iters) ranks = pprRound(ranks).cp()
     ranks.filter(col("rank") > 0)
       .select(col("node"), round(col("rank"), 6).as("rank"))
   }
