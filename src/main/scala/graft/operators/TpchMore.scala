@@ -317,18 +317,26 @@ object TpchMore {
       WHERE p_type = 'PROMO'
       GROUP BY n_name, o_year
     """)) { t =>
-      val ps = t.lineitem.groupBy(col("l_partkey").as("pk"),
-          col("l_suppkey").as("sk"))
-        .agg((min(dec2(col("l_extendedprice"))) *
-          lit(0.01).cast("decimal(4,2)")).as("cost"))
+      // The supply cost is a per-(partkey, suppkey) MIN over lineitem
+      // itself, so joining a separately aggregated `ps` back to
+      // lineitem re-scanned the fact and built a |distinct(pk,sk)| ≈
+      // |lineitem| broadcast hash relation (an 18 MB single-threaded
+      // driver build in the measured plan). Instead: prune to PROMO
+      // parts FIRST (the filter is a part attribute — constant per
+      // partkey — so every (pk, sk) group survives whole and its min
+      // is unchanged), then compute the min as an unordered window
+      // over (pk, sk): one lineitem scan, one exchange of the ~17%
+      // surviving rows, no self-join.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_partkey", "l_suppkey")
       t.lineitem
-        .join(ps, col("pk") === col("l_partkey") &&
-          col("sk") === col("l_suppkey"))
+        .join(broadcast(t.part.filter(col("p_type") === "PROMO")),
+          col("p_partkey") === col("l_partkey"))
+        .withColumn("cost", min(dec2(col("l_extendedprice"))).over(w) *
+          lit(0.01).cast("decimal(4,2)"))
         .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
         .join(t.orders, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(t.part.filter(col("p_type") === "PROMO")),
-          col("p_partkey") === col("l_partkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
         .agg(sum(dec2(col("l_extendedprice")) *
             dec2(lit(1) - col("l_discount")) -
@@ -483,16 +491,27 @@ object TpchMore {
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                               (l_returnflag, l_linestatus))
     """)) { t =>
-      t.sql("""
-        SELECT l_returnflag, l_linestatus,
-               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
-               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-               COUNT(*) AS n
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
-                                (l_returnflag, l_linestatus))
-      """, "lineitem")
+      // Aggregate BEFORE the Expand: grouping sets plan as an Expand
+      // that multiplies every input row once per set (3x the fact
+      // through the exchange). All three sets are coarsenings of
+      // (l_returnflag, l_linestatus), so one map-combined partial
+      // aggregate reduces the fact to its ~9-row group frame and the
+      // Expand multiplies THAT — the sums re-fold exactly (decimal
+      // addition is associative; COUNT(*) becomes SUM of the partial
+      // counts), and the GROUPING flags come from the same grouping-
+      // sets operator, now over 9 rows.
+      val base = t.lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec2(col("l_quantity"))).as("sq"),
+          count(lit(1)).as("cnt"))
+      base.groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")),
+            Seq(col("l_returnflag"), col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          sum(col("sq")).cast("double").as("sum_qty"),
+          sum(col("cnt")).as("n"))
     },
 
     // Rank-predicate top-k per group: Spark 4 plans the filter as a
