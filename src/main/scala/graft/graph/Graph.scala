@@ -816,13 +816,8 @@ final case class Graph(edges: DataFrame) {
         }
       }
       if (nLive > 0) {
-        // 2. min-label coloring, both directions. Each direction's
-        // loop joins its edge frame on `src` every round:
-        // materialize the frame hash-partitioned on the key once, so
-        // per round only the |V|-row label frame shuffles into the
-        // join (the coreness/und trick).
-        def minReach(eIn: DataFrame): DataFrame = {
-          val e = eIn.repartition(col("src")).cp()
+        // 2. min-label coloring, both directions
+        def minReach(e: DataFrame): DataFrame = {
           def round(l: DataFrame): DataFrame =
             l.as("L").join(e.as("E"), expr("L.node = E.src"))
               .select(col("E.dst").as("node"), col("L.m").as("m"))
@@ -1214,12 +1209,12 @@ object Graph {
     * the graph-loop convention). Input: canonical undirected edges
     * (src < dst, distinct, no self-loops); output (n, deg, coreness). */
   private[graft] def coreness(e: DataFrame, maxRounds: Int): DataFrame = {
-    // Pre-partition the checkpointed edge ends by the join key: every
-    // round joins und on `nbr`, so materializing the 2|E| rows
-    // already hash-partitioned on it means only the |V|-row estimate
-    // frame shuffles per round — the edge side's Exchange happens
-    // once, not once per round.
-    val und = undirect(e).repartition(col("nbr")).localCheckpoint()
+    // NOT pre-partitioned on the join key: the |V|-row estimate frame
+    // is the join's build side (AQE broadcasts it at these sizes, and
+    // at cluster scale EnsureRequirements shuffles the smaller side),
+    // so an upfront repartition of the 2|E| rows is paid once and
+    // saves nothing per round — measured as a mild regression.
+    val und = undirect(e).localCheckpoint()
     var c = und.groupBy("n").agg(count(lit(1)).as("c")).localCheckpoint()
     val degs = c.select(col("n"), col("c").as("deg"))
     // h-index without ranking the raw edge ends: h = max over the
