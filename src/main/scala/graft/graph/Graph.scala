@@ -986,7 +986,12 @@ final case class Graph(edges: DataFrame) {
       .select(lit(source).as("node"), array(lit(source)).as("path"),
         lit(0).as("len"))
       .cp()
-    var found = paths.filter(col("node") === target).cp()
+    // `found` stays a LAZY union of target-filters over the per-hop
+    // checkpoints: each arm reads materialized rows, so giving the
+    // union its own checkpoint per hop (the old shape) only added a
+    // driver-synced job — with maxHops hops that is maxHops extra
+    // materializations for frames the loop already holds.
+    var found = paths.filter(col("node") === target)
     var hopN = 0
     while (hopN < maxHops && stopAtK.forall(found.count() < _) &&
         !paths.isEmpty) {
@@ -1002,7 +1007,6 @@ final case class Graph(edges: DataFrame) {
         .drop("d_to_t")
         .cp()
       found = found.union(paths.filter(col("node") === target))
-        .cp()
     }
     found.select(col("len"), concat_ws("->", col("path")).as("path"))
       .orderBy(col("len"), col("path"))
