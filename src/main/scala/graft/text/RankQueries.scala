@@ -423,11 +423,16 @@ object RankQueries {
       SELECT w1, w2, c AS n, ROUND(pmi, 4) AS pmi
       FROM p ORDER BY ROUND(pmi, 8) DESC, w1, w2 LIMIT 20
     """)) { t =>
+      // The tokenized corpus is consumed by BOTH bigram aggregates
+      // (total count + pair counts) — checkpoint it so the
+      // normalize+split kernel runs once; unigram counts fold from
+      // the session-shared (doc_id, term, tf) index (identical
+      // tokenization — tfTable), which the tfidf family already
+      // materialized, instead of a second tokenize pass.
       val docs = t.fan(t.documents)
         .select(split(TextFns.normalize(col("text")), " ").as("ws"))
-      val uni = docs.select(explode(col("ws")).as("term"))
-        .filter(col("term") =!= "")
-        .groupBy("term").agg(count(lit(1)).as("uc"))
+        .localCheckpoint()
+      val uni = tfTable(t).groupBy("term").agg(sum("tf").as("uc"))
       val n = uni.agg(sum("uc").as("n"))
       val bg = docs.select(explode(expr(
           "CASE WHEN size(ws) >= 2 THEN transform(" +
