@@ -312,10 +312,16 @@ object Wave15 {
       val qs = Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
       val split = t.orders.agg(
         expr("max(o_orderkey) div 2").as("half"))
+      // Checkpointed: the boundary aggregate and the bucketing pass
+      // both read `s`, and they are SEQUENTIAL by construction (the
+      // boundaries broadcast into the bucketing), so without the
+      // materialization the orders scan + shard projection runs twice
+      // on the critical path — not in parallel stages.
       val s = t.orders.select(col("o_orderkey").as("v"))
         .crossJoin(broadcast(split))
         .select(col("v"),
           when(col("v") < col("half"), 0).otherwise(1).as("shard"))
+        .localCheckpoint()
       // Per-shard ANALYZE: ONE boundary aggregate (2 rows — one per
       // shard/region) broadcast back, bucketing map-side. The seven
       // boundaries come from ONE array-percentile call: seven scalar
