@@ -74,13 +74,17 @@ object Bench {
         "s_ivf_retrain",
         // r17 continuation: the staged near-dup admit index and the
         // drift-dashboard serving root are marker-gated lazy layouts.
-        "d_dedup_admit", "s_drift_series",
-        // Session memos are the same one-time-build class (tf
-        // inverted index, bounded kNN graph, bigram LM scores): warm
-        // the first member of each family so every measured entry is
-        // the steady state the memo exists to serve.
-        "t_tfidf", "s_knn_graph", "t_lm_score", "d_ngram_jaccard")
+        "d_dedup_admit", "s_drift_series")
         .contains(q.name))
+        // Session memos (tf inverted index, bounded kNN graph, bigram
+        // LM scores, shingle pairing) are NOT pre-warmed: unlike the
+        // on-disk layouts above — which model serving from a persisted
+        // index and keep a timed build twin (s_ann_ivf still builds
+        // in-query) — the memo families' first members ARE the build
+        // entries, so warming them untimed would erase the very build
+        // cost those entries exist to measure. The first family member
+        // in registry order pays the memo build in its timed slot;
+        // later members measure the steady state the memo serves.
     }
     warmup.foreach { q =>
       try q.run(t).write.format("noop").mode("overwrite").save()
