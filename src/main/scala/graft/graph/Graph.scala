@@ -28,6 +28,11 @@ final case class Graph(edges: DataFrame) {
     * survival; rationale lives on Reliable). */
   private implicit class Cp(df: DataFrame) {
     def cp(): DataFrame = graft.tools.Reliable.cp(df)
+    /** Deferred-materialization checkpoint — use ONLY when the very
+      * next driver action full-scans this frame (convergence sum,
+      * count): that action's job materializes the blocks, folding
+      * the checkpoint job away (see [[graft.tools.Reliable.cpLazy]]). */
+    def cpLazy(): DataFrame = graft.tools.Reliable.cpLazy(df)
   }
 
   /** The BOTH-orientation edge table, materialized ONCE per Graph
@@ -213,15 +218,25 @@ final case class Graph(edges: DataFrame) {
         val l2 = bfsLevel(e, l1,
           visited.select("node").union(l1.select("node")), hopN + 2)
         l1.union(l2)
-      }).cp()
+      }).cpLazy()
       hopN += (if (twoHop) 2 else 1)
-      if (next.isEmpty) done = true
+      // ONE full-scan aggregate returns both loop scalars — total new
+      // nodes (empty ⇒ done) and the deepest level's size (the next
+      // frontier) — and materializes the lazy checkpoint in the same
+      // job. `visited` stays a LAZY union chain over the per-level
+      // cached frames (≤ maxHops arms, levels are disjoint by the
+      // anti-join): scanning the chain costs the same rows as the
+      // flattened copy the old per-round union checkpoint built, so
+      // that extra materialization job per level is gone.
+      val r = next.agg(count(lit(1)),
+        count(when(col("dist") === hopN, true))).head()
+      if (r.getLong(0) == 0L) done = true
       else {
-        visited = visited.union(next).cp()
+        visited = visited.union(next)
         // Only the deepest level seeds the next expansion; if the
         // second hop of a batch came back empty the loop is done.
         frontier = next.filter(col("dist") === hopN)
-        frontierN = frontier.count()
+        frontierN = r.getLong(1)
         done = frontierN == 0
       }
     }
@@ -265,13 +280,18 @@ final case class Graph(edges: DataFrame) {
         val l2 = level(l1,
           visited.select("node").union(l1.select("node")), hopN + 2)
         l1.union(l2)
-      }).cp()
+      }).cpLazy()
       hopN += (if (twoHop) 2 else 1)
-      if (next.isEmpty) done = true
+      // Same one-job fold as shortestDistances: the scalar aggregate
+      // materializes the lazy checkpoint; visited stays a lazy union
+      // chain over the disjoint cached levels.
+      val r = next.agg(count(lit(1)),
+        count(when(col("dist") === hopN, true))).head()
+      if (r.getLong(0) == 0L) done = true
       else {
-        visited = visited.union(next).cp()
+        visited = visited.union(next)
         frontier = next.filter(col("dist") === hopN)
-        frontierN = frontier.count()
+        frontierN = r.getLong(1)
         done = frontierN == 0
       }
     }
@@ -312,9 +332,13 @@ final case class Graph(edges: DataFrame) {
       hopN += 1
       val relaxed = dist.join(we, dist("node") === we("src"))
         .select(col("dst").as("node"), (col("wdist") + col("w")).as("wdist"))
+      // Lazy checkpoint: the loop condition's convergence aggregate
+      // (or, after the final hop, the caller's own action) is the
+      // full scan that materializes each round's state — one job per
+      // round instead of two.
       dist = dist.union(relaxed)
         .groupBy("node").agg(min(col("wdist")).as("wdist"))
-        .cp()
+        .cpLazy()
     }
     dist
   }
@@ -524,10 +548,15 @@ final case class Graph(edges: DataFrame) {
     * decision on constructed chain/dense graphs. */
   def connectedComponentsWithStats(): (DataFrame, Graph.CcStats) = {
     val und = bothCp
+    // Lazy checkpoints throughout this loop: every materialization
+    // point is immediately followed by the label-sum scalar, whose
+    // job computes AND caches the state — one job per cycle instead
+    // of a checkpoint job plus a cached re-scan (§5 driver
+    // round-trips; the fixpoint and labels are unchanged).
     var labels = und.select(col("src").as("node"))
       .distinct()
       .select(col("node"), col("node").as("component"))
-      .cp()
+      .cpLazy()
     // One min-label propagation round; alias-qualified so two rounds
     // can chain inside one lazy plan (the inner round's aggregation
     // exchange is reused by Spark's ReuseExchange across its two
@@ -567,7 +596,7 @@ final case class Graph(edges: DataFrame) {
       cycles += 1
       val compressing = compressFrom > 0
       val next =
-        round(round(if (compressing) compress(labels) else labels)).cp()
+        round(round(if (compressing) compress(labels) else labels)).cpLazy()
       val nextSum = next.agg(sum(col("component"))).head().getLong(0)
       val dec = prevSum - nextSum
       converged = dec == 0L
@@ -783,8 +812,14 @@ final case class Graph(edges: DataFrame) {
     // other distinct-edge consumer) share ONE materialization.
     var live = distinctCp
     var result: DataFrame = Seq.empty[(Long, Long)].toDF("node", "scc")
+    // Lazy checkpoints on every state whose next driver action is a
+    // full-scan scalar (count / label sum): that action's job
+    // materializes the blocks — one job per step instead of two.
+    // `live` keeps the EAGER cp: its next consumer is a plan that
+    // references it twice (both edge ends), which would race to
+    // compute an unmaterialized subtree.
     var nodes = live.select(col("src").as("node"))
-      .union(live.select(col("dst").as("node"))).distinct().cp()
+      .union(live.select(col("dst").as("node"))).distinct().cpLazy()
     var nLive = nodes.count()
     while (nLive > 0) {
       // 1. trim to fixpoint. "Has both an in- and an out-edge" is ONE
@@ -801,7 +836,7 @@ final case class Graph(edges: DataFrame) {
           .groupBy("node").agg(max("o").as("o"), max("i").as("i"))
           .filter(col("o") === 1 && col("i") === 1)
           .select("node")
-        val keep = nodes.join(both, Seq("node"), "left_semi").cp()
+        val keep = nodes.join(both, Seq("node"), "left_semi").cpLazy()
         val nKeep = keep.count()
         if (nKeep == nLive) trimming = false
         else {
@@ -830,7 +865,7 @@ final case class Graph(edges: DataFrame) {
           // fixpoint (and the sum test observing every second round)
           // is unchanged — half the driver scheduling.
           while (!done) {
-            val next = round(round(lbl)).cp()
+            val next = round(round(lbl)).cpLazy()
             val s = next.agg(sum("m")).head().getLong(0)
             done = s == prevSum; prevSum = s; lbl = next
           }
@@ -841,14 +876,19 @@ final case class Graph(edges: DataFrame) {
           col("src").as("dst")))
         val found = f.join(b.withColumnRenamed("m", "mb"), "node")
           .filter(col("m") === col("mb"))
-          .select(col("node"), col("m").as("scc")).cp()
+          .select(col("node"), col("m").as("scc")).cpLazy()
         result = result.union(found)
-        nodes = nodes.join(found.select("node"), Seq("node"), "left_anti").cp()
+        nodes = nodes.join(found.select("node"), Seq("node"), "left_anti")
+          .cpLazy()
+        // Count BEFORE the live rebuild: this one job materializes
+        // found AND nodes, and live's eager cp then reads both from
+        // cache (live itself references nodes twice, so it keeps the
+        // eager form — see the loop-head comment).
+        nLive = nodes.count()
         live = live
           .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
           .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
           .cp()
-        nLive = nodes.count()
       }
     }
     result
@@ -873,10 +913,12 @@ final case class Graph(edges: DataFrame) {
     while (!converged && rounds < maxRounds) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
+      // Lazy checkpoint: the survivor-count job below full-scans the
+      // pruned edges, materializing them in the same job (§5).
       val pruned = edges
         .join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .cp()
+        .cpLazy()
       val n = pruned.select("src").distinct().count()
       converged = n == prevN
       prevN = n
@@ -926,7 +968,10 @@ final case class Graph(edges: DataFrame) {
     // carry it instead of re-enumerating after the loop.
     var lastSup: Option[DataFrame] = None
     while (!converged && rounds < maxRounds) {
-      val sup = Graph.edgeSupportsWith(e, hubs, hasHubs).cp()
+      // Lazy checkpoint: the kept-count below scans every support row
+      // (the filter is evaluated over the full frame), so one job
+      // materializes the round's supports and counts survivors.
+      val sup = Graph.edgeSupportsWith(e, hubs, hasHubs).cpLazy()
       val kept = sup.filter(col("sup") >= k - 2)
       val n = kept.count()
       converged = n == prevN
@@ -992,9 +1037,16 @@ final case class Graph(edges: DataFrame) {
     // driver-synced job — with maxHops hops that is maxHops extra
     // materializations for frames the loop already holds.
     var found = paths.filter(col("node") === target)
+    // Driver-side loop counters, both refreshed by ONE full-scan
+    // aggregate per hop that doubles as the lazy checkpoint's
+    // materialization job (the old shape paid found.count() +
+    // isEmpty + an eager checkpoint — three driver-synced jobs per
+    // hop — for the same two scalars). Seed state: one partial path
+    // at the source, which is a completed path iff source == target.
+    var foundN = if (source == target) 1L else 0L
+    var pathsN = 1L
     var hopN = 0
-    while (hopN < maxHops && stopAtK.forall(found.count() < _) &&
-        !paths.isEmpty) {
+    while (hopN < maxHops && stopAtK.forall(foundN < _) && pathsN > 0) {
       hopN += 1
       paths = paths.filter(col("node") =!= target)
         .join(e, paths("node") === e("src"))
@@ -1005,7 +1057,11 @@ final case class Graph(edges: DataFrame) {
         .join(distToTarget, "node")
         .filter(col("len") + col("d_to_t") <= maxHops)
         .drop("d_to_t")
-        .cp()
+        .cpLazy()
+      val r = paths.agg(count(lit(1)),
+        count(when(col("node") === target, true))).head()
+      pathsN = r.getLong(0)
+      foundN += r.getLong(1)
       found = found.union(paths.filter(col("node") === target))
     }
     found.select(col("len"), concat_ws("->", col("path")).as("path"))
@@ -1261,20 +1317,21 @@ object Graph {
     var rounds = 0
     var prevSum = estSum(c)
     var converged = false
-    // Chain FOUR h-index rounds per materialization while the budget
-    // allows, then TWO for the remainder — the fixpoint is
+    // Chain TWO h-index rounds per materialization — the fixpoint is
     // idempotent, so an extra round past convergence changes nothing
     // while the loop's cost at this graph size IS the
-    // materialization count (measured: convergence lands well inside
-    // the budget at every shipped SF, so halving the checkpoints
-    // halves the scheduling). The budget floor keeps tiny maxRounds
+    // materialization count (the r17 A/B measured FOUR-round chaining
+    // as no further gain, so two is the shipped budget unit). The
+    // budget floor keeps tiny maxRounds
     // refining instead of returning raw degrees as "coreness", and
     // round-down stays the safe direction: an UNDER-run past the
     // converged gate only happens pre-fixpoint where the estimates
     // are still upper bounds either way.
     val budget = math.max(maxRounds - maxRounds % 2, 2)
     while (!converged && rounds + 2 <= budget) {
-      val next = round(round(c)).localCheckpoint()
+      // Lazy checkpoint: estSum's aggregate job materializes the
+      // round's estimates — one job per cycle instead of two (§5).
+      val next = round(round(c)).localCheckpoint(false)
       val nextSum = estSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum

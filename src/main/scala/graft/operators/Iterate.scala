@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 
 /** Bounded fixpoint iteration — the Spark analog of TiDB's recursive
   * CTE executor (reference: /root/reference/executor/cte.go, which
@@ -56,23 +56,26 @@ object Iterate {
       // by round 4). Coalesce back to the executor width before
       // materializing.
       val width = seed.sparkSession.sparkContext.defaultParallelism
+      // LAZY checkpoint + ONE full-scan aggregate: the same job
+      // materializes the batch and returns both loop scalars — total
+      // rows (empty ⇒ done) and the last level's rows (the next
+      // frontier; died-mid-batch ⇒ done). The old shape paid an
+      // eager checkpoint job plus one or two isEmpty jobs per round
+      // for the same information. For batch == 1 the two counts
+      // coincide (the batch IS the last level), so the stop decision
+      // is identical by construction.
       val tagged = levels.reverse.zipWithIndex
         .map { case (df, k) => df.withColumn("__lvl", lit(k)) }
         .reduce(_ union _)
         .coalesce(width)
-        .localCheckpoint()
-      if (tagged.isEmpty) done = true
+        .localCheckpoint(false)
+      val r = tagged.agg(count(lit(1)),
+        count(when(col("__lvl") === lastIdx, true))).head()
+      if (r.getLong(0) == 0L) done = true
       else {
         acc = acc.union(tagged.drop("__lvl"))
-        // The last level read back from the materialized batch. If the
-        // frontier died mid-batch, stop NOW — one cheap isEmpty on the
-        // already-materialized frame — instead of scheduling a whole
-        // extra batch of empty jobs before the next emptiness check.
-        // Only meaningful for batch > 1: with one level per batch,
-        // tagged nonempty == frontier nonempty, and the extra action
-        // would just double the per-round driver overhead.
         frontier = tagged.filter(col("__lvl") === lastIdx).drop("__lvl")
-        if (lastIdx > 0 && frontier.isEmpty) done = true
+        if (r.getLong(1) == 0L) done = true
       }
     }
     acc

@@ -185,7 +185,13 @@ object Bpe {
       .select(expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("syms"), col("freq"))
-      .localCheckpoint()
+      // LAZY checkpoints throughout the merge loop: each step's
+      // best-pair TakeOrdered computes every vocab partition anyway,
+      // so that one job materializes the state too — one job per
+      // merge instead of a checkpoint job plus the ranking job (and
+      // the final post-merge vocab, which trainMerges never reads,
+      // is never materialized at all).
+      .localCheckpoint(false)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var step = 1
@@ -210,7 +216,7 @@ object Bpe {
         out += ((step, a, b, n))
         vocab = vocab
           .withColumn("syms", applyMerge(col("syms"), a, b))
-          .localCheckpoint()
+          .localCheckpoint(false)
         step += 1
       }
     }

@@ -37,6 +37,28 @@ object Reliable {
     }
   }
 
+  /** [[cp]] with the materialization DEFERRED to the caller's own
+    * next action — for loop states whose checkpoint is immediately
+    * followed by a full-scan scalar action over the same frame (a
+    * convergence sum, a row count): eager `localCheckpoint()` runs
+    * one job to materialize and then a second job for the scalar,
+    * while the lazy form lets the scalar's job compute AND cache the
+    * blocks, so each loop cycle costs ONE driver-scheduled job. The
+    * caller MUST follow with an action that scans every partition
+    * (aggregates and counts do; a limit/take does not) before using
+    * the frame as loop state — otherwise the lineage truncation the
+    * checkpoint exists for never happens. Under a reliable
+    * checkpoint dir the parquet write IS the materialization, so
+    * this degrades to [[cp]] unchanged (the fold is a scheduling
+    * win, never a semantics change). */
+  def cpLazy(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    ss.conf.getOption("spark.graft.graph.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty => cp(df)
+      case _ => df.localCheckpoint(false)
+    }
+  }
+
   /** Total checkpoints taken by this JVM — observability for specs
     * (did a code path actually checkpoint?) without exposing paths. */
   def count: Long = cpSeq.get()
