@@ -273,22 +273,24 @@ object TpchMore {
       val ps = t.lineitem.groupBy(col("l_partkey").as("pk"),
           col("l_suppkey").as("sk"))
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
-      // rps feeds both the per-part minimum and the final join;
-      // without materialization Catalyst replays the whole
-      // lineitem-derivation pipeline for each consumer (no
-      // common-subplan reuse across aggregates).
       val rps = ps
         .join(broadcast(t.supplier), col("sk") === col("s_suppkey"))
         .join(broadcast(t.nation.filter(col("n_regionkey") === 2)),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("pk"), col("sk"), col("cost"), col("s_name"),
           col("n_name"))
-        .localCheckpoint()
-      val minc = rps.groupBy(col("pk").as("m_pk"))
-        .agg(min(col("cost")).as("min_cost"))
+      // Correlated-min decorrelation via an unordered window over pk
+      // — the q9 treatment: the old aggregate-join-back shape
+      // materialized rps (checkpoint) and consumed it twice (min agg
+      // + join), i.e. two passes and an extra exchange for the same
+      // per-part minimum the window computes in ONE pass over ONE
+      // pk exchange. The kept rows are identical: MIN over the same
+      // (pk) partition of the same doubles, compared with the same
+      // exact equality — the oracle hash is unchanged.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("pk")
       rps
-        .join(minc, col("pk") === col("m_pk") &&
-          col("cost") === col("min_cost"))
+        .withColumn("min_cost", min(col("cost")).over(w))
+        .filter(col("cost") === col("min_cost"))
         .join(t.part.filter(col("p_size") > 45),
           col("p_partkey") === col("pk"))
         .select(col("p_partkey"), col("p_type"), col("s_name"),
