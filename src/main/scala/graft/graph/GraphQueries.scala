@@ -766,12 +766,19 @@ object GraphQueries {
       ORDER BY common DESC, c1, c2 LIMIT 50
     """)) { t =>
       // The df-capped posting base is memoized per (session, dir) —
-      // see copurchasePostings; the pair self-join below starts from
-      // the checkpointed |postings| rows.
+      // see copurchasePostings. Pairs are generated INSIDE each
+      // part's posting list (one groupBy(p) exchange into df≤200
+      // arrays, then a codegen double-explode) instead of the old
+      // posting self-join, which shuffled the postings TWICE (both
+      // join sides hashed on p) to expand the very same pairs —
+      // §2 fewer shuffles; the pair set (a.c < b.c within a part)
+      // and its multiplicities are identical by construction.
       val k = copurchasePostings(t)
-      k.as("a").join(k.as("b"),
-          expr("a.p = b.p AND a.c < b.c"))
-        .groupBy(col("a.c").as("c1"), col("b.c").as("c2"))
+      k.groupBy("p").agg(collect_list(col("c")).as("cs"))
+        .select(explode(col("cs")).as("c1"), col("cs"))
+        .select(col("c1"), explode(col("cs")).as("c2"))
+        .filter(col("c1") < col("c2"))
+        .groupBy(col("c1"), col("c2"))
         .agg(count(lit(1)).as("common"))
         .filter(col("common") >= 2)
         // deterministic global top-50 (TakeOrdered — no full sort):

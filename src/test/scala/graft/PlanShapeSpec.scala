@@ -464,6 +464,15 @@ class PlanShapeSpec extends SparkSpecBase {
       s"pair join must key on the part:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"global top-50 should fuse, not sort:\n$p")
+    // r18: pairs expand in-place from the per-part posting arrays
+    // (one groupBy(p) exchange + a codegen double-explode) — the old
+    // posting SELF-JOIN shuffled the postings twice for the same
+    // pairs. No join of any kind should remain in the pair plan.
+    assert(p.contains("Generate explode"),
+      s"pairs must expand from posting arrays:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin"),
+      s"the posting self-join should be gone:\n$p")
   }
 
   test("s_ann_range scans once with a broadcast query side, no shuffle") {
