@@ -65,17 +65,25 @@ object DedupQueries {
     * each token's xxhash64 — same explode + 64-codegen-aggregate
     * shape as minhashSigs (the nested-HOF form cost 1009 s at sf0.1;
     * this runs in seconds and scales map-side). */
-  private def simhash(docs: DataFrame): DataFrame = {
+  private[graft] def simhash(docs: DataFrame): DataFrame = {
     val tokHash = docs
       .select(col("doc_id"),
         explode(TextFns.wordShingleHashes(col("text"), 1)).as("h"))
+    // Per-bit ONES counts, not ±1 votes: sum((h>>i)&1) drops the
+    // per-token-per-bit conditional from the 64 aggregate update
+    // expressions (64 branches/row → 64 shift-and-adds/row, §4
+    // cheaper codegen in the kernel every consumer pays). The
+    // majority test is algebraically identical in exact integer
+    // arithmetic: old vote b_i = ones−(n−ones) = 2·ones−n, and
+    // b_i >= 0 ⟺ 2·ones_i >= n — same bits, same hashes.
     val votes: Seq[org.apache.spark.sql.Column] = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L)
-        .otherwise(-1L)).as(s"b_$i"))
-    tokHash.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      sum(shiftright(col("h"), i).bitwiseAND(1)).as(s"b_$i"))
+    tokHash.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), votes: _*)
       .select(col("doc_id"),
         (0 until 64).map(i =>
-          when(col(s"b_$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+          when(col(s"b_$i") * 2 >= col("n"), lit(1L << i))
+            .otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 

@@ -32,6 +32,28 @@ class DedupAnnSpec extends SparkSpecBase {
     }
   }
 
+  test("simhash kernel: ones-count majority equals the ±1 vote definition") {
+    // The kernel aggregates per-bit ONES counts (2·ones >= n); the
+    // defining form is the ±1 majority vote (Σ±1 >= 0). Recompute the
+    // definition driver-side from the SAME token hashes and demand
+    // bit-identical signatures.
+    val sample = t.documents.limit(30)
+    val expected = sample.select(col("doc_id"),
+        graft.functions.TextFns.wordShingleHashes(col("text"), 1).as("hs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .collect { case (id, hs) if hs.nonEmpty =>
+        id -> (0 until 64).map { i =>
+          val vote = hs.map(h => if (((h >> i) & 1L) == 1L) 1L else -1L).sum
+          if (vote >= 0) 1L << i else 0L
+        }.sum
+      }.toMap
+    val got = graft.dedup.DedupQueries.simhash(sample).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("simhash near-dup pairs have hamming <= 3 and are distinct") {
     val rows = q("d_dedup_simhash").collect()
     rows.foreach { r =>
