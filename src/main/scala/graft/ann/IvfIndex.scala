@@ -38,19 +38,40 @@ object IvfIndex {
   private def withCC(centroids: DataFrame): DataFrame =
     centroids.withColumn("cc", dot(col("cv"), col("cv")))
 
-  /** Nearest-cell assignment of `points` against a broadcast
-    * centroid table: min_by over the per-cell distance keys — a
-    * partial-aggregating map-side argmin, no sort, no window
-    * shuffle. */
+  /** Nearest-cell assignment of `points`: the centroid table is
+    * O(C·dim) — collected once to the driver (the graph loops'
+    * bounded-scalar contract) and embedded as LITERAL candidate
+    * structs, so the per-point argmin runs as a pure whole-stage-
+    * codegen expression and the corpus NEVER shuffles. The previous
+    * crossJoin(broadcast) + groupBy(idCol) shape partial-aggregated
+    * the C candidate rows map-side but still pushed every corpus row
+    * through a vec_id exchange — a full-corpus shuffle per
+    * assignment pass (once per Lloyd iteration plus the final
+    * assignment) for an argmin that never needed to leave the row.
+    * Equivalence: the distance key (round(cc − 2·v·cv, 6)), the cc
+    * precompute and the cell tiebreak are the same expressions over
+    * the same doubles (cc is collected from the same withCC column),
+    * and array_min over struct(key, cell) selects exactly
+    * min_by(cell, struct(key, cell)) — assignments are bit-identical,
+    * so every persisted layout, probe ranking and pinned recall is
+    * unchanged (IvfIndexSpec re-proves the equalities). */
   private def assign(points: DataFrame, centroids: DataFrame,
       idCol: String, vCol: String): DataFrame = {
+    val cents = withCC(centroids)
+      .select(col("cell"), col("cv"), col("cc")).collect()
+    require(cents.nonEmpty,
+      "assign: empty centroid table (corrupt or untrained index)")
+    val candidates = cents.toSeq.map { r =>
+      struct(
+        round(lit(r.getDouble(2)) -
+          lit(2.0) * dot(col(vCol), lit(r.getSeq[Double](1).toArray)), 6)
+          .as("k"),
+        lit(r.getInt(0)).as("cell"))
+    }
     val others = points.columns.filter(_ != idCol).map(c => col(c))
-    points.crossJoin(broadcast(withCC(centroids)))
-      .groupBy(col(idCol))
-      .agg(min_by(col("cell"),
-          struct(distKey(col(vCol), col("cv"), col("cc")), col("cell")))
-          .as("cell"),
-        others.map(c => first(c).as(c.toString)): _*)
+    points.select(col(idCol) +:
+      array_min(array(candidates: _*)).getField("cell").as("cell") +:
+      others: _*)
   }
 
   /** Build the index: (corpus with `cell` column, centroid table). */
